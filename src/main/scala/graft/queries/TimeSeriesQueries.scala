@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+/** Windowed / analytic operator inventory (SURVEY §2.4, §2.5, §2.9)
+  * over the `events` stream table. `event_type` plays the keyword role,
+  * `user_id` the source role of the reference's alert logic.
+  */
+object TimeSeriesQueries {
+  import QueryDef.sql
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  // A3 base: hour-bucket counts (advanced_trend_analyzer.py:77).
+  val q14 = sql(
+    "q14_hourly_counts",
+    """SELECT strftime(ts, '%Y%m%d%H') AS bucket, event_type AS key, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, key""".stripMargin) { (s, d) =>
+    TimeSeries.bucketCounts(ev(s, d), col("ts"), col("event_type"), "yyyyMMddHH")
+      .orderBy(col("bucket"), col("key"))
+  }
+
+  // A4/O4: per-minute timeline for one key (advanced_trend_analyzer.py:87,314-329).
+  val q15 = sql(
+    "q15_minute_timeline",
+    """SELECT strftime(ts, '%Y%m%d%H%M') AS bucket, count(*) AS cnt
+      |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    ev(s, d).filter(col("event_type") === "error")
+      .groupBy(date_format(col("ts"), "yyyyMMddHHmm").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  // W4 velocity with new-key boost (advanced_trend_analyzer.py:148-169).
+  val q16 = sql(
+    "q16_velocity",
+    """WITH h AS (SELECT strftime(ts, '%Y%m%d%H') AS bucket, event_type AS key, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2)
+      |SELECT bucket, key, cnt,
+      |  CASE WHEN lag(cnt, 1, 0) OVER (PARTITION BY key ORDER BY bucket) = 0
+      |       THEN cnt * 2.0
+      |       ELSE (cnt - lag(cnt, 1, 0) OVER (PARTITION BY key ORDER BY bucket)) * 1.0
+      |  END AS velocity
+      |FROM h ORDER BY bucket, key""".stripMargin) { (s, d) =>
+    TimeSeries.velocity(
+      TimeSeries.bucketCounts(ev(s, d), col("ts"), col("event_type"), "yyyyMMddHH"))
+      .orderBy(col("bucket"), col("key"))
+  }
+
+  // W3/A15 z-score vs trailing 168 buckets (advanced_trend_analyzer.py:171-197).
+  val q17 = sql(
+    "q17_zscore",
+    """WITH h AS (SELECT strftime(ts, '%Y%m%d%H') AS bucket, event_type AS key, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT bucket, key, cnt,
+      |  count(cnt) OVER win AS n, sum(cnt) OVER win AS s1, sum(cnt*cnt) OVER win AS s2
+      |  FROM h WINDOW win AS (PARTITION BY key ORDER BY bucket ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING))
+      |SELECT bucket, key, cnt,
+      |  round(CASE WHEN n < 2 OR (s2 - s1*s1/n)/n <= 0 THEN 0.0
+      |        ELSE (cnt - s1/n) / sqrt((s2 - s1*s1/n)/n) END, 6) AS z
+      |FROM w ORDER BY bucket, key""".stripMargin) { (s, d) =>
+    TimeSeries.zscore(
+      TimeSeries.bucketCounts(ev(s, d), col("ts"), col("event_type"), "yyyyMMddHH"))
+      .orderBy(col("bucket"), col("key"))
+  }
+
+  // A3 multi-horizon rollup from the hourly state table.
+  val q18 = sql(
+    "q18_multi_horizon",
+    """WITH h AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, event_type AS key, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |a AS (SELECT max(bucket) AS anchor FROM h)
+      |SELECT key,
+      |  CAST(SUM(CASE WHEN bucket > anchor - 1   THEN cnt ELSE 0 END) AS BIGINT) AS c1h,
+      |  CAST(SUM(CASE WHEN bucket > anchor - 6   THEN cnt ELSE 0 END) AS BIGINT) AS c6h,
+      |  CAST(SUM(CASE WHEN bucket > anchor - 24  THEN cnt ELSE 0 END) AS BIGINT) AS c24h,
+      |  CAST(SUM(CASE WHEN bucket > anchor - 168 THEN cnt ELSE 0 END) AS BIGINT) AS c168h
+      |FROM h, a GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    TimeSeries.multiHorizon(
+      TimeSeries.epochBucketCounts(ev(s, d), col("ts"), col("event_type"), 3600))
+      .orderBy(col("key"))
+  }
+
+  // A1 trending alert: 30-min tumbling window, count >= threshold
+  // (AlertTopology.java:86-90; AlertConfig.java:40 scaled to testdata).
+  val q19 = sql(
+    "q19_trending_alerts",
+    """SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type AS key, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY window_start, key""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("key"), col("cnt"))
+      .orderBy(col("window_start"), col("key"))
+  }
+
+  // A2/A8/A9 breaking alert: 5-min window, volume + distinct-source
+  // thresholds (AlertAnalyzer.java:13-43 scaled to testdata).
+  val q20 = sql(
+    "q20_breaking_alerts",
+    """SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/300)*300 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type AS key, count(*) AS cnt, count(DISTINCT user_id) AS n_sources
+      |FROM events GROUP BY 1, 2 HAVING count(*) >= 3 AND count(DISTINCT user_id) >= 2
+      |ORDER BY window_start, key""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type").as("key"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_sources"))
+      .filter(col("cnt") >= 3 && col("n_sources") >= 2)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("key"), col("cnt"), col("n_sources"))
+      .orderBy(col("window_start"), col("key"))
+  }
+
+  // ST3 exact sliding 30-min window over minute buckets (SURVEY §4.3
+  // deviation: exact semantics instead of the reference's decay hack).
+  val q21 = sql(
+    "q21_sliding_30min",
+    """WITH m AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS bucket, event_type AS key, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2)
+      |SELECT bucket, key, cnt, CAST(sum(cnt) OVER
+      |  (PARTITION BY key ORDER BY bucket RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS sliding_cnt
+      |FROM m ORDER BY bucket, key""".stripMargin) { (s, d) =>
+    TimeSeries.slidingSum(
+      TimeSeries.epochBucketCounts(ev(s, d), col("ts"), col("event_type"), 60), 30)
+      .orderBy(col("bucket"), col("key"))
+  }
+
+  // W2/J4 rank-delta between consecutive snapshots
+  // (realtime_keyword_aggregator.py:358-383).
+  val q22 = sql(
+    "q22_rank_delta",
+    """WITH cur AS (SELECT event_type AS key, count(*) AS cnt,
+      |    row_number() OVER (ORDER BY count(*) DESC, event_type) AS cur_rank
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type),
+      |prev AS (SELECT event_type AS key, row_number() OVER (ORDER BY count(*) DESC, event_type) AS prev_rank
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type)
+      |SELECT COALESCE(cur.key, prev.key) AS key, cur.cnt AS cur_cnt, cur_rank, prev_rank,
+      |  CASE WHEN prev_rank IS NULL THEN 'new'
+      |       WHEN cur_rank IS NULL THEN 'dropped'
+      |       WHEN prev_rank - cur_rank >= 3 THEN 'rising-fast'
+      |       WHEN prev_rank - cur_rank >= 1 THEN 'rising'
+      |       WHEN prev_rank - cur_rank <= -3 THEN 'falling-fast'
+      |       WHEN prev_rank - cur_rank <= -1 THEN 'falling'
+      |       ELSE 'stable' END AS movement
+      |FROM cur FULL OUTER JOIN prev ON cur.key = prev.key
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val cur = ev(s, d).filter(col("ts") >= split)
+      .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
+    val prev = ev(s, d).filter(col("ts") < split)
+      .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
+    TimeSeries.rankDelta(cur, prev).orderBy(col("key"))
+  }
+
+  // O1/A6 top-N by global count.
+  val q23 = sql(
+    "q23_top_users",
+    """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      |ORDER BY n DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(20)
+  }
+
+  // W8 retention: newest 100 error events (LTRIM 0..99 analog).
+  // Ordering key is second-truncated time + id: the raw ns timestamps
+  // are not representable in Spark so sub-second order is not portable.
+  val q24 = sql(
+    "q24_retention_newest100",
+    """SELECT event_id, strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS sec, value
+      |FROM events WHERE event_type = 'error'
+      |ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC LIMIT 100""".stripMargin) { (s, d) =>
+    TimeSeries.retainNewest(
+      ev(s, d).filter(col("event_type") === "error")
+        .withColumn("_sec", unix_timestamp(col("ts"))),
+      100, Seq(col("_sec"), col("event_id")))
+      .select(col("event_id"),
+        date_format(col("_sec").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").as("sec"),
+        col("value"))
+  }
+
+  // S8/F8 sync-sink batch semantics: last-writer-wins per user with
+  // soft-delete marker (SyncService.py:87-146; error = delete marker).
+  val q25 = sql(
+    "q25_last_state_per_user",
+    """SELECT user_id, last_type, last_value, n_events, is_deleted FROM (
+      |  SELECT user_id, event_type AS last_type, value AS last_value,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    event_type = 'error' AS is_deleted,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    TimeSeries.lastStatePerKey(
+      ev(s, d).withColumn("_sec", unix_timestamp(col("ts"))),
+      col("user_id"), Seq(col("_sec"), col("event_id")),
+      col("event_type") === "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("_n").as("n_events"), col("is_deleted"))
+      .orderBy(col("user_id"))
+  }
+
+  // SC12/S4 JSON path extraction from the props payload.
+  val q26 = sql(
+    "q26_json_extract",
+    """SELECT event_type AS key, count(*) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY key""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    ev(s, d).groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(k).cast("long").as("sum_k"),
+        max(k).cast("long").as("max_k"))
+      .orderBy(col("key"))
+  }
+
+  // SC9 date-part profile: hour-of-day histogram per key.
+  val q27 = sql(
+    "q27_hour_of_day_profile",
+    """SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type AS key, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hod, key""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy(hour(col("ts")).cast("long").as("hod"), col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hod"), col("key"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
+    q22, q23, q24, q25, q26, q27)
+}
