@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives (SURVEY §2.8 SC1–SC7, §2.10 U1/U3/U5) plus
+  * the training-data-pipeline text operators (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Everything here is built from codegen'd builtin column functions —
+  * no UDFs — so the hot path stays inside whole-stage codegen. The
+  * reference's keyword extractor
+  * (keyword-extraction/hybrid_keyword_extractor.py:56-188) is regex +
+  * stopword + length filtering; its semantics map 1:1 onto array
+  * higher-order functions.
+  */
+object Text {
+
+  /** Stopword lexicon (hybrid_keyword_extractor.py:124-130 analog —
+    * the Korean list is replaced by an English one matching the
+    * testdata corpus). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** SC1 tokenize: lowercase, split on whitespace, drop empties
+    * (AlertTopology.java:119-120). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** F10 keyword validity (hybrid_keyword_extractor.py:173-188):
+    * length 2–8, not all-digits, not a stopword. */
+  def keywordFilter(tok: Column): Column =
+    length(tok).between(2, 8) && !tok.rlike("^[0-9]+$") && !tok.isin(stopwords: _*)
+
+  def validKeywords(text: Column): Column = filter(tokens(text), keywordFilter(_))
+
+  /** U1/U5 per-document keyword extraction with the reference's
+    * first-occurrence ordering and top-`cap` cap
+    * (hybrid_keyword_extractor.py:119). Pure DataFrame pipeline:
+    * posexplode → validity filter → first-position dedup → rank ≤ cap.
+    * Scales as one shuffle on (doc, token); no per-row UDF state. */
+  def extractKeywords(docs: DataFrame, id: Column, text: Column, cap: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("first_pos"))
+    docs.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "token")))
+      .filter(keywordFilter(col("token")))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(min(col("pos")).as("first_pos"))
+      .withColumn("krank", row_number().over(w))
+      .filter(col("krank") <= cap)
+  }
+
+  /** Language-ID heuristic: argmax of per-language marker-token hits
+    * with deterministic tie-breaking, 'und' when nothing matches.
+    * (A real n-gram profile model plugs in behind the same column
+    * contract; markers keep the oracle SQL-expressible.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "et"))
+
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val Seq(en, es, fr) = counts.map(_._2)
+    when(en > 0 && en >= greatest(es, fr), "en")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: 0.4·length-score + 0.4·(1 − stopword
+    * ratio) + 0.2·lexical diversity. Mirrors the reference's
+    * length/stopword gating (ks/main.py:121-131 quality filter)
+    * extended to a graded score for training-data curation. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))) / nTok
+    val uniqRatio = size(array_distinct(toks)) / nTok
+    val lenScore = least(length(text) / 500.0, lit(1.0))
+    round(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.4 + uniqRatio * 0.2, 6)
+  }
+
+  /** Whitespace token count + BPE-ish subword count via regex. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
+
+  /** SC4 normalization: lowercase, strip non-alphanumerics, squeeze
+    * whitespace (hybrid_keyword_extractor.py:96-97). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Stable across
+    * engines; the rolling-hash variant lives in Dedup.simhash. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** SC6 breaking-lexicon containment (keyword_republisher.py:148-176):
+    * does the text mention any lexicon term as a token? */
+  def containsAny(text: Column, lexicon: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(lexicon.map(lit): _*))) > 0
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis inventory over the `documents` table: tokenization,
+  * keyword extraction (U1/U5/F10), language ID, quality scoring, token
+  * counting, fingerprinting, exact dedup, breaking-lexicon flags.
+  */
+object TextQueries {
+  import QueryDef.sql
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // SC1/A8/W1: corpus token counts, top 50 (word-cloud candidate pool).
+  val q28 = sql(
+    "q28_token_counts",
+    """SELECT t AS token, count(*) AS n FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+      |WHERE t <> '' GROUP BY t ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(50)
+  }
+
+  // U1/U5: per-document top-6 keywords in first-occurrence order.
+  val q29 = sql(
+    "q29_keywords_per_doc",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(lower(text),' '))+1),
+      |    i -> {'pos': i, 'token': string_split(lower(text),' ')[i]})) AS u
+      |  FROM documents),
+      |flat AS (SELECT doc_id, u.token AS token, u.pos AS pos FROM toks),
+      |valid AS (SELECT doc_id, token, min(pos) AS first_pos FROM flat
+      |  WHERE length(token) BETWEEN 2 AND 8 AND NOT regexp_matches(token, '^[0-9]+$')
+      |    AND token NOT IN ('the','a','an','of','and','to','in','is','on','for')
+      |  GROUP BY doc_id, token)
+      |SELECT doc_id, token, CAST(krank AS INT) AS krank FROM (
+      |  SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) AS krank
+      |  FROM valid) r WHERE krank <= 6 ORDER BY doc_id, krank""".stripMargin) { (s, d) =>
+    Text.extractKeywords(docs(s, d), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("token"), col("krank").cast("int").as("krank"))
+      .orderBy(col("doc_id"), col("krank"))
+  }
+
+  // U5 fan-out + A6: corpus counts of extracted (capped) keywords.
+  val q30 = sql(
+    "q30_keyword_corpus_counts",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(lower(text),' '))+1),
+      |    i -> {'pos': i, 'token': string_split(lower(text),' ')[i]})) AS u
+      |  FROM documents),
+      |flat AS (SELECT doc_id, u.token AS token, u.pos AS pos FROM toks),
+      |valid AS (SELECT doc_id, token, min(pos) AS first_pos FROM flat
+      |  WHERE length(token) BETWEEN 2 AND 8 AND NOT regexp_matches(token, '^[0-9]+$')
+      |    AND token NOT IN ('the','a','an','of','and','to','in','is','on','for')
+      |  GROUP BY doc_id, token),
+      |capped AS (SELECT doc_id, token FROM (
+      |  SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) AS krank
+      |  FROM valid) r WHERE krank <= 6)
+      |SELECT token, count(*) AS n FROM capped GROUP BY token
+      |ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+    Text.extractKeywords(docs(s, d), col("doc_id"), col("text"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(50)
+  }
+
+  // Language-ID heuristic vs labeled lang column.
+  val q31 = sql(
+    "q31_langid_confusion",
+    """WITH g AS (SELECT lang,
+      |  CASE WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr) THEN 'en'
+      |       WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+      |       WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS guess
+      |FROM (SELECT lang,
+      |  len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','and'))) AS c_en,
+      |  len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los'))) AS c_es,
+      |  len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et'))) AS c_fr
+      |  FROM documents) c)
+      |SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess
+      |ORDER BY lang, guess""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"), Text.langGuess(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  // Quality scoring for curation (graded form of the F4 quality gate).
+  val q32 = sql(
+    "q32_quality_scores",
+    """SELECT doc_id,
+      |  round(least(length(text) / 500.0, 1.0) * 0.4
+      |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+      |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+      |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+      |  , 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Token counting: whitespace + BPE-ish subword regex.
+  val q33 = sql(
+    "q33_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS INT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        Text.wsTokenCount(col("text")).as("n_ws"),
+        Text.bpeTokenCount(lower(col("text"))).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Exact dedup stats per lang (hash-groupBy; dropDuplicates analog F9).
+  val q34 = sql(
+    "q34_exact_dedup_stats",
+    """SELECT lang, count(*) AS n, count(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  // Document fingerprints (md5 of normalized text).
+  val q35 = sql(
+    "q35_fingerprints",
+    """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // SC6/U3 breaking-lexicon flags per source.
+  val q36 = sql(
+    "q36_lexicon_flags",
+    """SELECT source, count(*) AS n,
+      |  CAST(SUM(CASE WHEN len(list_intersect(string_split(lower(text),' '),
+      |    ['dup','error','alert'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(Text.containsAny(col("text"), Seq("dup", "error", "alert")), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36)
+}
