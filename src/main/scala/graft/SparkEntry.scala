@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
   /** Full inventory; grows as operator groups land. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all ++ VectorQueries.all
+    Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      TrendQueries.all ++ CdcQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
