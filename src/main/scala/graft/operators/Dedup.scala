@@ -116,13 +116,16 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 7 keeps full
-    * recall via the 8-chunk pigeonhole banding). SimHash is a candidate
-    * generator: on the testdata corpus hamming ≤ 5 captures all 25
-    * planted near-dup pairs (recall 1.0) with ~2× false positives —
-    * feed the output into exact-Jaccard verification for precision. */
+  /** SimHash near-dup pairs with hamming ≤ maxHamming. The 8-chunk
+    * pigeonhole banding guarantees full candidate recall only for
+    * hamming ≤ 7, so that is the default radius. SimHash is a
+    * high-precision candidate generator for VERY close duplicates:
+    * measured on the testdata, pairs with Jaccard ≥ 0.95 all fall
+    * within hamming 7, while a j≈0.89 pair can reach hamming 9 —
+    * use MinHash+LSH when the dedup threshold is looser, and feed
+    * SimHash output into exact-Jaccard verification for precision. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 5): DataFrame = {
+      maxHamming: Int = 7): DataFrame = {
     val sigs = simhash(docs, id, text)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session per suite (lazy, UTC, small shuffle
+  * partitioning to match the test scale). */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sf0001 = "/root/testdata/sf0.001"
+
+  def init(): Unit = spark.sparkContext.setLogLevel("WARN")
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Cdc
+import graft.streaming.Pipelines
+
+/** Idempotent mirror sink (FIXTURES A8.4): replaying the same batch
+  * must not change state; deletes are soft. */
+class SyncMirrorSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def parse(rows: Seq[String]) = Cdc.parse(rows.toDF("value"), col("value"))
+
+  private def state(path: String): Map[Long, (Double, Boolean)] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Double]("value")).map(_.toDouble).getOrElse(-1.0),
+          r.getAs[Boolean]("is_deleted"))).toMap
+
+  test("upsert, replay idempotency, then soft delete") {
+    val dir = Files.createTempDirectory("mirror").toString + "/m"
+    val batch1 = parse(Seq(
+      """{"op":"c","after":{"id":1,"value":1.0},"source":{"table":"articles"},"ts_ms":1000}""",
+      """{"op":"c","after":{"id":2,"value":2.0},"source":{"table":"articles"},"ts_ms":1000}"""))
+    Pipelines.applyCdcBatch(spark, batch1, dir)
+    assert(state(dir) == Map(1L -> (1.0, false), 2L -> (2.0, false)))
+
+    // at-least-once replay of the exact same batch → unchanged
+    Pipelines.applyCdcBatch(spark, batch1, dir)
+    assert(state(dir) == Map(1L -> (1.0, false), 2L -> (2.0, false)))
+
+    // update id=1, delete id=2 (soft)
+    val batch2 = parse(Seq(
+      """{"op":"u","after":{"id":1,"value":9.0},"source":{"table":"articles"},"ts_ms":2000}""",
+      """{"op":"d","before":{"id":2,"value":2.0},"source":{"table":"articles"},"ts_ms":2000}"""))
+    Pipelines.applyCdcBatch(spark, batch2, dir)
+    val s = state(dir)
+    assert(s(1L) == (9.0, false))
+    assert(s(2L)._2, "delete must be soft: row retained with is_deleted=true")
+    assert(s.size == 2)
+  }
+
+  test("out-of-order replay keeps last-writer-wins by ts_ms") {
+    val dir = Files.createTempDirectory("mirror2").toString + "/m"
+    val newer = parse(Seq(
+      """{"op":"u","after":{"id":5,"value":7.0},"source":{"table":"articles"},"ts_ms":5000}"""))
+    val older = parse(Seq(
+      """{"op":"c","after":{"id":5,"value":1.0},"source":{"table":"articles"},"ts_ms":1000}"""))
+    Pipelines.applyCdcBatch(spark, newer, dir)
+    Pipelines.applyCdcBatch(spark, older, dir) // late arrival must not win
+    assert(state(dir)(5L) == (7.0, false))
+  }
+}

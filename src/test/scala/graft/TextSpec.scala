@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.multimodal.Multimodal
+
+/** Keyword-filter edge cases (F10), quality bounds, multimodal
+  * plumbing shapes. */
+class TextSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  test("keyword filter: length 2-8, no digits, no stopwords") {
+    val out = Seq("x aa 12345 the spark abcdefghi join 7 ok")
+      .toDF("text")
+      .select(Text.validKeywords(col("text")).as("kw"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("aa", "spark", "join", "ok"))
+  }
+
+  test("keyword extraction caps at 6 in first-occurrence order") {
+    val df = Seq((1L, "z9 y8 x7 w6 v5 u4 t3 s2 z9 y8")).toDF("id", "text")
+    val rows = Text.extractKeywords(df, col("id"), col("text"))
+      .orderBy("krank").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[String]("token")).toSeq ==
+      Seq("z9", "y8", "x7", "w6", "v5", "u4"))
+  }
+
+  test("quality score stays in [0,1]") {
+    val scores = graft.sources.Tables.documents(spark, sf0001)
+      .select(Text.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("normalize strips punctuation and squeezes spaces") {
+    val n = Seq("  Hello,   WORLD!! 42 ").toDF("t")
+      .select(Text.normalize(col("t"))).as[String].collect().head
+    assert(n == "hello world 42")
+  }
+
+  test("langGuess falls back to und without markers") {
+    val g = Seq("xyzzy plugh", "the cat and dog").toDF("t")
+      .select(Text.langGuess(col("t"))).as[String].collect().toSeq
+    assert(g == Seq("und", "en"))
+  }
+
+  test("multimodal feature extraction preserves byte counts") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withBinaryPayload(docs))
+    val joined = feats.join(docs, "doc_id")
+      .select(col("n_bytes"), length(col("text")).cast("long").as("len"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // stub decoder emits a fixed-width feature vector
+    assert(feats.select("features").as[Seq[Double]].collect().forall(_.length == 2))
+  }
+
+  test("frame sampling: chunk count follows byte length") {
+    val one = Seq((1L, "a" * 200)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.withBinaryPayload(one), 64, 2)
+    // 200 bytes → frames 0..3 (64,64,64,8) → keep idx 0 and 2
+    assert(frames.count() == 2)
+    assert(frames.select("frame_bytes").as[Int].collect().sorted.toSeq == Seq(64, 64))
+  }
+}
