@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule (SURVEY §4.2): rewrite exact COUNT(DISTINCT x) into
+  * HyperLogLog++ when `spark.graft.approxDistinct=true`.
+  *
+  * Why: at 100 TB an exact distinct forces a full shuffle of the
+  * distinct keys; HLL++ aggregates a fixed-size sketch with map-side
+  * combine — same answer within relativeSD. The flag keeps the choice
+  * a deployment decision, not a query rewrite: the same query text is
+  * exact in tests and approximate in production.
+  *
+  * Only single-argument COUNT(DISTINCT x) rewrites; multi-arg distinct
+  * counts and DISTINCT in other aggregates are left untouched.
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+  val FLAG = "spark.graft.approxDistinct"
+  val SD_FLAG = "spark.graft.approxDistinct.relativeSD"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(FLAG, "false").toBoolean) plan
+    else {
+      val sd = conf.getConfString(SD_FLAG, "0.05").toDouble
+      plan.transformAllExpressions {
+        case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _) =>
+          ae.copy(
+            aggregateFunction = HyperLogLogPlusPlus(child, sd),
+            isDistinct = false)
+      }
+    }
+}
+
+/** Session extensions entry point:
+  * SparkSession.builder().withExtensions(new GraftExtensions) or
+  * spark.sql.extensions=graft.plans.GraftExtensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** Remaining SURVEY §2 inventory surface: windowed collect (A2),
+  * set operations (§2.7), scalar-function families (SC8/SC11/SC13),
+  * and the native Catalyst expression in an end-to-end query.
+  */
+object CoverageQueries {
+  import QueryDef.{rowsOnly, sql}
+
+  // Native codegen expression in a real query. The 64-bit wraparound
+  // hash is not expressible in DuckDB (checked integer overflow), so
+  // this is a rows-only check; PlansSpec pins the value semantics.
+  val q49 = rowsOnly("q49_native_fingerprints") { (s, d) =>
+    GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), GraftFunctions.rolling_hash64(col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+  }
+
+  // A2: windowed collect_list (the breaking-news per-window article
+  // list, AlertTopology.java:57-67) — sorted and string-joined so the
+  // value is engine-comparable.
+  val q50 = sql(
+    "q50_window_collect",
+    """SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/300)*300 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+      |  count(*) AS n,
+      |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+      |FROM events WHERE event_type = 'signup'
+      |GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_type") === "signup")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("event_id"))), ",").as("ids"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n"), col("ids"))
+      .orderBy(col("window_start"))
+  }
+
+  // §2.7 set operations: UNION / INTERSECT / EXCEPT over user sets.
+  val q51 = sql(
+    "q51_set_ops",
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |    UNION SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') u) AS n_union,
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |    INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') i) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |    EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') e) AS n_except""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val su = users("signup")
+      val pu = users("purchase")
+      su.union(pu).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(su.intersect(pu).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(su.except(pu).agg(count(lit(1)).as("n_except")))
+  }
+
+  // SC8/SC11/SC13 scalar families: split-part, log10 view-weight,
+  // least/greatest clamps, nullif null-mapping.
+  val q52 = sql(
+    "q52_scalar_funcs",
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  round(sum(log10(o_totalprice + 1)), 6) AS log_weight,
+      |  max(least(greatest(o_totalprice, 1000.0), 100000.0)) AS clamped_max,
+      |  count(nullif(split_part(o_orderpriority, '-', 1), '1')) AS n_not_p1
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(log10(col("o_totalprice") + 1)), 6).as("log_weight"),
+        max(least(greatest(col("o_totalprice"), lit(1000.0)), lit(100000.0))).as("clamped_max"),
+        count(nullif(element_at(split(col("o_orderpriority"), "-"), 1), lit("1"))).as("n_not_p1"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.{ApproxDistinctRewrite, GraftFunctions, RollingHash64}
+
+/** Native expression (codegen + interpreted + SQL registration) and
+  * the approx-distinct optimizer rewrite. */
+class PlansSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+
+  test("rolling_hash64: codegen path matches reference implementation") {
+    GraftFunctions.register(spark)
+    val inputs = Seq("", "a", "hello world", "ünïcodé ✓", "x" * 10000)
+    val got = inputs.toDF("s")
+      .select(GraftFunctions.rolling_hash64(col("s"))).as[Long].collect().toSeq
+    assert(got == inputs.map(refHash))
+  }
+
+  test("rolling_hash64: interpreted eval matches too") {
+    val e = RollingHash64(Literal(UTF8String.fromString("hello world")))
+    assert(e.eval(null) == refHash("hello world"))
+  }
+
+  test("rolling_hash64: null in, null out") {
+    GraftFunctions.register(spark)
+    val got = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(GraftFunctions.rolling_hash64(col("s"))).collect()
+    assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
+  }
+
+  test("rolling_hash64: SQL registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_rolling_hash64('hello world') AS h")
+      .as[Long].collect().head
+    assert(r == refHash("hello world"))
+  }
+
+  test("approx-distinct rewrite fires only under the flag") {
+    val df = graft.sources.Tables.events(spark, sf0001)
+      .agg(countDistinct(col("user_id")).as("n"))
+    val analyzed = df.queryExecution.analyzed
+
+    def hasHll(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus]))
+
+    spark.conf.set(ApproxDistinctRewrite.FLAG, "false")
+    assert(!hasHll(ApproxDistinctRewrite(analyzed)))
+
+    spark.conf.set(ApproxDistinctRewrite.FLAG, "true")
+    try assert(hasHll(ApproxDistinctRewrite(analyzed)))
+    finally spark.conf.set(ApproxDistinctRewrite.FLAG, "false")
+  }
+
+  test("approx-distinct rewrite end-to-end via extraOptimizations") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    spark.conf.set(ApproxDistinctRewrite.FLAG, "true")
+    try {
+      val exact = graft.sources.Tables.events(spark, sf0001)
+        .select(col("user_id")).distinct().count()
+      val approx = graft.sources.Tables.events(spark, sf0001)
+        .agg(countDistinct(col("user_id")).as("n")).as[Long].collect().head
+      // 15 distinct users at sf0.001; HLL++ at 5% SD is exact at this
+      // cardinality, but allow sketch slack anyway
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.1).toLong))
+    } finally {
+      spark.conf.set(ApproxDistinctRewrite.FLAG, "false")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ApproxDistinctRewrite)
+    }
+  }
+}
