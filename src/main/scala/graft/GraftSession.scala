@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{GraftExtensions, GraftFunctions}
+
+/** Session factory with the engine's recommended configuration:
+  * AQE (runtime re-plan + skew-join splitting), UTC, right-sized
+  * shuffle parallelism, Graft optimizer rules and native functions.
+  *
+  * On a cluster, shuffle partitions scale with executors (2–3× total
+  * cores is the usual starting point); AQE coalesces small partitions
+  * at runtime either way.
+  */
+object GraftSession {
+  def create(
+      appName: String = "graft",
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftFunctions.register(spark)
+    spark
+  }
+}

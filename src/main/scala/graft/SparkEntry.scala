@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full inventory; grows as operator groups land. */
   def defs: Seq[QueryDef] =
     Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      TrendQueries.all ++ CdcQueries.all ++ MultimodalQueries.all ++ CoverageQueries.all
+      TrendQueries.all ++ CdcQueries.all ++ MultimodalQueries.all ++ CoverageQueries.all ++
+      ApiQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
