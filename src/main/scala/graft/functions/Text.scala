@@ -101,4 +101,21 @@ object Text {
     * does the text mention any lexicon term as a token? */
   def containsAny(text: Column, lexicon: Seq[String]): Column =
     size(array_intersect(tokens(text), array(lexicon.map(lit): _*))) > 0
+
+  /** SC3 Korean particle (josa) suffix stripping — the reference's four
+    * chained alternation patterns (hybrid_keyword_extractor.py:56-69).
+    * Applied repeatedly in the same order, one regexp_replace each. */
+  private val josaPatterns = Seq(
+    "(이|가|을|를|은|는)$",          // subject/object/topic markers
+    "(에서|에게|한테|부터|까지)$",    // locative/source/limit
+    "(와|과|도|만|의|로|으로)$",      // conjunctive/possessive/directional
+    "(하다|되다|있다|없다)$")        // verb-suffix stems (F10 filter twin)
+
+  def stripJosa(token: Column): Column =
+    josaPatterns.foldLeft(token)((c, p) => regexp_replace(c, p, ""))
+
+  /** SC5 title-weighted extraction text: title counted 3×, content
+    * truncated to 1000 chars (hybrid_keyword_extractor.py:85-99,207). */
+  def titleWeighted(title: Column, content: Column): Column =
+    concat_ws(" ", title, title, title, substring(content, 1, 1000))
 }

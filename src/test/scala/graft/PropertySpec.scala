@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Text
+import graft.model.Cdc
+import graft.operators.TimeSeries
+
+/** Property-style tests (SURVEY §5): seeded ScalaCheck generators
+  * produce one input batch per property; expectations are computed in
+  * plain Scala and checked row-by-row against the column
+  * implementations — one Spark job per property.
+  */
+class PropertySpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("property: velocity formula over random count series") {
+    val counts = sample(Gen.chooseNum(0L, 50L), 200, 7L)
+    // one key, consecutive buckets; reference semantics prev==0 → cnt*2
+    val df = counts.zipWithIndex.map { case (c, i) => (i.toLong, "k", c) }
+      .toDF("bucket", "key", "cnt")
+    val got = TimeSeries.velocity(df).orderBy("bucket")
+      .select("cnt", "velocity").as[(Long, Double)].collect()
+    var prev = 0L
+    got.foreach { case (c, v) =>
+      val expected = if (prev == 0L) c * 2.0 else (c - prev) * 1.0
+      assert(v == expected, s"cnt=$c prev=$prev got=$v")
+      prev = c
+    }
+  }
+
+  test("property: extracted keywords always satisfy the validity filter") {
+    val tokenGen = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(12)),
+      Gen.numStr.map(_.take(5)),
+      Gen.oneOf(Text.stopwords))
+    val docGen = Gen.listOfN(30, tokenGen).map(_.filter(_.nonEmpty).mkString(" "))
+    val docs = sample(docGen, 100, 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = Text.extractKeywords(docs, col("id"), col("text"))
+      .groupBy("doc_id")
+      .agg(collect_list("token").as("toks"), count(lit(1)).as("n"))
+      .as[(Long, Seq[String], Long)].collect()
+    out.foreach { case (_, toks, n) =>
+      assert(n <= 6)
+      assert(toks.distinct == toks)
+      toks.foreach { t =>
+        assert(t.length >= 2 && t.length <= 8 && !t.matches("^[0-9]+$") &&
+          !Text.stopwords.contains(t), s"invalid keyword '$t'")
+      }
+    }
+  }
+
+  test("property: wrapped and bare CDC envelopes parse identically") {
+    val opGen = Gen.oneOf("c", "r", "u", "d")
+    val idGen = Gen.chooseNum(1L, 1000000L)
+    val tblGen = Gen.oneOf("articles", "media", "article_changes")
+    val cases = sample(Gen.zip(opGen, idGen, tblGen), 100, 13L)
+    def img(op: String, id: Long) =
+      if (op == "d") s""""before":{"id":$id},"after":null"""
+      else s""""before":null,"after":{"id":$id}"""
+    val bare = cases.map { case (op, id, t) =>
+      s"""{"op":"$op",${img(op, id)},"source":{"table":"$t"},"ts_ms":${id * 7}}"""
+    }
+    val wrapped = cases.map { case (op, id, t) =>
+      s"""{"payload":{"op":"$op",${img(op, id)},"source":{"table":"$t"},"ts_ms":${id * 7}}}"""
+    }
+    def parse(rows: Seq[String]) =
+      Cdc.parse(rows.toDF("value"), col("value"))
+        .select(col("op"), col("table"), col("ts_ms"),
+          coalesce(col("after.id"), col("before.id")).as("id"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(parse(bare) == parse(wrapped))
+    assert(parse(bare).size == cases.size)
+  }
+
+  test("property: sliding sum equals brute-force window sum") {
+    val entries = sample(Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(1L, 9L)), 150, 17L)
+      .distinctBy(_._1)
+    val df = entries.map { case (b, c) => (b, "k", c) }.toDF("bucket", "key", "cnt")
+    val got = TimeSeries.slidingSum(df, 30)
+      .select("bucket", "sliding_cnt").as[(Long, Long)].collect().toMap
+    val byBucket = entries.toMap
+    byBucket.foreach { case (b, _) =>
+      val expected = byBucket.filter { case (b2, _) => b2 <= b && b2 > b - 30 }.values.sum
+      assert(got(b) == expected, s"bucket=$b")
+    }
+  }
+
+  test("property: josa stripping only removes listed suffixes") {
+    val base = Seq("삼성전자", "기술", "한국", "서울")
+    val josa = Seq("이", "가", "을", "를", "은", "는", "에서", "로", "만")
+    val words = for (b <- base; j <- josa) yield (b + j, b)
+    val got = words.map(_._1).toDF("w")
+      .select(Text.stripJosa(col("w"))).as[String].collect().toSeq
+    assert(got == words.map(_._2))
+    // non-josa endings untouched
+    val keep = Seq("spark", "데이터").toDF("w")
+      .select(Text.stripJosa(col("w"))).as[String].collect().toSeq
+    assert(keep == Seq("spark", "데이터"))
+  }
+}
