@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 
 import graft.model.Cdc
 import graft.streaming.Pipelines
@@ -42,6 +42,27 @@ class SyncMirrorSpec extends SparkSuite {
     assert(s(1L) == (9.0, false))
     assert(s(2L)._2, "delete must be soft: row retained with is_deleted=true")
     assert(s.size == 2)
+  }
+
+  test("streaming mirror sink end-to-end (writeStream + foreachBatch + checkpoint)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("sink").toString
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](
+        42, spark, None)
+    val parsed = Cdc.parse(stream.toDF().toDF("value"), col("value"))
+    val q = Pipelines.cdcMirrorSink(spark, parsed, s"$base/mirror", s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    stream.addData(
+      """{"op":"c","after":{"id":1,"value":1.0},"source":{"table":"articles"},"ts_ms":1000}""")
+    q.processAllAvailable()
+    assert(state(s"$base/mirror") == Map(1L -> (1.0, false)))
+    stream.addData(
+      """{"op":"u","after":{"id":1,"value":4.0},"source":{"table":"articles"},"ts_ms":2000}""",
+      """{"op":"c","after":{"id":3,"value":3.0},"source":{"table":"articles"},"ts_ms":2000}""")
+    q.processAllAvailable()
+    assert(state(s"$base/mirror") == Map(1L -> (4.0, false), 3L -> (3.0, false)))
+    q.stop()
   }
 
   test("out-of-order replay keeps last-writer-wins by ts_ms") {
