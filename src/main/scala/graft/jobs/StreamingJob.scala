@@ -1,0 +1,67 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftSession
+import graft.functions.Text
+import graft.streaming.{Metrics, Pipelines}
+
+/** Production wiring of the full reference dataflow (SURVEY §3.1–§3.4)
+  * — the deployment entry point. Not exercised by the test environment
+  * (no Kafka broker); every transform it composes is individually
+  * pinned by the suites via MemoryStream replay.
+  *
+  * Usage:
+  *   StreamingJob <kafkaBootstrap> <cdcTopic> <outputDir>
+  *
+  * Starts three queries off ONE parsed CDC stream:
+  *  1. keyword windowed counts → parquet state table (minute buckets)
+  *  2. trending alerts → parquet append (threshold per AlertConfig)
+  *  3. idempotent mirror sink (MERGE per micro-batch)
+  */
+object StreamingJob {
+  def main(args: Array[String]): Unit = {
+    val Array(bootstrap, topic, out) = args
+    val spark = GraftSession.create(appName = "graft-streaming")
+    val m = Metrics.attach(spark)
+
+    val parsed = Pipelines
+      .kafkaCdcSource(spark, bootstrap, topic, startingOffsets = "earliest")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+
+    val keywords = Pipelines.keywordFanout(
+      graft.model.Cdc.upserts(parsed),
+      "after.content", Text.validKeywords(col("after.content")))
+
+    val counts = keywords
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 minute"), col("keyword"))
+      .count()
+      .select(col("window.start").as("minute"), col("keyword"), col("count"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt/counts")
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .format("parquet").option("path", s"$out/keyword_counts")
+      .start()
+
+    val alerts = Pipelines.trendingAlerts(
+      keywords, "event_time", "keyword", threshold = 10, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt/alerts")
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .format("parquet").option("path", s"$out/trending_alerts")
+      .start()
+
+    val mirror = Pipelines.cdcMirrorSink(
+      spark, parsed, s"$out/mirror", s"$out/ckpt/mirror")
+
+    sys.addShutdownHook {
+      val (b, r) = m.snapshot
+      // scalastyle:off println
+      println(s"graft-streaming: $b batches, $r rows processed")
+      // scalastyle:on println
+    }
+    Seq(counts, alerts, mirror).foreach(_.awaitTermination())
+  }
+}

@@ -51,4 +51,52 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF (inverted-file) coarse quantization — the other standard ANN
+    * layout. Centroids are a deterministic corpus sample (every
+    * `stride`-th vector); a training pass (k-means) would slot in the
+    * same contract. The centroid set is broadcast; assignment is one
+    * scan. At 100 TB the list id becomes the partition key, so a query
+    * touches only nprobe partitions.
+    */
+  def ivfAssign(embeddings: DataFrame, nLists: Int): DataFrame = {
+    val n = embeddings.count()
+    val stride = math.max(1L, n / nLists)
+    val centroids = embeddings
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Vectors.cosine(col("embedding"), col("c_emb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("centroid_id").as("list_id"))
+  }
+
+  /** IVF search: rank centroids for the query, scan the top-`nprobe`
+    * lists, cosine top-k within them. */
+  def ivfSearch(embeddings: DataFrame, nLists: Int, nProbe: Int,
+      queryId: Long, k: Int): DataFrame = {
+    val assigned = ivfAssign(embeddings, nLists).cache()
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probeLists = assigned
+      .select(col("list_id"), col("vec_id"), col("embedding")).as("c")
+      .join(broadcast(q))
+      .filter(col("vec_id") === col("list_id")) // centroid rows only
+      .withColumn("c_sim", Vectors.cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("c_sim").desc, col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id").as("probe_list"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("list_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -90,5 +90,12 @@ object VectorQueries {
     Similarity.bucketedTopK(Tables.embeddings(s, d), 64, 8, 0L, 5)
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42)
+  // IVF with full probe must recover the brute-force result exactly —
+  // same oracle as q37; partial-probe recall is covered in
+  // SimilaritySpec.
+  val q55 = QueryDef("q55_ivf_full_probe", (s, d) =>
+    Similarity.ivfSearch(Tables.embeddings(s, d), 16, 16, 0L, 10)
+      .select(col("vec_id"), col("label"), col("sim")), q37.oracle)
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55)
 }
