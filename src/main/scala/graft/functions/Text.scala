@@ -118,4 +118,28 @@ object Text {
     * truncated to 1000 chars (hybrid_keyword_extractor.py:85-99,207). */
   def titleWeighted(title: Column, content: Column): Column =
     concat_ws(" ", title, title, title, substring(content, 1, 1000))
+
+  /** U1 full Korean extractor parity
+    * (hybrid_keyword_extractor.py:56-171): Hangul word extraction
+    * `[가-힣]{2,8}` (SC2) over the title-weighted text (SC5), josa
+    * stripping (SC3), re-filtered for length/stopwords after the strip
+    * (F10 twin), first-occurrence dedup, top-6 cap. Korean stopword
+    * list per :124-130. Pure column/DataFrame ops — no UDF. */
+  val koreanStopwords: Seq[String] = Seq(
+    "기자", "뉴스", "오늘", "내일", "어제", "이번", "지난", "관련", "대한", "통해")
+
+  def extractKeywordsKorean(docs: DataFrame, id: Column, title: Column,
+      content: Column, cap: Int = 6): DataFrame = {
+    val words = regexp_extract_all(titleWeighted(title, content),
+      lit("[가-힣]{2,8}"), lit(0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("first_pos"))
+    docs.select(id.as("doc_id"), posexplode(words).as(Seq("pos", "raw")))
+      .withColumn("token", stripJosa(col("raw")))
+      .filter(length(col("token")).between(2, 8) &&
+        !col("token").isin(koreanStopwords: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(min(col("pos")).as("first_pos"))
+      .withColumn("krank", row_number().over(w))
+      .filter(col("krank") <= cap)
+  }
 }

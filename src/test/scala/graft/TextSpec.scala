@@ -46,6 +46,22 @@ class TextSpec extends SparkSuite {
     assert(g == Seq("und", "en"))
   }
 
+  test("korean extractor: hangul-only, josa-stripped, title-weighted order, capped") {
+    val df = Seq(
+      (1L, "삼성전자가 AI 반도체 기술을 발표", // FIXTURES A5-style title
+        "삼성전자는 오늘 새로운 반도체 기술과 인공지능 플랫폼을 공개했다 Samsung 123")
+    ).toDF("id", "title", "content")
+    val rows = Text.extractKeywordsKorean(df, col("id"), col("title"), col("content"))
+      .orderBy("krank").collect()
+    val toks = rows.map(_.getAs[String]("token")).toSeq
+    // title tokens come first (3x weighting => earliest positions);
+    // josa stripped: 삼성전자가→삼성전자, 기술을→기술; ASCII/digits never match
+    assert(toks.take(3) == Seq("삼성전자", "반도체", "기술"))
+    assert(toks.length <= 6)
+    assert(!toks.exists(t => t.exists(c => c < '가' || c > '힣')))
+    assert(!toks.contains("오늘")) // korean stopword
+  }
+
   test("multimodal feature extraction preserves byte counts") {
     val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withBinaryPayload(docs))
