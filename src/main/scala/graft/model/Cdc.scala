@@ -45,8 +45,10 @@ object Cdc {
     * null → dropped (ks/main.py:355-357). */
   def parse(df: DataFrame, json: Column): DataFrame = {
     val p = from_json(json, envelope)
+    // Malformed JSON → null envelope → null op, so the single op-null
+    // filter covers both cases; a separate envelope-null filter would
+    // evaluate from_json a second time in the Filter operator.
     df.withColumn("_env", p)
-      .filter(col("_env").isNotNull)
       .select(
         coalesce(col("_env.payload.op"), col("_env.op")).as("op"),
         coalesce(col("_env.payload.source.table"), col("_env.source.table")).as("table"),
