@@ -72,6 +72,15 @@ object Pipelines {
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 50)
       .select(col("*"), explode(extract).as("keyword"))
 
+  /** F9 streaming form: dedup by natural key (existsByLink,
+    * ArticleRepository.java:21) on a stream. State is bounded by the
+    * watermark: a key is remembered only while late duplicates can
+    * still arrive. */
+  def dedupByKey(df: DataFrame, keys: Seq[String], eventTime: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** S8: apply one CDC micro-batch to a parquet mirror table —
     * idempotent last-writer-wins MERGE keyed on id, soft delete for
     * `d` ops (SyncService.py:87-146,222-283). Used from foreachBatch;

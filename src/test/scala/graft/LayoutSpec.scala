@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.Pipelines
+
+/** Storage-layout scale evidence (SURVEY §4.2): date-partitioned
+  * tables prune files before IO; plus the streaming natural-key dedup
+  * (F9 streaming form). */
+class LayoutSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("part").toString + "/events_by_day"
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("day").parquet(dir)
+
+    val filtered = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters:") && scan.contains("2024-01-05"),
+      s"partition filter not pushed:\n$scan")
+    // pruned result matches the unpartitioned filter
+    val expected = ev.filter(col("day") === "2024-01-05").count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+
+  test("streaming dedup by natural key drops duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)](11, spark, None)
+    val out = Pipelines.dedupByKey(
+      stream.toDF().toDF("ts", "link"), Seq("link"), "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    stream.addData((t0, "a"), (t0, "b"), (t0, "a")) // in-batch dup
+    q.processAllAvailable()
+    stream.addData((t1, "a"), (t1, "c")) // cross-batch dup within watermark
+    q.processAllAvailable()
+    val links = spark.table("dedup").select("link").as[String].collect().sorted.toSeq
+    assert(links == Seq("a", "b", "c"), s"got $links")
+    q.stop()
+  }
+}
