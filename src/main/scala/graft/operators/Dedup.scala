@@ -92,9 +92,15 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc_id"), col("shingle"))
-    val candidates = prefix.as("x")
-      .join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+    // Length filter (PPJoin companion bound): j ≥ t ⇒ inter ≥ t·max
+    // and inter ≤ min, so min(|a|,|b|) ≥ t·max(|a|,|b|) — size-skewed
+    // pairs can't reach the threshold and never enter verification.
+    val withSize = prefix.join(sizes, "doc_id")
+    val candidates = withSize.as("x")
+      .join(withSize.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n_sh") >= col("y.n_sh") * threshold &&
+          col("y.n_sh") >= col("x.n_sh") * threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     jaccardOnPairs(sh, candidates)

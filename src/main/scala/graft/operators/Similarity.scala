@@ -52,6 +52,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN: also search the buckets reached by flipping
+    * the query's lowest-margin sign bits — the standard recall knob
+    * for sign-bit LSH without growing the index. Query planning (one
+    * vector's margins) is driver-side by design; the corpus-side work
+    * stays a bucket-pruned scan. */
+  def multiProbeTopK(embeddings: DataFrame, dim: Int, nBits: Int,
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val bucketed = withLshBucket(embeddings, dim, nBits).cache()
+    val qRow = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding"), col("bucket")).head()
+    val qEmb = qRow.getSeq[Float](0).toArray
+    val qBucket = qRow.getLong(1)
+    val margins = (0 until nBits).map { j =>
+      val plane = Vectors.hyperplane(j, dim)
+      j -> math.abs(qEmb.zip(plane).map { case (x, h) => x.toDouble * h }.sum)
+    }
+    val flips = margins.sortBy(_._2).map(_._1).take(math.max(0, nProbe - 1))
+    val probes = (qBucket +: flips.map(j => qBucket ^ (1L << j))).distinct
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    bucketed.filter(col("vec_id") =!= queryId && col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) coarse quantization — the other standard ANN
     * layout. Centroids are a deterministic corpus sample (every
     * `stride`-th vector); a training pass (k-means) would slot in the

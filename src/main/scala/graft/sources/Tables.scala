@@ -39,7 +39,11 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so spark.sql(...) mirrors the
-    * DuckDB oracle's table names. */
+    * DuckDB oracle's table names. events goes through its converting
+    * accessor (ns → µs timestamps). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
