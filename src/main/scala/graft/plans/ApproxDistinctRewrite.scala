@@ -40,5 +40,6 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

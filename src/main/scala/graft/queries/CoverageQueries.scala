@@ -81,5 +81,20 @@ object CoverageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52)
+  // The custom TopKPerGroupExec operator under the oracle gate:
+  // newest-3 events per user (event_id is unique → tie-free, so the
+  // heap's output set matches the window formulation bit-for-bit).
+  val q56 = sql(
+    "q56_custom_topk_per_group",
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) t WHERE rn <= 3 ORDER BY user_id, event_id DESC""".stripMargin) { (s, d) =>
+    graft.plans.GraftOps.topKPerGroup(
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type")),
+      Seq("user_id"), "event_id", 3)
+      .orderBy(col("user_id"), col("event_id").desc)
+  }
+
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56)
 }
