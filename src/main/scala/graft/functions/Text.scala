@@ -119,6 +119,14 @@ object Text {
   def titleWeighted(title: Column, content: Column): Column =
     concat_ws(" ", title, title, title, substring(content, 1, 1000))
 
+  /** SC7 keyword classification ladder
+    * (keyword_republisher.py:245-253): digits → numeric, length ≤ 2 →
+    * short, otherwise general. */
+  def classifyKeyword(kw: Column): Column =
+    when(kw.rlike("[0-9]"), "numeric")
+      .when(length(kw) <= 2, "short")
+      .otherwise("general")
+
   /** U1 full Korean extractor parity
     * (hybrid_keyword_extractor.py:56-171): Hangul word extraction
     * `[가-힣]{2,8}` (SC2) over the title-weighted text (SC5), josa

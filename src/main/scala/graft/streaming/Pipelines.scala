@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -71,6 +71,27 @@ object Pipelines {
     parsed
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 50)
       .select(col("*"), explode(extract).as("keyword"))
+
+  /** S6: enriched keyword-event payload for the republish sink
+    * (keyword_republisher.py:14-38,43-123 — FIXTURES A6): Kafka key
+    * `article_{id}`, JSON value with the keyword array, per-keyword
+    * classification map (SC7), extraction method and event time.
+    * Pipe the result into writeStream.format("kafka"). */
+  def republishKeywords(keywords: DataFrame, id: Column, ts: Column): DataFrame =
+    keywords
+      .groupBy(id.as("article_id"), ts.as("event_time"))
+      .agg(array_distinct(collect_list(col("keyword"))).as("keywords"))
+      .select(
+        concat(lit("article_"), col("article_id")).as("key"),
+        to_json(struct(
+          col("article_id"),
+          col("keywords"),
+          map_from_arrays(col("keywords"),
+            transform(col("keywords"), k => graft.functions.Text.classifyKeyword(k)))
+            .as("keyword_classes"),
+          lit("graft-regex").as("extraction_method"),
+          date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp")))
+          .as("value"))
 
   /** F9 streaming form: dedup by natural key (existsByLink,
     * ArticleRepository.java:21) on a stream. State is bounded by the

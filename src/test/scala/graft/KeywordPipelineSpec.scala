@@ -58,6 +58,28 @@ class KeywordPipelineSpec extends SparkSuite {
     q.stop()
   }
 
+  test("republish payload: article_{id} key, keyword array + class map JSON") {
+    val parsed = Cdc.upserts(Cdc.parse(envelopes.take(3).toDF("value"), col("value")))
+    val fanned = Pipelines.keywordFanout(
+      parsed.withColumn("event_time", timestamp_millis(col("ts_ms"))),
+      "after.content", Text.validKeywords(col("after.content")))
+    val out = Pipelines.republishKeywords(fanned, col("after.id"), col("event_time"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = r.getAs[String]("key")
+      assert(key.matches("article_\\d+"), key)
+      val v = r.getAs[String]("value")
+      assert(v.contains("\"keywords\":[") && v.contains("\"keyword_classes\":{") &&
+        v.contains("\"extraction_method\":\"graft-regex\"") &&
+        v.contains("\"timestamp\":\""), v.take(200))
+    }
+    // classification ladder spot check through the payload
+    val classes = Seq("ab", "x9", "general-word").toDF("kw")
+      .select(Text.classifyKeyword(col("kw"))).as[String].collect().toSeq
+    assert(classes == Seq("short", "numeric", "general"))
+  }
+
   test("quality filter drops short content before fan-out") {
     val rows = Seq(
       """{"op":"c","after":{"id":1,"content":"short"},"source":{"table":"articles"},"ts_ms":1704067200000}""",
