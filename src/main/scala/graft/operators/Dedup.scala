@@ -140,6 +140,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup pairs with blocking: pairs are only
+    * formed inside a block (label, shard, LSH bucket — the standard
+    * entity-resolution move that turns O(n²) into Σ block²). Norms are
+    * precomputed once per vector so each pair costs one dot product.
+    * For unblocked scale, feed `Vectors.lshBucket` as the block column.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, block: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val n = emb.select(col("vec_id"), col(block), col("embedding"),
+      Vectors.norm2(col("embedding")).as("nrm"))
+    n.as("a")
+      .join(n.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col(s"a.$block").as(block),
+        round(Vectors.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** 64-bit SimHash per doc from token-count-weighted xxhash64 bits. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))

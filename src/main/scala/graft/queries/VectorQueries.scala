@@ -97,5 +97,23 @@ object VectorQueries {
     Similarity.ivfSearch(Tables.embeddings(s, d), 16, 16, 0L, 10)
       .select(col("vec_id"), col("label"), col("sim")), q37.oracle)
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55)
+  // Embedding-cosine near-dup with label blocking — exact within the
+  // block, so the oracle reproduces it with the same double-precision
+  // dot formula.
+  val q57 = sql(
+    "q57_embedding_neardup",
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |  round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) AS sim
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, label, sim FROM p WHERE sim >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57)
 }
