@@ -24,6 +24,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Touch each table once (parquet footer + JVM warm-up) before
+    // timing. Measured: fully caching the tables (cache().count())
+    // is NOT faster here — the local NVMe parquet scans beat
+    // InMemoryRelation's extra copy at this scale.
     graft.sources.Tables.names.foreach { n =>
       try {
         val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
