@@ -231,6 +231,33 @@ object TimeSeriesQueries {
       .orderBy(col("hod"), col("key"))
   }
 
+  // ST4 session windows (not in the reference — completes the window
+  // family): per-user sessions with a 30-min inactivity gap. Event
+  // times are second-truncated on BOTH sides so the gap arithmetic is
+  // engine-identical; a new session starts when the gap is >= the
+  // window (Spark merges only while next.start < prev.end, strictly).
+  val q28s = sql(
+    "q28_session_windows",
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+      |d AS (SELECT user_id, s,
+      |  CASE WHEN lag(s, 1) OVER w IS NULL OR s - lag(s, 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)),
+      |g AS (SELECT user_id, s,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM d)
+      |SELECT user_id, strftime(to_timestamp(min(s)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n
+      |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27)
+    q22, q23, q24, q25, q26, q27, q28s)
 }
