@@ -96,5 +96,45 @@ object CoverageQueries {
       .orderBy(col("user_id"), col("event_id").desc)
   }
 
-  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56)
+  // OLAP rollup: subtotals per (priority, status), per priority, and
+  // grand total. Null group keys are coalesced to a sentinel on both
+  // sides so the compare never hinges on engine null semantics.
+  val q58 = sql(
+    "q58_rollup",
+    """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+      |  COALESCE(o_orderstatus, '(all)') AS status,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), graft.functions.Exact.msum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  // Pivot: hour-of-day × event_type count matrix (explicit value list
+  // keeps the schema static; oracle = conditional aggregation).
+  val q59 = sql(
+    "q59_pivot",
+    """SELECT CAST(hour(ts) AS BIGINT) AS hod,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY hod""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hod"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("hod"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59)
 }
