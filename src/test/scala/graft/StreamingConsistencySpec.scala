@@ -44,6 +44,27 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("session windows match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def dag(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
+      .withWatermark("ts_sec", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val q = dag(stream.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sessions").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    val batch = dag(Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("user_id")))
+    assert(sortedRows(spark.table("sessions")) == sortedRows(batch))
+    assert(spark.table("sessions").count() > 0)
+    q.stop()
+  }
+
   test("breaking alert windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Long)]
