@@ -90,11 +90,20 @@ object TimeSeries {
 
   /** W2/J4 rank-delta (realtime_keyword_aggregator.py:358-383): rank
     * keys in two snapshots, full-outer join, classify movement. The
-    * reference's ±3 thresholds map to rising-fast/falling-fast. */
+    * reference's ±3 thresholds map to rising-fast/falling-fast.
+    *
+    * Scale: the reference only ever ranks a top-K candidate snapshot
+    * (realtime_keyword_aggregator.py:166-172 over-fetches 2·limit
+    * candidates first), so each snapshot is pre-limited to `topN` with
+    * orderBy+limit — planned as TakeOrderedAndProject, a distributed
+    * per-partition top-N plus a driver merge of topN rows. The
+    * single-partition rank window that follows then runs over at most
+    * `topN` rows, never the full key domain. */
   def rankDelta(current: DataFrame, previous: DataFrame, key: String = "key",
-      cnt: String = "cnt"): DataFrame = {
-    def ranked(df: DataFrame, rk: String) = df.withColumn(rk,
-      row_number().over(Window.orderBy(col(cnt).desc, col(key))))
+      cnt: String = "cnt", topN: Int = 100): DataFrame = {
+    def ranked(df: DataFrame, rk: String) = df
+      .orderBy(col(cnt).desc, col(key)).limit(topN)
+      .withColumn(rk, row_number().over(Window.orderBy(col(cnt).desc, col(key))))
     val cur = ranked(current, "cur_rank").select(col(key), col(cnt).as("cur_cnt"), col("cur_rank"))
     val prev = ranked(previous, "prev_rank").select(col(key).as("pkey"), col("prev_rank"))
     cur.join(prev, cur(key) === prev("pkey"), "full_outer")
@@ -116,10 +125,15 @@ object TimeSeries {
     * event order desc. Soft delete (:144): a delete marker sets
     * is_deleted instead of removing the row. */
   def lastStatePerKey(df: DataFrame, key: Column, ord: Seq[Column],
-      deleteMarker: Column): DataFrame = {
+      deleteMarker: Column, countAs: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ord.map(_.desc): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(key)))
+    val counted = countAs match {
+      // events-per-key must be counted BEFORE the rn=1 filter, so it is
+      // an opt-in output column here rather than a caller-side groupBy.
+      case Some(name) => df.withColumn(name, count(lit(1)).over(Window.partitionBy(key)))
+      case None => df
+    }
+    counted.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .withColumn("is_deleted", deleteMarker)
       .drop("_rn")

@@ -200,9 +200,9 @@ object TimeSeriesQueries {
     TimeSeries.lastStatePerKey(
       ev(s, d).withColumn("_sec", unix_timestamp(col("ts"))),
       col("user_id"), Seq(col("_sec"), col("event_id")),
-      col("event_type") === "error")
+      col("event_type") === "error", countAs = Some("n_events"))
       .select(col("user_id"), col("event_type").as("last_type"),
-        col("value").as("last_value"), col("_n").as("n_events"), col("is_deleted"))
+        col("value").as("last_value"), col("n_events"), col("is_deleted"))
       .orderBy(col("user_id"))
   }
 

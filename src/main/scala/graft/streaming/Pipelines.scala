@@ -102,11 +102,33 @@ object Pipelines {
     df.withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Mirror layout: `bucket = pmod(hash(table, id), nBuckets)` hive
+    * partitions. 64 buckets suit the test scale; at 100 TB raise the
+    * count (or compose with a `stored_date` partition level) so one
+    * bucket stays a few GB — the merge cost per micro-batch is
+    * O(touched buckets), never O(table). */
+  val MirrorBuckets = 64
+
+  private def mirrorBucket(nBuckets: Int): Column =
+    pmod(hash(col("table"), col("id")), lit(nBuckets))
+
   /** S8: apply one CDC micro-batch to a parquet mirror table —
     * idempotent last-writer-wins MERGE keyed on id, soft delete for
     * `d` ops (SyncService.py:87-146,222-283). Used from foreachBatch;
-    * also callable on batch data (tests). */
-  def applyCdcBatch(spark: SparkSession, parsed: DataFrame, mirrorPath: String): Unit = {
+    * also callable on batch data (tests).
+    *
+    * Incremental: only the hash buckets containing keys present in the
+    * batch are read and rewritten (partition-pruned scan; the driver
+    * materializes at most `nBuckets` small integers, never rows).
+    *
+    * Crash-atomic per bucket: merged output is staged under a hidden
+    * `.staging` dir, then swapped in with rename via a `.bak` dir. A
+    * crash at any point leaves every bucket recoverable: `recover()`
+    * restores live data from `.bak` on the next batch, and the
+    * checkpointed source replays the interrupted batch, whose merge is
+    * idempotent — so exactly-once state survives failure. */
+  def applyCdcBatch(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
+      nBuckets: Int = MirrorBuckets): Unit = {
     val incoming = parsed.select(
       coalesce(col("after.id"), col("before.id")).as("id"),
       col("table"),
@@ -114,9 +136,19 @@ object Pipelines {
       col("after.value").as("value"),
       (col("op") === "d").as("is_deleted"))
       .filter(col("id").isNotNull)
-    val fs = new Path(mirrorPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .withColumn("bucket", mirrorBucket(nBuckets))
+    val root = new Path(mirrorPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMirror(fs, root)
+    // Bounded driver-side state: ≤ nBuckets ints, regardless of batch size.
+    val touched = incoming.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val hasLiveBuckets = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
     val existing =
-      if (fs.exists(new Path(mirrorPath))) spark.read.parquet(mirrorPath)
+      if (hasLiveBuckets)
+        spark.read.parquet(mirrorPath).filter(col("bucket").isin(touched.map(Int.box): _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         incoming.schema)
     // union → keep the newest (ts_ms) version per (table, id); replayed
@@ -128,8 +160,38 @@ object Pipelines {
       .dropDuplicates(Seq("table", "id", "ts_ms", "is_deleted"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint() // materialize BEFORE overwriting the source path
-    merged.write.mode("overwrite").parquet(mirrorPath)
+    val staging = new Path(root, ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val bak = new Path(root, ".bak")
+    fs.mkdirs(bak)
+    touched.foreach { b =>
+      val live = new Path(root, s"bucket=$b")
+      val stagedB = new Path(staging, s"bucket=$b")
+      val bakB = new Path(bak, s"bucket=$b")
+      if (fs.exists(live)) fs.rename(live, bakB)
+      if (fs.exists(stagedB)) fs.rename(stagedB, live)
+      if (fs.exists(bakB)) fs.delete(bakB, true)
+    }
+    fs.delete(bak, true)
+    fs.delete(staging, true)
+  }
+
+  /** Crash recovery for the bucket swap: a leftover `.bak/bucket=N`
+    * means the previous batch died mid-swap. If the live dir exists the
+    * staged data already landed → drop the backup; otherwise the live
+    * dir was moved aside but never replaced → move it back. Either way
+    * the interrupted batch replays from the checkpoint afterwards. */
+  private def recoverMirror(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val bak = new Path(root, ".bak")
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        val live = new Path(root, st.getPath.getName)
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else fs.rename(st.getPath, live)
+      }
+      fs.delete(bak, true)
+    }
   }
 
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */

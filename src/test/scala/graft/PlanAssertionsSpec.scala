@@ -15,6 +15,23 @@ class PlanAssertionsSpec extends SparkSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Full physical-plan traversal: TreeNode.collect stops at
+    * AdaptiveSparkPlanExec (AQE wraps the real plan as a member, not a
+    * child), so structural assertions must unwrap adaptive nodes
+    * explicitly or they pass vacuously. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def allNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    allNodes(df.queryExecution.executedPlan)
+
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf0001)
 
   test("dimension joins broadcast (no shuffle of the fact table)") {
@@ -48,18 +65,45 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("no unpartitioned window over unbounded input in any shipped query") {
-    // An empty PARTITION BY drags all rows to one task. Sanctioned
-    // exceptions rank AFTER a top-k limit or over a key-bounded
-    // aggregate (input provably small): pagination, wordcloud top-50,
-    // rank-delta over the distinct-key snapshot.
-    val bounded = Set("q11_pagination", "q44_wordcloud", "q22_rank_delta", "q54_api_trending")
-    SparkEntry.queries.keys.filterNot(bounded).foreach { name =>
-      val globals = SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
+    // An empty PARTITION BY drags all rows to one task. That is only
+    // acceptable when the window's input is provably bounded — i.e. a
+    // limit (TakeOrderedAndProject / GlobalLimit) feeds it, the
+    // pattern used by pagination, wordcloud top-50 and rank-delta's
+    // candidate over-fetch. Asserted universally: every global window
+    // in every shipped query must sit above a limit.
+    SparkEntry.queries.keys.foreach { name =>
+      val globals = allNodes(SparkEntry.queries(name)(spark, sf0001)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        val limited = allNodes(w).exists {
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.CollectLimitExec => true
+          case _ => false
         }
-      assert(globals.isEmpty, s"$name has unpartitioned window(s): $globals")
+        assert(limited, s"$name has an unpartitioned window over unbounded input:\n$w")
+      }
+    }
+  }
+
+  test("rank-delta's global rank windows run over pre-limited snapshots") {
+    // rankDelta mirrors the reference's candidate over-fetch
+    // (realtime_keyword_aggregator.py:166-172): each snapshot is
+    // TakeOrderedAndProject-limited to topN BEFORE the single-partition
+    // rank window, so the global window never sees an unbounded input.
+    val globals = allNodes(q("q22_rank_delta")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected global rank windows in q22")
+    globals.foreach { w =>
+      val limited = allNodes(w).collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }
+      assert(limited.nonEmpty, s"global rank window is not fed by a limit:\n$w")
     }
   }
 

@@ -101,6 +101,62 @@ class SyncMirrorSpec extends SparkSuite {
     q2.stop()
   }
 
+  private def bucketOf(id: Long): Int =
+    spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit("articles"),
+          org.apache.spark.sql.functions.lit(id)),
+        org.apache.spark.sql.functions.lit(Pipelines.MirrorBuckets))).head.getInt(0)
+
+  test("micro-batch touching one key rewrites only that key's bucket partition") {
+    val dir = Files.createTempDirectory("mirror3").toString + "/m"
+    val seed = parse((1L to 40L).map(i =>
+      s"""{"op":"c","after":{"id":$i,"value":$i.0},"source":{"table":"articles"},"ts_ms":1000}"""))
+    Pipelines.applyCdcBatch(spark, seed, dir)
+
+    def files(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+    }
+    val before = files()
+    assert(before.keys.map(_.split("/").init.last).toSet.size > 1,
+      "seed must span multiple bucket partitions for the test to mean anything")
+
+    Pipelines.applyCdcBatch(spark, parse(Seq(
+      """{"op":"u","after":{"id":1,"value":99.0},"source":{"table":"articles"},"ts_ms":2000}""")),
+      dir)
+    val after = files()
+    val touched = s"bucket=${bucketOf(1L)}"
+    val untouched = before.filter(!_._1.contains(s"/$touched/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (path, mtime) =>
+      assert(after.get(path).contains(mtime),
+        s"untouched partition file was rewritten: $path")
+    }
+    val s = state(dir)
+    assert(s(1L) == (99.0, false) && s.size == 40)
+  }
+
+  test("crash mid-swap recovers from .bak when the batch replays") {
+    val dir = Files.createTempDirectory("mirror4").toString + "/m"
+    val batch1 = parse(Seq(
+      """{"op":"c","after":{"id":7,"value":7.0},"source":{"table":"articles"},"ts_ms":1000}"""))
+    Pipelines.applyCdcBatch(spark, batch1, dir)
+    // simulate a crash between "live → .bak" and "staging → live":
+    // the live bucket dir has been moved aside and never replaced.
+    val b = s"bucket=${bucketOf(7L)}"
+    val bak = java.nio.file.Paths.get(dir, ".bak")
+    Files.createDirectories(bak)
+    Files.move(java.nio.file.Paths.get(dir, b), bak.resolve(b))
+    // checkpointed source replays the interrupted batch → state restored
+    Pipelines.applyCdcBatch(spark, batch1, dir)
+    assert(state(dir) == Map(7L -> (7.0, false)))
+    assert(!Files.exists(bak), ".bak must be cleaned up after recovery")
+  }
+
   test("out-of-order replay keeps last-writer-wins by ts_ms") {
     val dir = Files.createTempDirectory("mirror2").toString + "/m"
     val newer = parse(Seq(
