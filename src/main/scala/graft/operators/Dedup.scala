@@ -161,11 +161,15 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
-  /** 64-bit SimHash per doc from token-count-weighted xxhash64 bits. */
+  /** 64-bit SimHash per doc from token-count-weighted hash bits. The
+    * token hash is the native RollingHash64 (not xxhash64): its
+    * definition is plain 64-bit modular arithmetic, so an external
+    * engine can reproduce the full signature for oracle checks. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", graft.plans.GraftFunctions.rolling_hash64(col("token")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("w"))
         .otherwise(-col("w"))).as(s"b$j")

@@ -10,12 +10,25 @@ import graft.sources.Tables
   * and the native Catalyst expression in an end-to-end query.
   */
 object CoverageQueries {
-  import QueryDef.{rowsOnly, sql}
+  import QueryDef.sql
 
   // Native codegen expression in a real query. The 64-bit wraparound
-  // hash is not expressible in DuckDB (checked integer overflow), so
-  // this is a rows-only check; PlansSpec pins the value semantics.
-  val q49 = rowsOnly("q49_native_fingerprints") { (s, d) =>
+  // fold IS expressible in DuckDB via HUGEINT modular arithmetic
+  // (list_reduce over the byte values, mod 2^64, then mapped back to
+  // the signed two's-complement BIGINT Spark emits). ascii() == byte
+  // because the corpus is pure ASCII (verified against the testdata).
+  val q49 = sql(
+    "q49_native_fingerprints",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |    THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS fp64
+      |FROM (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(text)+1), i -> CAST(ascii(text[i]) AS HUGEINT))),
+      |    (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), GraftFunctions.rolling_hash64(col("text")).as("fp64"))

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * pipeline operators) over `embeddings` and `documents`.
   */
 object VectorQueries {
-  import QueryDef.{rowsOnly, sql}
+  import QueryDef.sql
 
   /** Shared DuckDB CTE computing exact n-gram Jaccard pairs ≥ 0.8 —
     * ground truth for both the all-pairs query and the LSH variant
@@ -57,37 +57,82 @@ object VectorQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // SimHash near-dup pairs — signature uses Spark's xxhash64, which no
-  // external oracle reproduces → rows-only check; correctness is pinned
-  // by DedupSpec (hamming on planted near-dups) instead.
-  val q40 = rowsOnly("q40_simhash_pairs") { (s, d) =>
+  /** The RollingHash64 definition in DuckDB: unsigned 64-bit modular
+    * fold over the bytes of `expr` (HUGEINT intermediate). Byte access
+    * is `ascii(ch)` — valid because the testdata corpus is pure ASCII
+    * (verified), where UTF-8 bytes equal codepoints. */
+  private def rollingHashSql(expr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(1, length($expr)+1), i -> CAST(ascii($expr[i]) AS HUGEINT))),
+       |  (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  // SimHash near-dup pairs. The banded (8×8-bit pigeonhole) candidate
+  // join guarantees full recall at hamming ≤ 7, so the Spark output
+  // must equal the oracle's brute-force all-pairs hamming scan — the
+  // same ground-truth pattern as q38/q39. Signature reproduced in
+  // DuckDB bit-for-bit from the portable RollingHash64 token hash.
+  val q40 = sql(
+    "q40_simhash_pairs",
+    s"""WITH tw AS (
+       |  SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS w FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+       |    FROM documents) u GROUP BY doc_id, token),
+       |th AS (SELECT doc_id, w, ${rollingHashSql("token")} AS hu FROM tw),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN (hu // (CAST(1 AS HUGEINT) << j)) % 2 = 1
+       |                       THEN w ELSE -w END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bits GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(list_sum(list_transform(range(1, 65), i ->
+       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sign-bit LSH bucket id in DuckDB — same integer-deterministic
+    * hyperplanes as Vectors.lshBucket(dim=64, nBits=8). */
+  private val bucketSql: String = {
+    def dotSql(j: Int) =
+      s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
+        s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
+    "CAST(" + (0 until 8)
+      .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
   }
 
   // LSH bucket histogram from integer-deterministic hyperplanes —
   // proves the bucketed-ANN partitioning path end-to-end.
   val q41 = sql(
-    "q41_lsh_bucket_histogram", {
-      def dotSql(j: Int) =
-        s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
-          s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"SELECT bucket, count(*) AS n FROM (SELECT CAST($bucket AS BIGINT) AS bucket FROM embeddings) t " +
-        "GROUP BY bucket ORDER BY bucket"
-    }) { (s, d) =>
+    "q41_lsh_bucket_histogram",
+    s"SELECT bucket, count(*) AS n FROM (SELECT $bucketSql AS bucket FROM embeddings) t " +
+      "GROUP BY bucket ORDER BY bucket") { (s, d) =>
     Similarity.withLshBucket(Tables.embeddings(s, d), 64, 8)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
 
   // Bucketed ANN top-5 inside the query's bucket (recall vs cost
-  // trade); deterministic but xq-bucket membership depends on the
-  // hyperplanes already checked by q41 → oracle via same construction.
-  val q42 = rowsOnly("q42_bucketed_ann") { (s, d) =>
-    Similarity.bucketedTopK(Tables.embeddings(s, d), 64, 8, 0L, 5)
+  // trade) — oracle rebuilds the same bucket ids and restricts the
+  // exact cosine top-k to the query vector's bucket.
+  val q42 = sql(
+    "q42_bucketed_ann",
+    s"""WITH b AS (SELECT vec_id, label, embedding, $bucketSql AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+       |s AS (SELECT vec_id, label, bucket, round(
+       |    list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+       |  FROM b, q WHERE vec_id <> 0 AND bucket = qb)
+       |SELECT vec_id, label, bucket, sim FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin) {
+    (s, d) => Similarity.bucketedTopK(Tables.embeddings(s, d), 64, 8, 0L, 5)
   }
 
   // IVF with full probe must recover the brute-force result exactly —
