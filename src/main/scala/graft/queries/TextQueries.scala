@@ -154,5 +154,98 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36)
+  /** Deterministic Korean word pool for in-query synthesis (the
+    * CdcQueries pattern — testdata has no Hangul, so the inputs are
+    * derived from doc_id arithmetic and the oracle rebuilds them).
+    * Chosen to exercise every josa branch plus the edge cases:
+    * "관련이"/"뉴스는" strip to Korean stopwords (filtered after
+    * stripping), "것" is single-char (never matched by the {2,8}
+    * extraction regex). */
+  private val koWords = Seq(
+    "서울이", "경제가", "뉴스는", "대통령을", "시장에서", "정부의",
+    "한국과", "기술하다", "투자부터", "회사도", "관련이", "것")
+
+  private def koWordsSqlList =
+    koWords.map(w => s"'$w'").mkString("[", ",", "]")
+  private def koPickSql(expr: String) =
+    s"($koWordsSqlList)[CAST(($expr) % 12 AS INT) + 1]"
+
+  private def koPick(e: org.apache.spark.sql.Column) =
+    element_at(array(koWords.map(lit): _*), (e % 12).cast("int") + 1)
+
+  /** Synthesized Korean articles: 3-word title, 10-word content. */
+  private def koreanDocs(s: SparkSession, d: String) =
+    docs(s, d).select(
+      col("doc_id"),
+      concat_ws(" ", (0 until 3).map(j => koPick(col("doc_id") * 7 + j * 3)): _*).as("title"),
+      concat_ws(" ", (0 until 10).map(j => koPick(col("doc_id") + j * 5)): _*).as("content"))
+
+  // U1 Korean extractor parity (hybrid_keyword_extractor.py:56-171):
+  // SC2 Hangul word regex, SC5 title×3 weighting, SC3 josa stripping,
+  // post-strip stopword/length re-filter, first-occurrence top-6 cap —
+  // the full chain under the hash gate via synthesized Hangul inputs.
+  val q60 = sql(
+    "q60_korean_keywords", {
+      val title = s"concat_ws(' ', ${(0 until 3).map(j => koPickSql(s"doc_id*7 + ${j * 3}")).mkString(", ")})"
+      val content = s"concat_ws(' ', ${(0 until 10).map(j => koPickSql(s"doc_id + ${j * 5}")).mkString(", ")})"
+      s"""WITH base AS (SELECT doc_id, $title AS title, $content AS content FROM documents),
+         |wtd AS (SELECT doc_id, concat_ws(' ', title, title, title, substring(content, 1, 1000)) AS wt FROM base),
+         |words AS (SELECT doc_id, regexp_extract_all(wt, '[가-힣]{2,8}') AS ws FROM wtd),
+         |pos AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, ws FROM words),
+         |stripped AS (SELECT doc_id, pos,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(ws[pos],
+         |    '(이|가|을|를|은|는)$$', ''), '(에서|에게|한테|부터|까지)$$', ''),
+         |    '(와|과|도|만|의|로|으로)$$', ''), '(하다|되다|있다|없다)$$', '') AS token
+         |  FROM pos),
+         |valid AS (SELECT doc_id, token, min(pos) AS first_pos FROM stripped
+         |  WHERE length(token) BETWEEN 2 AND 8
+         |    AND token NOT IN ('기자','뉴스','오늘','내일','어제','이번','지난','관련','대한','통해')
+         |  GROUP BY doc_id, token)
+         |SELECT doc_id, token, CAST(krank AS INT) AS krank FROM (
+         |  SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) AS krank
+         |  FROM valid) r WHERE krank <= 6 ORDER BY doc_id, krank""".stripMargin
+    }) { (s, d) =>
+    Text.extractKeywordsKorean(koreanDocs(s, d), col("doc_id"), col("title"), col("content"))
+      .select(col("doc_id"), col("token"), col("krank").cast("int").as("krank"))
+      .orderBy(col("doc_id"), col("krank"))
+  }
+
+  /** English title pool for SC5: "7777" is all-digits (filtered),
+    * "the" is a stopword (filtered), "beta42" is mixed (kept). */
+  private val enTitleWords = Seq("alpha", "beta42", "7777", "the", "gamma", "delta")
+
+  // SC5 title×3 weighting on the English path: the title occupies the
+  // earliest token positions (three times over), steering the
+  // first-occurrence ranking ahead of the 1000-char-truncated content.
+  val q61 = sql(
+    "q61_title_weighted_keywords", {
+      val lst = enTitleWords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    ($lst)[CAST(doc_id % 6 AS INT) + 1] || ' ' || ($lst)[CAST((doc_id*5 + 2) % 6 AS INT) + 1] AS title
+         |  FROM documents),
+         |wtd AS (SELECT doc_id, concat_ws(' ', title, title, title, substring(text, 1, 1000)) AS wt FROM base),
+         |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(string_split(lower(wt),' '))+1),
+         |    i -> {'pos': i, 'token': string_split(lower(wt),' ')[i]})) AS u FROM wtd),
+         |flat AS (SELECT doc_id, u.token AS token, u.pos AS pos FROM toks),
+         |valid AS (SELECT doc_id, token, min(pos) AS first_pos FROM flat
+         |  WHERE length(token) BETWEEN 2 AND 8 AND NOT regexp_matches(token, '^[0-9]+$$')
+         |    AND token NOT IN ('the','a','an','of','and','to','in','is','on','for')
+         |  GROUP BY doc_id, token)
+         |SELECT doc_id, token, CAST(krank AS INT) AS krank FROM (
+         |  SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) AS krank
+         |  FROM valid) r WHERE krank <= 6 ORDER BY doc_id, krank""".stripMargin
+    }) { (s, d) =>
+    val titled = docs(s, d).select(
+      col("doc_id"), col("text"),
+      concat_ws(" ",
+        element_at(array(enTitleWords.map(lit): _*), (col("doc_id") % 6).cast("int") + 1),
+        element_at(array(enTitleWords.map(lit): _*), ((col("doc_id") * 5 + 2) % 6).cast("int") + 1))
+        .as("title"))
+    Text.extractKeywords(titled, col("doc_id"),
+      Text.titleWeighted(col("title"), col("text")))
+      .select(col("doc_id"), col("token"), col("krank").cast("int").as("krank"))
+      .orderBy(col("doc_id"), col("krank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61)
 }
