@@ -36,15 +36,24 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // Timing materializes EVERY output column through the noop sink:
+    // a .count() lets Catalyst prune computed columns, so projection-
+    // only queries (fingerprints, token stats) would be timed as bare
+    // scans. A failed query is reported as -1 plus an entry in
+    // "errors" — never as a normal-looking timing.
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => errors += name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
