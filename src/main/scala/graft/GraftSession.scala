@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ns-timestamp parquet (events table) reads as raw int64; the
+      // flag lives here, not inside a table loader, so no read path
+      // mutates session state as a side effect.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     GraftFunctions.register(spark)

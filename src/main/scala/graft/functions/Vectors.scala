@@ -38,7 +38,9 @@ object Vectors {
     * co-partition by bucket and candidate search stays local. */
   def lshBucket(emb: Column, dim: Int, nBits: Int): Column =
     (0 until nBits).map { j =>
-      val plane = array(hyperplane(j, dim).map(lit): _*)
+      // typedlit emits ONE array literal (vs array(lit...) building a
+      // CreateArray of `dim` children that codegen re-assembles).
+      val plane = typedlit(hyperplane(j, dim).toSeq)
       when(dot(emb, plane) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -81,7 +81,10 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // The shingle set feeds the prefix join plus the verification —
     // cache it once instead of re-running tokenize+explode five times.
+    // The small pair result is checkpointed eagerly at the end so the
+    // cache is released before returning (no leak in a long session).
     val sh = shingleSet(docs, id, text, n).cache()
+    try {
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val prefix = sh
@@ -106,6 +109,8 @@ object Dedup {
     jaccardOnPairs(sh, candidates)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint() // near-dup pairs ≪ corpus; materialized pre-unpersist
+    } finally sh.unpersist()
   }
 
   /** MinHash signatures: for each seed s, min over shingles of
@@ -124,6 +129,7 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sh = shingleSet(docs, id, text, n).cache()
+    try {
     val sig = minhashSignatures(sh, numHashes)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -138,6 +144,8 @@ object Dedup {
     jaccardOnPairs(sh, candidates)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint() // near-dup pairs ≪ corpus; materialized pre-unpersist
+    } finally sh.unpersist()
   }
 
   /** Embedding-cosine near-dup pairs with blocking: pairs are only

@@ -59,7 +59,10 @@ object Similarity {
     * stays a bucket-pruned scan. */
   def multiProbeTopK(embeddings: DataFrame, dim: Int, nBits: Int,
       queryId: Long, k: Int, nProbe: Int): DataFrame = {
-    val bucketed = withLshBucket(embeddings, dim, nBits).cache()
+    // No cache: the query-row lookup is a vec_id-pruned scan and the
+    // candidate pass re-derives buckets in one more scan — cheaper
+    // than holding the bucketed corpus in storage (and leak-free).
+    val bucketed = withLshBucket(embeddings, dim, nBits)
     val qRow = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding"), col("bucket")).head()
     val qEmb = qRow.getSeq[Float](0).toArray
@@ -104,25 +107,78 @@ object Similarity {
         col("centroid_id").as("list_id"))
   }
 
-  /** IVF search: rank centroids for the query, scan the top-`nprobe`
-    * lists, cosine top-k within them. */
+  /** Ad-hoc IVF search: rank centroids for the query, scan the
+    * top-`nprobe` lists, cosine top-k within them. Builds the
+    * assignment in-flight — fine for one-off/spec use; a serving path
+    * should build the index ONCE with [[buildIvfIndex]] and query it
+    * with [[ivfSearchIndexed]] (partition-pruned, no per-query driver
+    * work). The small top-k result is checkpointed eagerly so the
+    * assignment cache can be released before returning (no storage
+    * leak in a long-lived session). */
   def ivfSearch(embeddings: DataFrame, nLists: Int, nProbe: Int,
       queryId: Long, k: Int): DataFrame = {
     val assigned = ivfAssign(embeddings, nLists).cache()
-    val q = assigned.filter(col("vec_id") === queryId)
+    try {
+      val q = assigned.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb"))
+      val probeLists = assigned
+        .select(col("list_id"), col("vec_id"), col("embedding")).as("c")
+        .join(broadcast(q))
+        .filter(col("vec_id") === col("list_id")) // centroid rows only
+        .withColumn("c_sim", Vectors.cosine(col("embedding"), col("q_emb")))
+        .orderBy(col("c_sim").desc, col("list_id"))
+        .limit(nProbe)
+        .select(col("list_id").as("probe_list"))
+      assigned.filter(col("vec_id") =!= queryId)
+        .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("list_id"),
+          round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(k)
+        .localCheckpoint() // ≤ k rows, materialized before the unpersist
+    } finally assigned.unpersist()
+  }
+
+  /** Build and persist the IVF index: the assignment laid out as one
+    * hive partition per inverted list. The `embeddings.count()` inside
+    * ivfAssign is a build-time-only cost — queries against the
+    * persisted index never run driver actions over the corpus. At
+    * 100 TB this table is additionally bucketed within each list
+    * partition; the layout contract (probe touches only its
+    * partitions) is what LayoutSpec asserts. */
+  def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String): Unit =
+    ivfAssign(embeddings, nLists)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Search the persisted index. Centroid ranking (the rows where
+    * vec_id == list_id — centroids need no side table) picks `nProbe`
+    * lists; the probe set is collected as nProbe integers (a bounded
+    * driver-side plan step, like multi-probe's margin planning) so the
+    * corpus scan carries a literal partition filter — static partition
+    * pruning, only the probed list partitions are read. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      nProbe: Int, queryId: Long, k: Int): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val q = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val probeLists = assigned
-      .select(col("list_id"), col("vec_id"), col("embedding")).as("c")
-      .join(broadcast(q))
-      .filter(col("vec_id") === col("list_id")) // centroid rows only
+    val probes = index.filter(col("vec_id") === col("list_id"))
+      .crossJoin(broadcast(q))
       .withColumn("c_sim", Vectors.cosine(col("embedding"), col("q_emb")))
       .orderBy(col("c_sim").desc, col("list_id"))
       .limit(nProbe)
-      .select(col("list_id").as("probe_list"))
-    assigned.filter(col("vec_id") =!= queryId)
-      .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .select(col("list_id"))
+      .collect().map(_.getAs[Number]("list_id").longValue())
+    // Match the literal type to the discovered partition-column type so
+    // the IN lands in PartitionFilters uncast (a CAST on the partition
+    // column would defeat pruning).
+    val inVals: Seq[Any] =
+      if (index.schema("list_id").dataType == org.apache.spark.sql.types.IntegerType)
+        probes.toSeq.map(p => Int.box(p.toInt))
+      else probes.toSeq.map(Long.box)
+    index.filter(col("vec_id") =!= queryId && col("list_id").isin(inVals: _*))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), col("list_id"),
+      .select(col("vec_id"), col("label"), col("list_id").cast("long").as("list_id"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

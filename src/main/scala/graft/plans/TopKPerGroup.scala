@@ -41,6 +41,16 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
   override def requiredChildDistribution: Seq[Distribution] =
     if (group.isEmpty) AllTuples :: Nil else ClusteredDistribution(group) :: Nil
 
+  // MEMORY BOUND: each task holds one k-row heap per DISTINCT group in
+  // its partition (≈ groups/partition × k × row bytes), with no spill.
+  // The input is hash-clustered on the group keys, so that is the
+  // global group cardinality divided by shuffle partitions — at the
+  // target scale size shuffle partitions so groups/partition × k rows
+  // fit comfortably in a task (e.g. 1e6 groups × k=3 × 100 B ≈ 300 MB
+  // per partition is the ceiling to stay under). For group
+  // cardinalities beyond that, prefer the row_number() formulation,
+  // which sorts and therefore spills (GraftOps.topKPerGroup documents
+  // the same trade-off at the API level).
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val limit = k
@@ -94,7 +104,13 @@ object TopKStrategy extends SparkStrategy {
 object GraftOps {
   /** Top `k` rows per group by `orderCol` descending (numeric order
     * column). Output keeps the child's schema, rows descending within
-    * each group. */
+    * each group.
+    *
+    * Memory trade-off: the heap operator holds groups-per-partition ×
+    * k rows in task memory with no spill (see TopKPerGroupExec). Use it
+    * when group cardinality ÷ shuffle partitions is modest; for
+    * extreme group cardinality prefer a row_number() window, which
+    * sorts (and spills) instead. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -68,11 +68,17 @@ object CoverageQueries {
       val ev = Tables.events(s, d)
       def users(t: String) =
         ev.filter(col("event_type") === t).select(col("user_id")).distinct()
-      val su = users("signup")
-      val pu = users("purchase")
-      su.union(pu).distinct().agg(count(lit(1)).as("n_union"))
-        .crossJoin(su.intersect(pu).agg(count(lit(1)).as("n_intersect")))
-        .crossJoin(su.except(pu).agg(count(lit(1)).as("n_except")))
+      // Each distinct-user set feeds three set operators — cache both
+      // once (instead of six event-table scans), release after the
+      // 1-row result materializes.
+      val su = users("signup").cache()
+      val pu = users("purchase").cache()
+      try {
+        su.union(pu).distinct().agg(count(lit(1)).as("n_union"))
+          .crossJoin(su.intersect(pu).agg(count(lit(1)).as("n_intersect")))
+          .crossJoin(su.except(pu).agg(count(lit(1)).as("n_except")))
+          .localCheckpoint()
+      } finally { su.unpersist(); pu.unpersist() }
   }
 
   // SC8/SC11/SC13 scalar families: split-part, log10 view-weight,

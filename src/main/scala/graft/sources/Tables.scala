@@ -28,9 +28,15 @@ object Tables {
     * (µs) cannot represent; read the raw int64 nanos and floor-divide to
     * µs with integer DIV (a double division would lose precision at
     * ~1.7e18 ns). All downstream queries bucket to ≥1 s anyway.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session construction (GraftSession / Verify / Bench / test suite)
+    * — a table loader must not mutate session conf as a side effect.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
+        "(see GraftSession.create) before reading the events table")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

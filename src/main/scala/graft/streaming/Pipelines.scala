@@ -194,6 +194,58 @@ object Pipelines {
     }
   }
 
+  /** W2 streaming: the per-trigger rank-delta snapshot loop
+    * (realtime_keyword_aggregator.py:358-383). Each trigger the
+    * complete-mode key counts are limited to the top-`topN`
+    * (TakeOrderedAndProject — the reference's candidate over-fetch),
+    * ranked against the PREVIOUS trigger's persisted snapshot, the
+    * movement table is published to `stateDir/delta`, and the snapshot
+    * at `stateDir/snapshot` is advanced via write-tmp-then-rename.
+    * On-disk state is two ≤ topN-row tables regardless of key
+    * cardinality. Replaying a trigger recomputes the delta against the
+    * already-advanced snapshot ("stable" movements) — the same
+    * at-least-once display semantics as the reference's Redis loop. */
+  def applyRankDeltaSnapshot(spark: SparkSession, counts: DataFrame,
+      stateDir: String, topN: Int = 50): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(root, "snapshot")
+    val current = counts.select(col("key"), col("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(topN)
+    val previous =
+      if (fs.exists(snap)) spark.read.parquet(snap.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
+    val delta = graft.operators.TimeSeries.rankDelta(current, previous, topN = topN)
+    // delta reads the old snapshot, so publish it BEFORE the swap.
+    writeSwap(spark, fs, root, "delta", delta)
+    writeSwap(spark, fs, root, "snapshot", current)
+  }
+
+  private def writeSwap(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, name: String, df: DataFrame): Unit = {
+    val tmp = new Path(root, s".tmp-$name")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val live = new Path(root, name)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(tmp, live)
+  }
+
+  /** Streaming wrapper for the snapshot loop: complete-mode counts →
+    * foreachBatch snapshot/delta advance per trigger. */
+  def rankDeltaSnapshotSink(spark: SparkSession, counts: DataFrame, stateDir: String,
+      checkpoint: String, topN: Int = 50,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    counts.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyRankDeltaSnapshot(spark, batch, stateDir, topN)
+      }
+      .start()
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =

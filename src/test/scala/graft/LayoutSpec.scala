@@ -31,6 +31,24 @@ class LayoutSpec extends SparkSuite {
     assert(filtered.count() == expected && expected > 0)
   }
 
+  test("persisted IVF index: probe reads only its list partitions") {
+    val idx = Files.createTempDirectory("ivf").toString + "/index"
+    graft.operators.Similarity.buildIvfIndex(
+      Tables.embeddings(spark, sf0001), 8, idx)
+    val res = graft.operators.Similarity.ivfSearchIndexed(spark, idx, 2, 0L, 5)
+    val scans = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains(idx.split("/").last))
+    assert(scans.nonEmpty)
+    // the corpus-side scan must carry a list_id partition filter (the
+    // centroid/query scans are vec_id-filtered and may read all lists)
+    val pruned = scans.exists { s =>
+      val i = s.indexOf("PartitionFilters: [")
+      i >= 0 && s.substring(i, math.max(s.indexOf("]", i), i)).contains("list_id")
+    }
+    assert(pruned, s"no partition filter on list_id:\n${scans.mkString("\n---\n")}")
+    assert(res.count() > 0)
+  }
+
   test("streaming dedup by natural key drops duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)](11, spark, None)

@@ -65,6 +65,44 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("rank-delta snapshot loop publishes movements across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("rankdelta").toString
+    val stream = MemoryStream[String]
+    val counts = stream.toDF().toDF("key")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val q = Pipelines.rankDeltaSnapshotSink(spark, counts, s"$dir/state", s"$dir/ckpt",
+      topN = 10, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    def delta(): Map[String, (Option[Int], Option[Int], String)] =
+      spark.read.parquet(s"$dir/state/delta").collect().map { r =>
+        r.getAs[String]("key") -> ((
+          Option(r.getAs[java.lang.Integer]("cur_rank")).map(_.toInt),
+          Option(r.getAs[java.lang.Integer]("prev_rank")).map(_.toInt),
+          r.getAs[String]("movement")))
+      }.toMap
+
+    // trigger 1: a=3, b=2 → both enter as "new"
+    stream.addData("a", "a", "a", "b", "b")
+    q.processAllAvailable()
+    assert(delta() == Map(
+      "a" -> ((Some(1), None, "new")),
+      "b" -> ((Some(2), None, "new"))))
+
+    // trigger 2: b gains 5 (total 7) → b overtakes a
+    stream.addData("b", "b", "b", "b", "b")
+    q.processAllAvailable()
+    assert(delta() == Map(
+      "b" -> ((Some(1), Some(2), "rising")),
+      "a" -> ((Some(2), Some(1), "falling"))))
+
+    // snapshot advanced to the trigger-2 state
+    val snap = spark.read.parquet(s"$dir/state/snapshot").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("cnt")).toMap
+    assert(snap == Map("a" -> 3L, "b" -> 7L))
+    q.stop()
+  }
+
   test("breaking alert windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Long)]
