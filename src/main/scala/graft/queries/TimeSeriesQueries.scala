@@ -258,6 +258,34 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // SC14 alert envelope (AlertAnalyzer.java:54-58,83-89): both alert
+  // branches wrapped in the published envelope — UUID id, type,
+  // severity constants 0.8/0.5 — rolled up over the deterministic
+  // columns (uuid/detected_at are nondeterministic by design and are
+  // pinned by spec instead: uniqueness + constants).
+  val q63 = sql(
+    "q63_alert_envelope_rollup",
+    """SELECT alert_type, severity, count(*) AS n FROM (
+      |  SELECT 'trending' AS alert_type, CAST(0.5 AS DOUBLE) AS severity
+      |  FROM (SELECT 1 AS one FROM events GROUP BY floor(epoch(ts)/1800), event_type
+      |        HAVING count(*) >= 4) t
+      |  UNION ALL
+      |  SELECT 'breaking' AS alert_type, CAST(0.8 AS DOUBLE) AS severity
+      |  FROM (SELECT 1 AS one FROM events GROUP BY floor(epoch(ts)/300), event_type
+      |        HAVING count(*) >= 3 AND count(DISTINCT user_id) >= 2) b
+      |) u GROUP BY alert_type, severity ORDER BY alert_type""".stripMargin) { (s, d) =>
+    import graft.streaming.Pipelines
+    val t = Pipelines.alertEnvelope(
+      Pipelines.trendingAlerts(ev(s, d), "ts", "event_type", "30 minutes", 4),
+      "trending", 0.5)
+    val b = Pipelines.alertEnvelope(
+      Pipelines.breakingAlerts(ev(s, d), "ts", "event_type", "user_id", "5 minutes", 3, 2),
+      "breaking", 0.8)
+    t.unionByName(b)
+      .groupBy(col("alert_type"), col("severity")).agg(count(lit(1)).as("n"))
+      .orderBy(col("alert_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s)
+    q22, q23, q24, q25, q26, q27, q28s, q63)
 }

@@ -135,6 +135,33 @@ object VectorQueries {
     (s, d) => Similarity.bucketedTopK(Tables.embeddings(s, d), 64, 8, 0L, 5)
   }
 
+  // Multi-probe LSH ANN under the hash gate: the oracle reconstructs
+  // the probe plan itself — per-hyperplane query margins, the
+  // (nProbe−1) lowest-|margin| bit flips (ties broken by plane index,
+  // matching the stable sort in multiProbeTopK), the XOR'd probe
+  // buckets — then takes exact cosine top-k within the probed buckets.
+  val q62 = sql(
+    "q62_multi_probe_ann", {
+      def qDotSql(j: Int) =
+        s"list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)" +
+          s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
+      val mrows = (0 until 8).map(j => s"SELECT $j AS j, ${qDotSql(j)} AS d FROM q")
+        .mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT vec_id, label, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+         |m AS ($mrows),
+         |flips AS (SELECT j FROM m ORDER BY abs(d), j LIMIT 2),
+         |probes AS (SELECT qb AS pb FROM q UNION SELECT CAST(xor(qb, 1 << j) AS BIGINT) AS pb FROM flips, q),
+         |s AS (SELECT vec_id, label, bucket, round(
+         |    list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+         |  FROM b, q WHERE vec_id <> 0 AND bucket IN (SELECT pb FROM probes))
+         |SELECT vec_id, label, bucket, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    Similarity.multiProbeTopK(Tables.embeddings(s, d), 64, 8, 0L, 10, 3)
+  }
+
   // IVF with full probe must recover the brute-force result exactly —
   // same oracle as q37; partial-probe recall is covered in
   // SimilaritySpec. Runs through the PERSISTED index path: the index
@@ -168,5 +195,5 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57)
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62)
 }

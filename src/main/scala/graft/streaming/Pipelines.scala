@@ -93,6 +93,35 @@ object Pipelines {
           date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp")))
           .as("value"))
 
+  /** SC14: the alert envelope the reference publishes
+    * (cs/service/alert/AlertAnalyzer.java:54-58,83-89): UUID alert id,
+    * alert type, severity constant (0.8 breaking / 0.5 trending),
+    * detection time. uuid()/current_timestamp() are nondeterministic
+    * by design — oracle-gated queries aggregate over the deterministic
+    * columns and the spec pins id uniqueness + constants. */
+  def alertEnvelope(alerts: DataFrame, alertType: String, severity: Double): DataFrame =
+    alerts.select(
+      expr("uuid()").as("alert_id"),
+      lit(alertType).as("alert_type"),
+      lit(severity).as("severity"),
+      col("window_start"), col("key"), col("cnt"),
+      current_timestamp().as("detected_at"))
+
+  /** ST9 rate control: bound the per-trigger intake of a streaming
+    * reader — `maxFilesPerTrigger` (file sources) / `maxOffsetsPerTrigger`
+    * (Kafka). The reference throttles with sleep-retry loops
+    * (ks/main.py:362-367, SyncService.py:433-438); Structured Streaming
+    * inverts that: the source admits a bounded batch per trigger and
+    * task/query restart handles transient failure, so an ingest spike
+    * degrades to more triggers, not an OOM. */
+  def rateLimited(reader: org.apache.spark.sql.streaming.DataStreamReader,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxOffsetsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamReader = {
+    val r1 = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    maxOffsetsPerTrigger.fold(r1)(n => r1.option("maxOffsetsPerTrigger", n))
+  }
+
   /** F9 streaming form: dedup by natural key (existsByLink,
     * ArticleRepository.java:21) on a stream. State is bounded by the
     * watermark: a key is remembered only while late duplicates can

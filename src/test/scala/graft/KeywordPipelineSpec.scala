@@ -80,6 +80,46 @@ class KeywordPipelineSpec extends SparkSuite {
     assert(classes == Seq("short", "numeric", "general"))
   }
 
+  test("alert envelope: unique uuid ids, severity constants, stable payload columns") {
+    val alerts = Pipelines.trendingAlerts(
+      Tables.events(spark, sf0001), "ts", "event_type", threshold = 2)
+    val env = Pipelines.alertEnvelope(alerts, "trending", 0.5)
+    assert(env.columns.toSeq == Seq(
+      "alert_id", "alert_type", "severity", "window_start", "key", "cnt", "detected_at"))
+    val rows = env.collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[String]("alert_id"))
+    assert(ids.distinct.length == ids.length, "alert ids must be unique")
+    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(rows.forall(r => r.getAs[String]("alert_type") == "trending"
+      && r.getAs[Double]("severity") == 0.5))
+  }
+
+  test("rate-limited source admits a bounded batch per trigger (ST9)") {
+    val base = java.nio.file.Files.createTempDirectory("rate").toString
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$i.txt"),
+        s"line-$i".getBytes("UTF-8"))
+    }
+    var batches = 0
+    val src = Pipelines.rateLimited(
+      spark.readStream.schema("value STRING").format("text"),
+      maxFilesPerTrigger = Some(1)).load(in)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        assert(batch.count() <= 1, "rate limit must bound each micro-batch")
+        batches += 1
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"3 files at 1 file/trigger must take >= 3 batches, got $batches")
+  }
+
   test("quality filter drops short content before fan-out") {
     val rows = Seq(
       """{"op":"c","after":{"id":1,"content":"short"},"source":{"table":"articles"},"ts_ms":1704067200000}""",
