@@ -169,6 +169,46 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Near-dup CLUSTERING: connected components over a pair list →
+    * (doc_id, cluster, csize), cluster = min doc_id in the component.
+    * This is the curation step after pair detection — "keep one doc
+    * per dup cluster" needs components, not pairs (a–b and b–c must
+    * collapse even when a–c was never emitted).
+    *
+    * Min-label propagation with a driver convergence loop. Scale
+    * rationale: the edge table is the near-dup GRAPH — orders of
+    * magnitude smaller than the corpus — and the iteration count is
+    * the component diameter (near-dup clusters are shallow; a chain
+    * of length d converges in ⌈log₂ d⌉+1 rounds since labels jump
+    * through already-relabeled neighbors). Each round is one join +
+    * one aggregation on the graph; localCheckpoint truncates the plan
+    * so lineage doesn't grow with iterations. */
+  def dupClusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y")))
+      .distinct().cache()
+    try {
+      var labels = edges.select(col("x").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
+          .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            (col("nmin") < col("lbl")).as("_chg"))
+        val nextCk = next.localCheckpoint()
+        changed = nextCk.filter(col("_chg")).count()
+        labels = nextCk.drop("_chg")
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))
+    } finally edges.unpersist()
+  }
+
   /** 64-bit SimHash per doc from token-count-weighted hash bits. The
     * token hash is the native RollingHash64 (not xxhash64): its
     * definition is plain 64-bit modular arithmetic, so an external

@@ -195,5 +195,26 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62)
+  // Near-dup clusters from the LSH pair list (the keep-one-per-cluster
+  // curation step). Oracle: transitive closure via recursive CTE over
+  // the exact all-pairs ground truth — the same pair set the LSH path
+  // provably recovers (q39).
+  val q64 = sql(
+    "q64_dup_clusters",
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracle) gt),
+       |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
+       |SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+       |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.dupClusters(
+      Dedup.minhashLshPairs(Tables.documents(s, d), col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64)
 }

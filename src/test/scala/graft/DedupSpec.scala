@@ -36,6 +36,24 @@ class DedupSpec extends SparkSuite {
       s"missing: ${close -- sim}")
   }
 
+  test("dup clusters: transitive closure, min-id representative, sizes") {
+    import spark.implicits._
+    // a-b, b-c chain (no a-c edge) plus an isolated pair and a long
+    // chain exercising multi-round label propagation
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L)) && out(3L) == ((1L, 3L)),
+      "a-b-c chain must collapse to one cluster labeled by min id")
+    assert(out(10L) == ((10L, 2L)) && out(11L) == ((10L, 2L)))
+    (20L to 25L).foreach(i => assert(out(i) == ((20L, 6L)), s"chain member $i"))
+    assert(out.size == 11)
+  }
+
   test("exact dedup drops identical rows only") {
     val doubled = docs.union(docs)
     assert(Dedup.exact(doubled, Seq("text")).count() == docs.count())
