@@ -36,6 +36,9 @@ object Bench {
         df.count()
       } catch { case _: Throwable => () }
     }
+    // Warm the noop sink too, so the alphabetically-first query doesn't
+    // absorb its one-time initialization into its timing.
+    spark.range(1).write.format("noop").mode("overwrite").save()
 
     // Timing materializes EVERY output column through the noop sink:
     // a .count() lets Catalyst prune computed columns, so projection-

@@ -242,15 +242,18 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xffL)): _*)).as(Seq("chunk", "ck")))
+    // hamming filter BEFORE the distinct: the banded join's output is
+    // dominated by non-matching candidates (chunk-bucket skew makes it
+    // Σ n² per bucket), and they can be dropped pipelined inside the
+    // join stage. Only verified matches — each duplicated once per
+    // shared chunk, a small multiplier — reach the distinct's shuffle.
     chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 }
