@@ -286,6 +286,31 @@ object TimeSeriesQueries {
       .orderBy(col("alert_type"))
   }
 
+  // As-of join (Joins.asof — union + tag + running-last, one shuffle,
+  // never a range self-join): each purchase picks the user's latest
+  // at-or-before signup value. Oracle: DuckDB's native ASOF JOIN.
+  // Signups are pre-aggregated per (user, second) — as-of requires a
+  // unique right side per (key, ts) for determinism.
+  val q66 = sql(
+    "q66_asof_join",
+    """WITH p AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+      |          FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sig_ts, max(value) AS sig_value
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_sec, p.value, s.sig_value AS asof_sig_value
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_sec >= s.sig_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d).withColumn("ts_sec", unix_timestamp(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_sec").as("sig_ts"))
+      .agg(max(col("value")).as("sig_value"))
+    graft.operators.Joins.asof(purchases, signups,
+      Seq("user_id"), "ts_sec", "sig_ts", Seq("sig_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s, q63)
+    q22, q23, q24, q25, q26, q27, q28s, q63, q66)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.Stateful
+
+/** Explicit keyed state (ST6): running totals accumulate across
+  * triggers in the state store and idle keys evict after the
+  * event-time TTL — the reference's expiring keyword maps. */
+class StatefulSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+
+  test("running counts: accumulate across triggers, evict after TTL, restart after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    val df = stream.toDF().toDF("key", "ts")
+    val q = Stateful.runningCounts(df, "key", "ts", ttlMs = 60000L)
+      .writeStream.outputMode("update").format("memory").queryName("rt").start()
+    def rows() = spark.table("rt").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("total"))).toSeq
+
+    stream.addData(("a", ts(0)), ("a", ts(0)), ("b", ts(0)))
+    q.processAllAvailable()
+    assert(rows().sorted == Seq(("a", 2L), ("b", 1L)))
+
+    // advance event time well past b's ttl (watermark trails one batch)
+    stream.addData(("a", ts(120)))
+    q.processAllAvailable()
+    assert(rows().sorted == Seq(("a", 2L), ("a", 3L), ("b", 1L)))
+
+    // this trigger sees watermark=ts(120) > b's timeout ts(60) → b evicts
+    stream.addData(("a", ts(180)))
+    q.processAllAvailable()
+    assert(rows().sorted == Seq(("a", 2L), ("a", 3L), ("a", 4L), ("b", 1L)))
+
+    // b restarts from zero — proof the state store entry was removed
+    stream.addData(("b", ts(240)))
+    q.processAllAvailable()
+    assert(rows().count(_ == ("b", 1L)) == 2, s"b must restart at 1, got ${rows()}")
+    assert(!rows().contains(("b", 2L)))
+    q.stop()
+  }
+
+  test("batch execution: one pass equals a plain groupBy count") {
+    val ev = Tables.events(spark, sf0001).select(col("event_type").as("key"), col("ts"))
+    val stateful = Stateful.runningCounts(ev, "key", "ts", ttlMs = 1000L)
+      .collect().map(r => r.key -> r.total).toMap
+    val batch = ev.groupBy(col("key")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateful == batch)
+  }
+}
