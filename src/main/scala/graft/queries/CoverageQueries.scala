@@ -136,6 +136,27 @@ object CoverageQueries {
       .orderBy(col("priority"), col("status"))
   }
 
+  // OLAP cube: all 2^2 grouping combinations of (priority, status) —
+  // completes the rollup/pivot/cube family. Same null-sentinel
+  // treatment as q58.
+  val q65 = sql(
+    "q65_cube",
+    """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+      |  COALESCE(o_orderstatus, '(all)') AS status,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), graft.functions.Exact.msum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+  }
+
   // Pivot: hour-of-day × event_type count matrix (explicit value list
   // keeps the schema static; oracle = conditional aggregation).
   val q59 = sql(
@@ -155,5 +176,5 @@ object CoverageQueries {
       .orderBy(col("hod"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59)
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59, q65)
 }

@@ -89,21 +89,57 @@ object TextQueries {
       .orderBy(col("lang"), col("guess"))
   }
 
-  // Quality scoring for curation (graded form of the F4 quality gate).
-  val q32 = sql(
-    "q32_quality_scores",
-    """SELECT doc_id,
-      |  round(least(length(text) / 500.0, 1.0) * 0.4
+  /** q32's quality formula as a DuckDB expression (shared with q67). */
+  private val qualitySql =
+    """round(least(length(text) / 500.0, 1.0) * 0.4
       |    + (1.0 - len(list_filter(string_split(lower(text),' '),
       |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
       |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
       |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
       |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
-      |  , 6) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  , 6)""".stripMargin
+
+  // Quality scoring for curation (graded form of the F4 quality gate).
+  val q32 = sql(
+    "q32_quality_scores",
+    s"""SELECT doc_id, $qualitySql AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     docs(s, d)
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
+  }
+
+  // Percentile cuts over the quality distribution — the curation move
+  // "keep docs above per-language p50". NEAREST-RANK percentiles
+  // (value at row ceil(p·n) in sorted order): the emitted value is an
+  // actual data point, so there is no interpolation arithmetic whose
+  // tie-rounding/ulp behavior could differ across engines — an
+  // interpolated median of round-6 values lands on .xxxxxx5 midpoints
+  // where Spark's HALF_UP and DuckDB's rounding disagree. The 100 TB
+  // path swaps in approx_percentile, whose error bound is pinned in
+  // TextSpec against the exact form.
+  val q67 = sql(
+    "q67_quality_percentiles",
+    s"""WITH q AS (SELECT lang, $qualitySql AS quality FROM documents),
+       |r AS (SELECT lang, quality,
+       |  row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+       |SELECT lang, count(*) AS n,
+       |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN quality END) AS p50,
+       |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN quality END) AS p90
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
+    val wn = Window.partitionBy(col("lang"))
+    docs(s, d)
+      .select(col("lang"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wn))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === ceil(col("nn") * 0.5).cast("long"), col("quality"))).as("p50"),
+        max(when(col("rn") === ceil(col("nn") * 0.9).cast("long"), col("quality"))).as("p90"))
+      .orderBy(col("lang"))
   }
 
   // Token counting: whitespace + BPE-ish subword regex.
@@ -247,5 +283,5 @@ object TextQueries {
       .orderBy(col("doc_id"), col("krank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61)
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67)
 }

@@ -62,6 +62,21 @@ class TextSpec extends SparkSuite {
     assert(!toks.contains("오늘")) // korean stopword
   }
 
+  test("approx_percentile tracks the exact percentile within its accuracy bound") {
+    // The 100 TB path for q67: approx_percentile is single-pass
+    // mergeable (no global sort). Pin its deviation from the exact
+    // interpolated percentile on the real quality distribution.
+    import org.apache.spark.sql.functions._
+    val q = graft.sources.Tables.documents(spark, sf0001)
+      .select(Text.qualityScore(col("text")).as("quality"))
+    val r = q.agg(
+      expr("percentile(quality, 0.5)").as("exact"),
+      expr("approx_percentile(quality, 0.5, 10000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(exact - approx) <= 0.02,
+      s"approx p50 $approx drifted from exact $exact")
+  }
+
   test("multimodal feature extraction preserves byte counts") {
     val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withBinaryPayload(docs))
