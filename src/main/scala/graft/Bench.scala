@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(spark)
 
     // Touch each table once (parquet footer + JVM warm-up) before
     // timing. Measured: fully caching the tables (cache().count())

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision — the native
+    * codegen'd DotProduct expression (one fused loop; identical
+    * arithmetic and null semantics to the
+    * aggregate(zip_with(cast,cast)) HOF form it replaces, which paid a
+    * lambda dispatch plus an intermediate array per row). Requires
+    * GraftFunctions.register (done by every session constructor). */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

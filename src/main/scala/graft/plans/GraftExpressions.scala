@@ -59,15 +59,108 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused dot product over two numeric arrays in double precision —
+  * sequential fold, identical arithmetic to
+  * `aggregate(zip_with(a,b,*), 0.0, +)` but one codegen'd loop with no
+  * per-element lambda dispatch or intermediate array. This is the hot
+  * inner operation of every pair-join vector query (near-dup, ANN
+  * verify): millions of 64-dim dots per query at bench scale.
+  * Null semantics match the HOF form: null array OR any null element
+  * → null. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t: NumericType, _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric arrays, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  private def elemAsDouble(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, t: org.apache.spark.sql.types.NumericType): Double = t match {
+    case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
+    case org.apache.spark.sql.types.DoubleType => arr.getDouble(i)
+    case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toDouble
+    case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
+    case org.apache.spark.sql.types.ShortType => arr.getShort(i).toDouble
+    case org.apache.spark.sql.types.ByteType => arr.getByte(i).toDouble
+    case _ => arr.get(i, t).asInstanceOf[Number].doubleValue()
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    // zip_with null-pads the shorter side → the HOF form yields null on
+    // length mismatch; preserve that.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += elemAsDouble(x, i, tx) * elemAsDouble(y, i, ty)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
+    def getter(arr: String, t: NumericType, i: String) = t match {
+      case org.apache.spark.sql.types.FloatType => s"(double) $arr.getFloat($i)"
+      case org.apache.spark.sql.types.DoubleType => s"$arr.getDouble($i)"
+      case org.apache.spark.sql.types.IntegerType => s"(double) $arr.getInt($i)"
+      case org.apache.spark.sql.types.LongType => s"(double) $arr.getLong($i)"
+      case org.apache.spark.sql.types.ShortType => s"(double) $arr.getShort($i)"
+      case org.apache.spark.sql.types.ByteType => s"(double) $arr.getByte($i)"
+      case _ => s"((Number) $arr.get($i, null)).doubleValue()" // decimal fallback
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |boolean ${ev.isNull}_sawNull = $n != $b.numElements();
+         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
+         |  $acc += ${getter(a, tx, i)} * ${getter(b, ty, i)};
+         |}
+         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
     * so the Column surface goes through the function registry.) */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Column-level access; requires register(spark) once per session. */
   def rolling_hash64(c: Column): Column =
     call_function("graft_rolling_hash64", c)
+
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

@@ -36,6 +36,42 @@ class PlansSpec extends SparkSuite {
     assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
   }
 
+  test("graft_dot: bit-identical to the HOF fold on real embeddings, null semantics match") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(5000)
+    val mismatches = pairs.select(
+      GraftFunctions.dot(col("a.embedding"), col("b.embedding")).as("native"),
+      hofDot(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: both null is equal
+      .count()
+    assert(mismatches == 0, "native dot must be bit-identical to the HOF fold")
+
+    // mixed element types (float embedding × double literal plane)
+    val plane = typedlit(Seq.fill(64)(0.25))
+    val planeMismatch = emb.select(
+      GraftFunctions.dot(col("embedding"), plane).as("native"),
+      hofDot(col("embedding"), plane).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(planeMismatch == 0)
+
+    // null array, null element, length mismatch → null (zip_with parity)
+    val edge = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))),
+      (None, Some(Seq(Some(1.0f)))),
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(1.0f)))),
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f)))))
+      .toDF("a", "b")
+    val out = edge.select(GraftFunctions.dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(11.0), None, None, None))
+  }
+
   test("rolling_hash64: SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_rolling_hash64('hello world') AS h")

@@ -17,5 +17,8 @@ trait SparkSuite extends AnyFunSuite {
 
   lazy val sf0001 = "/root/testdata/sf0.001"
 
-  def init(): Unit = spark.sparkContext.setLogLevel("WARN")
+  def init(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(spark)
+  }
 }
