@@ -15,10 +15,12 @@ import graft.streaming.{Metrics, Pipelines}
   * Usage:
   *   StreamingJob <kafkaBootstrap> <cdcTopic> <outputDir>
   *
-  * Starts three queries off ONE parsed CDC stream:
+  * Starts four queries off ONE parsed CDC stream:
   *  1. keyword windowed counts → parquet state table (minute buckets)
   *  2. trending alerts → parquet append (threshold per AlertConfig)
   *  3. idempotent mirror sink (MERGE per micro-batch)
+  *  4. rank-delta snapshot loop (top-K movements per trigger —
+  *     realtime_keyword_aggregator.py:358-383)
   */
 object StreamingJob {
   def main(args: Array[String]): Unit = {
@@ -56,12 +58,17 @@ object StreamingJob {
     val mirror = Pipelines.cdcMirrorSink(
       spark, parsed, s"$out/mirror", s"$out/ckpt/mirror")
 
+    val rankDeltas = Pipelines.rankDeltaSnapshotSink(
+      spark,
+      keywords.groupBy(col("keyword").as("key")).agg(count(lit(1)).as("cnt")),
+      s"$out/rank_state", s"$out/ckpt/rank_state", topN = 50)
+
     sys.addShutdownHook {
       val (b, r) = m.snapshot
       // scalastyle:off println
       println(s"graft-streaming: $b batches, $r rows processed")
       // scalastyle:on println
     }
-    Seq(counts, alerts, mirror).foreach(_.awaitTermination())
+    Seq(counts, alerts, mirror, rankDeltas).foreach(_.awaitTermination())
   }
 }

@@ -107,6 +107,22 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("as-of join is join-free: union + keyed window, no join operator") {
+    // Joins.asof must never plan a range/equi join (whose candidate
+    // volume is per-key |L|x|R|) — the whole point of the union+tag
+    // formulation. Windows must be keyed (no global sort).
+    val nodes = allNodes(q("q66_asof_join"))
+    val joins = nodes.filter {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+      case _ => false
+    }
+    assert(joins.isEmpty, s"as-of planned a join: $joins")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("bucketed co-located join is shuffle-free") {
     // warehouse.dir is a static conf — use explicit external-table
     // paths in a temp dir instead.

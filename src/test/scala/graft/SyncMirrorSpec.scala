@@ -157,6 +157,19 @@ class SyncMirrorSpec extends SparkSuite {
     assert(!Files.exists(bak), ".bak must be cleaned up after recovery")
   }
 
+  test("same id in different tables stays distinct (merge keys on table+id)") {
+    val dir = Files.createTempDirectory("mirror5").toString + "/m"
+    Pipelines.applyCdcBatch(spark, parse(Seq(
+      """{"op":"c","after":{"id":1,"value":1.0},"source":{"table":"articles"},"ts_ms":1000}""",
+      """{"op":"c","after":{"id":1,"value":9.0},"source":{"table":"media"},"ts_ms":1000}""")), dir)
+    // update only the media row; the articles row must survive untouched
+    Pipelines.applyCdcBatch(spark, parse(Seq(
+      """{"op":"u","after":{"id":1,"value":5.0},"source":{"table":"media"},"ts_ms":2000}""")), dir)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("table") -> r.getAs[Double]("value")).toMap
+    assert(rows == Map("articles" -> 1.0, "media" -> 5.0))
+  }
+
   test("out-of-order replay keeps last-writer-wins by ts_ms") {
     val dir = Files.createTempDirectory("mirror2").toString + "/m"
     val newer = parse(Seq(
