@@ -42,6 +42,31 @@ class EdgeCaseSpec extends SparkSuite {
     assert(api.searchArticles(lang = Some("xx"), size = 10).count() == 0)
   }
 
+  test("dup clusters on an empty pair list → empty output, loop terminates") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.dupClusters(empty).count() == 0)
+  }
+
+  test("as-of with an empty right side → every left row gets null") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "ev")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "rts", "v")
+    val out = graft.operators.Joins.asof(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_v")))
+  }
+
+  test("rank-delta with topN below the key domain ranks only the head") {
+    // 3 keys, topN=2: the third key must not appear in either snapshot
+    val cur = Seq(("a", 10L), ("b", 5L), ("c", 1L)).toDF("key", "cnt")
+    val prev = Seq(("c", 9L), ("b", 6L), ("a", 2L)).toDF("key", "cnt")
+    val out = graft.operators.TimeSeries.rankDelta(cur, prev, topN = 2)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("movement")).toMap
+    // snapshots only ever contain the top-K (the reference's Redis
+    // semantics): a is outside prev's top-2 → "new"; c fell out → "dropped"
+    assert(out("a") == "new" && out("b") == "stable" && out("c") == "dropped")
+    assert(out.size == 3)
+  }
+
   test("trend metrics on a single-bucket corpus degrade gracefully") {
     val hourly = Seq((5L, "only", 7L)).toDF("bucket", "key", "cnt")
     val m = graft.operators.Trend.metricsAtAnchor(hourly).collect().head
