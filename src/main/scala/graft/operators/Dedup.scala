@@ -215,17 +215,13 @@ object Dedup {
     * engine can reproduce the full signature for oracle checks. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val tok = docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))
+    docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
       .withColumn("h", graft.plans.GraftFunctions.rolling_hash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("w"))
-        .otherwise(-col("w"))).as(s"b$j")
-    }
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .groupBy(col("doc_id"))
+      // single custom aggregate (long[64] primitive buffer) instead of
+      // 64 sum(when(shift...)) columns — see plans.SimHashAgg
+      .agg(graft.plans.GraftFunctions.simhash_agg(col("h"), col("w")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming. The 8-chunk

@@ -147,6 +147,91 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** SimHash signature as ONE custom aggregate: accumulates the 64
+  * weighted bit sums in a primitive long[64] buffer and packs the sign
+  * bits at eval — replacing a 64-column `sum(when(bit, w).otherwise(-w))`
+  * formulation whose aggregation buffer is 64 boxed struct fields and
+  * whose update path evaluates 64 shift/branch expression trees per
+  * row. Semantics are identical (bit j set iff its weighted sum > 0);
+  * PlansSpec pins equivalence against the column form.
+  *
+  * Completes the extension-tier matrix: scalar Expression
+  * (RollingHash64, DotProduct), optimizer Rule (ApproxDistinctRewrite),
+  * Strategy+Exec (TopKPerGroup), and now a TypedImperativeAggregate.
+  */
+case class SimHashAgg(
+    hash: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(hash, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType == LongType && weight.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint hash, bigint weight), got " +
+        s"${hash.dataType.catalogString}, ${weight.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long],
+      row: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val h = hash.eval(row)
+    val w = weight.eval(row)
+    if (h != null && w != null) {
+      val hv = h.asInstanceOf[Long]
+      val wv = w.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((hv >> j) & 1L) == 1L) wv else -wv)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (buf(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(hash = newChildren(0), weight = newChildren(1))
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -156,6 +241,9 @@ object GraftFunctions {
       "graft_rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_agg",
+      exprs => SimHashAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
   }
 
   /** Column-level access; requires register(spark) once per session. */
@@ -163,4 +251,7 @@ object GraftFunctions {
     call_function("graft_rolling_hash64", c)
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def simhash_agg(hash: Column, weight: Column): Column =
+    call_function("graft_simhash_agg", hash, weight)
 }

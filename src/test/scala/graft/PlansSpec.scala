@@ -72,6 +72,28 @@ class PlansSpec extends SparkSuite {
     assert(out.toSeq == Seq(Some(11.0), None, None, None))
   }
 
+  test("graft_simhash_agg equals the 64-column sum(when) formulation") {
+    GraftFunctions.register(spark)
+    val tok = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
+      .withColumn("h", GraftFunctions.rolling_hash64(col("token")))
+    val viaAgg = tok.groupBy(col("doc_id"))
+      .agg(GraftFunctions.simhash_agg(col("h"), col("w")).as("sig"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("w"))
+        .otherwise(-col("w"))).as(s"b$j")
+    }
+    val viaColumns = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+    val diff = viaAgg.as("a").join(viaColumns.as("c"), "doc_id")
+      .filter(col("a.sig") =!= col("c.sig")).count()
+    assert(diff == 0, "custom aggregate must reproduce the column formulation exactly")
+    assert(viaAgg.count() == 500)
+  }
+
   test("rolling_hash64: SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_rolling_hash64('hello world') AS h")
