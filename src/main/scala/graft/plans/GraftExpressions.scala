@@ -70,12 +70,19 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+  import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, NumericType}
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Can return null even for non-null inputs (length mismatch, null
+  // element), so nullability must not be inherited from the children.
+  override def nullable: Boolean = true
+
+  // Fixed-width numerics only: Decimal is not a java.lang.Number and has
+  // no primitive ArrayData getter, so both eval paths would miscompile.
   private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(_: DecimalType, _) => None
     case ArrayType(t: NumericType, _) => Some(t)
     case _ => None
   }
@@ -83,7 +90,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two numeric arrays, got " +
+      s"$prettyName requires two fixed-width numeric arrays (decimal unsupported), got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
 
   private def elemAsDouble(arr: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -94,7 +101,8 @@ case class DotProduct(left: Expression, right: Expression)
     case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
     case org.apache.spark.sql.types.ShortType => arr.getShort(i).toDouble
     case org.apache.spark.sql.types.ByteType => arr.getByte(i).toDouble
-    case _ => arr.get(i, t).asInstanceOf[Number].doubleValue()
+    case other => // unreachable: checkInputDataTypes rejects decimal
+      throw new IllegalStateException(s"$prettyName: unsupported element type $other")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -124,7 +132,8 @@ case class DotProduct(left: Expression, right: Expression)
       case org.apache.spark.sql.types.LongType => s"(double) $arr.getLong($i)"
       case org.apache.spark.sql.types.ShortType => s"(double) $arr.getShort($i)"
       case org.apache.spark.sql.types.ByteType => s"(double) $arr.getByte($i)"
-      case _ => s"((Number) $arr.get($i, null)).doubleValue()" // decimal fallback
+      case other => // unreachable: checkInputDataTypes rejects decimal
+        throw new IllegalStateException(s"$prettyName: unsupported element type $other")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
@@ -152,8 +161,15 @@ case class DotProduct(left: Expression, right: Expression)
   * bits at eval — replacing a 64-column `sum(when(bit, w).otherwise(-w))`
   * formulation whose aggregation buffer is 64 boxed struct fields and
   * whose update path evaluates 64 shift/branch expression trees per
-  * row. Semantics are identical (bit j set iff its weighted sum > 0);
-  * PlansSpec pins equivalence against the column form.
+  * row. Bit semantics match (bit j set iff its weighted sum > 0), with
+  * one DELIBERATE difference on null input: rows with a null hash or
+  * null weight are skipped entirely (standard aggregate null handling),
+  * whereas the naive column form's `otherwise(-w)` branch would count a
+  * null-hash row as 64 zero bits. Skipping is the correct contract — a
+  * null token hash carries no signal — and in-repo callers
+  * (Dedup.simhashPairs) only feed non-null hashes, where the two forms
+  * are identical; PlansSpec pins that equivalence on null-free data and
+  * the skip behavior on nulls.
   *
   * Completes the extension-tier matrix: scalar Expression
   * (RollingHash64, DotProduct), optimizer Rule (ApproxDistinctRewrite),

@@ -134,14 +134,20 @@ object TimeSeriesQueries {
   }
 
   // W2/J4 rank-delta between consecutive snapshots
-  // (realtime_keyword_aggregator.py:358-383).
+  // (realtime_keyword_aggregator.py:358-383). The oracle mirrors
+  // rankDelta's topN=100 snapshot pre-limit (QUALIFY rank <= 100):
+  // the limit ordering equals the rank ordering, so ranks of the
+  // surviving rows are identical either way — and the two sides can
+  // no longer diverge if the key domain ever exceeds topN.
   val q22 = sql(
     "q22_rank_delta",
     """WITH cur AS (SELECT event_type AS key, count(*) AS cnt,
       |    row_number() OVER (ORDER BY count(*) DESC, event_type) AS cur_rank
-      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type),
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+      |  QUALIFY cur_rank <= 100),
       |prev AS (SELECT event_type AS key, row_number() OVER (ORDER BY count(*) DESC, event_type) AS prev_rank
-      |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type)
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+      |  QUALIFY prev_rank <= 100)
       |SELECT COALESCE(cur.key, prev.key) AS key, cur.cnt AS cur_cnt, cur_rank, prev_rank,
       |  CASE WHEN prev_rank IS NULL THEN 'new'
       |       WHEN cur_rank IS NULL THEN 'dropped'
@@ -157,7 +163,7 @@ object TimeSeriesQueries {
       .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
     val prev = ev(s, d).filter(col("ts") < split)
       .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
-    TimeSeries.rankDelta(cur, prev).orderBy(col("key"))
+    TimeSeries.rankDelta(cur, prev, topN = 100).orderBy(col("key"))
   }
 
   // O1/A6 top-N by global count.

@@ -168,11 +168,39 @@ object VectorQueries {
   // is built once per sf dir (list_id-partitioned parquet) and the
   // search reads only probed partitions — no per-query index build or
   // corpus-wide driver action.
+  /** FNV-1a over (name, length, mtime) of the source parquet files: the
+    * index cache key tracks the table CONTENT, so a regenerated
+    * testdata dir gets a fresh index instead of silently reusing a
+    * stale one. */
+  private def sourceFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "embeddings.parquet")
+    val files = (if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+                 else Seq(root)).filter(_.isFile).sortBy(_.getName)
+    var fp = 0xcbf29ce484222325L
+    files.foreach { f =>
+      s"${f.getName}:${f.length}:${f.lastModified}".foreach { ch =>
+        fp = (fp ^ ch) * 0x100000001b3L
+      }
+    }
+    java.lang.Long.toHexString(fp)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   val q55 = QueryDef("q55_ivf_full_probe", (s, d) => {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-    if (!new java.io.File(idx).exists())
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, idx)
+      "graft-ivf-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      // Build into a private temp dir, then publish with an atomic
+      // rename: a concurrent run can never observe a half-built index,
+      // and whichever builder loses the rename race discards its copy.
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
     Similarity.ivfSearchIndexed(s, idx, 16, 0L, 10)
       .select(col("vec_id"), col("label"), col("sim"))
   }, q37.oracle)

@@ -72,6 +72,49 @@ class PlansSpec extends SparkSuite {
     assert(out.toSeq == Seq(Some(11.0), None, None, None))
   }
 
+  test("graft_dot: nullable despite non-nullable children (length mismatch must not miscompile)") {
+    GraftFunctions.register(spark)
+    // array(lit..) children are non-nullable; pre-fix, DotProduct
+    // inherited nullable=false from them, so the codegen null branch
+    // assigned to a literal `false` (Janino error → fallback) and the
+    // interpreted path leaked null through a nullable=false slot.
+    val row = spark.range(1).select(
+      GraftFunctions.dot(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("mismatch"),
+      GraftFunctions.dot(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("ok"))
+    val out = row.collect().head
+    assert(out.isNullAt(0), "length mismatch must yield null")
+    assert(out.getDouble(1) == 11.0)
+    assert(row.schema("mismatch").nullable, "graft_dot must declare itself nullable")
+  }
+
+  test("graft_dot: decimal arrays are rejected at analysis, not at runtime") {
+    GraftFunctions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(
+        GraftFunctions.dot(
+          array(lit(BigDecimal(1.5))), array(lit(BigDecimal(2.5))))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("decimal"))
+  }
+
+  test("graft_simhash_agg skips null-hash/null-weight rows (documented contract)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(5L), Some(2L)),
+      (1L, None, Some(7L)),      // null hash: skipped, NOT counted as 64 zero bits
+      (1L, Some(9L), None),      // null weight: skipped
+      (2L, Some(5L), Some(2L))).toDF("doc_id", "h", "w")
+    val withNulls = rows.groupBy(col("doc_id"))
+      .agg(GraftFunctions.simhash_agg(col("h"), col("w")).as("sig"))
+    val withoutNulls = rows.filter(col("h").isNotNull && col("w").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(GraftFunctions.simhash_agg(col("h"), col("w")).as("sig"))
+    val diff = withNulls.as("a").join(withoutNulls.as("b"), "doc_id")
+      .filter(col("a.sig") =!= col("b.sig")).count()
+    assert(diff == 0, "null-input rows must contribute nothing to the signature")
+  }
+
   test("graft_simhash_agg equals the 64-column sum(when) formulation") {
     GraftFunctions.register(spark)
     val tok = graft.sources.Tables.documents(spark, sf0001)
