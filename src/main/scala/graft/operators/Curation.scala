@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.plans.GraftFunctions
+
+/** Corpus-curation operators for LLM training-data pipelines — the
+  * steps between "raw crawled documents" (the reference's crawler
+  * output, SURVEY §1.1) and "training batches": splitting, sampling,
+  * context packing, benchmark decontamination, repetition filtering
+  * (the Gopher quality rules), PII scrubbing, and epoch shuffling.
+  *
+  * Design rule: every source of "randomness" is the portable
+  * RollingHash64 of a salted key, never rand()/sample(). That makes
+  * each operator (a) reproducible across runs, retries and cluster
+  * sizes, (b) joinable — membership is a pure function of the key, so
+  * a later pipeline stage can recompute the split instead of carrying
+  * it, and (c) oracle-checkable in any engine with 64-bit arithmetic.
+  *
+  * Scale notes inline; nothing here collects to the driver, and the
+  * only windows are partitioned by shard/key columns whose cardinality
+  * the caller controls.
+  */
+object Curation {
+
+  /** Signed 64-bit deterministic hash of (salt ‖ key) — the randomness
+    * primitive. The rolling hash runs over md5 hex of the salted key,
+    * NOT the raw key: a base-1000003 polynomial of sequential numeric
+    * keys is a small linear function of the digits modulo small
+    * bucket counts (1000003 ≡ 3 mod 100 — measured 199/500 docs in a
+    * "20%" sample), while 32 i.i.d. hex chars give uniform residues.
+    * md5 hex is pure ASCII, so the hash stays engine-portable.
+    * Requires GraftFunctions.register on the session (the
+    * DataFrame-level entry points below do it themselves). */
+  def saltedHash(key: Column, salt: String): Column =
+    GraftFunctions.rolling_hash64(md5(concat(lit(salt), key.cast("string"))))
+
+  /** Uniform bucket in [0, buckets) from the salted hash. */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column =
+    pmod(saltedHash(key, salt), lit(buckets.toLong))
+
+  /** Deterministic train/val/test split: bucket = hash mod 100,
+    * train < trainPct ≤ val < trainPct+valPct ≤ test. Stable under
+    * data growth — a document's split never changes when the corpus
+    * around it does (contrast randomSplit, which reshuffles
+    * membership on every change of input partitioning). */
+  def withSplit(df: DataFrame, key: Column, salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100)
+    GraftFunctions.register(df.sparkSession)
+    val b = hashBucket(key, salt, 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic pct% sample. Unlike df.sample this is stable,
+    * repeatable, and consistent across tables sharing the key — the
+    * standard way to cut a fixed dev subset out of a 100 TB corpus. */
+  def sampleByHash(df: DataFrame, key: Column, pct: Int,
+      salt: String = "sample"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.filter(hashBucket(key, salt, 100) < pct)
+  }
+
+  /** Concat-and-chunk context packing (the GPT-style pretraining
+    * layout): documents are laid head-to-tail per shard in `ord`
+    * order, and the resulting token stream is cut into fixed
+    * `budget`-token context windows. Each document gets the window
+    * index (`pack_id`) and in-window offset (`pack_offset`) where it
+    * STARTS, plus its own `n_tok`.
+    *
+    * Scale: one window aggregation partitioned by shard — shards bound
+    * the sort size, so at 100 TB you pick enough shards (e.g. a hash
+    * bucket of the key) that each fits an executor; no global sort. */
+  def packIntoContexts(df: DataFrame, shard: Column, ord: Column,
+      tokenCount: Column, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(shard).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tok", tokenCount)
+      .withColumn("_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"_start DIV $budget"))
+      .withColumn("pack_offset", (col("_start") % budget).cast("long"))
+      .drop("_start")
+  }
+
+  /** Benchmark decontamination: for each corpus document, the number
+    * of distinct n-gram shingles it shares with the benchmark set —
+    * the Brown et al. (GPT-3, arXiv:2005.14165 §C) / Gao et al. (Pile)
+    * n-gram-overlap test. Returns (doc_id, n_shared); docs sharing
+    * nothing are absent (callers anti-join or threshold).
+    *
+    * Scale: benchmark shingle sets are tiny next to the corpus (eval
+    * suites, not crawls) — broadcast them and the corpus-side scan
+    * stays shuffle-free: no pair join ever forms. */
+  def contaminationScores(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int = 3): DataFrame = {
+    val cs = Dedup.shingleSet(corpus, id, text, n)
+    val bs = Dedup.shingleSet(bench, id, text, n).select(col("shingle")).distinct()
+    // shingleSet emits DISTINCT shingles per doc, so count(*) counts
+    // distinct shared shingles without a countDistinct.
+    cs.join(broadcast(bs), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Gopher-style repetition statistics (Rae et al., arXiv:2112.11446
+    * A1.1): fraction of the doc that is its single most frequent token,
+    * and the duplicate-bigram ratio (1 − distinct/total). Emitted as
+    * integer parts-per-million (floor(1e6·x)) — exact integers avoid
+    * cross-engine round-half ambiguity on ratios like 1/128.
+    *
+    * One shuffle on (doc_id, token) for the mode; the bigram stats are
+    * computed columnar inside the row (no explode). */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Text.tokens(text)
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b))),
+      g => g.isNotNull)
+    val perDoc = docs.select(id.as("doc_id"), toks.as("tk"), bigrams.as("bg"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("bg")).as("total2"),
+        size(array_distinct(col("bg"))).as("d2"))
+    val topTok = docs.select(id.as("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("ntok"))
+    perDoc.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        floor(lit(1000000.0) * (col("topc").cast("double") / col("ntok")))
+          .cast("long").as("top_token_ppm"),
+        when(col("total2") > 0,
+          floor(lit(1000000.0) * (lit(1.0) - col("d2").cast("double") / col("total2")))
+            .cast("long"))
+          .otherwise(0L).as("dup_bigram_ppm"))
+  }
+
+  /** PII patterns: kept RE2-and-Java-compatible (no lookaround, no
+    * \b) so the same pattern text runs in Spark, DuckDB, and any
+    * downstream scrub audit. */
+  val emailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  val phonePattern = "[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** Number of PII matches in the text (email + phone). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(phonePattern), lit(0)))).cast("long")
+
+  /** Redact PII in place. Emails first: a redacted [EMAIL] token can
+    * never spuriously match the phone pattern, so the order is safe. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** Deterministic epoch shuffle, sharded: shard = hash mod nShards,
+    * position within shard = rank of the hash. Reproduces "global
+    * random training order" the way real pipelines ship it — as N
+    * shard files each in scrambled order — without a global sort:
+    * the window partitions by shard, so every shard ranks in
+    * parallel. A new salt (epoch number) yields a fresh permutation. */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards > 0)
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_h", saltedHash(key, salt))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("_h"), key)))
+      .drop("_h")
+  }
+}

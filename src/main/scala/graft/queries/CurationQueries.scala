@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.Curation
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** Training-data curation inventory (operators/Curation.scala) under
+  * the oracle gate: deterministic split/shuffle (reproduced in DuckDB
+  * via the portable RollingHash64 HUGEINT fold), context packing,
+  * decontamination, repetition stats, PII scrubbing, and the combined
+  * curation funnel.
+  */
+object CurationQueries {
+  import QueryDef.sql
+
+  /** RollingHash64 as an unsigned HUGEINT fold (the q49 recipe);
+    * `expr` must be a parenthesizable ASCII varchar expression. */
+  private def uSql(expr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(1, length($expr)+1), i -> CAST(ascii(($expr)[i]) AS HUGEINT))),
+       |  (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** Map the unsigned fold back to Spark's signed two's-complement. */
+  private def signedSql(u: String): String =
+    s"""CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
+       |  THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)""".stripMargin
+
+  /** Spark's pmod over the signed hash. */
+  private def pmodSql(h: String, m: Int): String = s"((($h) % $m) + $m) % $m"
+
+  // Deterministic train/val/test split — membership is a pure function
+  // of the key (stable under corpus growth, joinable downstream).
+  val q68 = sql(
+    "q68_hash_split",
+    s"""WITH h AS (SELECT n_chars,
+       |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM documents),
+       |sg AS (SELECT n_chars, ${signedSql("u")} AS hs FROM h),
+       |b AS (SELECT n_chars, ${pmodSql("hs", 100)} AS bucket FROM sg)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+    Curation.withSplit(Tables.documents(s, d), col("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
+  // Concat-and-chunk context packing: per (source-shard, 256-token
+  // window) document counts and token sums.
+  val q69 = sql(
+    "q69_context_packing",
+    """WITH t AS (SELECT source, doc_id,
+      |    len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT source, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      |  FROM t)
+      |SELECT source, CAST(strt // 256 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    Curation.packIntoContexts(Tables.documents(s, d), col("source"), col("doc_id"),
+      Text.wsTokenCount(col("text")), 256)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  // Benchmark decontamination: every 50th doc plays the eval set; the
+  // rest of the corpus is scored by distinct shared 3-gram shingles.
+  val q70 = sql(
+    "q70_decontamination",
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+      |    ELSE [array_to_string(tk, ' ')] END)) AS shingle FROM toks),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+      |SELECT s.doc_id, count(*) AS n_shared
+      |FROM sh s JOIN bench b USING (shingle)
+      |WHERE s.doc_id % 50 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.contaminationScores(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Gopher repetition stats in exact integer ppm.
+  val q71 = sql(
+    "q71_repetition_stats",
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS tk FROM documents),
+      |bg AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1]) ELSE [] END AS b
+      |  FROM toks),
+      |per AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    len(b) AS total2, len(list_distinct(b)) AS d2 FROM bg),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS ntok FROM tc GROUP BY 1)
+      |SELECT p.doc_id, p.n_tokens,
+      |  CAST(floor(1000000.0 * (CAST(t.topc AS DOUBLE) / t.ntok)) AS BIGINT) AS top_token_ppm,
+      |  CASE WHEN p.total2 > 0
+      |    THEN CAST(floor(1000000.0 * (1.0 - CAST(p.d2 AS DOUBLE) / p.total2)) AS BIGINT)
+      |    ELSE 0 END AS dup_bigram_ppm
+      |FROM per p JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.repetitionStats(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // PII scrubbing over synthesized PII (the corpus has none, so
+  // deterministic emails/phones are appended in-query — the CdcQueries
+  // pattern — and the oracle rebuilds the same text).
+  val q72 = sql(
+    "q72_pii_scrub",
+    s"""WITH base AS (SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0
+       |      THEN ' tel 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234' ELSE '' END) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${Curation.emailPattern}'))
+       |     + len(regexp_extract_all(t, '${Curation.phonePattern}')) AS BIGINT) AS n_pii,
+       |  md5(regexp_replace(regexp_replace(t, '${Curation.emailPattern}', '[EMAIL]', 'g'),
+       |    '${Curation.phonePattern}', '[PHONE]', 'g')) AS scrub_md5
+       |FROM base ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel 010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit("-1234"))).otherwise(lit(""))).as("t"))
+    withPii.select(col("doc_id"),
+      Curation.piiCount(col("t")).as("n_pii"),
+      md5(Curation.scrubPii(col("t"))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // The combined curation funnel: first-failing-gate attribution
+  // (token floor → quality floor → language), the per-reason yield
+  // report every data pipeline publishes.
+  val q73 = sql(
+    "q73_curation_funnel",
+    """WITH t AS (SELECT
+      |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+      |  round(least(length(text) / 500.0, 1.0) * 0.4
+      |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+      |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+      |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+      |    , 6) AS q,
+      |  CASE WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','and'))) > 0
+      |         AND len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','and')))
+      |          >= greatest(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los'))),
+      |                      len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et')))) THEN 'en'
+      |       WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los'))) > 0
+      |         AND len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los')))
+      |          >= len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et'))) THEN 'es'
+      |       WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et'))) > 0 THEN 'fr'
+      |       ELSE 'und' END AS g
+      |FROM documents)
+      |SELECT CASE WHEN n_ws < 30 THEN 'drop:short'
+      |            WHEN q < 0.65 THEN 'drop:quality'
+      |            WHEN g <> 'en' THEN 'drop:lang'
+      |            ELSE 'keep' END AS verdict,
+      |  count(*) AS n
+      |FROM t GROUP BY 1 ORDER BY verdict""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(Text.wsTokenCount(col("text")).as("n_ws"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.langGuess(col("text")).as("g"))
+      .select(
+        when(col("n_ws") < 30, "drop:short")
+          .when(col("q") < 0.65, "drop:quality")
+          .when(col("g") =!= "en", "drop:lang")
+          .otherwise("keep").as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .orderBy(col("verdict"))
+  }
+
+  // Deterministic sharded epoch shuffle: shard + in-shard position are
+  // pure functions of (salt, key); a new salt is a new permutation.
+  val q74 = sql(
+    "q74_shuffle_shards",
+    s"""WITH h AS (SELECT doc_id,
+       |    ${uSql("md5('epoch0' || CAST(doc_id AS VARCHAR))")} AS u FROM documents),
+       |sg AS (SELECT doc_id, ${signedSql("u")} AS hs FROM h),
+       |sh AS (SELECT doc_id, ${pmodSql("hs", 8)} AS shard, hs FROM sg)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hs, doc_id) AS INT) AS pos
+       |FROM sh ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    Curation.shuffleShards(Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"), 8, "epoch0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74)
+}

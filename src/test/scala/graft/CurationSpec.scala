@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation operator invariants beyond the oracle gate: determinism,
+  * split exhaustiveness, packing structure, decontamination recall,
+  * repetition edge cases, scrub idempotence, shuffle permutation
+  * properties. */
+class CurationSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  test("withSplit: deterministic, exhaustive, and roughly proportional") {
+    val a = Curation.withSplit(docs, col("doc_id"))
+      .groupBy(col("split")).count().as[(String, Long)].collect().toMap
+    val b = Curation.withSplit(docs, col("doc_id"))
+      .groupBy(col("split")).count().as[(String, Long)].collect().toMap
+    assert(a == b, "same salt+key must give the same split")
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(a.values.sum == 500)
+    assert(a("train") > 300, s"train should dominate an 80/10/10 split: $a")
+    // a different salt moves documents between splits
+    val moved = Curation.withSplit(docs, col("doc_id")).select(col("doc_id"), col("split"))
+      .join(Curation.withSplit(docs, col("doc_id"), salt = "other")
+        .select(col("doc_id"), col("split").as("split2")), "doc_id")
+      .filter(col("split") =!= col("split2")).count()
+    assert(moved > 0)
+  }
+
+  test("sampleByHash: stable subset, sane size, consistent with itself") {
+    val s1 = Curation.sampleByHash(docs, col("doc_id"), 20).select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.sampleByHash(docs, col("doc_id"), 20).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.size > 50 && s1.size < 160, s"20% of 500 docs, got ${s1.size}")
+    // a 10% sample with the same salt is a subset of the 20% sample
+    val s3 = Curation.sampleByHash(docs, col("doc_id"), 10).select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1), "smaller pct must nest inside larger pct")
+  }
+
+  test("packIntoContexts: offsets within budget, packs dense per shard, order respected") {
+    val packed = Curation.packIntoContexts(docs, col("source"), col("doc_id"),
+      graft.functions.Text.wsTokenCount(col("text")), 128)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("pack_id"), col("pack_offset"))
+      .collect()
+    assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 128))
+    // within a shard, pack_id is non-decreasing in doc_id order and
+    // starts at 0 with offset 0 for the first doc
+    packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.head.getLong(3) == 0 && ordered.head.getLong(4) == 0)
+      assert(ordered.map(_.getLong(3)).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
+  test("contaminationScores: identical text maxes the score; disjoint vocab is absent") {
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical → all shingles shared
+      (2L, "alpha beta gamma other words here"),   // partial overlap
+      (3L, "completely different vocabulary entirely")).toDF("doc_id", "text")
+    val scores = Curation.contaminationScores(corpus, bench, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores(1L) == 4, "6 tokens → 4 distinct 3-gram shingles, all shared")
+    assert(scores(2L) == 1, "only 'alpha beta gamma' survives")
+    assert(!scores.contains(3L), "no shared shingle → absent from scores")
+  }
+
+  test("repetitionStats: degenerate repetition and unique text bracket the range") {
+    val df = Seq(
+      (1L, "a a a a"),                   // top=4/4, bigrams: 3ב'a a' → dup 2/3
+      (2L, "w x y z"),                   // all unique
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(df, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("top_token_ppm"), col("dup_bigram_ppm"))
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 4L, 1000000L, 666666L)))
+    assert(r(2L) == ((2L, 4L, 250000L, 0L)))
+    assert(r(3L) == ((3L, 1L, 1000000L, 0L)), "single token → no bigrams → ratio 0")
+  }
+
+  test("PII scrub: counts match redactions, scrub is idempotent") {
+    val df = Seq(
+      (1L, "reach me at jane.doe@corp.example or 010-1234-5678 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.c and d.e@f.gh plus 02-555-0100")).toDF("id", "t")
+    val out = df.select(col("id"),
+      Curation.piiCount(col("t")).as("n"),
+      Curation.scrubPii(col("t")).as("s")).as[(Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3.contains("[EMAIL]") && out(1L)._3.contains("[PHONE]"))
+    assert(out(2L)._2 == 0 && out(2L)._3 == "no pii here at all")
+    assert(out(3L)._2 == 3)
+    // idempotent: scrubbing scrubbed text changes nothing and counts 0
+    val rescrub = df.select(
+      Curation.piiCount(Curation.scrubPii(col("t"))).as("n2"),
+      (Curation.scrubPii(Curation.scrubPii(col("t"))) === Curation.scrubPii(col("t"))).as("same"))
+      .as[(Long, Boolean)].collect()
+    assert(rescrub.forall(r => r._1 == 0 && r._2))
+  }
+
+  test("shuffleShards: a permutation — dense positions per shard, all docs once, salt changes order") {
+    val s0 = Curation.shuffleShards(docs.select("doc_id"), col("doc_id"), 4, "e0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect()
+    assert(s0.map(_._1).distinct.length == 500, "every doc exactly once")
+    s0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), "positions dense 1..n")
+    }
+    val s1 = Curation.shuffleShards(docs.select("doc_id"), col("doc_id"), 4, "e1")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect()
+    assert(s0.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
+      s1.sortBy(_._1).map(t => (t._2, t._3)).toSeq, "new salt → new permutation")
+  }
+}
