@@ -123,6 +123,38 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("curation: contamination join broadcasts the benchmark side") {
+    // The corpus-side scan must stay shuffle-free: benchmark shingle
+    // sets are tiny next to a 100 TB corpus, so a SortMergeJoin here
+    // would shuffle the whole corpus shingle stream for nothing.
+    val p = plan(q("q70_decontamination"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("curation: hash sampling/split is a scan-side filter — no shuffle, no UDF") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val sampled = graft.operators.Curation.sampleByHash(docs, col("doc_id"), 20)
+    val shuffles = allNodes(sampled).filter {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(shuffles.isEmpty, "hash sampling must not shuffle")
+    // membership is computed by codegen'd expressions, not a UDF stage
+    assert(!plan(sampled).contains("BatchEvalPython") && !plan(sampled).contains("ScalaUDF"))
+  }
+
+  test("curation: packing and epoch-shuffle windows are keyed (no global sort)") {
+    for (name <- Seq("q69_context_packing", "q74_shuffle_shards")) {
+      val windows = allNodes(q(name)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name should plan window aggregation")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name has an unpartitioned window")
+    }
+  }
+
   test("bucketed co-located join is shuffle-free") {
     // warehouse.dir is a static conf — use explicit external-table
     // paths in a temp dir instead.
