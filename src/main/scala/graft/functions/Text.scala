@@ -119,6 +119,34 @@ object Text {
   def titleWeighted(title: Column, content: Column): Column =
     concat_ws(" ", title, title, title, substring(content, 1, 1000))
 
+  /** TF-IDF top-k terms per document (smooth idf, the sklearn form:
+    * idf = ln((N+1)/(df+1)) + 1). Extends the reference's
+    * frequency-only extraction (U1) with corpus-level weighting.
+    * Ranking key is the ROUNDED score (plus token tiebreak): ln
+    * differs in the last ulp across libm implementations, so ranking
+    * on the raw double would be engine-ambiguous exactly where two
+    * scores collide; round-6 collapses those collisions into the
+    * deterministic token tiebreak.
+    *
+    * Scale: one shuffle on (doc, token) for tf, one on token for df,
+    * a token-keyed join (AQE broadcasts when the vocabulary is small)
+    * and a doc-partitioned rank window. The corpus count joins as a
+    * broadcast single row. */
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(id).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("score"), col("rank").cast("int").as("rank"))
+  }
+
   /** SC7 keyword classification ladder
     * (keyword_republisher.py:245-253): digits → numeric, length ≤ 2 →
     * short, otherwise general. */

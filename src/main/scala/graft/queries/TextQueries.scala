@@ -283,5 +283,27 @@ object TextQueries {
       .orderBy(col("doc_id"), col("krank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67)
+  // TF-IDF top-3 per doc (smooth idf) — corpus-weighted extension of
+  // the frequency-only U1 extractor. Rank key is the rounded score
+  // (ln ulps differ across libm; see Text.tfidfTopK).
+  val q77 = sql(
+    "q77_tfidf_topk",
+    """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS t
+      |    FROM documents) u GROUP BY 1, 2),
+      |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, token, round(CAST(tf AS DOUBLE)
+      |    * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS score
+      |  FROM tf JOIN idf USING (token) CROSS JOIN n),
+      |r AS (SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      |  FROM s)
+      |SELECT doc_id, token, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    Text.tfidfTopK(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67, q77)
 }

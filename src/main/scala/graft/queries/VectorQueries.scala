@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Quantization, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search and near-dup dedup inventory (training-data
@@ -244,5 +244,59 @@ object VectorQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64)
+  /** Shared DuckDB CTE: per-vector int8 codes + scale (the q75/q76
+    * quantizer — identical arithmetic to Quantization.withInt8). */
+  private val quantCte =
+    """sc AS (SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, label, embedding, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding, x ->
+      |           CAST(least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0), 127.0) AS INT))
+      |    END AS q8
+      |  FROM sc)""".stripMargin
+
+  // Int8 scalar quantization: per-vector scale, exact integer code
+  // sum, and relative reconstruction error in integer ppm. Codes are
+  // bit-reproducible across engines (half-up via floor; sqrt is
+  // IEEE-exact), so the whole quantizer sits under the hash gate.
+  val q75 = sql(
+    "q75_int8_quantization",
+    s"""WITH $quantCte
+       |SELECT vec_id, label, round(scale, 6) AS scale6,
+       |  CAST(list_sum(q8) AS BIGINT) AS q8sum,
+       |  CAST(floor(1000000.0 * sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> (CAST(embedding[i] AS DOUBLE) - q8[i] * scale) * (CAST(embedding[i] AS DOUBLE) - q8[i] * scale))))
+       |    / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |    AS BIGINT) AS err_ppm
+       |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Quantization.withInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale6"),
+        aggregate(col("q8"), lit(0L), (a, x) => a + x).as("q8sum"),
+        Quantization.reconErrPpm(col("embedding"), col("q8"), col("scale")).as("err_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  // Quantized brute-force ANN: top-10 by rescaled integer dot vs
+  // corpus vector 0 — the cheap first pass of two-stage retrieval.
+  // The integer dot is exact, so ordering is unambiguous (ties broken
+  // by vec_id).
+  val q76 = sql(
+    "q76_quantized_ann",
+    s"""WITH $quantCte,
+       |t AS (SELECT q8 AS tq8, scale AS tscale FROM q WHERE vec_id = 0),
+       |s AS (SELECT vec_id, label,
+       |    CAST(list_sum(list_transform(range(1, len(q8)+1),
+       |      i -> CAST(q8[i] AS BIGINT) * tq8[i])) AS BIGINT) AS qdot_raw,
+       |    scale * tscale AS ss
+       |  FROM q, t WHERE vec_id <> 0)
+       |SELECT vec_id, label, qdot_raw,
+       |  round(CAST(qdot_raw AS DOUBLE) * ss, 6) AS simq
+       |FROM s ORDER BY CAST(qdot_raw AS DOUBLE) * ss DESC, vec_id LIMIT 10""".stripMargin) {
+    (s, d) => Quantization.quantizedTopK(Tables.embeddings(s, d), 0L, 10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantization, Similarity}
+
+/** Int8 quantization invariants: code range, reconstruction quality,
+  * and retrieval recall of the quantized scan vs the exact scan. */
+class QuantizationSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def emb = graft.sources.Tables.embeddings(spark, sf0001)
+
+  test("codes in [-127,127]; max-abs element hits ±127 exactly") {
+    val q = Quantization.withInt8(emb)
+    val bad = q.select(explode(col("q8")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127).count()
+    assert(bad == 0)
+    // the element attaining max|v| quantizes to exactly ±127
+    val hit = q.select(array_max(transform(col("q8"), c => abs(c))).as("m"))
+      .filter(col("m") =!= 127).count()
+    assert(hit == 0, "max-abs element must map to ±127")
+  }
+
+  test("reconstruction error small on float32 embeddings (< 1% of norm)") {
+    val worst = Quantization.withInt8(emb)
+      .select(Quantization.reconErrPpm(col("embedding"), col("q8"), col("scale")).as("e"))
+      .agg(max(col("e"))).as[Long].collect().head
+    assert(worst < 10000, s"worst relative error $worst ppm should be < 1%")
+  }
+
+  test("quantized top-10 recovers the exact top-10 (recall ≥ 0.8)") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Quantization.quantizedTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect quant).size >= 8,
+      s"quantized recall too low: $quant vs $exact")
+  }
+
+  test("zero vector quantizes to zero codes with zero error") {
+    val df = Seq((1L, Seq.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val q = Quantization.withInt8(df)
+      .select(col("q8"), Quantization.reconErrPpm(col("embedding"), col("q8"), col("scale")).as("e"))
+      .collect().head
+    assert(q.getSeq[Int](0).forall(_ == 0) && q.getLong(1) == 0L)
+  }
+
+  test("tfidf: rare term outranks frequent term; scores hand-checked") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val out = graft.functions.Text.tfidfTopK(docs, col("doc_id"), col("text"), 2)
+      .select(col("doc_id"), col("token"), col("score"), col("rank"))
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(t => (t._2, t._3)) }
+    // doc 1: 'rare' df=1, idf=ln(4/2)+1; 'common' df=3, idf=ln(4/4)+1=1
+    // scores: rare = 1·(ln2+1) ≈ 1.693147 > common = 2·1 = 2.0 → common wins on tf
+    assert(out(1L).map(_._1).toSeq == Seq("common", "rare"))
+    assert(math.abs(out(1L)(1)._2 - (math.log(2.0) + 1.0)) < 1e-6)
+    assert(out(2L).map(_._1).toSeq == Seq("common"))
+    // doc 3: other tf=2 df=1 → 2·(ln2+1) ≈ 3.386 beats common 1·1
+    assert(out(3L).map(_._1).toSeq == Seq("other", "common"))
+  }
+}
