@@ -176,5 +176,29 @@ object CoverageQueries {
       .orderBy(col("hod"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59, q65)
+  // The DataSourceV2 calendar-dim connector end-to-end: generated
+  // date dimension (ISO dow, weekend flag) broadcast-joined to daily
+  // event counts. The oracle regenerates the calendar with
+  // generate_series — proving the connector's rows, not just its
+  // plumbing.
+  val q78 = sql(
+    "q78_calendar_dim_rollup",
+    """WITH cal AS (SELECT CAST(gs AS DATE) AS d
+      |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(gs)),
+      |daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT day, CAST(isodow(d) AS INT) AS dow, isodow(d) >= 6 AS is_weekend, n_events
+      |FROM daily JOIN cal ON day = strftime(d, '%Y-%m-%d')
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val cal = s.read.format("graft-calendar")
+      .option("start", "2024-01-01").option("days", 30).load()
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(cal), "day")
+      .select(col("day"), col("dow"), col("is_weekend"), col("n_events"))
+      .orderBy(col("day"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59, q65, q78)
 }
