@@ -159,6 +159,48 @@ object Curation {
     regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** Per-row top-token fraction in ppm from a MATERIALIZED tokens
+    * column — the streaming-safe form of repetitionStats' mode
+    * computation (no aggregation, so it runs inside any streaming
+    * select). O(distinct·n) per row, fine at document size; the batch
+    * path should prefer the shuffle-based repetitionStats. `toks` must
+    * be a projected column (not an inline tokens(text) expression):
+    * Catalyst does not CSE inside HOF lambdas, so an inline expression
+    * would re-split the text once per distinct token. */
+  def topTokenPpmInline(toks: Column): Column = {
+    val topCnt = array_max(transform(array_distinct(toks),
+      u => size(filter(toks, t => t === u))))
+    when(size(toks) > 0,
+      floor(lit(1000000.0) * (topCnt.cast("double") / size(toks))).cast("long"))
+      .otherwise(0L)
+  }
+
+  /** The full curation funnel as a STREAMING pipeline: stateless
+    * per-document gates (token floor, quality, language, repetition)
+    * plus PII scrubbing, with first-failing-gate attribution — works
+    * unchanged on batch and streaming inputs (the stream-batch
+    * consistency rule of graft.streaming.Pipelines). Compose with
+    * Pipelines.dedupByKey upstream for cross-batch near-real-time
+    * dedup. */
+  def curateStream(docs: DataFrame, id: Column, text: Column,
+      minTokens: Int = 30, minQuality: Double = 0.65,
+      maxTopTokenPpm: Long = 300000L): DataFrame =
+    docs.select(id.as("doc_id"), text.as("text"))
+      .withColumn("_toks", Text.tokens(col("text")))
+      .withColumn("n_tok", size(col("_toks")))
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("lang_guess", Text.langGuess(col("text")))
+      .withColumn("top_token_ppm", topTokenPpmInline(col("_toks")))
+      .withColumn("n_pii", piiCount(col("text")))
+      .withColumn("scrubbed", scrubPii(col("text")))
+      .withColumn("verdict",
+        when(col("n_tok") < minTokens, "drop:short")
+          .when(col("quality") < minQuality, "drop:quality")
+          .when(col("lang_guess") =!= "en", "drop:lang")
+          .when(col("top_token_ppm") > maxTopTokenPpm, "drop:repetition")
+          .otherwise("keep"))
+      .drop("_toks")
+
   /** Deterministic epoch shuffle, sharded: shard = hash mod nShards,
     * position within shard = rank of the hash. Reproduces "global
     * random training order" the way real pipelines ship it — as N

@@ -102,6 +102,40 @@ class CurationSpec extends SparkSuite {
     assert(rescrub.forall(r => r._1 == 0 && r._2))
   }
 
+  test("inline top-token ppm equals the shuffle-based repetitionStats value") {
+    val inline = docs.withColumn("_toks", graft.functions.Text.tokens(col("text")))
+      .select(col("doc_id"),
+        Curation.topTokenPpmInline(col("_toks")).as("ppm_inline"))
+    val viaAgg = Curation.repetitionStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("top_token_ppm"))
+    val diff = inline.join(viaAgg, "doc_id")
+      .filter(col("ppm_inline") =!= col("top_token_ppm")).count()
+    assert(diff == 0, "streaming-safe formulation must match the batch one")
+  }
+
+  test("curateStream: streaming replay equals the batch funnel, gates attribute correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = Curation.curateStream(sdf, col("doc_id"), col("text"))
+      .writeStream.outputMode("append").format("memory").queryName("curated").start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    try {
+      val streamed = spark.table("curated")
+      val batch = Curation.curateStream(docs, col("doc_id"), col("text"))
+      assert(streamed.count() == 500)
+      assert(streamed.collect().map(_.toString).sorted.toSeq ==
+        batch.collect().map(_.toString).sorted.toSeq)
+      val verdicts = streamed.groupBy(col("verdict")).count()
+        .as[(String, Long)].collect().toMap
+      assert(verdicts.contains("keep") && verdicts.size >= 3,
+        s"expected a populated funnel, got $verdicts")
+    } finally q.stop()
+  }
+
   test("shuffleShards: a permutation — dense positions per shard, all docs once, salt changes order") {
     val s0 = Curation.shuffleShards(docs.select("doc_id"), col("doc_id"), 4, "e0")
       .select(col("doc_id"), col("shard"), col("pos"))
