@@ -61,6 +61,27 @@ object Quantization {
     * broadcast single row, and ranking plans as TakeOrderedAndProject.
     * Use as the cheap first pass in a two-stage (quantized scan →
     * exact re-rank of the shortlist) retrieval. */
+  /** Two-stage retrieval: quantized integer-dot scan selects a
+    * `shortlist`-sized candidate set, then ONLY those candidates are
+    * re-ranked with exact float cosine. At 100 TB the expensive exact
+    * pass touches `shortlist` rows instead of the corpus; with a
+    * shortlist ~5× k the result matches the exact scan in practice
+    * (QuantizationSpec pins it on the testdata), and the operator's
+    * own semantics — "exact rerank of the quantized shortlist" — are
+    * deterministic regardless. */
+  def twoStageTopK(emb: DataFrame, queryId: Long, k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.Vectors
+    val candidates = quantizedTopK(emb, queryId, shortlist).select("vec_id")
+    val target = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(target))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = withInt8(emb)
     val target = q.filter(col("vec_id") === queryId)

@@ -298,5 +298,30 @@ object VectorQueries {
     (s, d) => Quantization.quantizedTopK(Tables.embeddings(s, d), 0L, 10)
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76)
+  // Two-stage retrieval: quantized int-dot shortlist (50) → exact
+  // cosine re-rank (10). The oracle mirrors the two-stage plan itself
+  // (not the brute-force result), so the gate is deterministic even
+  // where the shortlist's recall is imperfect; equality with the
+  // exact scan is pinned separately in QuantizationSpec.
+  val q79 = sql(
+    "q79_two_stage_ann",
+    s"""WITH $quantCte,
+       |t AS (SELECT q8 AS tq8, scale AS tscale, embedding AS qe FROM q WHERE vec_id = 0),
+       |sl AS (SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      CAST(list_sum(list_transform(range(1, len(q8)+1),
+       |        i -> CAST(q8[i] AS BIGINT) * tq8[i])) AS BIGINT) AS qd,
+       |      scale * tscale AS ss
+       |    FROM q, t WHERE vec_id <> 0) s
+       |  ORDER BY CAST(qd AS DOUBLE) * ss DESC, vec_id LIMIT 50),
+       |r AS (SELECT e.vec_id, e.label, round(
+       |    list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+       |  FROM embeddings e JOIN sl USING (vec_id), t)
+       |SELECT vec_id, label, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+    (s, d) => Quantization.twoStageTopK(Tables.embeddings(s, d), 0L, 10, 50)
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76, q79)
 }

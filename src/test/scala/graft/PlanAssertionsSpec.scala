@@ -155,6 +155,35 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom-filter pruning injects on selective shuffle joins") {
+    // The 100 TB fact-dim pattern: a selective dim-side filter turns
+    // into a bloom filter probed on the fact side BEFORE the shuffle,
+    // so non-joining fact rows never leave the scan stage. The
+    // application-side threshold defaults to 10 GB — it fires on its
+    // own at production scale; the test lowers it to assert the
+    // mechanism on sf0.001.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems" -> "1000",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf0001)
+      val o = graft.sources.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$opt")
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join is shuffle-free") {
     // warehouse.dir is a static conf — use explicit external-table
     // paths in a temp dir instead.

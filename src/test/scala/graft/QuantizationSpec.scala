@@ -39,6 +39,14 @@ class QuantizationSpec extends SparkSuite {
       s"quantized recall too low: $quant vs $exact")
   }
 
+  test("two-stage (shortlist 50 → exact rerank 10) equals the exact scan") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val staged = Quantization.twoStageTopK(emb, 0L, 10, 50)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(staged == exact, "5x-k shortlist must recover the exact top-10")
+  }
+
   test("zero vector quantizes to zero codes with zero error") {
     val df = Seq((1L, Seq.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label")
     val q = Quantization.withInt8(df)
