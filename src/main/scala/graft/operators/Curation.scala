@@ -159,6 +159,25 @@ object Curation {
     regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** Overlapping character chunking (the RAG/embedding-prep splitter):
+    * chunk i covers [i·(size−overlap), i·(size−overlap)+size). Chunk
+    * count uses pure INTEGER arithmetic (⌈(L−size)/step⌉+1 via
+    * (L−size+step−1) div step) so any engine reproduces the boundaries
+    * exactly. Stateless row fan-out — streaming-legal, no shuffle. */
+  def chunkByChars(docs: DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0)
+    val step = size - overlap
+    val nChunks = when(col("_len") <= size, lit(1))
+      .otherwise(expr(s"(_len - $size + $step - 1) DIV $step") + 1)
+    docs.select(id.as("doc_id"), text.as("_text"), length(text).as("_len"))
+      .withColumn("_nc", nChunks.cast("int"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_id"), col("_text"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("_text").substr(col("chunk_id") * step + 1, lit(size)).as("chunk"))
+  }
+
   /** Per-row top-token fraction in ppm from a MATERIALIZED tokens
     * column — the streaming-safe form of repetitionStats' mode
     * computation (no aggregation, so it runs inside any streaming

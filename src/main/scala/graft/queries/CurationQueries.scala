@@ -204,5 +204,22 @@ object CurationQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74)
+  // Overlapping character chunking (RAG splitter): 200-char windows,
+  // 50-char overlap; boundaries are pure integer arithmetic so the
+  // oracle reproduces every chunk byte-for-byte.
+  val q80 = sql(
+    "q80_char_chunks",
+    """WITH p AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      |n AS (SELECT doc_id, text,
+      |    CASE WHEN L <= 200 THEN 1 ELSE ((L - 200 + 149) // 150) + 1 END AS nc
+      |  FROM p),
+      |c AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM n)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Curation.chunkByChars(Tables.documents(s, d), col("doc_id"), col("text"), 200, 50)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80)
 }

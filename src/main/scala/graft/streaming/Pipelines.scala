@@ -275,6 +275,34 @@ object Pipelines {
       }
       .start()
 
+  /** Training-data landing zone: the streaming curation funnel's keep
+    * rows written per micro-batch as split/shard-partitioned parquet —
+    * the layout a trainer consumes directly (deterministic split
+    * membership, hash-sharded files). Every per-row transform here is
+    * stateless (the funnel gates, the scrub, the split and shard
+    * buckets are pure functions of the key), so the stream/batch
+    * results are identical and exactly-once follows from the
+    * checkpointed file sink. */
+  def curatedLandingSink(docs: DataFrame, path: String, checkpoint: String,
+      nShards: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.Curation
+    val curated = Curation.curateStream(docs, col("doc_id"), col("text"))
+      .filter(col("verdict") === "keep")
+    Curation.withSplit(curated, col("doc_id"))
+      .withColumn("shard", Curation.hashBucket(col("doc_id"), "shard", nShards))
+      .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"),
+        col("split"), col("shard"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .partitionBy("split", "shard")
+      .format("parquet")
+      .trigger(trigger)
+      .start()
+  }
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =

@@ -136,6 +136,50 @@ class CurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("chunkByChars: full coverage with exact overlap, short docs = one chunk") {
+    val df = Seq(
+      (1L, "a" * 450),  // 3 chunks: [0,200) [150,350) [300,450)
+      (2L, "b" * 200),  // exactly one window
+      (3L, "c" * 10)).toDF("doc_id", "text")
+    val chunks = Curation.chunkByChars(df, col("doc_id"), col("text"), 200, 50)
+      .as[(Long, Int, String)].collect().groupBy(_._1)
+    assert(chunks(1L).length == 3)
+    assert(chunks(1L).map(_._3.length).sorted.toSeq == Seq(150, 200, 200))
+    assert(chunks(2L).length == 1 && chunks(2L).head._3.length == 200)
+    assert(chunks(3L).length == 1 && chunks(3L).head._3 == "c" * 10)
+    // reassembly: drop each chunk's first `overlap` chars (except chunk 0)
+    // and concatenation restores the document
+    val re = chunks(1L).sortBy(_._2).zipWithIndex.map {
+      case ((_, _, c), 0) => c
+      case ((_, _, c), _) => c.drop(50)
+    }.mkString
+    assert(re == "a" * 450)
+  }
+
+  test("curatedLandingSink: streaming keep-rows land split/shard-partitioned, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("landing").toString
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.Pipelines.curatedLandingSink(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/data", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); stream.addData(b)
+    q.awaitTermination(60000); q.stop()
+    val landed = spark.read.parquet(s"$dir/data")
+    val batchKeep = Curation.curateStream(docs, col("doc_id"), col("text"))
+      .filter(col("verdict") === "keep")
+    assert(landed.count() == batchKeep.count() && landed.count() > 0)
+    // partition columns round-trip and are consistent with the operators
+    val splits = landed.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    val reSplit = Curation.withSplit(landed.drop("split"), col("doc_id"))
+    assert(landed.select(col("doc_id"), col("split"))
+      .except(reSplit.select(col("doc_id"), col("split"))).count() == 0,
+      "landed split partitions must equal recomputed split membership")
+  }
+
   test("shuffleShards: a permutation — dense positions per shard, all docs once, salt changes order") {
     val s0 = Curation.shuffleShards(docs.select("doc_id"), col("doc_id"), 4, "e0")
       .select(col("doc_id"), col("shard"), col("pos"))
