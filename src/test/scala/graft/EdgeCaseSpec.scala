@@ -36,6 +36,32 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("curation edges: empty text, empty inputs, oversized single doc") {
+    import graft.operators.{Curation, Quantization}
+    // empty / 1-char text → exactly one chunk, text preserved
+    val tiny = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val ch = Curation.chunkByChars(tiny, col("doc_id"), col("text"), 200, 50)
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(ch.toSeq == Seq((1L, 0, ""), (2L, 0, "x")))
+    // empty inputs flow through every curation operator without error
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.withSplit(empty, col("doc_id")).count() == 0)
+    assert(Curation.repetitionStats(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Curation.curateStream(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Curation.packIntoContexts(empty, col("doc_id"), col("doc_id"),
+      lit(1), 10).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Quantization.withInt8(emptyEmb).count() == 0)
+    // a single doc bigger than the pack budget still starts at pack 0
+    // offset 0 and pushes the NEXT doc into a later pack
+    val big = Seq((1L, "s", 500), (2L, "s", 10)).toDF("doc_id", "shard", "n")
+    val packed = Curation.packIntoContexts(big, col("shard"), col("doc_id"), col("n"), 128)
+      .select(col("doc_id"), col("pack_id"), col("pack_offset"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed(0) == ((1L, 0L, 0L)))
+    assert(packed(1) == ((2L, 500L / 128L, 500L % 128L)))
+  }
+
   test("search with no filters returns everything; unknown lang returns nothing") {
     val api = new Api(Tables.documents(spark, sf0001), Tables.events(spark, sf0001))
     assert(api.searchArticles(size = 10000).count() == 500)
