@@ -56,4 +56,42 @@ class StatefulSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stateful == batch)
   }
+
+  test("transformWithState: typed ValueState totals accumulate across triggers (RocksDB provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // local-FS checkpoint renames fork a shell per file: changelog
+    // checkpointing uploads a small delta per commit instead of full
+    // sst snapshots, which makes the suite finish in seconds
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val stream = MemoryStream[(String, Timestamp)]
+      val df = stream.toDF().toDF("key", "ts")
+      val q = Stateful.runningCountsTws(df, "key", "ts")
+        .writeStream.outputMode("update").format("memory").queryName("tws").start()
+      def rows() = spark.table("tws").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("total"))).toSeq
+
+      stream.addData(("a", ts(0)), ("a", ts(0)), ("b", ts(0)))
+      q.processAllAvailable()
+      assert(rows().sorted == Seq(("a", 2L), ("b", 1L)))
+
+      // state persists across triggers: totals keep growing
+      stream.addData(("a", ts(10)), ("b", ts(10)))
+      q.processAllAvailable()
+      assert(rows().sorted == Seq(("a", 2L), ("a", 3L), ("b", 1L), ("b", 2L)))
+      q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
