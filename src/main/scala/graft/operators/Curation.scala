@@ -159,6 +159,21 @@ object Curation {
     regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** Stratified deterministic sample: the `n` lowest-hash rows per
+    * stratum — balanced subsets (equal-size per-language eval slices)
+    * from one stratum-partitioned window, no global sort. Same
+    * stability contract as sampleByHash: membership is a pure
+    * function of (salt, key, the stratum's contents ranked by hash),
+    * so reruns and engines agree exactly. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column, n: Int,
+      salt: String = "strat"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val w = Window.partitionBy(stratum).orderBy(saltedHash(key, salt), key)
+    df.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= n)
+      .drop("_r")
+  }
+
   /** Overlapping character chunking (the RAG/embedding-prep splitter):
     * chunk i covers [i·(size−overlap), i·(size−overlap)+size). Chunk
     * count uses pure INTEGER arithmetic (⌈(L−size)/step⌉+1 via

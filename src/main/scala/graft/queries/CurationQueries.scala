@@ -221,5 +221,23 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80)
+  // Stratified sampling: the 15 lowest-hash docs per language — a
+  // balanced eval slice; the oracle re-ranks with the same signed
+  // hash (md5-mixed, q68's recipe) per stratum.
+  val q81 = sql(
+    "q81_stratified_sample",
+    s"""WITH h AS (SELECT doc_id, lang,
+       |    ${uSql("md5('strat' || CAST(doc_id AS VARCHAR))")} AS u FROM documents),
+       |sg AS (SELECT doc_id, lang, ${signedSql("u")} AS hs FROM h),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn
+       |  FROM sg)
+       |SELECT doc_id, lang FROM r WHERE rn <= 15 ORDER BY lang, doc_id""".stripMargin) {
+    (s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), col("lang"), col("doc_id"), 15)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81)
 }

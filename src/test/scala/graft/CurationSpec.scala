@@ -136,6 +136,24 @@ class CurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stratifiedSample: exactly n per stratum (or all when smaller), deterministic") {
+    val s1 = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 10)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    assert(s1.values.forall(_ == 10), s"every language stratum capped at 10: $s1")
+    val s2 = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    val s3 = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s3, "same salt must select the same rows")
+    // n larger than a stratum returns the whole stratum
+    val all = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 100000).count()
+    assert(all == 500)
+    // nested property: the 5-per-stratum sample is a subset of 10-per-stratum
+    val small = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(s2))
+  }
+
   test("chunkByChars: full coverage with exact overlap, short docs = one chunk") {
     val df = Seq(
       (1L, "a" * 450),  // 3 chunks: [0,200) [150,350) [300,450)
