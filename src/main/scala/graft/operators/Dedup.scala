@@ -209,6 +209,20 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** The curation end-step: drop every near-duplicate except one
+    * representative per cluster (the min-id member, dupClusters'
+    * cluster label). Composition: pair detection (LSH) → connected
+    * components → anti-join — docs in no cluster pass through
+    * untouched. The anti-join's right side is cluster members minus
+    * representatives, i.e. graph-sized ≪ corpus, so Catalyst
+    * broadcasts it and the corpus never shuffles. */
+  def keepOnePerCluster(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(broadcast(drop), id === col("_drop_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per doc from token-count-weighted hash bits. The
     * token hash is the native RollingHash64 (not xxhash64): its
     * definition is plain 64-bit modular arithmetic, so an external

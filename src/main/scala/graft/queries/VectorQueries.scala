@@ -323,5 +323,29 @@ object VectorQueries {
     (s, d) => Quantization.twoStageTopK(Tables.embeddings(s, d), 0L, 10, 50)
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76, q79)
+  // Near-dup REMOVAL — keep one representative per cluster, count the
+  // surviving corpus per language. Oracle: transitive closure over the
+  // exact ground-truth pairs (q64's CTE), drop non-representatives.
+  val q82 = sql(
+    "q82_neardup_removal",
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracle) gt),
+       |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
+       |SELECT d.lang, count(*) AS n_kept FROM documents d
+       |LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |WHERE cc.doc_id IS NULL OR cc.cluster = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.keepOnePerCluster(docs, col("doc_id"),
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76, q79, q82)
 }

@@ -54,6 +54,16 @@ class DedupSpec extends SparkSuite {
     assert(out.size == 11)
   }
 
+  test("keepOnePerCluster retains exactly the min-id member per cluster plus all singletons") {
+    import spark.implicits._
+    val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepOnePerCluster(corpus, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L),
+      "chain 1-2-3 → keep 1; pair 5-6 → keep 5; 4/7/8 untouched")
+  }
+
   test("exact dedup drops identical rows only") {
     val doubled = docs.union(docs)
     assert(Dedup.exact(doubled, Seq("text")).count() == docs.count())
