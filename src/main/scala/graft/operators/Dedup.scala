@@ -252,18 +252,25 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xffL)): _*)).as(Seq("chunk", "ck")))
-    // hamming filter BEFORE the distinct: the banded join's output is
-    // dominated by non-matching candidates (chunk-bucket skew makes it
-    // Σ n² per bucket), and they can be dropped pipelined inside the
-    // join stage. Only verified matches — each duplicated once per
-    // shared chunk, a small multiplier — reach the distinct's shuffle.
+    // Dedup-free emission: a pair sharing k chunks would come out of
+    // the banded join k times, so emit it ONLY from the FIRST chunk
+    // both signatures share — both full signatures ride the join, so
+    // "no earlier chunk matches" is a cheap bitwise predicate
+    // evaluated inside the join stage, and the downstream distinct()
+    // (formerly a multi-million-row shuffle) disappears entirely.
+    // The hamming filter is likewise pipelined in the join stage.
+    val firstSharedChunk = array_position(
+      array((0 until 8).map(c =>
+        shiftright(col("l.simhash"), c * 8).bitwiseAND(0xffL) ===
+          shiftright(col("r.simhash"), c * 8).bitwiseAND(0xffL)): _*),
+      lit(true))
     chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") &&
+          firstSharedChunk === col("l.chunk") + 1)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }
