@@ -131,16 +131,24 @@ object Dedup {
     val sh = shingleSet(docs, id, text, n).cache()
     try {
     val sig = minhashSignatures(sh, numHashes)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows).cast("string"), lit(b))): _*))
-        .as(Seq("band", "band_hash")))
+    // Dedup-free emission (same trick as simhashPairs): near-dup pairs
+    // agree on MANY of the 16 bands, so the banded join yields each
+    // pair up to 16×; carrying the full band-hash array through the
+    // join lets "this is the first band we share" run as a join
+    // predicate, and the candidate distinct() shuffle disappears.
+    val withBands = sig.select(col("doc_id"),
+      array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows).cast("string"), lit(b))): _*).as("bands"))
+    val banded = withBands.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val firstSharedBand = array_position(
+      zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") &&
+          firstSharedBand === col("l.band") + 1)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
     jaccardOnPairs(sh, candidates)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
