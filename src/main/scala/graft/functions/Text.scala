@@ -151,6 +151,27 @@ object Text {
       .select(col("doc_id"), col("token"), col("score"), col("rank").cast("int").as("rank"))
   }
 
+  /** Unigram surprisal per document: mean −ln p(token) under an
+    * add-1-smoothed unigram model fitted on the corpus itself — the
+    * CCNet/Wenzek-et-al perplexity-filter shape (arXiv:1911.00359)
+    * with a unigram LM standing in for KenLM (an external n-gram model
+    * plugs into the same join: (token → logprob) table). High
+    * surprisal = rare-token soup (boilerplate, garbled text); low =
+    * repetitive filler. One (doc,token) shuffle + a token-keyed join
+    * against the (vocabulary-sized, AQE-broadcastable) frequency
+    * table; corpus totals ride along as broadcast single rows. */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = tf.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
+    tok.join(tf, "token")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(-log((col("cnt") + 1).cast("double") / (col("total") + col("v"))))
+          / count(lit(1)), 6).as("surprisal"))
+  }
+
   /** SC7 keyword classification ladder
     * (keyword_republisher.py:245-253): digits → numeric, length ≤ 2 →
     * short, otherwise general. */

@@ -305,5 +305,22 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67, q77)
+  // Unigram surprisal (the perplexity-filter shape): mean −ln p(token)
+  // under the corpus's own add-1 unigram model. round6 after the
+  // per-doc mean (the q52 recipe for libm log + float-sum ulps).
+  val q83 = sql(
+    "q83_unigram_surprisal",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM tf)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  round(sum(-ln(CAST(cnt + 1 AS DOUBLE) / (total + v))) / count(*), 6) AS surprisal
+      |FROM tok JOIN tf USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Text.unigramSurprisal(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67, q77, q83)
 }

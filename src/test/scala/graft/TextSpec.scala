@@ -96,4 +96,20 @@ class TextSpec extends SparkSuite {
     assert(frames.count() == 2)
     assert(frames.select("frame_bytes").as[Int].collect().sorted.toSeq == Seq(64, 64))
   }
+
+  test("unigram surprisal: rare-token docs score higher than common-token docs") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rareword common"),
+      (3L, "rareword oddity unusual singular")).toDF("doc_id", "text")
+    val out = Text.unigramSurprisal(df, col("doc_id"), col("text"))
+      .select("doc_id", "surprisal").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"surprisal must rank rare-token docs higher: $out")
+    // hand-check doc 1: corpus has common=7, rareword=2, three 1-count
+    // rares -> total=12, V=5; p(common) = (7+1)/(12+5); all four tokens
+    // identical so surprisal = -ln(8/17)
+    val expected = -math.log(8 / 17.0)
+    assert(math.abs(out(1L) - expected) < 1e-5)
+  }
 }
