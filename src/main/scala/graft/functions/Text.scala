@@ -162,10 +162,13 @@ object Text {
     * table; corpus totals ride along as broadcast single rows. */
   def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
-    val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val totals = tf.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
-    tok.join(tf, "token")
-      .crossJoin(broadcast(totals))
+    // token frequency as a count window (not aggregate+join-back, which
+    // would shuffle the token stream twice — the q77 lesson); corpus
+    // total/vocabulary come from ONE direct aggregate over tok.
+    val withCnt = tok.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val totals = tok.agg(count(lit(1)).as("total"), countDistinct(col("token")).as("v"))
+    withCnt.crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         round(sum(-log((col("cnt") + 1).cast("double") / (col("total") + col("v"))))
