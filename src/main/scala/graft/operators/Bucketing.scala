@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout (SURVEY §7.4#6: "bucket by link hash for
   * dedup joins"). Writing both sides of a recurring join bucketed on
@@ -18,4 +19,25 @@ object Bucketing {
     val w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Spread the low 16 bits of `c` into the even bit positions of a
+    * 32-bit value (the classic magic-masks Morton step) — pure
+    * integer column arithmetic, reproducible in any engine. */
+  private def spread16(c: Column): Column = {
+    val m = Seq(
+      (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    m.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (s, mask)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Z-order (Morton) key interleaving two 16-bit bucket ids — the
+    * multi-dimensional layout key behind lakehouse ZORDER clustering:
+    * sorting/range-partitioning files by z keeps rows close in BOTH
+    * dimensions close on disk, so min/max file stats prune scans for
+    * predicates on EITHER dimension (a single-column sort only prunes
+    * its own column). Callers bucket each dimension into [0, 65536)
+    * first (e.g. pmod of a hash, or epoch DIV width). */
+  def zorder16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 }

@@ -200,5 +200,46 @@ object CoverageQueries {
       .orderBy(col("day"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59, q65, q78)
+  // Z-order layout key (lakehouse ZORDER clustering): Morton-interleave
+  // (user bucket × hour bucket) and report per-z-range locality — each
+  // z range covers few distinct values of BOTH dimensions, which is
+  // exactly why min/max file stats prune 2-D predicates under this
+  // sort. The oracle replays the magic-mask bit spreading with DuckDB
+  // lateral column aliases.
+  val q84 = sql(
+    "q84_zorder_locality",
+    """WITH base AS (SELECT user_id % 256 AS ub,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS hb FROM events),
+      |s AS (SELECT ub, hb,
+      |  (ub & 65535) AS a0,
+      |  ((a0 | (a0 << 8)) & 16711935) AS a1,
+      |  ((a1 | (a1 << 4)) & 252645135) AS a2,
+      |  ((a2 | (a2 << 2)) & 858993459) AS a3,
+      |  ((a3 | (a3 << 1)) & 1431655765) AS a4,
+      |  (hb & 65535) AS b0,
+      |  ((b0 | (b0 << 8)) & 16711935) AS b1,
+      |  ((b1 | (b1 << 4)) & 252645135) AS b2,
+      |  ((b2 | (b2 << 2)) & 858993459) AS b3,
+      |  ((b3 | (b3 << 1)) & 1431655765) AS b4,
+      |  (a4 | (b4 << 1)) AS z
+      |FROM base)
+      |SELECT z // 16384 AS zbucket, count(*) AS n,
+      |  count(DISTINCT ub) AS n_users, count(DISTINCT hb) AS n_hours,
+      |  min(z) AS zmin, max(z) AS zmax
+      |FROM s GROUP BY 1 ORDER BY zbucket""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val z = graft.operators.Bucketing.zorder16(
+      pmod(col("user_id"), lit(256L)),
+      expr("unix_timestamp(ts) DIV 3600") % 1024)
+    ev.select(pmod(col("user_id"), lit(256L)).as("ub"),
+        (expr("unix_timestamp(ts) DIV 3600") % 1024).as("hb"), z.as("z"))
+      .groupBy(expr("z DIV 16384").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("ub")).as("n_users"),
+        countDistinct(col("hb")).as("n_hours"),
+        min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .orderBy(col("zbucket"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49, q50, q51, q52, q56, q58, q59, q65, q78, q84)
 }

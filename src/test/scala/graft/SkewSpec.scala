@@ -37,4 +37,26 @@ class SkewSpec extends SparkSuite {
     val salted = Skew.saltedJoin(ev, dim, col("event_type"), col("t"), col("event_id")).count()
     assert(salted == plain)
   }
+
+  test("zorder16: matches a reference Morton interleave bit-for-bit, bijective on the domain") {
+    import spark.implicits._
+    def refMorton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    assert(refMorton(3L, 2L) == 13L) // sanity of the reference itself
+    val samples = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val out = samples.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.Bucketing.zorder16(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, z) =>
+      assert(z == refMorton(a, b), s"zorder16($a,$b)")
+    }
+    assert(out.map(_._3).distinct.length == samples.length, "interleave must be injective")
+  }
 }
