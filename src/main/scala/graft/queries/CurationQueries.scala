@@ -239,5 +239,34 @@ object CurationQueries {
         .orderBy(col("lang"), col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81)
+  // Split-leakage audit: near-duplicate pairs that STRADDLE
+  // train/val/test are evaluation contamination — the check every
+  // dedup-aware pipeline runs after splitting. Composition: LSH pair
+  // detection × the deterministic split, counted per split pair
+  // (split_a ≤ split_b normalized so (train,test) and (test,train)
+  // collapse).
+  val q85 = sql(
+    "q85_split_leakage_audit",
+    s"""WITH gt AS (SELECT doc_a, doc_b FROM (${VectorQueries.jaccardOracle}) g),
+       |h AS (SELECT doc_id, ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM documents),
+       |sg AS (SELECT doc_id, ${signedSql("u")} AS hs FROM h),
+       |sp AS (SELECT doc_id, CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+       |    WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg),
+       |j AS (SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+       |  FROM gt JOIN sp a ON gt.doc_a = a.doc_id JOIN sp b ON gt.doc_b = b.doc_id)
+       |SELECT split_a, split_b, count(*) AS n_pairs
+       |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val split = Curation.withSplit(docs, col("doc_id")).select(col("doc_id"), col("split"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85)
 }

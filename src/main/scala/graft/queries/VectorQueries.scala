@@ -16,7 +16,7 @@ object VectorQueries {
   /** Shared DuckDB CTE computing exact n-gram Jaccard pairs ≥ 0.8 —
     * ground truth for both the all-pairs query and the LSH variant
     * (LSH+verify recovers the same set: P(miss @ j≥0.9) ≈ 4e-8). */
-  private val jaccardOracle =
+  private[queries] val jaccardOracle =
     """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS tk FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
       |    THEN list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
