@@ -102,6 +102,22 @@ class CurationSpec extends SparkSuite {
     assert(rescrub.forall(r => r._1 == 0 && r._2))
   }
 
+  test("hash membership is invariant under physical layout (repartition/coalesce)") {
+    // THE property that distinguishes hash-derived membership from
+    // rand()/sample(): the selected set cannot depend on how the data
+    // is partitioned — which is also what makes it reproducible on a
+    // 1000-executor cluster vs local[32].
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.sampleByHash(df, col("doc_id"), 20).select("doc_id").as[Long].collect().toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(7)) == base)
+    assert(ids(docs.coalesce(1)) == base)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.withSplit(df, col("doc_id")).select("doc_id", "split")
+        .as[(Long, String)].collect().toMap
+    assert(splits(docs.repartition(13)) == splits(docs))
+  }
+
   test("inline top-token ppm equals the shuffle-based repetitionStats value") {
     val inline = docs.withColumn("_toks", graft.functions.Text.tokens(col("text")))
       .select(col("doc_id"),
