@@ -131,6 +131,19 @@ object Pipelines {
     df.withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Near-real-time EXACT content dedup on a stream: fingerprint the
+    * normalized text (Text.fingerprint — md5 of lowercased, squeezed
+    * content, so trivial re-encodings collapse) and drop duplicates
+    * within the watermark. The streaming twin of Dedup.exact: state
+    * holds one fingerprint per kept doc only while late duplicates can
+    * still arrive, so it stays bounded at any ingest rate. */
+  def dedupByContent(docs: DataFrame, textCol: String, eventTime: String,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupByKey(
+      docs.withColumn("_fp", graft.functions.Text.fingerprint(col(textCol))),
+      Seq("_fp"), eventTime, watermark)
+      .drop("_fp")
+
   /** Mirror layout: `bucket = pmod(hash(table, id), nBuckets)` hive
     * partitions. 64 buckets suit the test scale; at 100 TB raise the
     * count (or compose with a `stored_date` partition level) so one

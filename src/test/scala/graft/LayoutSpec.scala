@@ -66,4 +66,23 @@ class LayoutSpec extends SparkSuite {
     assert(links == Seq("a", "b", "c"), s"got $links")
     q.stop()
   }
+
+  test("streaming content dedup: re-encoded duplicates collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)](12, spark, None)
+    val out = Pipelines.dedupByContent(
+      stream.toDF().toDF("ts", "text"), "text", "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cdedup").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    stream.addData((t0, "Hello   World"), (t0, "different text"))
+    q.processAllAvailable()
+    // same content after normalization (case/punct/whitespace) arriving later
+    stream.addData((t1, "hello, world!"), (t1, "brand new"))
+    q.processAllAvailable()
+    val texts = spark.table("cdedup").select("text").as[String].collect().sorted.toSeq
+    assert(texts == Seq("Hello   World", "brand new", "different text"), s"got $texts")
+    q.stop()
+  }
 }
