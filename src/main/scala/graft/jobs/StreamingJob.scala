@@ -15,12 +15,15 @@ import graft.streaming.{Metrics, Pipelines}
   * Usage:
   *   StreamingJob <kafkaBootstrap> <cdcTopic> <outputDir>
   *
-  * Starts four queries off ONE parsed CDC stream:
+  * Starts five queries off ONE parsed CDC stream:
   *  1. keyword windowed counts → parquet state table (minute buckets)
   *  2. trending alerts → parquet append (threshold per AlertConfig)
   *  3. idempotent mirror sink (MERGE per micro-batch)
   *  4. rank-delta snapshot loop (top-K movements per trigger —
   *     realtime_keyword_aggregator.py:358-383)
+  *  5. curated training-data landing zone: upsert content through the
+  *     streaming curation funnel (content dedup → gates → scrub) into
+  *     split/shard-partitioned parquet
   */
 object StreamingJob {
   def main(args: Array[String]): Unit = {
@@ -63,12 +66,21 @@ object StreamingJob {
       keywords.groupBy(col("keyword").as("key")).agg(count(lit(1)).as("cnt")),
       s"$out/rank_state", s"$out/ckpt/rank_state", topN = 50)
 
+    val landing = Pipelines.curatedLandingSink(
+      Pipelines.dedupByContent(
+        graft.model.Cdc.upserts(parsed)
+          .select(col("after.id").as("doc_id"), col("after.content").as("text"),
+            col("event_time"))
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "text", "event_time"),
+      s"$out/curated", s"$out/ckpt/curated")
+
     sys.addShutdownHook {
       val (b, r) = m.snapshot
       // scalastyle:off println
       println(s"graft-streaming: $b batches, $r rows processed")
       // scalastyle:on println
     }
-    Seq(counts, alerts, mirror, rankDeltas).foreach(_.awaitTermination())
+    Seq(counts, alerts, mirror, rankDeltas, landing).foreach(_.awaitTermination())
   }
 }
