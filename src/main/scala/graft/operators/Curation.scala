@@ -49,6 +49,10 @@ object Curation {
     * membership on every change of input partitioning). */
   def withSplit(df: DataFrame, key: Column, salt: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    // Overwrites any existing `split` column (withColumn semantics).
+    // To keep GROUPS intact (no leakage between near-identical rows
+    // of one source/domain), pass the group key — e.g. col("source") —
+    // instead of the row id; membership is then per group.
     require(trainPct + valPct <= 100)
     GraftFunctions.register(df.sparkSession)
     val b = hashBucket(key, salt, 100)
@@ -178,7 +182,10 @@ object Curation {
     * chunk i covers [i·(size−overlap), i·(size−overlap)+size). Chunk
     * count uses pure INTEGER arithmetic (⌈(L−size)/step⌉+1 via
     * (L−size+step−1) div step) so any engine reproduces the boundaries
-    * exactly. Stateless row fan-out — streaming-legal, no shuffle. */
+    * exactly. Stateless row fan-out — streaming-legal, no shuffle.
+    * Null text → null chunk count → the explode drops the row: a
+    * null-text document contributes no chunks (filter upstream if
+    * such rows must be surfaced instead). */
   def chunkByChars(docs: DataFrame, id: Column, text: Column,
       size: Int, overlap: Int): DataFrame = {
     require(size > overlap && overlap >= 0)

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Quantization {
 
-  /** Adds `scale` (double) and `q8` (array<int>, each in [-127,127]).
+  /** Adds `scale` (double) and `q8` (array<int>, each in [-127,127]),
+    * overwriting columns of those names if present; a null embedding
+    * yields null scale/codes (rows pass through, not dropped).
     * Two-step on purpose: `scale` is materialized as a column first so
     * the per-element lambda references it — Catalyst does not CSE
     * inside higher-order-function lambdas, and inlining the array_max
