@@ -47,7 +47,13 @@ object Bench {
     // scans. A failed query is reported as -1 plus an entry in
     // "errors" — never as a normal-looking timing.
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional dev filter: SPARK_GRAFT_ONLY=q60,q85 times just those
+    // queries (prefix match). The driver never sets it — full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -14,7 +14,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ TimeSeriesQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       TrendQueries.all ++ CdcQueries.all ++ MultimodalQueries.all ++ CoverageQueries.all ++
-      ApiQueries.all ++ CurationQueries.all
+      ApiQueries.all ++ CurationQueries.all ++ ClusteringQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,7 +18,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional dev filter (same contract as Bench): SPARK_GRAFT_ONLY=
+    // q86,q87 dumps just those queries. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

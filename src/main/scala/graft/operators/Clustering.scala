@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering for training-data pipelines: quantized k-means
+  * (Lloyd's over int8 codes, exact integer arithmetic throughout) and
+  * SemDeDup-style semantic near-dup removal within the learned
+  * clusters (Abbas et al., arXiv:2303.09540).
+  *
+  * Why INTEGER k-means: float centroid means depend on summation
+  * order, so a float Lloyd's loop is not reproducible across partition
+  * counts — let alone across engines. Quantizing to int8 first (the
+  * q75 scheme: bit-reproducible everywhere) makes every distance an
+  * exact BIGINT and every centroid update an exact integer floor-mean:
+  * the whole clustering is a pure function of the input, verifiable in
+  * any engine, and stable under repartitioning/retries — the same
+  * determinism contract as Curation's hash-based sampling. The ~0.4%
+  * quantization error is irrelevant for the bucketing/dedup use cases
+  * (cluster boundaries, not model weights).
+  *
+  * Scale: assignment is a columnar scan — centroids are O(k·d) driver
+  * state compiled into literal arrays (the standard Spark k-means
+  * shape; no corpus-side join or shuffle), so one pass is one
+  * WholeStageCodegen stage over the corpus. The update aggregates
+  * (cluster, dim) partial sums map-side: the shuffle carries at most
+  * k·d·partitions rows, independent of corpus size.
+  */
+object Clustering {
+
+  /** Per-vector squared L2 distance between two int code arrays —
+    * exact BIGINT (d·254² ≪ 2⁶³). */
+  def sqDistInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y).cast("long") * (x - y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Lloyd's k-means over the int8-quantized embeddings.
+    *
+    * Deterministic contract (mirrored by the DuckDB oracle):
+    *  - codes: Quantization.withInt8 (bit-reproducible);
+    *  - init: the codes of the `k` lowest-id vectors, cluster index =
+    *    0-based rank of the id;
+    *  - assignment: argmin over exact integer squared L2, ties to the
+    *    lowest cluster index;
+    *  - update: per-dimension floor(sum/count) — exact ints into an
+    *    IEEE double divide, so every engine lands on the same code;
+    *    clusters left empty by an assignment pass drop out.
+    *
+    * `passes` = number of assignment passes; centroid updates run
+    * between passes (passes=2 → init, assign, update, assign).
+    * Returns (vec_id, label, cluster, dist).
+    */
+  def kmeansInt8(emb: DataFrame, k: Int, passes: Int,
+      id: String = "vec_id", v: String = "embedding"): DataFrame = {
+    require(k > 0 && passes >= 1)
+    val q = Quantization.withInt8(emb, v)
+      .select(col(id).as("vec_id"), col("label"), col("q8"))
+
+    // O(k·d) driver state per round — the sanctioned k-means exception
+    // (centroids are small by definition); the corpus never collects.
+    // orderBy+limit plans as TakeOrderedAndProject, so the collected
+    // rows arrive in id order and the 0-based index IS the cluster id.
+    var centroids: Seq[(Int, Seq[Int])] =
+      q.orderBy(col("vec_id")).limit(k).select(col("q8")).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Int](0)) }
+
+    def assign(cs: Seq[(Int, Seq[Int])]): DataFrame = {
+      // k literal distance expressions per row; argmin via array_min
+      // over (dist, cluster) structs — lexicographic struct ordering
+      // gives the lowest-cluster tiebreak for free.
+      val alts = cs.map { case (c, arr) =>
+        struct(sqDistInt(col("q8"), typedlit(arr)).as("dist"), lit(c).as("cluster"))
+      }
+      q.withColumn("_best", array_min(array(alts: _*)))
+        .select(col("vec_id"), col("label"), col("q8"),
+          col("_best.cluster").as("cluster"), col("_best.dist").as("dist"))
+    }
+
+    var assigned = assign(centroids)
+    for (_ <- 2 to passes) {
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("q8")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("int").as("ci"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+          s => s.getField("ci")).as("q8"))
+      centroids = updated.collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Int](1)))
+        .sortBy(_._1)
+      assigned = assign(centroids)
+    }
+    assigned.select(col("vec_id"), col("label"), col("cluster"), col("dist"))
+  }
+
+  /** SemDeDup: exact-cosine near-dup pairs WITHIN k-means clusters —
+    * the cluster is the blocking key, so the pair join is
+    * block-quadratic (corpus²/k per cluster on average), never
+    * corpus-quadratic, and the join shuffles on `cluster` only.
+    * Returns (cluster, vec_a, vec_b, sim) with sim rounded to 6
+    * (the cross-engine float recipe) and vec_a < vec_b. */
+  def semanticNearDupPairs(emb: DataFrame, k: Int, passes: Int,
+      tau: Double): DataFrame = {
+    val clusters = kmeansInt8(emb, k, passes).select(col("vec_id"), col("cluster"))
+    val withC = emb.join(clusters, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    // Blocked exact-cosine pair join (the q57 machinery) with the
+    // learned cluster as the block.
+    Dedup.embeddingNearDupPairs(withC, "cluster", tau)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  /** SemDeDup keep/drop verdict: drop every vector that has a
+    * LOWER-id neighbor at sim ≥ tau in its own cluster (min-id wins —
+    * the greedy one-per-ε-ball rule made deterministic; not a
+    * transitive closure, by design: a chain a~b~c with a≁c keeps a
+    * and c). Returns the kept rows of `emb`. */
+  def semanticDedup(emb: DataFrame, k: Int, passes: Int, tau: Double): DataFrame = {
+    val dropped = semanticNearDupPairs(emb, k, passes, tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** Clustering + semantic-dedup inventory: quantized k-means and
+  * SemDeDup under the hash gate. The DuckDB oracle replays Lloyd's
+  * algorithm itself — init, every assignment pass, every centroid
+  * update — which only works because the operator is integer-exact by
+  * construction (see operators/Clustering.scala).
+  */
+object ClusteringQueries {
+  import QueryDef.sql
+
+  private val K = 8
+  private val Passes = 2
+
+  /** One assignment pass + one update in DuckDB, over the shared int8
+    * quantizer CTE. `d{t}`/`a{t}` = distances/argmin of pass t;
+    * `u{t}` = centroids updated from a{t}. */
+  private def distSql: String =
+    "CAST(list_sum(list_transform(range(1, 65), i -> " +
+      "CAST(v.q8[i] - c.c[i] AS BIGINT) * (v.q8[i] - c.c[i]))) AS BIGINT)"
+
+  private def assignSql(t: Int, centroids: String): String =
+    s"""d$t AS (SELECT v.vec_id, c.cluster, $distSql AS dist FROM q v CROSS JOIN $centroids c),
+       |a$t AS (SELECT vec_id, cluster, dist FROM (
+       |  SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM d$t) z WHERE rn = 1)""".stripMargin
+
+  private def updateSql(t: Int): String =
+    s"""u$t AS (SELECT cluster, list(ci ORDER BY pos) AS c FROM (
+       |  SELECT a.cluster, p.pos,
+       |    CAST(floor(sum(v.q8[p.pos]) / CAST(count(*) AS DOUBLE)) AS INT) AS ci
+       |  FROM a$t a JOIN q v USING (vec_id) CROSS JOIN range(1, 65) p(pos)
+       |  GROUP BY a.cluster, p.pos) t GROUP BY cluster)""".stripMargin
+
+  /** The full Lloyd's replay: init from the K lowest ids, then
+    * `Passes` assignment passes with updates between. Leaves the final
+    * assignment in CTE `a$Passes`. */
+  private def kmeansCtes: String = {
+    val init =
+      s"""init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, q8 AS c
+         |  FROM (SELECT vec_id, q8 FROM q ORDER BY vec_id LIMIT $K) t)""".stripMargin
+    val steps = (1 to Passes).map { t =>
+      val cents = if (t == 1) "init" else s"u${t - 1}"
+      if (t < Passes) assignSql(t, cents) + ",\n" + updateSql(t)
+      else assignSql(t, cents)
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  // Quantized k-means (Lloyd's, integer-exact): the oracle replays the
+  // entire algorithm — the strongest possible gate for an iterative
+  // operator, available only because the arithmetic is
+  // engine-portable by design.
+  val q86 = sql(
+    "q86_kmeans_clusters",
+    s"""WITH ${VectorQueries.quantCte},
+       |$kmeansCtes
+       |SELECT a.vec_id, v.label, a.cluster, a.dist
+       |FROM a$Passes a JOIN q v USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Clustering.kmeansInt8(Tables.embeddings(s, d), K, Passes)
+      .orderBy(col("vec_id"))
+  }
+
+  // SemDeDup: exact-cosine near-dup pairs inside the k-means clusters
+  // (cluster = blocking key). Oracle = Lloyd's replay + the q57
+  // blocked-cosine pair formula.
+  val q87 = sql(
+    "q87_semantic_neardup",
+    s"""WITH ${VectorQueries.quantCte},
+       |$kmeansCtes,
+       |wc AS (SELECT e.vec_id, a.cluster, e.embedding,
+       |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings e JOIN a$Passes a ON e.vec_id = a.vec_id),
+       |pr AS (SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 6) AS sim
+       |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT cluster, vec_a, vec_b, sim FROM pr WHERE sim >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    Clustering.semanticNearDupPairs(Tables.embeddings(s, d), K, Passes, 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q86, q87)
+}

@@ -246,7 +246,7 @@ object VectorQueries {
 
   /** Shared DuckDB CTE: per-vector int8 codes + scale (the q75/q76
     * quantizer — identical arithmetic to Quantization.withInt8). */
-  private val quantCte =
+  private[queries] val quantCte =
     """sc AS (SELECT vec_id, label, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       |  FROM embeddings),
