@@ -113,6 +113,51 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination — the constant-memory form of
+    * contaminationScores for when even the benchmark shingle set is
+    * too big to broadcast as rows (a full eval-suite union): the
+    * bench side folds into an m-bit bitmap via BloomBitmapAgg (m/8
+    * bytes regardless of cardinality), the bitmap broadcasts, and the
+    * corpus probe is pure column arithmetic — no join at all on the
+    * corpus side. One-sided error: every truly shared shingle is hit
+    * (no false negatives); false positives are bounded by
+    * (set_bits/m)^k. */
+
+  /** Bloom hash j of a shingle: saltedHash mod m — same md5-mixed
+    * portable primitive as the split/sample operators, so any engine
+    * replays the exact bit positions. */
+  def bloomPos(shingle: Column, j: Int, m: Int): Column =
+    pmod(saltedHash(shingle, s"bloom$j"), lit(m.toLong))
+
+  /** Bit test against a packed long-array bitmap column. pos must be
+    * non-negative (bloomPos guarantees it), so the double-division
+    * word index truncates correctly. shiftright goes through
+    * call_function because the Scala DSL only takes a literal shift. */
+  def bloomTest(bitmap: Column, pos: Column): Column =
+    call_function("shiftright",
+      element_at(bitmap, (pos / 64).cast("int") + 1), (pos % 64).cast("int"))
+      .bitwiseAND(lit(1L)) === lit(1L)
+
+  /** Per-document count of shingles that hit the benchmark Bloom
+    * filter. Returns every corpus doc: (doc_id, n_shingles,
+    * n_bloom_hits). k hash functions, m bits. */
+  def bloomContamination(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int = 3, k: Int = 3, m: Int = 8192): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val benchPos = Dedup.shingleSet(bench, id, text, n)
+      .select(col("shingle")).distinct()
+      .select(explode(array((0 until k).map(j => bloomPos(col("shingle"), j, m)): _*)).as("pos"))
+    val bitmap = benchPos.agg(GraftFunctions.bloom_agg(col("pos"), m).as("bm"))
+    val cs = Dedup.shingleSet(corpus, id, text, n)
+    cs.crossJoin(broadcast(bitmap))
+      .withColumn("_hit",
+        (0 until k).map(j => bloomTest(col("bm"), bloomPos(col("shingle"), j, m)))
+          .reduce(_ && _))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+  }
+
   /** Gopher-style repetition statistics (Rae et al., arXiv:2112.11446
     * A1.1): fraction of the doc that is its single most frequent token,
     * and the duplicate-bigram ratio (1 − distinct/total). Emitted as
@@ -162,6 +207,40 @@ object Curation {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
+
+  /** Domain mixture sampling (the DoReMi/Pile-style "hit the target
+    * mixture" step): given target mixture weights w_d and a global
+    * token budget B, each domain keeps a deterministic
+    * rate_d = min(1, B·w_d / T_d) fraction of its documents, where
+    * T_d is the domain's token total — oversized domains downsample
+    * to their share, undersized ones pass through whole. Membership
+    * is the usual salted-hash threshold (integer ppm), so the sample
+    * is stable, repeatable, and engine-replayable; every arithmetic
+    * step is a single IEEE op on exact integers, so the thresholds
+    * are too. Domains missing from `weights` get weight 0 (dropped).
+    *
+    * Adds `mix_thresh_ppm` and `mix_keep`; filter on `mix_keep` for
+    * the sampled corpus. Scale: one aggregation for T_d (domain
+    * cardinality rows) joined back broadcast — the corpus is scanned
+    * once, never shuffled. */
+  def mixtureSample(df: DataFrame, domain: Column, key: Column,
+      tokenCount: Column, weights: Seq[(String, Double)], budgetTokens: Long,
+      salt: String = "mix"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val wmap = map(weights.flatMap { case (d, w) => Seq(lit(d), lit(w)) }: _*)
+    val withTok = df.withColumn("_dom", domain).withColumn("_tok", tokenCount)
+    val totals = withTok.groupBy(col("_dom"))
+      .agg(sum(col("_tok")).as("_dom_tok"))
+    withTok.join(broadcast(totals), "_dom")
+      .withColumn("_w", coalesce(element_at(wmap, col("_dom")), lit(0.0)))
+      .withColumn("mix_thresh_ppm",
+        floor(lit(1000000.0) *
+          least(lit(1.0), lit(budgetTokens.toDouble) * col("_w") / col("_dom_tok")))
+          .cast("long"))
+      .withColumn("mix_keep",
+        hashBucket(key, salt, 1000000) < col("mix_thresh_ppm"))
+      .drop("_w")
+  }
 
   /** Stratified deterministic sample: the `n` lowest-hash rows per
     * stratum — balanced subsets (equal-size per-language eval slices)

@@ -248,6 +248,90 @@ case class SimHashAgg(
     copy(hash = newChildren(0), weight = newChildren(1))
 }
 
+/** Bloom-filter bitmap as a custom aggregate: collects BIGINT bit
+  * positions (already reduced mod m by the caller) into a packed
+  * long[m/64] bitmap — build the filter from the benchmark/blocklist
+  * side with one aggregation, broadcast the (m/8)-byte result, and
+  * probe it with pure column arithmetic (Curation.bloomTest). Null
+  * positions are skipped (standard aggregate null handling).
+  *
+  * Membership is EXACTLY "this position was inserted" — the bitmap is
+  * a set of integers — so an engine-portable oracle can replay
+  * membership as a semi-join on positions; false-positive behavior of
+  * the k-hash Bloom built on top is then a pure function of the hash
+  * family, reproducible anywhere (CurationSpec pins bitmap == semi-join).
+  *
+  * m must be a foldable positive multiple of 64 (the packing width).
+  */
+case class BloomBitmapAgg(
+    pos: Expression,
+    mExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  private lazy val m: Int = mExpr.eval().asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(pos, mExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pos.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint position, got ${pos.dataType.catalogString}")
+    else if (mExpr.dataType != IntegerType || !mExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal int bit count")
+    else if (mExpr.eval() == null || mExpr.eval().asInstanceOf[Int] <= 0 ||
+      mExpr.eval().asInstanceOf[Int] % 64 != 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName bit count must be a positive multiple of 64")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m / 64)
+
+  override def update(buf: Array[Long],
+      row: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val p = pos.eval(row)
+    if (p != null) {
+      val pv = p.asInstanceOf[Long]
+      require(pv >= 0 && pv < m, s"position $pv out of [0,$m)")
+      buf((pv / 64).toInt) |= (1L << (pv % 64))
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBitmapAgg =
+    copy(pos = newChildren(0), mExpr = newChildren(1))
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -260,6 +344,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       exprs => SimHashAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => BloomBitmapAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
   }
 
   /** Column-level access; requires register(spark) once per session. */
@@ -270,4 +357,7 @@ object GraftFunctions {
 
   def simhash_agg(hash: Column, weight: Column): Column =
     call_function("graft_simhash_agg", hash, weight)
+
+  def bloom_agg(pos: Column, m: Int): Column =
+    call_function("graft_bloom_agg", pos, org.apache.spark.sql.functions.lit(m))
 }

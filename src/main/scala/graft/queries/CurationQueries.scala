@@ -92,6 +92,39 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Bloom-filter decontamination (constant-memory q70): the bench
+  // shingle set folds into an 8192-bit bitmap (BloomBitmapAgg), the
+  // corpus probes it with 3 portable salted hashes. The oracle replays
+  // membership as a positions semi-join — exactly equivalent to the
+  // bitmap test, INCLUDING false positives, because the hash family is
+  // the same md5-mixed RollingHash64 both sides.
+  val q89 = sql(
+    "q89_bloom_decontamination",
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+       |    ELSE [array_to_string(tk, ' ')] END)) AS shingle FROM toks),
+       |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |bpos AS (SELECT DISTINCT ${pmodSql(signedSql(uSql("md5('bloom' || CAST(j AS VARCHAR) || shingle)")), 8192)} AS pos
+       |  FROM bsh CROSS JOIN range(0, 3) r(j)),
+       |cp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+       |cpos AS (SELECT doc_id, shingle, j,
+       |    ${pmodSql(signedSql(uSql("md5('bloom' || CAST(j AS VARCHAR) || shingle)")), 8192)} AS pos
+       |  FROM cp CROSS JOIN range(0, 3) r(j)),
+       |hits AS (SELECT doc_id, shingle FROM cpos JOIN bpos USING (pos)
+       |  GROUP BY doc_id, shingle HAVING count(DISTINCT j) = 3),
+       |agg AS (SELECT doc_id, count(*) AS n_shingles FROM cp GROUP BY 1),
+       |h AS (SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY 1)
+       |SELECT a.doc_id, a.n_shingles, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_bloom_hits
+       |FROM agg a LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.bloomContamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   // Gopher repetition stats in exact integer ppm.
   val q71 = sql(
     "q71_repetition_stats",
@@ -142,6 +175,37 @@ object CurationQueries {
       Curation.piiCount(col("t")).as("n_pii"),
       md5(Curation.scrubPii(col("t"))).as("scrub_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  // Domain mixture sampling: per-language kept docs/tokens under a
+  // 15k-token budget with target weights — fr's share exceeds its
+  // supply (rate clamps to 1), the rest downsample. The oracle
+  // replays thresholds and membership exactly (integer ppm + the
+  // salted-hash recipe).
+  val q90 = sql(
+    "q90_mixture_sampling", {
+      val caseW = "CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.1 WHEN 'es' THEN 0.1 " +
+        "WHEN 'fr' THEN 0.45 WHEN 'zh' THEN 0.05 ELSE 0.0 END"
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_tok
+         |  FROM documents),
+         |dt AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS dom_tok FROM t GROUP BY 1),
+         |th AS (SELECT lang, CAST(floor(1000000.0 *
+         |    least(1.0, (15000.0 * ($caseW)) / dom_tok)) AS BIGINT) AS thresh FROM dt),
+         |k AS (SELECT t.doc_id, t.lang, t.n_tok, th.thresh FROM t JOIN th USING (lang)
+         |  WHERE ${pmodSql(signedSql(uSql("md5('mix' || CAST(doc_id AS VARCHAR))")), 1000000)} < th.thresh)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+         |  max(thresh) AS mix_thresh_ppm
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+    val weights = Seq("en" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.45, "zh" -> 0.05)
+    Curation.mixtureSample(Tables.documents(s, d), col("lang"), col("doc_id"),
+      Text.wsTokenCount(col("text")), weights, 15000L)
+      .filter(col("mix_keep"))
+      .groupBy(col("_dom").as("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("_tok")).as("tok_kept"),
+        max(col("mix_thresh_ppm")).as("mix_thresh_ppm"))
+      .orderBy(col("lang"))
   }
 
   // The combined curation funnel: first-failing-gate attribution
@@ -268,5 +332,5 @@ object CurationQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85)
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Quantization}
+
+/** Quantized k-means + SemDeDup invariants: assignment validity,
+  * nearest-centroid optimality of the first pass, determinism under
+  * repartitioning, and the min-id-wins drop rule.
+  */
+class ClusteringSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private def emb = graft.sources.Tables.embeddings(spark, sf0001)
+
+  test("every vector assigned exactly once, cluster in [0,k)") {
+    val k = 8
+    val a = Clustering.kmeansInt8(emb, k, passes = 2)
+    val n = emb.count()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= k).count() == 0)
+  }
+
+  test("pass 1 assigns each vector to its true nearest initial centroid") {
+    val k = 4
+    val q = Quantization.withInt8(emb).select(col("vec_id"), col("q8"))
+    val init = q.orderBy("vec_id").limit(k).select("q8")
+      .as[Seq[Int]].collect()
+    val codes = q.as[(Long, Seq[Int])].collect().toMap
+    val expected = codes.map { case (id, v) =>
+      val dists = init.zipWithIndex.map { case (c, ci) =>
+        (v.zip(c).map { case (x, y) => (x - y).toLong * (x - y) }.sum, ci)
+      }
+      id -> dists.min // (dist, cluster) lexicographic = lowest-cluster tiebreak
+    }
+    val got = Clustering.kmeansInt8(emb, k, passes = 1)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Long)].collect()
+    got.foreach { case (id, c, d) =>
+      assert((d, c) == expected(id), s"vec $id: got ($d,$c) want ${expected(id)}")
+    }
+  }
+
+  test("assignment is invariant under physical repartitioning") {
+    val base = Clustering.kmeansInt8(emb, 8, passes = 2)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val shuffled = Clustering.kmeansInt8(emb.repartition(13), 8, passes = 2)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(base == shuffled)
+  }
+
+  test("semanticDedup drops exactly the higher-id ends of in-cluster pairs") {
+    val tau = 0.3
+    val pairs = Clustering.semanticNearDupPairs(emb, 8, 2, tau)
+    val dropIds = pairs.select(col("vec_b")).distinct().as[Long].collect().toSet
+    val kept = Clustering.semanticDedup(emb, 8, 2, tau)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(kept == all -- dropIds)
+    assert(dropIds.nonEmpty, "testdata should produce at least one in-cluster pair at tau=0.3")
+    // every pair is intra-cluster with ordered ids and sim >= tau
+    val bad = pairs.filter(col("vec_a") >= col("vec_b") || col("sim") < tau).count()
+    assert(bad == 0)
+  }
+}

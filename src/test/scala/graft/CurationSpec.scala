@@ -260,4 +260,53 @@ class CurationSpec extends SparkSuite {
     assert(s0.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
       s1.sortBy(_._1).map(t => (t._2, t._3)).toSeq, "new salt → new permutation")
   }
+
+  test("bloomContamination: no false negatives vs exact shingle sharing; bitmap == position semi-join") {
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val bloom = Curation.bloomContamination(corpus, bench, col("doc_id"), col("text"))
+      .select("doc_id", "n_bloom_hits").as[(Long, Long)].collect().toMap
+    // one-sided error: every truly shared shingle sets all its bits
+    val exact = Curation.contaminationScores(corpus, bench, col("doc_id"), col("text"))
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, shared) =>
+      assert(bloom(id) >= shared, s"doc $id: bloom ${bloom(id)} < exact $shared")
+    }
+    // bitmap test ≡ "all k positions inserted" (semi-join replay)
+    val k = 3; val m = 8192
+    val benchPos = graft.operators.Dedup.shingleSet(bench, col("doc_id"), col("text"), 3)
+      .select(explode(array((0 until k).map(j =>
+        Curation.bloomPos(col("shingle"), j, m)): _*)).as("pos"))
+      .distinct()
+    val cs = graft.operators.Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3)
+    val semiHits = (0 until k).map { j =>
+      cs.withColumn("pos", Curation.bloomPos(col("shingle"), j, m))
+        .join(benchPos, "pos").select("doc_id", "shingle").distinct()
+    }.reduce(_.intersect(_))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val bloomNonzero = bloom.filter(_._2 > 0)
+    assert(bloomNonzero == semiHits, "bitmap membership must equal the position semi-join")
+  }
+
+  test("mixtureSample: rates clamp at 1, kept fraction tracks the threshold, unknown domain drops") {
+    val weights = Seq("en" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.45, "zh" -> 0.05)
+    val m = Curation.mixtureSample(docs, col("lang"), col("doc_id"),
+      graft.functions.Text.wsTokenCount(col("text")), weights, 15000L)
+    assert(m.filter(col("mix_thresh_ppm") > 1000000L).count() == 0)
+    // deterministic: same call twice → same keep set
+    val k1 = m.filter(col("mix_keep")).select("doc_id").as[Long].collect().toSet
+    val k2 = Curation.mixtureSample(docs, col("lang"), col("doc_id"),
+      graft.functions.Text.wsTokenCount(col("text")), weights, 15000L)
+      .filter(col("mix_keep")).select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2)
+    // a domain absent from the weight map keeps nothing
+    val noZh = Curation.mixtureSample(docs, col("lang"), col("doc_id"),
+      graft.functions.Text.wsTokenCount(col("text")), weights.filterNot(_._1 == "zh"), 15000L)
+    assert(noZh.filter(col("mix_keep") && col("_dom") === "zh").count() == 0)
+    // kept token mass per capped domain lands near budget·w (hash noise aside)
+    val keptTok = m.filter(col("mix_keep") && col("_dom") === "en")
+      .agg(sum(col("_tok"))).as[Long].collect().head
+    assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
+  }
 }
