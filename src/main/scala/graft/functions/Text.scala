@@ -175,6 +175,113 @@ object Text {
           / count(lit(1)), 6).as("surprisal"))
   }
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones; the Okapi form
+    * with the standard k1/b defaults) for a fixed query term set —
+    * the inverted-index ranking function every retrieval pipeline
+    * needs next to the TF-IDF extractor above. Returns the top-`k`
+    * documents by summed per-term contribution.
+    *
+    * Cross-engine exactness: each term's contribution is rounded to 6
+    * before an EXACT decimal sum (Exact.dsum), so the doc score is
+    * order-independent — ln ulps are absorbed by round-6 (the q77
+    * recipe), and the sum can't reorder them back into ambiguity.
+    *
+    * Scale: the (doc, token) stream is filtered to the query terms
+    * BEFORE its groupBy — the tf shuffle carries only matching
+    * postings, the inverted-index slice, never the corpus. Doc lengths
+    * are one doc-keyed aggregation (reused across queries in a real
+    * serving setup); corpus stats broadcast as one row; per-term df is
+    * a count window over the postings, not a join-back. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_tok").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", round(
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Exact.dsum(col("contrib"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Adjacent-bigram list of a token array: ["a b", "b c", ...]; empty
+    * for docs with fewer than two tokens. */
+  def bigrams(toks: Column): Column = {
+    val n = size(toks)
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),
+        (x, y) => concat_ws(" ", x, y)))
+  }
+
+  /** Bigram surprisal per document: mean −ln p(w|h) under an
+    * add-V-smoothed bigram model fitted on the corpus — the
+    * next-order refinement of unigramSurprisal (the q83 CCNet
+    * perplexity-filter shape): p(w|h) = (c(h,w)+1) / (c(h·)+V) where
+    * c(h·) counts bigrams starting with h and V is the unigram
+    * vocabulary. Docs with <2 tokens have no bigrams and drop out.
+    *
+    * Scale: ONE (doc, bigram) shuffle; both the pair count and the
+    * history count are count windows over that same stream (the q77/q83
+    * lesson — no aggregate-and-join-back recomputing the tokenize
+    * lineage), and V rides along as a broadcast single row. */
+  def bigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = docs.select(id.as("doc_id"), explode(bigrams(tokens(text))).as("bigram"))
+      .withColumn("h", split(col("bigram"), " ").getItem(0))
+    val withCnt = bg
+      .withColumn("cb", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("ch", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val vocab = docs.select(explode(tokens(text)).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    withCnt.crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(-log((col("cb") + 1).cast("double") / (col("ch") + col("v"))))
+          / count(lit(1)), 6).as("surprisal"))
+  }
+
+  /** Corpus-level collocations: top pairs of adjacent tokens by
+    * pointwise mutual information over the bigram stream —
+    * PMI(a,b) = ln(c(a,b)·T / (cL(a)·cR(b))) with T total bigrams and
+    * cL/cR the left/right marginal counts (so all probabilities share
+    * one denominator and the score is a single ln over exact integer
+    * ratios). `minCount` floors the pair count — PMI is famously
+    * unstable on rare pairs. Ranking key is the ROUNDED score with a
+    * (pair) tiebreak, the engine-unambiguous ordering recipe.
+    *
+    * Scale: one (h,w) pair aggregation; marginals are count-sum
+    * windows over the pair table (vocabulary-sized, not corpus-sized);
+    * T broadcasts; the final rank is TakeOrderedAndProject. */
+  def pmiTopPairs(docs: DataFrame, id: Column, text: Column,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    val bg = docs.select(explode(bigrams(tokens(text))).as("bigram"))
+      .select(split(col("bigram"), " ").getItem(0).as("h"),
+        split(col("bigram"), " ").getItem(1).as("w"))
+    val pairs = bg.groupBy(col("h"), col("w")).agg(count(lit(1)).as("cb"))
+    val total = pairs.agg(sum(col("cb")).as("t"))
+    pairs
+      .withColumn("cl", sum(col("cb")).over(Window.partitionBy(col("h"))))
+      .withColumn("cr", sum(col("cb")).over(Window.partitionBy(col("w"))))
+      .filter(col("cb") >= minCount)
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(
+        log(col("cb").cast("double") * col("t") /
+          (col("cl").cast("double") * col("cr"))), 6))
+      .orderBy(col("pmi").desc, col("h"), col("w"))
+      .limit(k)
+      .select(col("h"), col("w"), col("cb"), col("pmi"))
+  }
+
   /** SC7 keyword classification ladder
     * (keyword_republisher.py:245-253): digits → numeric, length ≤ 2 →
     * short, otherwise general. */
