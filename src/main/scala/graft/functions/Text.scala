@@ -220,7 +220,7 @@ object Text {
   def bigrams(toks: Column): Column = {
     val n = size(toks)
     when(n < 2, array().cast("array<string>"))
-      .otherwise(zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),
+      .otherwise(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
         (x, y) => concat_ws(" ", x, y)))
   }
 

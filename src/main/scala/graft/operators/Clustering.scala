@@ -58,11 +58,14 @@ object Clustering {
 
     // O(k·d) driver state per round — the sanctioned k-means exception
     // (centroids are small by definition); the corpus never collects.
-    // orderBy+limit plans as TakeOrderedAndProject, so the collected
-    // rows arrive in id order and the 0-based index IS the cluster id.
+    // vec_id stays in the projection and the driver re-sorts: collected
+    // order through a post-limit projection is not an API guarantee,
+    // and the 0-based id rank IS the cluster id the oracle pins.
     var centroids: Seq[(Int, Seq[Int])] =
-      q.orderBy(col("vec_id")).limit(k).select(col("q8")).collect().toSeq
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Int](0)) }
+      q.orderBy(col("vec_id")).limit(k).select(col("vec_id"), col("q8"))
+        .collect().toSeq
+        .sortBy(_.getLong(0))
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Int](1)) }
 
     def assign(cs: Seq[(Int, Seq[Int])]): DataFrame = {
       // k literal distance expressions per row; argmin via array_min

@@ -190,8 +190,9 @@ object CurationQueries {
          |    len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_tok
          |  FROM documents),
          |dt AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS dom_tok FROM t GROUP BY 1),
-         |th AS (SELECT lang, CAST(floor(1000000.0 *
-         |    least(1.0, (15000.0 * ($caseW)) / dom_tok)) AS BIGINT) AS thresh FROM dt),
+         |th AS (SELECT lang, CAST(floor(CAST(1000000.0 AS DOUBLE) *
+         |    least(CAST(1.0 AS DOUBLE), (CAST(15000.0 AS DOUBLE) * CAST(($caseW) AS DOUBLE))
+         |      / CAST(dom_tok AS DOUBLE))) AS BIGINT) AS thresh FROM dt),
          |k AS (SELECT t.doc_id, t.lang, t.n_tok, th.thresh FROM t JOIN th USING (lang)
          |  WHERE ${pmodSql(signedSql(uSql("md5('mix' || CAST(doc_id AS VARCHAR))")), 1000000)} < th.thresh)
          |SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept,

@@ -322,5 +322,90 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q67, q77, q83)
+  // Corpus bigram counts, top 30 — gates Text.bigrams (the adjacent-
+  // pair primitive the surprisal/PMI operators build on) directly.
+  val q91 = sql(
+    "q91_bigram_counts",
+    """WITH toks AS (SELECT list_filter(string_split(lower(text),' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM toks)
+      |SELECT bigram, count(*) AS n FROM bg
+      |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(Text.bigrams(Text.tokens(col("text")))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(30)
+  }
+
+  // Bigram surprisal: mean −ln p(w|h) under the corpus's add-V-smoothed
+  // bigram model — q83's next-order refinement. round6 after the mean
+  // (libm ln + float-sum ulps), integer counts everywhere else.
+  val q92 = sql(
+    "q92_bigram_surprisal",
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |bh AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS h FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM toks) u),
+      |cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bh GROUP BY 1),
+      |ch AS (SELECT h, CAST(count(*) AS BIGINT) AS ch FROM bh GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks) u)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(-ln(CAST(cb + 1 AS DOUBLE) / (ch + v))) / count(*), 6) AS surprisal
+      |FROM bh JOIN cb USING (bigram) JOIN ch USING (h) CROSS JOIN vv
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Text.bigramSurprisal(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // BM25 top-10 over a fixed term set (k1=1.2, b=0.75) — the
+  // inverted-index ranking function, gated end-to-end: idf, length
+  // normalization, exact-decimal score sum, top-k.
+  val q93 = sql(
+    "q93_bm25_topk",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tok FROM dl),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE token IN ('join', 'hash', 'spark', 'window') GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, token, tf, CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df FROM tf),
+      |c AS (SELECT w.doc_id,
+      |    round(ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * tf * (CAST(1.2 AS DOUBLE) + 1.0)
+      |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - 0.75
+      |          + CAST(0.75 AS DOUBLE) * dl / (CAST(tot_tok AS DOUBLE) / n_docs))), 6) AS contrib
+      |  FROM wd w JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(27,6))) AS DOUBLE) AS score,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    Text.bm25TopK(docs(s, d), col("doc_id"), col("text"),
+      Seq("join", "hash", "spark", "window"))
+  }
+
+  // PMI collocations: top adjacent-token pairs by pointwise mutual
+  // information (minCount=5). Rank key is the ROUNDED score with an
+  // (h, w) tiebreak — the engine-unambiguous ordering recipe.
+  val q94 = sql(
+    "q94_pmi_pairs",
+    """WITH toks AS (SELECT list_filter(string_split(lower(text),' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |hw AS (SELECT string_split(bigram, ' ')[1] AS h, string_split(bigram, ' ')[2] AS w FROM (
+      |  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM toks) u),
+      |pairs AS (SELECT h, w, CAST(count(*) AS BIGINT) AS cb FROM hw GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS t FROM pairs),
+      |m AS (SELECT h, w, cb,
+      |    CAST(sum(cb) OVER (PARTITION BY h) AS BIGINT) AS cl,
+      |    CAST(sum(cb) OVER (PARTITION BY w) AS BIGINT) AS cr
+      |  FROM pairs)
+      |SELECT h, w, cb, round(ln(CAST(cb AS DOUBLE) * t / (CAST(cl AS DOUBLE) * cr)), 6) AS pmi
+      |FROM m CROSS JOIN tot WHERE cb >= 5
+      |ORDER BY pmi DESC, h, w LIMIT 20""".stripMargin) { (s, d) =>
+    Text.pmiTopPairs(docs(s, d), col("doc_id"), col("text"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
+    q67, q77, q83, q91, q92, q93, q94)
 }

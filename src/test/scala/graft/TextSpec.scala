@@ -112,4 +112,47 @@ class TextSpec extends SparkSuite {
     val expected = -math.log(8 / 17.0)
     assert(math.abs(out(1L) - expected) < 1e-5)
   }
+
+  test("bigrams: adjacent pairs; <2 tokens -> empty") {
+    val out = Seq("a b c", "solo", "", "x  y").toDF("t")
+      .select(Text.bigrams(Text.tokens(col("t"))).as("bg"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("a b", "b c"), Seq(), Seq(), Seq("x y")))
+  }
+
+  test("bigram surprisal: hand-checked add-V model") {
+    // corpus bigrams: doc1 "a b","b a","a b"; doc2 "b a" -> c(a b)=2,
+    // c(b a)=2, c(a .)=2, c(b .)=2; V=3 (a, b, only) -> every
+    // -ln p = -ln((2+1)/(2+3))
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "only")).toDF("doc_id", "text")
+    val out = Text.bigramSurprisal(df, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "surprisal").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L), "docs with <2 tokens drop out")
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    val exp = -math.log(3 / 5.0)
+    assert(math.abs(out(1L)._2 - exp) < 1e-5 && math.abs(out(2L)._2 - exp) < 1e-5)
+  }
+
+  test("bm25: higher tf of a matching term outranks; non-matching docs absent") {
+    val df = Seq((1L, "x x x y"), (2L, "x y y y"), (3L, "z z z z")).toDF("id", "text")
+    val rows = Text.bm25TopK(df, col("id"), col("text"), Seq("x"), k = 10).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getAs[Long]("n_terms") == 1L))
+    // d2: tf=1, dl=4=avgdl -> denom = 1+k1 -> contrib = idf exactly
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    assert(math.abs(rows(1).getAs[Double]("score") - idf) < 1e-5)
+  }
+
+  test("pmi pairs: hand-checked collocation scores, floor respected") {
+    // bigrams: "a b" x2, "b a", "b c", "c d" -> T=5
+    val df = Seq((1L, "a b a b c d")).toDF("id", "text")
+    val rows = Text.pmiTopPairs(df, col("id"), col("text"), minCount = 2, k = 5).collect()
+    assert(rows.length == 1, "only (a,b) reaches minCount=2")
+    val r = rows.head
+    assert(r.getAs[String]("h") == "a" && r.getAs[String]("w") == "b")
+    assert(r.getAs[Long]("cb") == 2L)
+    // pmi = ln(cb*T / (cl(a) * cr(b))) = ln(2*5 / (2*2))
+    assert(math.abs(r.getAs[Double]("pmi") - math.log(10 / 4.0)) < 1e-5)
+  }
 }
