@@ -30,9 +30,15 @@ object Clustering {
 
   /** Per-vector squared L2 distance between two int code arrays —
     * exact BIGINT (d·254² ≪ 2⁶³). */
+  /** Exact integer squared L2 — the native fused-loop kernel
+    * (plans.SqDistLong). The HOF spelling
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)²), 0L, +)` is arithmetic-
+    * identical on int8 codes but CodegenFallback: k copies of it in
+    * the argmin tree cost seconds of analyzer+codegen per pass and
+    * break whole-stage codegen. Requires GraftFunctions.register
+    * (kmeansInt8 does it). */
   def sqDistInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y).cast("long") * (x - y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.GraftFunctions.sqdist(a, b)
 
   /** Lloyd's k-means over the int8-quantized embeddings.
     *
@@ -53,6 +59,7 @@ object Clustering {
   def kmeansInt8(emb: DataFrame, k: Int, passes: Int,
       id: String = "vec_id", v: String = "embedding"): DataFrame = {
     require(k > 0 && passes >= 1)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = Quantization.withInt8(emb, v)
       .select(col(id).as("vec_id"), col("label"), col("q8"))
 

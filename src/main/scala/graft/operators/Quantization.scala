@@ -38,8 +38,7 @@ object Quantization {
     * d·127² needs only ~24+log₂(d) bits). Multiply by scaleA·scaleB to
     * recover the approximate float dot. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.GraftFunctions.qdot(a, b)
 
   /** Per-vector relative reconstruction error, integer ppm:
     * ⌊1e6 · ‖v − q·s‖ / ‖v‖⌋. sqrt is IEEE-correctly-rounded (unlike
@@ -85,6 +84,7 @@ object Quantization {
   }
 
   def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = withInt8(emb)
     val target = q.filter(col("vec_id") === queryId)
       .select(col("q8").as("tq8"), col("scale").as("tscale"))

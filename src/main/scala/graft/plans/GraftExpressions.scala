@@ -332,6 +332,120 @@ case class BloomBitmapAgg(
     copy(pos = newChildren(0), mExpr = newChildren(1))
 }
 
+/** Shared shape of the fused integer-array pair reductions below:
+  * long accumulate over two integer-typed arrays with HOF-equivalent
+  * null semantics (null array, null element, or zip_with-style length
+  * mismatch → null). Inputs are expected bounded (int8 codes), so the
+  * long accumulator cannot overflow; unlike the ANSI HOF form this
+  * wraps silently if fed unbounded longs — callers keep it on codes.
+  */
+sealed trait IntArrayPairReduce
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType => LT, ShortType}
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  protected def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t @ (ByteType | ShortType | IntegerType | LT), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two integer-typed arrays, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  protected def elemAsLong(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, t: DataType): Long = t match {
+    case IntegerType => arr.getInt(i).toLong
+    case LT => arr.getLong(i)
+    case ShortType => arr.getShort(i).toLong
+    case ByteType => arr.getByte(i).toLong
+    case other =>
+      throw new IllegalStateException(s"$prettyName: unsupported element type $other")
+  }
+
+  protected def getterJava(arr: String, t: DataType, i: String): String = t match {
+    case IntegerType => s"(long) $arr.getInt($i)"
+    case LT => s"$arr.getLong($i)"
+    case ShortType => s"(long) $arr.getShort($i)"
+    case ByteType => s"(long) $arr.getByte($i)"
+    case other =>
+      throw new IllegalStateException(s"$prettyName: unsupported element type $other")
+  }
+
+  /** Per-element contribution in the interpreted path. */
+  protected def combine(x: Long, y: Long): Long
+  /** Per-element contribution as a Java expression over `$x`/`$y`. */
+  protected def combineJava(x: String, y: String): String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += combine(elemAsLong(x, i, tx), elemAsLong(y, i, ty))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |boolean ${ev.isNull}_sawNull = $n != $b.numElements();
+         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
+         |  long $xv = ${getterJava(a, tx, i)};
+         |  long $yv = ${getterJava(b, ty, i)};
+         |  $acc += ${combineJava(xv, yv)};
+         |}
+         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+}
+
+/** Exact integer dot product of two integer arrays (int8 codes) as one
+  * codegen'd loop — the native replacement for
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0L, +)`, whose HOF nodes are
+  * CodegenFallback (they break whole-stage codegen AND cost seconds of
+  * analyzer/codegen time when repeated k× in a k-means argmin tree). */
+case class LongDot(left: Expression, right: Expression) extends IntArrayPairReduce {
+  override def prettyName: String = "graft_qdot"
+  override protected def combine(x: Long, y: Long): Long = x * y
+  override protected def combineJava(x: String, y: String): String = s"$x * $y"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongDot = copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared L2 distance — the k-means assignment kernel.
+  * Same arithmetic as `aggregate(zip_with(a,b,(x,y)=>(x-y)²), 0L, +)`
+  * on bounded int8 codes, one fused loop per centroid. */
+case class SqDistLong(left: Expression, right: Expression) extends IntArrayPairReduce {
+  override def prettyName: String = "graft_sqdist"
+  override protected def combine(x: Long, y: Long): Long = (x - y) * (x - y)
+  override protected def combineJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDistLong = copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -347,6 +461,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => BloomBitmapAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qdot", exprs => LongDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist", exprs => SqDistLong(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level access; requires register(spark) once per session. */
@@ -360,4 +478,8 @@ object GraftFunctions {
 
   def bloom_agg(pos: Column, m: Int): Column =
     call_function("graft_bloom_agg", pos, org.apache.spark.sql.functions.lit(m))
+
+  def qdot(a: Column, b: Column): Column = call_function("graft_qdot", a, b)
+
+  def sqdist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 }

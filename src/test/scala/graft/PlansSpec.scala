@@ -178,4 +178,41 @@ class PlansSpec extends SparkSuite {
         spark.experimental.extraOptimizations.filterNot(_ == ApproxDistinctRewrite)
     }
   }
+
+  test("graft_qdot / graft_sqdist: identical to the HOF folds on int8 codes, null parity") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def hofQdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    def hofSqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y).cast("long") * (x - y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val q = graft.operators.Quantization.withInt8(
+      graft.sources.Tables.embeddings(spark, sf0001).limit(100))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+    val mismatches = pairs.select(
+      GraftFunctions.qdot(col("a.q8"), col("b.q8")).as("nd"),
+      hofQdot(col("a.q8"), col("b.q8")).as("hd"),
+      GraftFunctions.sqdist(col("a.q8"), col("b.q8")).as("ns"),
+      hofSqd(col("a.q8"), col("b.q8")).as("hs"))
+      .filter(!(col("nd") <=> col("hd")) || !(col("ns") <=> col("hs")))
+      .count()
+    assert(mismatches == 0, "native integer kernels must match the HOF folds exactly")
+
+    // null array, null element, length mismatch → null (zip_with parity)
+    val edge = Seq(
+      (Some(Seq(Some(1), Some(2))), Some(Seq(Some(3), Some(4)))),
+      (None, Some(Seq(Some(1)))),
+      (Some(Seq(Some(1), None)), Some(Seq(Some(1), Some(1)))),
+      (Some(Seq(Some(1))), Some(Seq(Some(1), Some(2)))))
+      .toDF("a", "b")
+    val out = edge.select(
+      GraftFunctions.qdot(col("a"), col("b")).as("d"),
+      GraftFunctions.sqdist(col("a"), col("b")).as("s")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.toSeq == Seq((Some(11L), Some(8L)), (None, None), (None, None), (None, None)))
+  }
 }
