@@ -215,6 +215,26 @@ object Text {
       .limit(k)
   }
 
+  /** Shannon entropy (nats) of the document's character distribution —
+    * the standard gibberish/boilerplate detector next to qualityScore:
+    * repeated-character junk and template boilerplate score low,
+    * natural text high. H = ln n − (Σ c·ln c)/n over the per-character
+    * counts (the algebraic form with a single division, so both
+    * engines evaluate identical ln/÷ sequences); rounded to 6 after
+    * the final expression (libm ln + float-sum ulps — the q83 recipe).
+    *
+    * Scale: one (doc, char) shuffle with map-side combine; character
+    * alphabets are tiny so the second per-doc aggregation is nearly
+    * free. */
+  def charEntropy(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(text, "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        round(log(sum(col("c")).cast("double"))
+          - sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")),
+          6).as("entropy"))
+
   /** Adjacent-bigram list of a token array: ["a b", "b c", ...]; empty
     * for docs with fewer than two tokens. */
   def bigrams(toks: Column): Column = {

@@ -248,6 +248,29 @@ object Curation {
     * stability contract as sampleByHash: membership is a pure
     * function of (salt, key, the stratum's contents ranked by hash),
     * so reruns and engines agree exactly. */
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res):
+    * each row gets priority u^(1/w) — u a deterministic salted-hash
+    * unit in (0,1), w its weight — and the n highest priorities win.
+    * Higher weight → priority closer to 1 → likelier kept, with the
+    * exact ES inclusion distribution. Deterministic: a row's priority
+    * is a pure function of (salt, key, weight), so the same corpus and
+    * salt reproduce the same sample in any engine (the q68-style
+    * portable-hash recipe; priorities are ROUNDED to 6 before ranking
+    * so libm pow ulps can't flip the order, id tiebreak after).
+    *
+    * Scale: no shuffle at all — priorities are row-local and the
+    * global top-n plans as TakeOrderedAndProject (per-partition heaps
+    * + driver merge of n·parts rows). Weights must be > 0. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+      salt: String = "wsamp"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val m = 1L << 20
+    val u = (pmod(saltedHash(key, salt), lit(m)).cast("double") + 0.5) / m.toDouble
+    df.withColumn("_wpri", round(pow(u, lit(1.0) / weight.cast("double")), 6))
+      .orderBy(col("_wpri").desc, key)
+      .limit(n)
+  }
+
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column, n: Int,
       salt: String = "strat"): DataFrame = {
     GraftFunctions.register(df.sparkSession)

@@ -183,4 +183,43 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** k-NN graph: the top-`k` cosine neighbors of EVERY corpus vector —
+    * the batch counterpart of the single-query searches above (used for
+    * SemDeDup-style analysis, recall evaluation, graph-based pruning).
+    *
+    * `block = None` is the exactness baseline: an all-pairs join (q37's
+    * shape generalized to every query vector). `block = Some(col)` is
+    * the scale path — pairs only form inside a block (LSH bucket, IVF
+    * list, shard), turning n² into Σ block² with the block as the one
+    * shuffle key, exactly the entity-resolution blocking move the
+    * dedup operators use.
+    *
+    * Per-node top-k runs through the heap-based TopKPerGroupExec — the
+    * n·(block−1) pair stream is never globally sorted. The heap orders
+    * by ONE numeric key, so (sim desc, nbr asc) is packed into a single
+    * long: round(sim·1e6)·2³³ − nbr. Exact while |sim| ≤ 1 and
+    * nbr < 2³³ (~8.6e9 ids) — both safe margins for an embedding
+    * corpus; ties on the rounded sim resolve to the lowest neighbor id
+    * in any engine, which is what makes the result oracle-comparable.
+    * Norms are computed once per vector ahead of the join, so each
+    * pair costs one fused dot product. */
+  def knnGraph(emb: DataFrame, k: Int, block: Option[Column] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id") +: col("embedding") +:
+      block.map(_.as("_blk")).toSeq: _*)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    val joinCond = block match {
+      case Some(_) => col("a._blk") === col("b._blk") && col("a.vec_id") =!= col("b.vec_id")
+      case None => col("a.vec_id") =!= col("b.vec_id")
+    }
+    val pairs = base.as("a").join(base.as("b"), joinCond)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .withColumn("_ord",
+        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("nbr"))
+    graft.plans.GraftOps.topKPerGroup(pairs, Seq("vec_id"), "_ord", k)
+      .select(col("vec_id"), col("nbr"), col("sim"))
+  }
 }

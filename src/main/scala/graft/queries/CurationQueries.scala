@@ -286,6 +286,30 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // Weighted sampling (Efraimidis–Spirakis): top-50 priorities
+  // u^(1/n_tok) — token count as the weight, so long documents are
+  // proportionally likelier. The oracle replays u from the salted
+  // hash and ranks the same ROUNDED priority with the id tiebreak.
+  val q97 = sql(
+    "q97_weighted_sample",
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, n_tok,
+       |    ${pmodSql(signedSql(uSql("md5('wsamp' || CAST(doc_id AS VARCHAR))")), 1 << 20)} AS hb
+       |  FROM t),
+       |p AS (SELECT doc_id, lang, n_tok,
+       |    round(pow((CAST(hb AS DOUBLE) + 0.5) / ${(1 << 20).toDouble},
+       |      CAST(1.0 AS DOUBLE) / n_tok), 6) AS wpri FROM h)
+       |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok, wpri FROM p
+       |ORDER BY wpri DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    Curation.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Text.wsTokenCount(col("text")).cast("long").as("n_tok")),
+      col("doc_id"), col("n_tok"), 50)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("_wpri").as("wpri"))
+  }
+
   // Stratified sampling: the 15 lowest-hash docs per language — a
   // balanced eval slice; the oracle re-ranks with the same signed
   // hash (md5-mixed, q68's recipe) per stratum.
@@ -333,5 +357,5 @@ object CurationQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90)
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90, q97)
 }

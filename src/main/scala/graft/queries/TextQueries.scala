@@ -406,6 +406,21 @@ object TextQueries {
     Text.pmiTopPairs(docs(s, d), col("doc_id"), col("text"))
   }
 
+  // Character-distribution Shannon entropy (gibberish/boilerplate
+  // detector): H = ln n − (Σ c·ln c)/n, one algebraic form on both
+  // engines, round6 after the final expression.
+  val q98 = sql(
+    "q98_char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |  round(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Text.charEntropy(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
-    q67, q77, q83, q91, q92, q93, q94)
+    q67, q77, q83, q91, q92, q93, q94, q98)
 }

@@ -347,5 +347,47 @@ object VectorQueries {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75, q76, q79, q82)
+  /** Exact-cosine pair stream in DuckDB (norms factored out once, like
+    * the Spark side), parameterized by the pair-join condition. */
+  private def knnOracle(joinCond: String): String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr, round(
+       |    list_sum(list_transform(range(1, len(a.embedding)+1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b ON $joinCond),
+       |r AS (SELECT vec_id, nbr, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rn FROM p)
+       |SELECT vec_id, nbr, sim FROM r WHERE rn <= 5
+       |ORDER BY vec_id, sim DESC, nbr""".stripMargin
+
+  // Exact k-NN graph: top-5 neighbors of EVERY vector (the all-pairs
+  // baseline; per-node top-k through the custom heap operator, no
+  // global sort of the n² pair stream).
+  val q95 = sql(
+    "q95_knn_graph",
+    knnOracle("a.vec_id <> b.vec_id")) { (s, d) =>
+    Similarity.knnGraph(Tables.embeddings(s, d), 5)
+      .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
+  }
+
+  // Blocked k-NN graph: neighbors only within the vector's own LSH
+  // bucket — the Σ block² scale path; the oracle replays the bucket
+  // assignment and restricts the pair join to equal buckets.
+  val q96 = sql(
+    "q96_knn_graph_bucketed", {
+      val a = bucketSql.replace("embedding", "a.embedding")
+      val b = bucketSql.replace("embedding", "b.embedding")
+      knnOracle(s"a.vec_id <> b.vec_id AND $a = $b")
+    }) { (s, d) =>
+    Similarity.knnGraph(Tables.embeddings(s, d), 5,
+      Some(Vectors.lshBucket(col("embedding"), 64, 8)))
+      .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
+    q76, q79, q82, q95, q96)
 }

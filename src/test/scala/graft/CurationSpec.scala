@@ -309,4 +309,25 @@ class CurationSpec extends SparkSuite {
       .agg(sum(col("_tok"))).as[Long].collect().head
     assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
   }
+
+  test("weighted sample: deterministic, size n, heavy weights dominate") {
+    import spark.implicits._
+    // 100 heavy rows (w=1e6 → priority ≈ 1) vs 100 light (w=1e-3 → ≈ 0)
+    val df = ((0L until 100L).map(i => (i, 1e6)) ++
+      (100L until 200L).map(i => (i, 1e-3))).toDF("id", "w")
+    val s1 = Curation.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 50 && s1.forall(_ < 100L), "all winners must come from the heavy group")
+    val s2 = Curation.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt + corpus must reproduce the same sample")
+    // uniform weights degenerate to hash-uniform sampling; a different
+    // salt is then a different permutation (priority = round6(u))
+    val uni = (0L until 200L).map(i => (i, 1.0)).toDF("id", "w")
+    val u1 = Curation.weightedSample(uni, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    val u2 = Curation.weightedSample(uni, col("id"), col("w"), 50, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(u1.size == 50 && u2.size == 50 && u1 != u2)
+  }
 }

@@ -55,4 +55,26 @@ class SimilaritySpec extends SparkSuite {
     assert(m.lastProgressJson.nonEmpty)
     spark.streams.removeListener(m)
   }
+
+  test("knn graph: per-node top-k matches per-node brute force on real embeddings") {
+    val g = Similarity.knnGraph(emb.limit(50), 3).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    assert(g.size == 50 && g.values.forall(_.length == 3))
+    // node 0's neighbor list == the single-query brute-force search
+    val bf = Similarity.bruteForceTopK(emb.limit(50), 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val knn0 = g(0L).sortBy(r => (-r.getAs[Double]("sim"), r.getAs[Long]("nbr")))
+      .map(_.getAs[Long]("nbr")).toSeq
+    assert(knn0 == bf, s"knn($knn0) != brute force($bf)")
+  }
+
+  test("knn graph blocked: every edge stays inside its block") {
+    val withLabelBlock = Similarity.knnGraph(emb.limit(100), 2, Some(col("label")))
+    val labels = emb.limit(100).select(col("vec_id"), col("label"))
+    val crossBlock = withLabelBlock
+      .join(labels.withColumnRenamed("label", "la"), "vec_id")
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("lb")), "nbr")
+      .filter(col("la") =!= col("lb"))
+    assert(crossBlock.count() == 0)
+  }
 }

@@ -155,4 +155,13 @@ class TextSpec extends SparkSuite {
     // pmi = ln(cb*T / (cl(a) * cr(b))) = ln(2*5 / (2*2))
     assert(math.abs(r.getAs[Double]("pmi") - math.log(10 / 4.0)) < 1e-5)
   }
+
+  test("char entropy: constant text scores 0, uniform alphabet scores ln k") {
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val out = Text.charEntropy(df, col("doc_id"), col("text"))
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L)) < 1e-9)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-5)
+    assert(math.abs(out(3L) - math.log(4)) < 1e-5)
+  }
 }
