@@ -235,6 +235,51 @@ object Text {
           - sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")),
           6).as("entropy"))
 
+  /** Vocabulary build — the tokenizer-prep step of a training-data
+    * pipeline: corpus token frequencies, a `minCount` floor, and
+    * contiguous 0-based ids assigned by (count desc, token asc) rank
+    * so the hottest token is id 0 in every engine. Returns
+    * (token_id, token, cnt).
+    *
+    * Scale: the frequency pass is one shuffle with map-side combine
+    * over the exploded token stream. The id-assignment rank is a
+    * global window, which is fine BECAUSE it runs after the minCount
+    * cut: a vocabulary is alphabet-sized (10⁵–10⁶ rows even at
+    * web-corpus scale), orders of magnitude below the token stream
+    * the frequency pass reduced. */
+  def buildVocab(docs: DataFrame, text: Column, minCount: Long): DataFrame = {
+    val counts = docs.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    counts.withColumn("token_id",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))) - 1).cast("long"))
+      .select(col("token_id"), col("token"), col("cnt"))
+  }
+
+  /** Inverted-index build: one row per token with document frequency,
+    * corpus term frequency, and the posting list serialized as
+    * "doc:tf,doc:tf,…" in doc-id order — the text-retrieval batch
+    * artifact BM25/keyword search would serve from.
+    *
+    * Scale: two aggregations — (doc, token) tf with map-side combine,
+    * then per-token collect. The posting payload concentrates on hot
+    * tokens by nature of the data (stopword postings ARE corpus-sized);
+    * a production index bounds that with the same move the reference's
+    * word-cloud takes: cap or stoplist the head before collecting. The
+    * sort guaranteeing the doc-order payload is array_sort on the
+    * collected structs (per-token, inside the aggregation), never a
+    * global sort of the token stream. */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          s => concat(s.getField("doc_id"), lit(":"), s.getField("tf"))), ",")
+          .as("postings"))
+
   /** Adjacent-bigram list of a token array: ["a b", "b c", ...]; empty
     * for docs with fewer than two tokens. */
   def bigrams(toks: Column): Column = {

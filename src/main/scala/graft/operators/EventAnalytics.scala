@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an (actor, time, type) stream — the
+  * funnel and cohort-retention operators every event pipeline grows
+  * (the reference's alert topology is the "did X happen" degenerate
+  * case; these are the ordered-sequence and lifecycle generalizations).
+  *
+  * Both are pure aggregation algebra: no per-actor driver loops, no
+  * sort-the-whole-actor-history mapGroups. Scale notes inline.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each key, the earliest time each step of
+    * `steps` completes, where step i+1 must occur AT OR AFTER the
+    * key's step-i completion (ties allowed — simultaneous events
+    * count, matching the SQL `>=` the oracle replays).
+    *
+    * Returns one row per key that completed step 1: `(key, t1..tk)`
+    * with `t<i>` null once the chain breaks, plus `reached` = number
+    * of completed steps.
+    *
+    * Shape: one filtered min-aggregation per step joined back on the
+    * key — k shuffles on the key column, each with map-side partial
+    * mins, all inside whole-stage codegen. The classic alternative
+    * (sort each key's full history in one task) holds an actor's
+    * whole event list in memory; this never does, so a single hot
+    * key (bot traffic) cannot OOM a task. */
+  def funnel(events: DataFrame, key: Column, ts: Column, step: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct")
+    val base = events.select(key.as("key"), ts.as("_ts"), step.as("_s"))
+    var cur = base.filter(col("_s") === steps.head)
+      .groupBy(col("key")).agg(min(col("_ts")).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t${i + 1}"
+      val nxt = s"t${i + 2}"
+      val nextMin = base.filter(col("_s") === st)
+        .join(cur.select(col("key"), col(prev)), "key")
+        .filter(col("_ts") >= col(prev))
+        .groupBy(col("key")).agg(min(col("_ts")).as(nxt))
+      cur = cur.join(nextMin, Seq("key"), "left")
+    }
+    val reached = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.withColumn("reached", reached.cast("long"))
+  }
+
+  /** Weekly cohort retention: cohort = the key's first-ever activity
+    * week, and for every (cohort, offset) the number of distinct keys
+    * active `offset` weeks after their cohort week.
+    *
+    * Weeks are integer epoch-week indexes (`floor(epochSec/604800)`),
+    * not calendar weeks — no timezone/week-start semantics to align
+    * across engines, pure BIGINT arithmetic.
+    *
+    * Shape: distinct (key, week) first — collapses the raw stream to
+    * at most |keys|·|weeks| rows before anything else; then a min per
+    * key (map-side combined) and one equi-join back. The final count
+    * needs no `countDistinct` because (key, week) is already unique. */
+  def cohortRetention(events: DataFrame, key: Column, tsSec: Column): DataFrame = {
+    val kw = events.select(key.as("key"), floor(tsSec / 604800L).cast("long").as("wk"))
+      .distinct()
+    val cohort = kw.groupBy(col("key")).agg(min(col("wk")).as("cohort_week"))
+    kw.join(cohort, "key")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

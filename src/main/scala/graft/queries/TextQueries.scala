@@ -421,6 +421,59 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Vocabulary build (Text.buildVocab): min-count floor, contiguous
+  // ids by (count desc, token) rank — the global rank runs over the
+  // post-threshold vocab (alphabet-sized), not the token stream.
+  val q102 = sql(
+    "q102_vocab_build",
+    """WITH c AS (SELECT t AS token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+      |  WHERE t <> '' GROUP BY t HAVING count(*) >= 5)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id, token, cnt
+      |FROM c ORDER BY token_id""".stripMargin) { (s, d) =>
+    Text.buildVocab(docs(s, d), col("text"), minCount = 5L)
+      .orderBy(col("token_id"))
+  }
+
+  // Inverted-index build (Text.invertedIndex): per-token df / corpus
+  // tf / doc-ordered "doc:tf" posting payload, serialized identically
+  // by array_sort+concat (Spark) and ordered string_agg (DuckDB).
+  val q103 = sql(
+    "q103_inverted_index",
+    """WITH tf AS (SELECT t AS token, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+      |  WHERE t <> '' GROUP BY t, doc_id)
+      |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+    Text.invertedIndex(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("token"))
+  }
+
+  // Length-decile profile: ntile(10) over (n_chars, doc_id) — the
+  // exact quantile bucketing both engines define identically (first
+  // n%10 buckets one row larger). Exact form only: at corpus scale
+  // the bucketing would come from approx_percentile cut points, not
+  // a global sort; the totals per bucket stay pure integers.
+  val q105 = sql(
+    "q105_length_decile_profile",
+    """WITH t AS (SELECT doc_id, n_chars,
+      |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |d AS (SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM t)
+      |SELECT decile, count(*) AS n, CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), col("n_chars"),
+      Text.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    t.withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"), sum(col("n_tok")).as("tok_sum"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
-    q67, q77, q83, q91, q92, q93, q94, q98)
+    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105)
 }

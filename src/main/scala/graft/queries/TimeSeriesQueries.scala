@@ -317,6 +317,79 @@ object TimeSeriesQueries {
       .orderBy(col("event_id"))
   }
 
+  // Interval/range join (Joins.rangeJoin — binned equi-join on
+  // (key, time-bin), never a per-key nested loop): every purchase
+  // within 10 minutes AT OR AFTER a click by the same user.
+  // Comparisons run in integer µs on both sides — events carry ns
+  // timestamps and both engines floor identically (ns DIV 1000).
+  val q99 = sql(
+    "q99_range_join",
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |l AS (SELECT user_id, event_id AS click_id, us AS lus FROM e WHERE event_type = 'click'),
+      |r AS (SELECT user_id, event_id AS purchase_id, us AS rus FROM e WHERE event_type = 'purchase')
+      |SELECT l.user_id AS user_id, click_id, purchase_id, (rus - lus)//1000 AS gap_ms
+      |FROM l JOIN r ON l.user_id = r.user_id AND rus >= lus AND rus <= lus + 600000000
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    graft.operators.Joins.rangeJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
+      lowerMs = 0L, upperMs = 600000L)
+      .select(col("user_id"), col("click_id"), col("r_purchase_id").as("purchase_id"),
+        floor((unix_micros(col("r_pts")) - unix_micros(col("ts"))) / 1000L)
+          .cast("long").as("gap_ms"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  // Ordered funnel signup → view → purchase (EventAnalytics.funnel):
+  // stage counts of users whose steps complete in order (step i+1 at
+  // or after step i). The oracle chains the same filtered min-joins.
+  val q100 = sql(
+    "q100_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND us >= t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3) u
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val f = graft.operators.EventAnalytics.funnel(
+      ev(s, d), col("user_id"), unix_micros(col("ts")), col("event_type"),
+      Seq("signup", "view", "purchase"))
+    // one pass over the per-key frame: conditional sums, then unpivot
+    val stages = Seq((1, "signup"), (2, "view"), (3, "purchase"))
+    val cs = stages.map { case (i, _) =>
+      sum(when(col("reached") >= i, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = f.agg(cs.head, cs.tail: _*)
+    counts.select(explode(array(stages.map { case (i, st) =>
+      struct(lit(i).as("stage"), lit(st).as("step"), col(s"c$i").as("n_users"))
+    }: _*)).as("s"))
+      .select(col("s.stage"), col("s.step"), col("s.n_users"))
+      .orderBy(col("stage"))
+  }
+
+  // Weekly cohort retention (EventAnalytics.cohortRetention): distinct
+  // users active `offset` epoch-weeks after their first-activity week.
+  // Pure integer week indexes — no calendar/timezone semantics.
+  val q101 = sql(
+    "q101_cohort_retention",
+    """WITH kw AS (SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//604800 AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_week FROM kw GROUP BY 1)
+      |SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
+      |FROM kw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.cohortRetention(
+      ev(s, d), col("user_id"), unix_timestamp(col("ts")))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s, q63, q66)
+    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101)
 }

@@ -388,6 +388,29 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
   }
 
+  // Embedding-health dimension stats over the int8 codes — exact
+  // BIGINT sums/sumsqs per dimension (dead dims, range collapse,
+  // scale skew). One posexplode + one (dim)-keyed aggregation with
+  // map-side combine; d=64 keys, so the shuffle is trivial at any
+  // corpus size.
+  val q104 = sql(
+    "q104_embedding_dim_stats",
+    s"""WITH $quantCte,
+       |x AS (SELECT unnest(q8) AS x, unnest(range(1, len(q8)+1)) AS i FROM q)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(sum(x) AS BIGINT) AS sum_q,
+       |  CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sumsq_q,
+       |  min(x) AS min_q, max(x) AS max_q
+       |FROM x GROUP BY i ORDER BY dim""".stripMargin) { (s, d) =>
+    Quantization.withInt8(Tables.embeddings(s, d))
+      .select(posexplode(col("q8")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_q"),
+        sum(col("x").cast("long") * col("x")).as("sumsq_q"),
+        min(col("x")).as("min_q"), max(col("x")).as("max_q"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96)
+    q76, q79, q82, q95, q96, q104)
 }

@@ -164,4 +164,23 @@ class TextSpec extends SparkSuite {
     assert(math.abs(out(2L) - math.log(2)) < 1e-5)
     assert(math.abs(out(3L) - math.log(4)) < 1e-5)
   }
+
+  test("vocab build: min-count floor, ids ranked by (count desc, token)") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a b rare")).toDF("id", "text")
+    val v = Text.buildVocab(df, col("text"), minCount = 2L)
+      .select("token_id", "token", "cnt").as[(Long, String, Long)].collect().toSeq
+    // b:4, a:3 pass; c:1 and rare:1 are cut; hottest token gets id 0
+    assert(v == Seq((0L, "b", 4L), (1L, "a", 3L)))
+  }
+
+  test("inverted index: doc-ordered postings, df/tf exact") {
+    val df = Seq((2L, "x y x"), (1L, "x z")).toDF("id", "text")
+    val idx = Text.invertedIndex(df, col("id"), col("text")).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getAs[String]("postings"))))
+      .toMap
+    assert(idx("x") == ((2L, 3L, "1:1,2:2"))) // doc order, not input order
+    assert(idx("y") == ((1L, 1L, "2:1")))
+    assert(idx("z") == ((1L, 1L, "1:1")))
+  }
 }
