@@ -236,21 +236,25 @@ object Text {
           6).as("entropy"))
 
   /** Vocabulary build — the tokenizer-prep step of a training-data
-    * pipeline: corpus token frequencies, a `minCount` floor, and
-    * contiguous 0-based ids assigned by (count desc, token asc) rank
-    * so the hottest token is id 0 in every engine. Returns
-    * (token_id, token, cnt).
+    * pipeline: corpus token frequencies, a `minCount` floor, a
+    * `maxVocab` size cap (every real tokenizer has a target vocab
+    * size), and contiguous 0-based ids assigned by (count desc,
+    * token asc) rank so the hottest token is id 0 in every engine.
+    * Returns (token_id, token, cnt).
     *
     * Scale: the frequency pass is one shuffle with map-side combine
-    * over the exploded token stream. The id-assignment rank is a
-    * global window, which is fine BECAUSE it runs after the minCount
-    * cut: a vocabulary is alphabet-sized (10⁵–10⁶ rows even at
-    * web-corpus scale), orders of magnitude below the token stream
-    * the frequency pass reduced. */
-  def buildVocab(docs: DataFrame, text: Column, minCount: Long): DataFrame = {
+    * over the exploded token stream. The `maxVocab` cap plans as
+    * TakeOrderedAndProject (per-partition top-k, then merge), so the
+    * global id-assignment rank only ever sees ≤ maxVocab rows — the
+    * unbounded token space never funnels through one task even if
+    * the minCount cut alone would leave billions of distinct keys. */
+  def buildVocab(docs: DataFrame, text: Column, minCount: Long,
+      maxVocab: Int = 1 << 20): DataFrame = {
     val counts = docs.select(explode(tokens(text)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(maxVocab)
     counts.withColumn("token_id",
       (row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("token"))) - 1).cast("long"))
@@ -279,6 +283,30 @@ object Text {
           array_sort(collect_list(struct(col("doc_id"), col("tf")))),
           s => concat(s.getField("doc_id"), lit(":"), s.getField("tf"))), ",")
           .as("postings"))
+
+  /** Vocabulary coverage / OOV profile per document against a
+    * `buildVocab` output — the tokenizer-readiness report a
+    * training-data pipeline runs before committing to a vocab: what
+    * fraction of each document's tokens fall outside the vocabulary.
+    * Returns (doc_id, n_tok, n_oov, oov_ppm); zero-token docs report
+    * (0, 0, 0).
+    *
+    * Scale: the vocab side is ≤ maxVocab rows BY CONSTRUCTION
+    * (buildVocab caps it), so the membership join broadcasts — the
+    * token stream is never shuffled, only scanned and locally
+    * hash-probed. */
+  def vocabCoverage(docs: DataFrame, id: Column, text: Column,
+      vocab: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), explode_outer(tokens(text)).as("token"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        vocab.select(col("token"), lit(true).as("in_vocab"))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("token")).as("n_tok"),
+        sum(when(col("token").isNotNull && col("in_vocab").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        when(col("n_tok") === 0, 0L)
+          .otherwise(floor(lit(1000000L) * col("n_oov") / col("n_tok")).cast("long")))
 
   /** Adjacent-bigram list of a token array: ["a b", "b c", ...]; empty
     * for docs with fewer than two tokens. */

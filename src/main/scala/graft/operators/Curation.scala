@@ -71,6 +71,29 @@ object Curation {
     df.filter(hashBucket(key, salt, 100) < pct)
   }
 
+  /** Leakage-safe split: near-duplicate documents MUST land in the
+    * same split, or the held-out set silently overlaps training (the
+    * q85 audit measures exactly that failure). Given a near-dup pair
+    * list (LSH output), documents are first grouped into connected
+    * components; the split key is then the CLUSTER label (min member
+    * id) for clustered docs and the doc's own id otherwise — so split
+    * membership stays a pure function of (salt, content neighborhood)
+    * and the q85 cross-split near-dup count is zero by construction.
+    *
+    * Scale: the cluster side is pair-graph-sized ≪ corpus (only docs
+    * with at least one near-dup appear), so the label join broadcasts
+    * and the corpus is never shuffled — same shape as
+    * `Dedup.keepOnePerCluster`. */
+  def leakageSafeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+      salt: String = "split", trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("_ls_id"), col("cluster").as("_ls_cluster"))
+    val keyed = docs.join(broadcast(clusters), id === col("_ls_id"), "left")
+      .withColumn("split_key", coalesce(col("_ls_cluster"), id))
+      .drop("_ls_id", "_ls_cluster")
+    withSplit(keyed, col("split_key"), salt, trainPct, valPct)
+  }
+
   /** Concat-and-chunk context packing (the GPT-style pretraining
     * layout): documents are laid head-to-tail per shard in `ord`
     * order, and the resulting token stream is cut into fixed

@@ -281,4 +281,43 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact duplicate-SPAN detection — substring-level dedup at k-token
+    * granularity (the "remove exact substrings repeated across
+    * documents" curation step; whole-doc near-dup misses boilerplate
+    * that repeats INSIDE otherwise-distinct pages). Every k-token
+    * window of every document is keyed by its joined text; a window is
+    * duplicated when the same k-gram occurs in ≥2 distinct documents.
+    * Returns per-doc (doc_id, n_win, n_dup, dup_ppm): window count,
+    * cross-doc duplicated-window count, and the duplicated fraction in
+    * integer ppm. Docs shorter than k tokens have no windows and drop
+    * out (they cannot share a k-span).
+    *
+    * Scale: windows are built by the same zip-shift trick as
+    * `shingleSet` (no O(len²) element_at re-evaluation), the gram →
+    * distinct-doc-count pass is one shuffle with map-side combine, and
+    * the per-doc rollup joins windows to the (gram, df) side keyed on
+    * the gram. Hot grams (boilerplate by definition) make that join
+    * skewed — AQE skew-join splitting handles the reduce side, and the
+    * df table carries only (gram, df_docs ≥ 2) flags, never posting
+    * lists. */
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val toks = Text.tokens(text)
+    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+      val shifted = slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(0)))
+      zip_with(acc, shifted, (a, b) =>
+        when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+    }
+    val wins = docs.select(id.as("doc_id"), explode(filter(grams, _.isNotNull)).as("gram"))
+    val df = wins.groupBy(col("gram"))
+      .agg((count_distinct(col("doc_id")) >= 2).as("is_dup"))
+    wins.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm",
+        floor(lit(1000000L) * col("n_dup") / col("n_win")).cast("long"))
+  }
 }

@@ -357,5 +357,42 @@ object CurationQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90, q97)
+  // Leakage-safe split (Curation.leakageSafeSplit): near-dup clusters
+  // co-assign — the split key is the connected-component label (min
+  // member) for clustered docs, the doc's own id otherwise, so the
+  // q85 cross-split near-dup count is zero BY CONSTRUCTION rather
+  // than audited after the fact. Oracle: recursive-CTE closure over
+  // the exact pair ground truth (the set q39 proves the LSH path
+  // recovers) + the portable split-hash recipe over the group key.
+  val q108 = sql(
+    "q108_leakage_safe_split",
+    s"""WITH RECURSIVE gt AS (SELECT doc_a, doc_b FROM (${VectorQueries.jaccardOracle}) g),
+       |edges AS (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+       |k AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |h AS (SELECT doc_id, split_key,
+       |    ${uSql("md5('split' || CAST(split_key AS VARCHAR))")} AS u FROM k),
+       |sg AS (SELECT doc_id, split_key, ${signedSql("u")} AS hs FROM h),
+       |sp AS (SELECT doc_id, split_key,
+       |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+       |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT split_key) AS n_groups
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+    Curation.leakageSafeSplit(docs, col("doc_id"), pairs)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("split_key")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
+    q97, q108)
 }

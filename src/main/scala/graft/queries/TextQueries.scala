@@ -421,18 +421,72 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  // Vocabulary build (Text.buildVocab): min-count floor, contiguous
-  // ids by (count desc, token) rank — the global rank runs over the
-  // post-threshold vocab (alphabet-sized), not the token stream.
+  // Vocabulary build (Text.buildVocab): min-count floor, maxVocab
+  // size cap (TakeOrderedAndProject — per-partition top-k — so the
+  // global id rank only sees ≤ maxVocab rows), contiguous ids by
+  // (count desc, token) rank. The oracle's post-rank token_id cut is
+  // equivalent to limit-then-rank because both use the same total
+  // order.
   val q102 = sql(
     "q102_vocab_build",
     """WITH c AS (SELECT t AS token, count(*) AS cnt FROM (
       |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
-      |  WHERE t <> '' GROUP BY t HAVING count(*) >= 5)
-      |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id, token, cnt
-      |FROM c ORDER BY token_id""".stripMargin) { (s, d) =>
+      |  WHERE t <> '' GROUP BY t HAVING count(*) >= 5),
+      |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id, token, cnt
+      |  FROM c)
+      |SELECT token_id, token, cnt FROM r WHERE token_id < 1048576 ORDER BY token_id""".stripMargin) { (s, d) =>
     Text.buildVocab(docs(s, d), col("text"), minCount = 5L)
       .orderBy(col("token_id"))
+  }
+
+  // Exact duplicate-SPAN profile (Dedup.duplicateSpans): every 8-token
+  // window keyed by its text; a window is duplicated when the same
+  // k-gram occurs in ≥2 distinct docs. Substring-level dedup — catches
+  // boilerplate repeating INSIDE otherwise-distinct documents, which
+  // whole-doc near-dup (q38-q40) structurally misses.
+  val q106 = sql(
+    "q106_duplicate_spans",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM documents),
+      |w AS (SELECT doc_id, array_to_string(list_slice(ts, i, i+7), ' ') AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS i
+      |        FROM toks WHERE len(ts) >= 8)),
+      |df AS (SELECT gram, (count(DISTINCT doc_id) >= 2) AS is_dup FROM w GROUP BY gram),
+      |p AS (SELECT doc_id, count(*) AS n_win,
+      |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM w JOIN df USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, n_win, n_dup,
+      |  CAST(floor(1000000.0 * n_dup / n_win) AS BIGINT) AS dup_ppm
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.duplicateSpans(docs(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Vocab coverage / OOV profile (Text.vocabCoverage) against the
+  // q102 vocabulary — the tokenizer-readiness report. The vocab side
+  // is ≤ maxVocab by construction, so the membership join broadcasts;
+  // the token stream is never shuffled.
+  val q107 = sql(
+    "q107_vocab_coverage",
+    """WITH c AS (SELECT t AS token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+      |  WHERE t <> '' GROUP BY t HAVING count(*) >= 5),
+      |tk AS (SELECT doc_id, t AS token FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+      |  WHERE t <> ''),
+      |p AS (SELECT d.doc_id, count(tk.token) AS n_tok,
+      |    CAST(sum(CASE WHEN tk.token IS NOT NULL AND c.token IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |  FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+      |    LEFT JOIN c ON c.token = tk.token
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, n_tok, n_oov,
+      |  CASE WHEN n_tok = 0 THEN 0
+      |       ELSE CAST(floor(1000000.0 * n_oov / n_tok) AS BIGINT) END AS oov_ppm
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Text.vocabCoverage(docs(s, d), col("doc_id"), col("text"),
+      Text.buildVocab(docs(s, d), col("text"), minCount = 5L))
+      .orderBy(col("doc_id"))
   }
 
   // Inverted-index build (Text.invertedIndex): per-token df / corpus
@@ -450,11 +504,15 @@ object TextQueries {
       .orderBy(col("token"))
   }
 
-  // Length-decile profile: ntile(10) over (n_chars, doc_id) — the
-  // exact quantile bucketing both engines define identically (first
-  // n%10 buckets one row larger). Exact form only: at corpus scale
-  // the bucketing would come from approx_percentile cut points, not
-  // a global sort; the totals per bucket stay pure integers.
+  // Length-decile profile with ntile(10)-exact bucketing (first n%10
+  // buckets one row larger) — but WITHOUT the global-sort window the
+  // naive form implies. The global rank decomposes as
+  //   r = (#rows with smaller n_chars) + (rank among ties by doc_id):
+  // the first term comes from a per-n_chars histogram (bounded: one
+  // row per distinct length) cumulated via a broadcast non-equi
+  // self-join, the second from a window PARTITIONED by n_chars. The
+  // ntile bucket is then a pure integer function of (r, N), so no
+  // unpartitioned window ever sees the full table.
   val q105 = sql(
     "q105_length_decile_profile",
     """WITH t AS (SELECT doc_id, n_chars,
@@ -466,8 +524,30 @@ object TextQueries {
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
     val t = docs(s, d).select(col("doc_id"), col("n_chars"),
       Text.wsTokenCount(col("text")).cast("long").as("n_tok"))
-    t.withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))))
+    val hist = t.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    // rows strictly below each length; left join keeps the smallest
+    // length (no rows below → 0)
+    val cum = hist.as("a")
+      .join(broadcast(hist.select(col("n_chars").as("nc_b"), col("c").as("c_b"))),
+        col("nc_b") < col("a.n_chars"), "left")
+      .groupBy(col("a.n_chars").as("n_chars"))
+      .agg(coalesce(sum(col("c_b")), lit(0L)).as("cum_below"))
+    val totals = t.agg(count(lit(1)).as("n_total"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_chars")).orderBy(col("doc_id"))
+    t.withColumn("tie_rank", row_number().over(tieW))
+      .join(broadcast(cum), "n_chars")
+      .crossJoin(broadcast(totals))
+      .withColumn("r", col("cum_below") + col("tie_rank"))
+      // ntile(10): base = N div 10, rem = N mod 10; the first rem
+      // buckets hold base+1 rows. Integer-exact ceil-divisions.
+      .withColumn("base", expr("n_total div 10"))
+      .withColumn("rem", col("n_total") % 10)
+      .withColumn("decile",
+        when(col("r") <= col("rem") * (col("base") + 1),
+          expr("(r + base) div (base + 1)"))
+          .otherwise(col("rem") + expr("(r - rem*(base+1) + base - 1) div base"))
+          .cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"), sum(col("n_tok")).as("tok_sum"))
@@ -475,5 +555,5 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
-    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105)
+    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107)
 }

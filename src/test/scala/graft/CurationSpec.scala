@@ -310,6 +310,29 @@ class CurationSpec extends SparkSuite {
     assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
   }
 
+  test("leakage-safe split: near-dup cluster members always share a split") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+    val split = Curation.leakageSafeSplit(docs, col("doc_id"), pairs)
+    // zero cross-split near-dup pairs BY CONSTRUCTION (the q85 audit)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle splits")
+    // docs in no cluster split by their own id — identical to withSplit
+    val clustered = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val lone = split.join(clustered, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("split"))
+    val base = Curation.withSplit(docs, col("doc_id"))
+      .select(col("doc_id"), col("split").as("base_split"))
+    assert(lone.join(base, "doc_id")
+      .filter(col("split") =!= col("base_split")).count() == 0,
+      "singleton docs must get the same split as plain withSplit")
+  }
+
   test("weighted sample: deterministic, size n, heavy weights dominate") {
     import spark.implicits._
     // 100 heavy rows (w=1e6 → priority ≈ 1) vs 100 light (w=1e-3 → ≈ 0)

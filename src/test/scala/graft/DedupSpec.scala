@@ -73,4 +73,26 @@ class DedupSpec extends SparkSuite {
     val sh = Dedup.shingleSet(docs, col("doc_id"), col("text"))
     assert(sh.count() == sh.distinct().count())
   }
+
+  test("duplicateSpans: cross-doc k-spans flagged, within-doc repeats and short docs not") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val corpus = Seq(
+      (1L, s"intro one two three $shared tail1"),
+      (2L, s"other opening words here $shared tail2 extra"),
+      (3L, "completely different text with no overlap at all whatsoever here"),
+      // same 8-gram twice in ONE doc only → not cross-doc duplicated
+      (4L, s"p q r s t u v w x p q r s t u v w x"),
+      (5L, "short doc")) // < 8 tokens → no windows
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 13 tokens → 6 windows, exactly 1 is the shared 8-gram
+    assert(out(1L)._1 == 6 && out(1L)._2 == 1, s"doc1: ${out(1L)}")
+    // doc2: 14 tokens → 7 windows, 1 shared
+    assert(out(2L)._1 == 7 && out(2L)._2 == 1, s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0, "no cross-doc span in doc3")
+    assert(out(4L)._2 == 0, "within-doc repetition is not cross-doc duplication")
+    assert(!out.contains(5L), "sub-k docs have no windows")
+  }
 }

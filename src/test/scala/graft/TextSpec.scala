@@ -173,6 +173,16 @@ class TextSpec extends SparkSuite {
     assert(v == Seq((0L, "b", 4L), (1L, "a", 3L)))
   }
 
+  test("vocab coverage: OOV counted against the vocab, empty docs report zero") {
+    val corpus = Seq((1L, "b b a zzz"), (2L, "a b"), (3L, "")).toDF("id", "text")
+    val vocab = Text.buildVocab(corpus, col("text"), minCount = 2L) // {a, b}
+    val out = Text.vocabCoverage(corpus, col("id"), col("text"), vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 250000L)), s"doc1: ${out(1L)}") // zzz is OOV
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)), "zero-token doc must survive with zeros")
+  }
+
   test("inverted index: doc-ordered postings, df/tf exact") {
     val df = Seq((2L, "x y x"), (1L, "x z")).toDF("id", "text")
     val idx = Text.invertedIndex(df, col("id"), col("text")).collect()
