@@ -390,6 +390,33 @@ object TimeSeriesQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  // Attribution interval join — the BATCH form of the stream-stream
+  // Pipelines.intervalJoin (watermarks are a no-op on batch inputs, so
+  // the very same operator is oracle-gated here and replay-tested in
+  // StreamingConsistencySpec): purchases within 30 min of a view by
+  // the same user.
+  val q109 = sql(
+    "q109_attribution_join",
+    """WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, strftime(vts, '%Y%m%d%H%M%S') AS left_ts,
+      |  strftime(pts, '%Y%m%d%H%M%S') AS right_ts
+      |FROM v JOIN p ON p.user_id = v.user_id
+      |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, left_ts, right_ts""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    graft.streaming.Pipelines.intervalJoin(
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts")),
+      "user_id", "vts", "pts", maxDelay = "30 minutes")
+      .select(col("user_id"),
+        date_format(col("left_ts"), "yyyyMMddHHmmss").as("left_ts"),
+        date_format(col("right_ts"), "yyyyMMddHHmmss").as("right_ts"))
+      .orderBy(col("user_id"), col("left_ts"), col("right_ts"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101)
+    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109)
 }

@@ -64,6 +64,32 @@ object Pipelines {
       .select(col("window.start").as("window_start"), col("key"), col("cnt"),
         size(col("sources")).as("n_sources"))
 
+  /** Stream-stream interval join (the attribution shape: each left
+    * event matches right events with the same key whose event time
+    * falls in [left.ts, left.ts + maxDelay]). Structured Streaming's
+    * native interval-join contract — both sides watermarked so the
+    * state store is BOUNDED: left rows are evicted once the watermark
+    * passes left.ts + maxDelay, right rows once it passes right.ts.
+    * Inner-join results emit as soon as both sides arrive (no
+    * watermark wait), so stream and batch agree row-for-row.
+    *
+    * At scale this is one shuffle per side on the join key, identical
+    * state keyed by (key, time-range) on every executor — the same
+    * plan Spark uses for the batch range join, plus eviction. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay"))
+      .select(col(s"l.$key").as(key),
+        col(s"l.$leftTs").as("left_ts"), col(s"r.$rightTs").as("right_ts"))
+  }
+
   /** §3.1 keyword dataflow head: quality filter → keyword fan-out.
     * `extract` is the U1 keyword column (array) for the row. */
   def keywordFanout(parsed: DataFrame, textCol: String,

@@ -103,6 +103,32 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = events.filter(_._2 == "view").map(e => (e._3, e._1))
+    val purchases = events.filter(_._2 == "purchase").map(e => (e._3, e._1))
+    val vs = MemoryStream[(Long, Timestamp)]
+    val ps = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.intervalJoin(
+      vs.toDF().toDF("user_id", "vts"), ps.toDF().toDF("user_id", "pts"),
+      "user_id", "vts", "pts", maxDelay = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    // interleave chunks on both sides so matches span micro-batches
+    val (v1, v2) = views.splitAt(views.size / 2)
+    val (p1, p2) = purchases.splitAt(purchases.size / 2)
+    vs.addData(v1); q.processAllAvailable()
+    ps.addData(p1); q.processAllAvailable()
+    vs.addData(v2); ps.addData(p2); q.processAllAvailable()
+    val streamed = spark.table("attrib")
+    val batch = Pipelines.intervalJoin(
+      views.toDF("user_id", "vts"), purchases.toDF("user_id", "pts"),
+      "user_id", "vts", "pts", maxDelay = "30 minutes")
+    assert(streamed.count() > 0, "no attributed pairs — fixture too sparse")
+    assert(sortedRows(streamed) == sortedRows(batch))
+    q.stop()
+  }
+
   test("breaking alert windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Long)]
