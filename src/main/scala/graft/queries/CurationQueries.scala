@@ -393,6 +393,49 @@ object CurationQueries {
       .orderBy(col("split"))
   }
 
+  // Link-graph PageRank (Graphs.pagerank) — the web-corpus quality
+  // prior — over a deterministic synthetic link graph (3 out-edges per
+  // doc, arithmetic targets mod n). The oracle unrolls the 3
+  // iterations; cross-engine determinism comes from DECIMAL(38,18)
+  // contribution sums and the round-12 re-quantization each step
+  // (doubles pinned explicitly — DuckDB literals default to DECIMAL).
+  val q110 = sql(
+    "q110_pagerank", {
+      def c(i: Int, prev: String) =
+        s"""c$i AS (SELECT ew.dst AS node,
+           |    CAST(SUM(CAST($prev.pr / ew.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+           |  FROM ew JOIN $prev ON $prev.node = ew.src GROUP BY ew.dst)""".stripMargin
+      def r(i: Int) =
+        s"""r$i AS (SELECT b.node, b.nn, round(
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / b.nn
+           |      + CAST(0.85 AS DOUBLE) * coalesce(c$i.s, CAST(0 AS DOUBLE)), 12) AS pr
+           |  FROM base b LEFT JOIN c$i USING (node))""".stripMargin
+      s"""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id*7 + j*13 + 1) % n.nn AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN range(0, 3) t(j)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |base AS (SELECT node, n.nn AS nn FROM nodes CROSS JOIN n),
+         |r0 AS (SELECT node, nn, round(CAST(1.0 AS DOUBLE) / nn, 12) AS pr FROM base),
+         |${c(1, "r0")}, ${r(1)},
+         |${c(2, "r1")}, ${r(2)},
+         |${c(3, "r2")}, ${r(3)}
+         |SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val dcs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = dcs.crossJoin(broadcast(dcs.agg(count(lit(1)).as("nn"))))
+      .select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          (col("doc_id") * 7 + j * 13 + 1) % col("nn")): _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    graft.operators.Graphs.pagerank(edges)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108)
+    q97, q108, q110)
 }
