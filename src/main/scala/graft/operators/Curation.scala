@@ -94,6 +94,28 @@ object Curation {
     withSplit(keyed, col("split_key"), salt, trainPct, valPct)
   }
 
+  /** Snapshot diff between two versions of a keyed table: per-key
+    * status — added (new only), removed (old only), changed (both,
+    * fingerprint differs), unchanged. The table-version delta every
+    * incremental corpus pipeline publishes between crawls (what must
+    * be re-embedded / re-deduped / re-packed this round).
+    *
+    * `fp` is the content fingerprint expression evaluated against
+    * each side's columns (md5(text) is the portable default choice).
+    * One full-outer shuffle join on the key; at 100 TB both sides
+    * bucket by the same key so the join co-locates. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      key: String, fp: Column): DataFrame = {
+    val o = oldDf.select(col(key), fp.as("_fp_old"))
+    val n = newDf.select(col(key), fp.as("_fp_new"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Concat-and-chunk context packing (the GPT-style pretraining
     * layout): documents are laid head-to-tail per shard in `ord`
     * order, and the resulting token stream is cut into fixed

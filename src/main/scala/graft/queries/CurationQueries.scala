@@ -436,6 +436,34 @@ object CurationQueries {
       .orderBy(col("node"))
   }
 
+  // Snapshot diff (Curation.snapshotDiff): two deterministic synthetic
+  // versions of the corpus (v_old drops doc_id%50==0, v_new drops
+  // doc_id%49==0 and edits text where doc_id%31==0), diffed by md5
+  // fingerprint → per-status counts. The incremental-crawl delta.
+  val q111 = sql(
+    "q111_snapshot_diff",
+    """WITH v_old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 50 <> 0),
+      |v_new AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 49 <> 0),
+      |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.fp IS NULL THEN 'added'
+      |         WHEN n.fp IS NULL THEN 'removed'
+      |         WHEN o.fp <> n.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vOld = docs.filter(col("doc_id") % 50 =!= 0)
+    val vNew = docs.filter(col("doc_id") % 49 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Curation.snapshotDiff(vOld, vNew, "doc_id", md5(col("text")))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110)
+    q97, q108, q110, q111)
 }

@@ -310,6 +310,15 @@ class CurationSpec extends SparkSuite {
     assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
   }
 
+  test("snapshot diff: added/removed/changed/unchanged partition the key space") {
+    import spark.implicits._
+    val vOld = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val vNew = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "text")
+    val out = Curation.snapshotDiff(vOld, vNew, "id", md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("leakage-safe split: near-dup cluster members always share a split") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
