@@ -183,14 +183,16 @@ object Dedup {
     * per dup cluster" needs components, not pairs (a–b and b–c must
     * collapse even when a–c was never emitted).
     *
-    * Min-label propagation with a driver convergence loop. Scale
-    * rationale: the edge table is the near-dup GRAPH — orders of
-    * magnitude smaller than the corpus — and the iteration count is
-    * the component diameter (near-dup clusters are shallow; a chain
-    * of length d converges in ⌈log₂ d⌉+1 rounds since labels jump
-    * through already-relabeled neighbors). Each round is one join +
-    * one aggregation on the graph; localCheckpoint truncates the plan
-    * so lineage doesn't grow with iterations. */
+    * Min-label propagation WITH POINTER JUMPING: each round a node
+    * takes the least of its own label, its neighbors' labels, and its
+    * label's label (the shortcut — chase the pointer one hop). Plain
+    * neighbor propagation needs O(diameter) rounds; the shortcut
+    * halves the pointer depth every round, so convergence is
+    * O(log diameter) — the difference between 3 and 30 Spark jobs on
+    * a million-node boilerplate component at corpus scale. Each round
+    * is two joins + one aggregation on the GRAPH (orders of magnitude
+    * smaller than the corpus); localCheckpoint truncates the plan so
+    * lineage doesn't grow with iterations. */
   def dupClusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
     val edges = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
@@ -203,10 +205,15 @@ object Dedup {
         val neighborMin = edges
           .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
           .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
+        // lbl is always itself a node (init lbl=node; min preserves
+        // membership), so the shortcut join always matches.
+        val shortcut = labels
+          .join(labels.select(col("node").as("lbl"), col("lbl").as("ll")), "lbl")
+        val next = shortcut.join(neighborMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-            (col("nmin") < col("lbl")).as("_chg"))
+            least(col("lbl"), coalesce(col("nmin"), col("lbl")), col("ll")).as("lbl"),
+            (coalesce(col("nmin"), col("lbl")) < col("lbl") ||
+              col("ll") < col("lbl")).as("_chg"))
         val nextCk = next.localCheckpoint()
         changed = nextCk.filter(col("_chg")).count()
         labels = nextCk.drop("_chg")

@@ -102,4 +102,40 @@ class EdgeCaseSpec extends SparkSuite {
     // (v1h=14>2 and v6h=7/6>1, advanced_trend_analyzer.py:199-206)
     assert(m.getString(7) == "rising")
   }
+
+  test("duplicateSpans: all-short corpus yields no rows; dup_ppm spans the full range") {
+    val shorties = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.duplicateSpans(shorties, col("doc_id"), col("text"))
+      .count() == 0)
+    // two identical 8-token docs: every window duplicated → 1e6 ppm
+    val t = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val full = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.duplicateSpans(full, col("doc_id"), col("text"))
+      .collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(3) == 1000000L))
+  }
+
+  test("vocabCoverage with an empty vocab marks every token OOV") {
+    val corpus = Seq((1L, "a b c")).toDF("id", "text")
+    val emptyVocab = Seq.empty[(Long, String, Long)].toDF("token_id", "token", "cnt")
+    val r = graft.functions.Text.vocabCoverage(corpus, col("id"), col("text"), emptyVocab)
+      .collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 3 && r.getLong(3) == 1000000L)
+  }
+
+  test("pagerank on a two-node cycle is uniform 0.5") {
+    val pr = graft.operators.Graphs.pagerank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .collect().map(_.getDouble(1))
+    assert(pr.toSeq == Seq(0.5, 0.5))
+  }
+
+  test("snapshotDiff against an empty side labels everything added/removed") {
+    val v = Seq((1L, "x")).toDF("id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val added = graft.operators.Curation.snapshotDiff(empty, v, "id", md5(col("text")))
+      .collect().map(_.getString(1)).toSeq
+    val removed = graft.operators.Curation.snapshotDiff(v, empty, "id", md5(col("text")))
+      .collect().map(_.getString(1)).toSeq
+    assert(added == Seq("added") && removed == Seq("removed"))
+  }
 }
