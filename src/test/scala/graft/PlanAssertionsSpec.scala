@@ -123,6 +123,15 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("vocab coverage: the membership join broadcasts the vocab side") {
+    // buildVocab BOUNDS its output (maxVocab cap), so the OOV join
+    // must plan as BroadcastHashJoin — a SortMergeJoin here would
+    // shuffle the full token stream of a 100 TB corpus.
+    val p = plan(q("q107_vocab_coverage"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("curation: contamination join broadcasts the benchmark side") {
     // The corpus-side scan must stay shuffle-free: benchmark shingle
     // sets are tiny next to a 100 TB corpus, so a SortMergeJoin here
