@@ -36,6 +36,15 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("dmean equals exact-sum / count and is partitioning-independent") {
+    val xs = Seq(0.1, 0.2, 0.3, 1e9, -1e9, 0.4)
+    val expected = (xs.map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      / xs.length).toDouble
+    val a = xs.toDF("x").agg(Exact.dmean(col("x"))).collect().head.getDouble(0)
+    val b = xs.toDF("x").repartition(5).agg(Exact.dmean(col("x"))).collect().head.getDouble(0)
+    assert(a == expected && b == expected)
+  }
+
   test("curation edges: empty text, empty inputs, oversized single doc") {
     import graft.operators.{Curation, Quantization}
     // empty / 1-char text → exactly one chunk, text preserved
