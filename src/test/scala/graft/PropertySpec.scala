@@ -93,6 +93,28 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: duplicateSpans equals a brute-force window scan on random corpora") {
+    val k = 4
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpus = sample(docGen, 60, 23L).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val got = graft.operators.Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force in plain Scala
+    val wins = corpus.flatMap { case (id, text) =>
+      val ts = text.split(" ").filter(_.nonEmpty)
+      ts.sliding(k).filter(_.length == k).map(w => (id, w.mkString(" "))).toSeq
+    }
+    val dupGrams = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.count(w => dupGrams(w._2)).toLong))
+    }
+    assert(got == expected,
+      s"mismatch: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+  }
+
   test("property: josa stripping only removes listed suffixes") {
     val base = Seq("삼성전자", "기술", "한국", "서울")
     val josa = Seq("이", "가", "을", "를", "은", "는", "에서", "로", "만")
