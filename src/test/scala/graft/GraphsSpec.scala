@@ -31,6 +31,31 @@ class GraphsSpec extends SparkSuite {
     assert(math.abs(pr.sum - 1.0) < 1e-9, s"mass ${pr.sum}")
   }
 
+  test("pagerank equals a plain-Scala replica on a random graph") {
+    // independent reimplementation of the operator's arithmetic
+    // contract: contributions quantized to DECIMAL(38,18) (HALF_UP),
+    // exact sum, then round-12 HALF_UP re-quantization per iteration
+    val rnd = new scala.util.Random(99)
+    val n = 40L
+    val edges = (0 until 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Graphs.pagerank(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val nn = nodes.size
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = nodes.map(_ -> r12(1.0 / nn)).toMap
+    for (_ <- 1 to 3) {
+      val sums = scala.collection.mutable.Map[Long, BigDecimal]().withDefaultValue(BigDecimal(0))
+      edges.foreach { case (s, d) =>
+        sums(d) += BigDecimal(p(s) / outdeg(s)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }
+      p = nodes.map(v => v -> r12((1.0 - 0.85) / nn + 0.85 * sums(v).toDouble)).toMap
+    }
+    assert(got == p, s"mismatch on ${got.keySet.filter(k => got(k) != p(k))}")
+  }
+
   test("deterministic across repartitioning") {
     val edges = (0L until 60L).map(i => (i, (i * 7 + 1) % 60L)).toDF("src", "dst")
     val a = Graphs.pagerank(edges).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
