@@ -216,7 +216,8 @@ object Pipelines {
       fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
     val existing =
       if (hasLiveBuckets)
-        spark.read.parquet(mirrorPath).filter(col("bucket").isin(touched.map(Int.box): _*))
+        spark.read.parquet(mirrorPath)
+          .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         incoming.schema)
     // union → keep the newest (ts_ms) version per (table, id); replayed
