@@ -209,14 +209,22 @@ object Similarity {
     val base = emb.select(col("vec_id") +: col("embedding") +:
       block.map(_.as("_blk")).toSeq: _*)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
+    // Each UNORDERED pair is scored once (a < b) and mirrored — the
+    // fused dot loop and the norm product are bitwise-commutative, so
+    // halving the scored pairs cannot change any sim value. The
+    // mirror explode doubles rows only AFTER the expensive kernel.
     val joinCond = block match {
-      case Some(_) => col("a._blk") === col("b._blk") && col("a.vec_id") =!= col("b.vec_id")
-      case None => col("a.vec_id") =!= col("b.vec_id")
+      case Some(_) => col("a._blk") === col("b._blk") && col("a.vec_id") < col("b.vec_id")
+      case None => col("a.vec_id") < col("b.vec_id")
     }
-    val pairs = base.as("a").join(base.as("b"), joinCond)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+    val scored = base.as("a").join(base.as("b"), joinCond)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+    val pairs = scored.select(explode(array(
+        struct(col("va").as("vec_id"), col("vb").as("nbr"), col("sim")),
+        struct(col("vb").as("vec_id"), col("va").as("nbr"), col("sim")))).as("e"))
+      .select(col("e.vec_id"), col("e.nbr"), col("e.sim"))
       .withColumn("_ord",
         round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("nbr"))
     graft.plans.GraftOps.topKPerGroup(pairs, Seq("vec_id"), "_ord", k)
