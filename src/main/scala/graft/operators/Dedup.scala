@@ -35,7 +35,13 @@ object Dedup {
     * functions, so an element_at(toks, i) formulation re-evaluates the
     * whole split per element (O(len²) string work per document; 12 s
     * vs <1 s on the sf0.1 corpus). */
-  def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"), explode(shingleArray(text, n)).as("shingle"))
+
+  /** The distinct-shingle set as a per-row ARRAY column — the
+    * streaming-legal form (no explode/groupBy), shared by the batch
+    * `shingleSet` so both paths produce identical shingles. */
+  def shingleArray(text: Column, n: Int = 3): Column = {
     val toks = Text.tokens(text)
     val len = size(toks)
     // acc(i) = toks(i)+..+toks(i+k-1), null once the window runs off
@@ -46,8 +52,26 @@ object Dedup {
         when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
     }
     val full = array_distinct(filter(grams, g => g.isNotNull))
-    val out = when(len >= n, full).otherwise(array(concat_ws(" ", toks)))
-    docs.select(id.as("doc_id"), explode(out).as("shingle"))
+    when(len >= n, full).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Per-row MinHash signature — the same values as the aggregation
+    * form (`minhashSignatures`) but as a pure column expression over
+    * the shingle ARRAY, so it can run in a streaming stage ahead of
+    * keyed state. `sh` must be a materialized column reference (not an
+    * inline expression: Catalyst does not CSE inside HOF lambdas, and
+    * this evaluates it numHashes times). */
+  def sigArray(sh: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(sh, x => xxhash64(lit(s), x)))): _*)
+
+  /** LSH band hashes from a materialized signature column — identical
+    * construction to the batch banding inside minhashLshPairs. */
+  def bandsFromSig(sig: Column, numHashes: Int = 64, bands: Int = 16): Column = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      hash(slice(sig, b * rows + 1, rows).cast("string"), lit(b))): _*)
   }
 
   /** Exact Jaccard for an explicit candidate-pair set. Candidate-driven:
@@ -126,10 +150,27 @@ object Dedup {
     * ground truth, at a fraction of the join cost. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
     val sh = shingleSet(docs, id, text, n).cache()
     try {
+    val candidates = lshCandidatesFromShingles(sh, numHashes, bands)
+    jaccardOnPairs(sh, candidates)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint() // near-dup pairs ≪ corpus; materialized pre-unpersist
+    } finally sh.unpersist()
+  }
+
+  /** The candidate stage of minhashLshPairs — banded signature join,
+    * each pair emitted exactly once (at the FIRST band both signatures
+    * share, evaluated as a join predicate so no distinct() shuffle).
+    * Exposed separately so the streaming candidate generator can be
+    * replay-tested against the identical batch construction. */
+  def lshCandidatePairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshCandidatesFromShingles(shingleSet(docs, id, text, n), numHashes, bands)
+
+  private def lshCandidatesFromShingles(sh: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
     val sig = minhashSignatures(sh, numHashes)
     // Dedup-free emission (same trick as simhashPairs): near-dup pairs
     // agree on MANY of the 16 bands, so the banded join yields each
@@ -137,23 +178,17 @@ object Dedup {
     // join lets "this is the first band we share" run as a join
     // predicate, and the candidate distinct() shuffle disappears.
     val withBands = sig.select(col("doc_id"),
-      array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows).cast("string"), lit(b))): _*).as("bands"))
+      bandsFromSig(col("sig"), numHashes, bands).as("bands"))
     val banded = withBands.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
     val firstSharedBand = array_position(
       zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
-    val candidates = banded.as("l")
+    banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id") &&
           firstSharedBand === col("l.band") + 1)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-    jaccardOnPairs(sh, candidates)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint() // near-dup pairs ≪ corpus; materialized pre-unpersist
-    } finally sh.unpersist()
   }
 
   /** Embedding-cosine near-dup pairs with blocking: pairs are only

@@ -112,4 +112,88 @@ object Stateful {
       .groupByKey(_.key)
       .transformWithState(new RunningCountProcessor(cfg), mode, OutputMode.Update())
   }
+
+  case class BucketDoc(bucket: Long, docId: Long, bands: Seq[Long], ts: Timestamp)
+  case class CandidatePair(doc_a: Long, doc_b: Long)
+
+  /** STREAMING MinHash-LSH near-dup candidates: as documents arrive,
+    * emit every pair that lands in the same LSH band bucket — the
+    * continuous-ingestion form of batch near-dup dedup (exact-content
+    * streaming dedup is `Pipelines.dedupByContent`; this catches
+    * NEAR-duplicates). Emitted candidates feed exact-Jaccard
+    * verification downstream (foreachBatch), exactly as the batch
+    * candidates do.
+    *
+    * Construction parity with batch: the signature/banding column
+    * expressions are `Dedup.sigArray`/`bandsFromSig` — the SAME values
+    * the batch `lshCandidatePairs` computes — and each pair is emitted
+    * exactly once, at the first band both signatures share (both full
+    * band arrays ride in state, so the check is local).
+    *
+    * Scale: state is keyed by (band, bandHash) — the same key the
+    * batch join shuffles on. Per-bucket state holds (docId, bands, ts)
+    * for live docs, bounded two ways: event-time TTL eviction
+    * (watermark-driven, like runningCounts) and `maxBucketSize` — a
+    * bucket at cap stops admitting new docs; hot buckets are
+    * boilerplate by definition and their pairs are better handled by
+    * the batch tier. */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, ttlMs: Long, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 64,
+      watermarkDelay: String = "0 seconds"): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val streaming = docs.isStreaming
+    val withBands = docs.select(
+      col(idCol).cast("long").as("docId"),
+      to_timestamp(col(tsCol)).as("ts"),
+      graft.operators.Dedup.shingleArray(col(textCol)).as("_sh"))
+      .withColumn("_sig", graft.operators.Dedup.sigArray(col("_sh"), numHashes))
+      .withColumn("bands",
+        graft.operators.Dedup.bandsFromSig(col("_sig"), numHashes, bands))
+      .select(col("docId"), col("ts"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket_hash")))
+      // one bucket key per (band, hash): band index in the high bits
+      .select((col("band").cast("long") * lit(1L << 32) + col("bucket_hash")
+          .bitwiseAND(lit(0xffffffffL))).as("bucket"),
+        col("docId"), col("bands"), col("ts"))
+    val keyed = (if (streaming) withBands.withWatermark("ts", watermarkDelay)
+      else withBands)
+      .select(col("bucket"), col("docId"), col("bands"), col("ts")).as[BucketDoc]
+
+    def firstSharedBand(a: Seq[Long], b: Seq[Long]): Int =
+      a.iterator.zip(b.iterator).indexWhere { case (x, y) => x == y }
+
+    def update(bucket: Long, rows: Iterator[BucketDoc],
+        state: GroupState[Seq[BucketDoc]]): Iterator[CandidatePair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val band = (bucket >> 32).toInt
+        var live = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[CandidatePair]
+        var maxTs = live.foldLeft(Long.MinValue)((m, d) => math.max(m, d.ts.getTime))
+        rows.foreach { d =>
+          if (!live.exists(_.docId == d.docId) && live.size < maxBucketSize) {
+            live.foreach { o =>
+              // emit once globally: only from the first shared band
+              if (firstSharedBand(d.bands, o.bands) == band) {
+                val (a, b) = if (o.docId < d.docId) (o.docId, d.docId)
+                  else (d.docId, o.docId)
+                out += CandidatePair(a, b)
+              }
+            }
+            live = live :+ d
+            maxTs = math.max(maxTs, d.ts.getTime)
+          }
+        }
+        state.update(live)
+        if (streaming) state.setTimeoutTimestamp(maxTs + ttlMs)
+        out.result().iterator
+      }
+    }
+
+    keyed.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

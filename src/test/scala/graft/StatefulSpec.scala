@@ -94,4 +94,45 @@ class StatefulSpec extends SparkSuite {
       }
     }
   }
+
+  test("streaming LSH candidates: replay equals the batch candidate stage") {
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus text (has planted near-dups) with synthetic
+    // monotonically increasing event times
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .map { case (id, text) => (id, text, ts(id)) }
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = Stateful.lshCandidateStream(sdf, "doc_id", "text", "ts",
+      ttlMs = 1000L * 3600 * 24)
+      .writeStream.outputMode("update").format("memory").queryName("lshc").start()
+    val (a, b) = docs.splitAt(docs.length / 2)
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.table("lshc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.lshCandidatePairs(
+      Tables.documents(spark, sf0001), col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup candidates")
+    assert(streamed == batch,
+      s"extra=${streamed -- batch} missing=${batch -- streamed}")
+    // exactly-once emission: no duplicate pairs across buckets/triggers
+    assert(spark.table("lshc").count() == streamed.size)
+    q.stop()
+  }
+
+  test("streaming LSH candidates: batch-mode execution matches too") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), lit(ts(0)).as("ts"))
+    val got = Stateful.lshCandidateStream(docs, "doc_id", "text", "ts",
+      ttlMs = 1000L).collect().map(p => (p.doc_a, p.doc_b)).toSet
+    val batch = graft.operators.Dedup.lshCandidatePairs(
+      Tables.documents(spark, sf0001), col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+  }
 }
