@@ -464,6 +464,41 @@ object CurationQueries {
       .orderBy(col("status"))
   }
 
+  // Count-min sketch heavy-hitter estimates (Sketches.countMin /
+  // cmsEstimate): width 16 FORCES collisions on the synthetic vocab,
+  // and the oracle replays the full grid — including every collision —
+  // because the hash family is the portable salted recipe. CMS error
+  // is one-sided: cms_est ≥ n always (asserted in the spec).
+  val q112 = sql(
+    "q112_cms_heavy_hitters", {
+      val h = (expr: String) =>
+        pmodSql(signedSql(uSql(s"md5('cms' || CAST(r AS VARCHAR) || ':' || ($expr))")), 16)
+      s"""WITH tok AS (SELECT t AS token FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |cells AS (SELECT r, ${h("token")} AS col, count(*) AS c
+         |  FROM tok CROSS JOIN range(0, 3) t(r) GROUP BY 1, 2),
+         |top AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+         |  ORDER BY n DESC, token LIMIT 20),
+         |q AS (SELECT token, n, r, ${h("token")} AS col
+         |  FROM top CROSS JOIN range(0, 3) t(r)),
+         |est AS (SELECT token, n, min(coalesce(c.c, 0)) AS cms_est
+         |  FROM q LEFT JOIN cells c USING (r, col) GROUP BY token, n)
+         |SELECT token, n, CAST(cms_est AS BIGINT) AS cms_est
+         |FROM est ORDER BY n DESC, token""".stripMargin
+    }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    val sketch = graft.operators.Sketches.countMin(toks, col("token"), width = 16, depth = 3)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+    val est = graft.operators.Sketches.cmsEstimate(sketch, top, col("token"),
+      width = 16, depth = 3)
+    top.join(est, col("token") === col("item"))
+      .select(col("token"), col("n"), col("cms_est"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111)
+    q97, q108, q110, q111, q112)
 }
