@@ -24,6 +24,9 @@ import graft.streaming.{Metrics, Pipelines}
   *  5. curated training-data landing zone: upsert content through the
   *     streaming curation funnel (content dedup → gates → scrub) into
   *     split/shard-partitioned parquet
+  *  6. near-dup candidate feed: streaming MinHash-LSH candidates over
+  *     the landed content → parquet append (downstream batch verify
+  *     via Dedup.jaccard on the candidate pairs)
   */
 object StreamingJob {
   def main(args: Array[String]): Unit = {
@@ -75,12 +78,32 @@ object StreamingJob {
         "text", "event_time"),
       s"$out/curated", s"$out/ckpt/curated")
 
+    val nearDupCandidates = graft.streaming.Stateful.lshCandidateStream(
+      graft.model.Cdc.upserts(parsed)
+        .select(col("after.id").as("doc_id"), col("after.content").as("text"),
+          col("event_time"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      "doc_id", "text", "event_time",
+      ttlMs = 1000L * 3600 * 24, watermarkDelay = "10 minutes")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$out/ckpt/neardup")
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      // candidate pairs are emitted exactly once, so appending each
+      // micro-batch IS the pair log (a file sink would demand append
+      // mode, which stateful update output can't use directly)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.Stateful.CandidatePair],
+          _: Long) =>
+        df.write.mode("append").parquet(s"$out/neardup_candidates")
+      }
+      .start()
+
     sys.addShutdownHook {
       val (b, r) = m.snapshot
       // scalastyle:off println
       println(s"graft-streaming: $b batches, $r rows processed")
       // scalastyle:on println
     }
-    Seq(counts, alerts, mirror, rankDeltas, landing).foreach(_.awaitTermination())
+    Seq(counts, alerts, mirror, rankDeltas, landing, nearDupCandidates)
+      .foreach(_.awaitTermination())
   }
 }
