@@ -40,7 +40,7 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
     val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
     var p = base.withColumn("pr", round(lit(1.0) / col("nn"), 12))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew
         .join(p.select(col("node").as("src"), col("pr")), "src")
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
@@ -51,6 +51,10 @@ object Graphs {
           (lit(1.0) - damping) / col("nn") +
             lit(damping) * coalesce(col("s"), lit(0.0)), 12))
         .select(col("node"), col("nn"), col("pr"))
+      // Truncate lineage every few rounds so deep iteration counts
+      // don't compound the plan (values are unchanged; the rank table
+      // is node-sized, cheap to materialize).
+      if (i % 4 == 0 && i < iters) p = p.localCheckpoint()
     }
     p.select(col("node"), col("pr"))
   }
