@@ -93,6 +93,31 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: q105's integer ntile decomposition equals ntile() for random sizes") {
+    // the scale-safe decile path replaces ntile(10) OVER (global sort)
+    // with rank-from-histogram + an integer bucket formula; pin the
+    // formula against Spark's own ntile on assorted row counts,
+    // including N < 10, N % 10 == 0, and N % 10 != 0
+    for (n <- Seq(1, 7, 10, 23, 100, 101, 109)) {
+      val df = (1 to n).map(_.toLong).toDF("r")
+        .crossJoin(Seq(n.toLong).toDF("n_total"))
+      val viaFormula = df
+        .withColumn("base", expr("n_total div 10"))
+        .withColumn("rem", col("n_total") % 10)
+        .withColumn("decile",
+          when(col("r") <= col("rem") * (col("base") + 1),
+            expr("(r + base) div (base + 1)"))
+            .otherwise(col("rem") + expr("(r - rem*(base+1) + base - 1) div base"))
+            .cast("int"))
+        .select("r", "decile").as[(Long, Int)].collect().toMap
+      val viaNtile = (1 to n).map(_.toLong).toDF("r")
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("r"))))
+        .select("r", "decile").as[(Long, Int)].collect().toMap
+      assert(viaFormula == viaNtile, s"n=$n")
+    }
+  }
+
   test("property: duplicateSpans equals a brute-force window scan on random corpora") {
     val k = 4
     val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
