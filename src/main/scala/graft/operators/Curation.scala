@@ -287,6 +287,37 @@ object Curation {
       .drop("_w")
   }
 
+  /** Deterministic stride-scheduled mixture ORDER — the training-time
+    * complement of mixtureSample (which decides WHAT to keep, this
+    * decides in WHAT ORDER domains interleave): each doc gets a
+    * virtual time vt = rank_d / w_d, where rank_d is its salted-hash
+    * rank within its domain and w_d the domain weight. Reading docs
+    * in vt order interleaves domains proportionally to their weights
+    * at every prefix (stride scheduling) — a prefix of the schedule
+    * IS a weight-faithful mixture, which is what curriculum/epoch
+    * loaders consume.
+    *
+    * Deterministic and engine-replayable (portable salted hash, one
+    * IEEE division). Adds (sched_rank, sched_vt). Scale: the rank
+    * window partitions by domain; no global sort — consumers either
+    * range-partition on vt or take bounded prefixes
+    * (TakeOrderedAndProject). Domains absent from `weights` are
+    * dropped. */
+  def mixtureSchedule(df: DataFrame, domain: Column, key: Column,
+      weights: Seq[(String, Double)], salt: String = "sched"): DataFrame = {
+    require(weights.forall(_._2 > 0))
+    GraftFunctions.register(df.sparkSession)
+    val wmap = map(weights.flatMap { case (d, w) => Seq(lit(d), lit(w)) }: _*)
+    val w = Window.partitionBy(col("_dom"))
+      .orderBy(saltedHash(key, salt), key)
+    df.withColumn("_dom", domain)
+      .withColumn("_w", element_at(wmap, col("_dom")))
+      .filter(col("_w").isNotNull)
+      .withColumn("sched_rank", row_number().over(w).cast("long"))
+      .withColumn("sched_vt", col("sched_rank").cast("double") / col("_w"))
+      .drop("_w")
+  }
+
   /** Stratified deterministic sample: the `n` lowest-hash rows per
     * stratum — balanced subsets (equal-size per-language eval slices)
     * from one stratum-partitioned window, no global sort. Same

@@ -499,6 +499,34 @@ object CurationQueries {
       .orderBy(col("n").desc, col("token"))
   }
 
+  // Mixture schedule (Curation.mixtureSchedule): stride-scheduled
+  // interleaving order — every prefix of the vt order is a
+  // weight-faithful domain mixture. The oracle replays rank → vt →
+  // bounded prefix; the prefix is a LIMIT (TakeOrderedAndProject on
+  // the Spark side), never a global sort.
+  val q113 = sql(
+    "q113_mixture_schedule", {
+      val caseW = "CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 " +
+        "WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1 END"
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ${signedSql(uSql("md5('sched' || CAST(doc_id AS VARCHAR))"))} AS hs
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rk FROM h),
+         |v AS (SELECT doc_id, lang,
+         |    CAST(rk AS DOUBLE) / CAST(($caseW) AS DOUBLE) AS vt FROM r),
+         |s AS (SELECT * FROM v ORDER BY vt, lang, doc_id LIMIT 300)
+         |SELECT lang, count(*) AS n_scheduled, CAST(max(vt) AS DOUBLE) AS max_vt
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+    val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.2, "zh" -> 0.1)
+    Curation.mixtureSchedule(Tables.documents(s, d), col("lang"), col("doc_id"), weights)
+      .orderBy(col("sched_vt"), col("_dom"), col("doc_id")).limit(300)
+      .groupBy(col("_dom").as("lang"))
+      .agg(count(lit(1)).as("n_scheduled"), max(col("sched_vt")).as("max_vt"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112)
+    q97, q108, q110, q111, q112, q113)
 }

@@ -310,6 +310,30 @@ class CurationSpec extends SparkSuite {
     assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
   }
 
+  test("mixture schedule: every prefix is weight-faithful; order is partitioning-independent") {
+    import spark.implicits._
+    val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.2, "zh" -> 0.1)
+    val d = docs
+    val sched = Curation.mixtureSchedule(d, col("lang"), col("doc_id"), weights)
+    // stride property: in the prefix {vt <= T}, domain d holds
+    // min(floor(w_d * T), |d|) docs — exact, not approximate
+    val prefix = sched.orderBy(col("sched_vt"), col("_dom"), col("doc_id")).limit(200)
+      .select(col("_dom"), col("sched_vt")).collect()
+    val t = prefix.map(_.getDouble(1)).max
+    val counts = prefix.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val domSizes = d.groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    weights.foreach { case (dom, w) =>
+      val expected = math.min(math.floor(w * t).toLong, domSizes(dom))
+      // the cut at exactly vt=T can split ties across domains; allow 1
+      assert(math.abs(counts.getOrElse(dom, 0) - expected) <= 1,
+        s"$dom: got ${counts.getOrElse(dom, 0)}, stride predicts $expected (T=$t)")
+    }
+    val a = sched.select("doc_id", "sched_vt").as[(Long, Double)].collect().sorted
+    val b = Curation.mixtureSchedule(d.repartition(7), col("lang"), col("doc_id"), weights)
+      .select("doc_id", "sched_vt").as[(Long, Double)].collect().sorted
+    assert(a.sameElements(b), "schedule must not depend on physical partitioning")
+  }
+
   test("snapshot diff: added/removed/changed/unchanged partition the key space") {
     import spark.implicits._
     val vOld = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
