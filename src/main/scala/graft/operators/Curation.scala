@@ -287,6 +287,25 @@ object Curation {
       .drop("_w")
   }
 
+  /** Sequence-length bucketing — the dynamic-batching prep step: docs
+    * grouped into fixed-width length buckets so a batch pads only to
+    * its bucket ceiling, plus the padding-waste accounting that
+    * justifies the bucket width (padded = n·ceil − Σlen; waste_ppm =
+    * the fraction of a padded batch that is padding). One groupBy on
+    * the derived bucket key; integer-exact everywhere. */
+  def lengthBuckets(df: DataFrame, tokenCount: Column, width: Int): DataFrame = {
+    require(width > 0)
+    df.withColumn("_tok", tokenCount)
+      .withColumn("len_bucket", (col("_tok") / width).cast("long"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("tok_sum"),
+        max(col("_tok")).as("tok_max"))
+      .withColumn("bucket_ceil", (col("len_bucket") + 1) * width)
+      .withColumn("padding_ppm",
+        floor(lit(1000000L) * (col("n_docs") * col("bucket_ceil") - col("tok_sum"))
+          / (col("n_docs") * col("bucket_ceil"))).cast("long"))
+  }
+
   /** Deterministic stride-scheduled mixture ORDER — the training-time
     * complement of mixtureSample (which decides WHAT to keep, this
     * decides in WHAT ORDER domains interleave): each doc gets a

@@ -527,6 +527,26 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  // Sequence-length buckets with padding-waste accounting
+  // (Curation.lengthBuckets) — the dynamic-batching prep report.
+  val q114 = sql(
+    "q114_length_buckets",
+    """WITH t AS (SELECT
+      |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT CAST(n_tok // 32 AS BIGINT) AS len_bucket, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tok_sum, CAST(max(n_tok) AS BIGINT) AS tok_max
+      |  FROM t GROUP BY 1)
+      |SELECT len_bucket, n_docs, tok_sum, tok_max,
+      |  (len_bucket + 1) * 32 AS bucket_ceil,
+      |  CAST(floor(1000000.0 * (n_docs * ((len_bucket + 1) * 32) - tok_sum)
+      |    / (n_docs * ((len_bucket + 1) * 32))) AS BIGINT) AS padding_ppm
+      |FROM b ORDER BY len_bucket""".stripMargin) { (s, d) =>
+    Curation.lengthBuckets(Tables.documents(s, d),
+      Text.wsTokenCount(col("text")).cast("long"), 32)
+      .orderBy(col("len_bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113)
+    q97, q108, q110, q111, q112, q113, q114)
 }
