@@ -539,7 +539,7 @@ object CurationQueries {
       |  FROM t GROUP BY 1)
       |SELECT len_bucket, n_docs, tok_sum, tok_max,
       |  (len_bucket + 1) * 32 AS bucket_ceil,
-      |  CAST(floor(1000000.0 * (n_docs * ((len_bucket + 1) * 32) - tok_sum)
+      |  CAST(floor(CAST(1000000.0 AS DOUBLE) * (n_docs * ((len_bucket + 1) * 32) - tok_sum)
       |    / (n_docs * ((len_bucket + 1) * 32))) AS BIGINT) AS padding_ppm
       |FROM b ORDER BY len_bucket""".stripMargin) { (s, d) =>
     Curation.lengthBuckets(Tables.documents(s, d),

@@ -456,7 +456,7 @@ object TextQueries {
       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       |  FROM w JOIN df USING (gram) GROUP BY doc_id)
       |SELECT doc_id, n_win, n_dup,
-      |  CAST(floor(1000000.0 * n_dup / n_win) AS BIGINT) AS dup_ppm
+      |  CAST(floor(CAST(1000000.0 AS DOUBLE) * n_dup / n_win) AS BIGINT) AS dup_ppm
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Dedup.duplicateSpans(docs(s, d), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -482,7 +482,7 @@ object TextQueries {
       |  GROUP BY d.doc_id)
       |SELECT doc_id, n_tok, n_oov,
       |  CASE WHEN n_tok = 0 THEN 0
-      |       ELSE CAST(floor(1000000.0 * n_oov / n_tok) AS BIGINT) END AS oov_ppm
+      |       ELSE CAST(floor(CAST(1000000.0 AS DOUBLE) * n_oov / n_tok) AS BIGINT) END AS oov_ppm
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     Text.vocabCoverage(docs(s, d), col("doc_id"), col("text"),
       Text.buildVocab(docs(s, d), col("text"), minCount = 5L))
