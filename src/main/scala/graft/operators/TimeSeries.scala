@@ -144,4 +144,51 @@ object TimeSeries {
     * TakeOrderedAndProject — no global sort materializes. */
   def retainNewest(df: DataFrame, n: Int, ord: Seq[Column]): DataFrame =
     df.orderBy(ord.map(_.desc): _*).limit(n)
+
+  /** Time-series profile similarity — "which keys trend like X":
+    * z-normalized squared-Euclidean distance between per-key activity
+    * profiles (e.g. hour-of-day count vectors), the series-similarity
+    * primitive behind co-trending keyword / similar-user queries.
+    * `dims` is the dense dimension domain (missing dims count 0 —
+    * densification matters: z-normalization over sparse rows would
+    * drop the zeros that carry the shape).
+    *
+    * Determinism contract (engine-replayable): per-key mean/std are
+    * single IEEE chains over exact integer sums; a zero-std profile
+    * z-scores to 0 (the q17/W3 convention); per-dim squared diffs are
+    * round6-quantized and accumulated in DECIMAL(38,18) (the pagerank
+    * pattern), so the distance never depends on partial-agg order.
+    *
+    * Scale: one (key, dim) aggregation, row-local z-chain, broadcast
+    * of the query key's `|dims|` rows, one keyed rollup, top-k as
+    * TakeOrderedAndProject. The corpus shuffles once on key. */
+  def similarProfiles(events: DataFrame, key: Column, dim: Column,
+      queryKey: Long, k: Int, nDims: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.types.DecimalType
+    val counts = events.select(key.as("key"), dim.cast("int").as("dim"))
+      .groupBy(col("key"), col("dim")).agg(count(lit(1)).as("c"))
+    val spine = events.select(key.as("key")).distinct()
+      .crossJoin(spark.range(nDims).select(col("id").cast("int").as("dim")))
+    val dense = spine.join(counts, Seq("key", "dim"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val stats = dense.groupBy(col("key"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / nDims)
+      .withColumn("sd", sqrt(col("ss").cast("double") / nDims - col("mean") * col("mean")))
+    val z = dense.join(stats, "key")
+      .withColumn("z", when(col("sd") === 0, 0.0)
+        .otherwise((col("c").cast("double") - col("mean")) / col("sd")))
+      .select(col("key"), col("dim"), col("z"))
+    val q = z.filter(col("key") === queryKey)
+      .select(col("dim"), col("z").as("qz"))
+    z.filter(col("key") =!= queryKey)
+      .join(broadcast(q), "dim")
+      .withColumn("_t", round((col("z") - col("qz")) * (col("z") - col("qz")), 6))
+      .groupBy(col("key"))
+      .agg(sum(col("_t").cast(DecimalType(38, 18))).cast("double").as("dist"))
+      .withColumn("dist", round(col("dist"), 6))
+      .orderBy(col("dist"), col("key"))
+      .limit(k)
+  }
 }

@@ -417,6 +417,40 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"), col("left_ts"), col("right_ts"))
   }
 
+  // Profile similarity (TimeSeries.similarProfiles): top-10 users
+  // whose hour-of-day activity shape is closest to user 0's —
+  // z-normalized squared-Euclidean over dense 24-dim count profiles.
+  // The oracle replays the exact chain: integer sums → one IEEE
+  // mean/std formula → round6 per-dim terms → DECIMAL-exact
+  // accumulation (order-independent in both engines).
+  val q115 = sql(
+    "q115_similar_profiles",
+    """WITH c AS (SELECT user_id, CAST(strftime(ts, '%H') AS INT) AS dim, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT user_id FROM events),
+      |dims AS (SELECT unnest(range(0, 24)) AS dim),
+      |dense AS (SELECT s.user_id, d.dim, COALESCE(c.c, 0) AS c
+      |  FROM spine s CROSS JOIN dims d
+      |  LEFT JOIN c ON c.user_id = s.user_id AND c.dim = d.dim),
+      |stats AS (SELECT user_id, CAST(sum(c) AS DOUBLE) / 24 AS mean,
+      |    sqrt(CAST(sum(c*c) AS DOUBLE) / 24
+      |      - (CAST(sum(c) AS DOUBLE) / 24) * (CAST(sum(c) AS DOUBLE) / 24)) AS sd
+      |  FROM dense GROUP BY 1),
+      |z AS (SELECT d.user_id, d.dim,
+      |    CASE WHEN st.sd = 0 THEN 0.0
+      |         ELSE (CAST(d.c AS DOUBLE) - st.mean) / st.sd END AS z
+      |  FROM dense d JOIN stats st USING (user_id)),
+      |q AS (SELECT dim, z AS qz FROM z WHERE user_id = 0),
+      |t AS (SELECT z.user_id, round((z.z - q.qz) * (z.z - q.qz), 6) AS t
+      |  FROM z JOIN q USING (dim) WHERE z.user_id <> 0),
+      |d AS (SELECT user_id, round(CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE), 6) AS dist
+      |  FROM t GROUP BY 1)
+      |SELECT user_id AS key, dist FROM d ORDER BY dist, key LIMIT 10""".stripMargin) { (s, d) =>
+    graft.operators.TimeSeries.similarProfiles(
+      ev(s, d), col("user_id"), hour(col("ts")), queryKey = 0L, k = 10)
+      .select(col("key"), col("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109)
+    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109, q115)
 }

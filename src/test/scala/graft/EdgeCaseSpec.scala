@@ -138,6 +138,20 @@ class EdgeCaseSpec extends SparkSuite {
     assert(pr.toSeq == Seq(0.5, 0.5))
   }
 
+  test("similarProfiles: z-normalization makes scaled copies distance-0; flat profiles rank last") {
+    // user 1 = user 0's shape x3 (same z-profile -> dist 0);
+    // user 2 = flat (sd 0 -> all-zero z, maximal distance to a shaped query)
+    val ev = (Seq.fill(5)((0L, 9)) ++ Seq.fill(2)((0L, 14)) ++
+      Seq.fill(15)((1L, 9)) ++ Seq.fill(6)((1L, 14)) ++
+      (0 until 24).map(h => (2L, h))).toDF("user_id", "h")
+    val out = graft.operators.TimeSeries.similarProfiles(
+      ev, col("user_id"), col("h"), queryKey = 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.head._1 == 1L && out.head._2 == 0.0,
+      s"scaled copy must be distance 0: ${out.toSeq}")
+    assert(out.last._1 == 2L && out.last._2 > 0.0)
+  }
+
   test("snapshotDiff against an empty side labels everything added/removed") {
     val v = Seq((1L, "x")).toDF("id", "text")
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
