@@ -547,6 +547,70 @@ object CurationQueries {
       .orderBy(col("len_bucket"))
   }
 
+  // The corpus factory — the COMPOSITION proof: quality gates (q73's
+  // exact formulas) → deterministic exact dedup (keep min doc per
+  // fingerprint) → LSH near-dup removal (q39/q64/q82's machinery over
+  // the SURVIVOR set) → hash split (q68's recipe) → per-(split, lang)
+  // yield report. Every stage reuses an operator already gated on its
+  // own; this query pins that they chain without semantic drift.
+  val q116 = sql(
+    "q116_corpus_factory", {
+      val pairsOverSurvivors = VectorQueries.jaccardOracle
+        .replace("FROM documents", "FROM s1")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text,
+         |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+         |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+         |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+         |    , 6) AS q
+         |  FROM documents),
+         |kept AS (SELECT doc_id, lang, text, n_ws FROM t WHERE n_ws >= 30 AND q >= 0.65),
+         |fp AS (SELECT doc_id, lang, text, n_ws, md5(text) AS f FROM kept),
+         |mn AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+         |s1 AS (SELECT doc_id, lang, text, n_ws FROM fp JOIN mn
+         |  ON fp.f = mn.f AND fp.doc_id = mn.keep_id),
+         |gt AS (SELECT doc_a, doc_b FROM ($pairsOverSurvivors) g),
+         |edges AS (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+         |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+         |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN drop d ON s1.doc_id = d.doc_id
+         |  WHERE d.doc_id IS NULL),
+         |h AS (SELECT doc_id, lang, n_ws,
+         |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
+         |sg AS (SELECT doc_id, lang, n_ws, ${signedSql("u")} AS hs FROM h),
+         |sp AS (SELECT lang, n_ws,
+         |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+         |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS tok_sum
+         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .withColumn("_nws", Text.wsTokenCount(col("text")))
+      .withColumn("_q", Text.qualityScore(col("text")))
+      .filter(col("_nws") >= 30 && col("_q") >= 0.65)
+    // deterministic exact dedup: keep the min doc per content fingerprint
+    val mn = kept.groupBy(md5(col("text")).as("_f"))
+      .agg(min(col("doc_id")).as("_keep_id"))
+    val s1 = kept.join(mn,
+      md5(col("text")) === col("_f") && col("doc_id") === col("_keep_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("_nws"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(s1, col("doc_id"), col("text"))
+    val s2 = graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
+    Curation.withSplit(s2, col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nws")).as("tok_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113, q114)
+    q97, q108, q110, q111, q112, q113, q114, q116)
 }
