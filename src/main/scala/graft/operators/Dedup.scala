@@ -169,6 +169,60 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame =
     lshCandidatesFromShingles(shingleSet(docs, id, text, n), numHashes, bands)
 
+  /** INCREMENTAL MinHash+LSH near-dup pairs: every verified pair with
+    * at least one member in `newDocs` — new×old and new×new, never
+    * old×old. The per-crawl-round form of minhashLshPairs: the
+    * existing corpus was already deduped last round, so recomputing
+    * its internal pairs is pure waste (at 100 TB it is ~all the work).
+    * Combine with `Curation.snapshotDiff` to find `newDocs`.
+    *
+    * Scale: the banded join's LEFT side is only the new batch —
+    * the corpus side is scanned once for signatures (and at scale the
+    * signature/band table is the thing to persist between rounds, at
+    * which point the per-round cost is O(batch) + one bucket join).
+    * Verification is candidate-driven over the union shingle set.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def incrementalLshPairs(newDocs: DataFrame, oldDocs: DataFrame,
+      id: Column, text: Column, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val shNew = shingleSet(newDocs, id, text, n)
+    val shOld = shingleSet(oldDocs, id, text, n)
+    val shAll = shNew.union(shOld).cache()
+    try {
+      val bandedNew = bandedSignatures(shNew, numHashes, bands)
+        .withColumn("is_new", lit(true))
+      val bandedOld = bandedSignatures(shOld, numHashes, bands)
+        .withColumn("is_new", lit(false))
+      val bandedAll = bandedNew.unionByName(bandedOld)
+      val firstSharedBand = array_position(
+        zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
+      val candidates = bandedNew.as("l")
+        .join(bandedAll.as("r"),
+          col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+            col("l.doc_id") =!= col("r.doc_id") &&
+            // new×new pairs once (l < r); new×old pairs always from the
+            // new side, so no orientation dedup needed there
+            (!col("r.is_new") || col("l.doc_id") < col("r.doc_id")) &&
+            firstSharedBand === col("l.band") + 1)
+        .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+      jaccardOnPairs(shAll, candidates)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()
+    } finally shAll.unpersist()
+  }
+
+  /** (doc_id, bands, band, band_hash) rows for the banded join —
+    * shared by the batch and incremental pair paths. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val sig = minhashSignatures(sh, numHashes)
+    val withBands = sig.select(col("doc_id"),
+      bandsFromSig(col("sig"), numHashes, bands).as("bands"))
+    withBands.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+  }
+
   private def lshCandidatesFromShingles(sh: DataFrame,
       numHashes: Int, bands: Int): DataFrame = {
     val sig = minhashSignatures(sh, numHashes)

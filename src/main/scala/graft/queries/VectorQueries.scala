@@ -411,6 +411,27 @@ object VectorQueries {
       .orderBy(col("dim"))
   }
 
+  // Incremental near-dup detection (Dedup.incrementalLshPairs): the
+  // per-crawl-round form — every verified pair with ≥1 member in the
+  // "new" batch (doc_id % 3 ≠ 0 plays the new side), never old×old.
+  // Oracle: the exact all-pairs ground truth restricted the same way
+  // (the q39-proven LSH==truth equivalence carries over: any pair
+  // with a new member surfaces from the new side's banding).
+  val q117 = sql(
+    "q117_incremental_neardup", {
+      s"""WITH gt AS (SELECT doc_a, doc_b, jaccard FROM ($jaccardOracle) g)
+         |SELECT doc_a, doc_b, jaccard FROM gt
+         |WHERE doc_a % 3 <> 0 OR doc_b % 3 <> 0
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.incrementalLshPairs(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104)
+    q76, q79, q82, q95, q96, q104, q117)
 }

@@ -74,6 +74,18 @@ class DedupSpec extends SparkSuite {
     assert(sh.count() == sh.distinct().count())
   }
 
+  test("incremental LSH equals the full pair set minus old-by-old") {
+    val newSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val oldSide = docs.filter(col("doc_id") % 3 === 0)
+    val inc = pairSet(Dedup.incrementalLshPairs(newSide, oldSide,
+      col("doc_id"), col("text")))
+    val expected = truth.filterNot { case (a, b) => a % 3 == 0 && b % 3 == 0 }
+    assert(inc == expected, s"extra=${inc -- expected} missing=${expected -- inc}")
+    // an empty new batch detects nothing (the whole point: old x old skipped)
+    assert(Dedup.incrementalLshPairs(newSide.limit(0), oldSide,
+      col("doc_id"), col("text")).count() == 0)
+  }
+
   test("duplicateSpans: cross-doc k-spans flagged, within-doc repeats and short docs not") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
