@@ -185,15 +185,51 @@ object Dedup {
   def incrementalLshPairs(newDocs: DataFrame, oldDocs: DataFrame,
       id: Column, text: Column, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val shNew = shingleSet(newDocs, id, text, n)
     val shOld = shingleSet(oldDocs, id, text, n)
+    incrementalAgainst(newDocs, id, text,
+      shOld, bandedSignatures(shOld, numHashes, bands),
+      n, numHashes, bands, threshold)
+  }
+
+  /** Persist the LSH index for incremental rounds: the corpus's
+    * shingle set and banded signatures, so the next crawl round pays
+    * O(batch) — the corpus text is never re-tokenized, re-hashed, or
+    * re-banded. Overwrites `path`. After a round, append the batch's
+    * own rows (the same two tables for the new docs) to keep the
+    * index current. */
+  def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sh = shingleSet(docs, id, text, n).cache()
+    try {
+      sh.write.mode("overwrite").parquet(s"$path/shingles")
+      bandedSignatures(sh, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$path/bands")
+    } finally sh.unpersist()
+  }
+
+  /** incrementalLshPairs against a persisted index (`writeLshIndex`):
+    * identical semantics, but the old side is two parquet reads —
+    * the scaling claim made concrete. */
+  def incrementalLshPairsIndexed(newDocs: DataFrame, id: Column, text: Column,
+      indexPath: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    incrementalAgainst(newDocs, id, text,
+      spark.read.parquet(s"$indexPath/shingles"),
+      spark.read.parquet(s"$indexPath/bands"),
+      n, numHashes, bands, threshold)
+  }
+
+  private def incrementalAgainst(newDocs: DataFrame, id: Column, text: Column,
+      shOld: DataFrame, bandedOldRaw: DataFrame, n: Int, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val shNew = shingleSet(newDocs, id, text, n)
     val shAll = shNew.union(shOld).cache()
     try {
       val bandedNew = bandedSignatures(shNew, numHashes, bands)
         .withColumn("is_new", lit(true))
-      val bandedOld = bandedSignatures(shOld, numHashes, bands)
-        .withColumn("is_new", lit(false))
-      val bandedAll = bandedNew.unionByName(bandedOld)
+      val bandedAll = bandedNew.unionByName(
+        bandedOldRaw.withColumn("is_new", lit(false)))
       val firstSharedBand = array_position(
         zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
       val candidates = bandedNew.as("l")

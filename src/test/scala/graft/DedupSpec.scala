@@ -86,6 +86,24 @@ class DedupSpec extends SparkSuite {
       col("doc_id"), col("text")).count() == 0)
   }
 
+  test("indexed incremental LSH equals the direct form via a persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val newSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val oldSide = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.writeLshIndex(oldSide, col("doc_id"), col("text"), dir)
+    // the persisted artifacts are faithful replicas of the live tables
+    val storedShingles = spark.read.parquet(s"$dir/shingles")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val liveShingles = Dedup.shingleSet(oldSide, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(storedShingles == liveShingles)
+    val viaIndex = Dedup.incrementalLshPairsIndexed(
+      newSide, col("doc_id"), col("text"), dir)
+    val direct = pairSet(Dedup.incrementalLshPairs(newSide, oldSide,
+      col("doc_id"), col("text")))
+    assert(pairSet(viaIndex) == direct)
+  }
+
   test("duplicateSpans: cross-doc k-spans flagged, within-doc repeats and short docs not") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
