@@ -59,6 +59,46 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every
+  * text-curation pipeline runs before hashing/dedup (the same logical
+  * document arrives both precomposed and decomposed from different
+  * crawlers; without NFC they fingerprint differently and every
+  * downstream dedup silently misses the pair). Spark has no builtin;
+  * a native expression keeps it inside whole-stage codegen (the JDK's
+  * Normalizer is the implementation — Unicode canonical composition
+  * is version-stable for assigned codepoints, and DuckDB's
+  * nfc_normalize applies the same UAX #15 algorithm, which is what
+  * makes the oracle comparison exact). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NfcNormalize.normalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.NfcNormalize.normalize($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Fast path: already-NFC strings (the overwhelming majority of a
+    * real corpus — all of ASCII trivially) return without allocating. */
+  def normalize(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}
+
 /** Fused dot product over two numeric arrays in double precision —
   * sequential fold, identical arithmetic to
   * `aggregate(zip_with(a,b,*), 0.0, +)` but one codegen'd loop with no
@@ -464,6 +504,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_qdot", exprs => LongDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sqdist", exprs => SqDistLong(exprs.head, exprs(1)), "built-in")
   }
 
@@ -480,6 +522,8 @@ object GraftFunctions {
     call_function("graft_bloom_agg", pos, org.apache.spark.sql.functions.lit(m))
 
   def qdot(a: Column, b: Column): Column = call_function("graft_qdot", a, b)
+
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
 
   def sqdist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 }

@@ -554,6 +554,43 @@ object TextQueries {
       .orderBy(col("decile"))
   }
 
+  // Unicode NFC normalization (native NfcNormalize expression vs
+  // DuckDB's nfc_normalize — both implement UAX #15 canonical
+  // composition): decomposed and precomposed variants of the same
+  // word, synthesized per doc, must collapse to ONE normalized form
+  // (n_raw_forms = 2 per group) — the pre-dedup canonicalization step
+  // without which fingerprint dedup silently misses cross-crawler
+  // pairs.
+  val q118 = sql(
+    "q118_nfc_normalization",
+    """WITH v AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'cafe' || chr(769) || ' latte'
+      |      WHEN 1 THEN 'caf' || chr(233) || ' latte'
+      |      WHEN 2 THEN 'o' || chr(776) || 'l'
+      |      ELSE chr(246) || 'l' END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM v)
+      |SELECT norm, count(*) AS n_docs,
+      |  count(DISTINCT raw) AS n_raw_forms,
+      |  count(DISTINCT md5(raw)) AS n_raw_fps,
+      |  count(DISTINCT md5(norm)) AS n_norm_fps
+      |FROM n GROUP BY norm ORDER BY norm""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    val v = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, lit("café latte"))
+        .when(col("doc_id") % 4 === 1, lit("café latte"))
+        .when(col("doc_id") % 4 === 2, lit("öl"))
+        .otherwise(lit("öl")).as("raw"))
+      .withColumn("norm", graft.plans.GraftFunctions.nfc(col("raw")))
+    v.groupBy(col("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw")).as("n_raw_forms"),
+        countDistinct(md5(col("raw"))).as("n_raw_fps"),
+        countDistinct(md5(col("norm"))).as("n_norm_fps"))
+      .orderBy(col("norm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
-    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107)
+    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
 }

@@ -137,6 +137,32 @@ class PlansSpec extends SparkSuite {
     assert(viaAgg.count() == 500)
   }
 
+  test("graft_nfc: composes decomposed forms, idempotent, null-safe, codegen==interpreted") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      "e\u0301" -> "\u00e9",               // e + combining acute -> precomposed
+      "cafe\u0301" -> "caf\u00e9",
+      "\u00e9" -> "\u00e9",                 // already NFC
+      "plain ascii" -> "plain ascii",
+      "o\u0308o\u0308" -> "\u00f6\u00f6", // o + combining diaeresis x2
+      "" -> "")
+    val got = cases.map(_._1).toDF("s")
+      .select(GraftFunctions.nfc(col("s"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // interpreted path
+    val e = graft.plans.NfcNormalize(Literal(UTF8String.fromString("e\u0301")))
+    assert(e.eval(null).toString == "\u00e9")
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.nfc(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+    // the fingerprint-unification use case: decomposed == precomposed after NFC
+    val fp = Seq("cafe\u0301", "caf\u00e9").toDF("s")
+      .select(GraftFunctions.rolling_hash64(GraftFunctions.nfc(col("s")))).as[Long]
+      .collect()
+    assert(fp(0) == fp(1), "NFC must unify the fingerprints")
+  }
+
   test("rolling_hash64: SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_rolling_hash64('hello world') AS h")
