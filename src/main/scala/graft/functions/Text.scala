@@ -93,9 +93,16 @@ object Text {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Document fingerprint: md5 of the normalized text. Stable across
-    * engines; the rolling-hash variant lives in Dedup.simhash. */
-  def fingerprint(text: Column): Column = md5(normalize(text))
+  /** Document fingerprint: md5 of the NFC-normalized then
+    * regex-normalized text. NFC first matters even though the regex
+    * strips non-ASCII: a precomposed accent is removed as one char
+    * while a decomposed one leaves its base letter behind, so the two
+    * encodings of the same text would fingerprint differently without
+    * it. Stable across engines (DuckDB: nfc_normalize + the same
+    * regex chain); requires GraftFunctions.register on the session.
+    * The rolling-hash variant lives in Dedup.simhash. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(graft.plans.GraftFunctions.nfc(text)))
 
   /** SC6 breaking-lexicon containment (keyword_republisher.py:148-176):
     * does the text mention any lexicon term as a token? */

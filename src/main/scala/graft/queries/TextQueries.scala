@@ -166,10 +166,12 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
-  // Document fingerprints (md5 of normalized text).
+  // Document fingerprints (md5 of NFC- then regex-normalized text;
+  // the oracle replays the full chain including nfc_normalize so the
+  // contract holds on non-ASCII corpora too).
   val q35 = sql(
     "q35_fingerprints",
-    """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     docs(s, d)
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

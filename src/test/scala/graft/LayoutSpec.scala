@@ -81,8 +81,15 @@ class LayoutSpec extends SparkSuite {
     // same content after normalization (case/punct/whitespace) arriving later
     stream.addData((t1, "hello, world!"), (t1, "brand new"))
     q.processAllAvailable()
-    val texts = spark.table("cdedup").select("text").as[String].collect().sorted.toSeq
-    assert(texts == Seq("Hello   World", "brand new", "different text"), s"got $texts")
+    // Unicode-form duplicates: precomposed vs decomposed é — the same
+    // word from two crawlers. Without the NFC-first fingerprint the
+    // regex strips the precomposed char whole but leaves the
+    // decomposed base letter, so they would NOT collapse.
+    stream.addData((t1, "café hello"), (t1, "café hello"))
+    q.processAllAvailable()
+    val texts = spark.table("cdedup").select("text").as[String].collect().toSeq
+    assert(texts.length == 4, s"NFC variants must collapse to one row: $texts")
+    assert(texts.count(t => t == "café hello" || t == "café hello") == 1)
     q.stop()
   }
 }
