@@ -61,4 +61,40 @@ object Trend {
         + least(abs(col("zraw")) / 3.0, lit(1.0)) * 10.0 * 0.25
         + col("momentum") * 0.20) * 10.0, 6).as("compound"))
   }
+
+  /** Seasonally-adjusted anomalies: the reference's z-score (W3) uses
+    * a trailing window, which flags every rush hour as anomalous; the
+    * seasonal form scores each (key, date, hour) cell against that
+    * key's SAME-HOUR-OF-DAY baseline across days, so "busy at 9am" is
+    * normal and only "busier than 9am usually is" fires. Input rows:
+    * (key, date, hour, cnt) — one row per observed cell; missing cells
+    * count as zero via the dense (key×date×hour) spine, which matters:
+    * a key silent at an hour it is usually active IS the signal shape.
+    *
+    * Determinism: integer sums → one IEEE mean/std chain (population
+    * form), std=0 → z=0 (the W3 convention), round6 output. Scale:
+    * the spine is |keys|·|dates|·24 pre-reduced cells (state-table
+    * sized, not event-sized); baseline is a second aggregation of the
+    * same cells; both shuffle on the key. */
+  def seasonalAnomalies(cells: DataFrame, nStd: Double = 2.0): DataFrame = {
+    val spark = cells.sparkSession
+    val keys = cells.select(col("key")).distinct()
+    val dates = cells.select(col("date")).distinct()
+    val hours = spark.range(24).select(col("id").cast("int").as("hour"))
+    val dense = keys.crossJoin(dates).crossJoin(hours)
+      .join(cells, Seq("key", "date", "hour"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val baseline = dense.groupBy(col("key"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt(col("ss").cast("double") / col("n")
+        - col("mean") * col("mean")))
+    dense.join(baseline, Seq("key", "hour"))
+      .withColumn("z", when(col("sd") === 0, 0.0)
+        .otherwise((col("cnt").cast("double") - col("mean")) / col("sd")))
+      .filter(abs(col("z")) > nStd)
+      .select(col("key"), col("date"), col("hour"), col("cnt"),
+        round(col("mean"), 6).as("hour_mean"), round(col("z"), 6).as("z"))
+  }
 }

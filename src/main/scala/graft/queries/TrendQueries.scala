@@ -67,5 +67,39 @@ object TrendQueries {
     WordCloud.snapshot(counts, 50).orderBy(col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q43, q44)
+  // Seasonally-adjusted anomalies (Trend.seasonalAnomalies): each
+  // (event_type, date, hour) cell scored against that key's
+  // same-hour-of-day baseline across all days — rush hour is normal,
+  // busier-than-this-hour-usually-is fires. Dense cells (missing =
+  // 0) via the key×date×hour spine on both engines.
+  val q119 = sql(
+    "q119_seasonal_anomalies",
+    """WITH c AS (SELECT event_type AS key, strftime(ts, '%Y%m%d') AS date,
+      |    CAST(strftime(ts, '%H') AS INT) AS hour, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |keys AS (SELECT DISTINCT key FROM c),
+      |dates AS (SELECT DISTINCT date FROM c),
+      |hours AS (SELECT unnest(range(0, 24)) AS hour),
+      |dense AS (SELECT k.key, d.date, h.hour, COALESCE(c.cnt, 0) AS cnt
+      |  FROM keys k CROSS JOIN dates d CROSS JOIN hours h
+      |  LEFT JOIN c ON c.key = k.key AND c.date = d.date AND c.hour = h.hour),
+      |b AS (SELECT key, hour, count(*) AS n, CAST(sum(cnt) AS DOUBLE) / count(*) AS mean,
+      |    sqrt(CAST(sum(cnt*cnt) AS DOUBLE) / count(*)
+      |      - (CAST(sum(cnt) AS DOUBLE) / count(*)) * (CAST(sum(cnt) AS DOUBLE) / count(*))) AS sd
+      |  FROM dense GROUP BY 1, 2),
+      |z AS (SELECT d.key, d.date, d.hour, d.cnt, b.mean,
+      |    CASE WHEN b.sd = 0 THEN 0.0 ELSE (CAST(d.cnt AS DOUBLE) - b.mean) / b.sd END AS z
+      |  FROM dense d JOIN b ON b.key = d.key AND b.hour = d.hour)
+      |SELECT key, date, hour, cnt, round(mean, 6) AS hour_mean, round(z, 6) AS z
+      |FROM z WHERE abs(z) > 2.0 ORDER BY key, date, hour""".stripMargin) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("key"),
+        date_format(col("ts"), "yyyyMMdd").as("date"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    Trend.seasonalAnomalies(cells)
+      .orderBy(col("key"), col("date"), col("hour"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q119)
 }
