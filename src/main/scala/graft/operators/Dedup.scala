@@ -194,9 +194,11 @@ object Dedup {
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
     * O(batch) — the corpus text is never re-tokenized, re-hashed, or
-    * re-banded. Overwrites `path`. After a round, append the batch's
-    * own rows (the same two tables for the new docs) to keep the
-    * index current. */
+    * re-banded. Overwrites `path`. After a round, UPSERT the batch's
+    * own rows via `upsertLshIndex` (an append would accumulate stale
+    * rows for re-ingested doc ids; the incremental join anti-joins the
+    * current batch's ids defensively, but rows superseded in EARLIER
+    * rounds can only be cured at the index). */
   def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val sh = shingleSet(docs, id, text, n).cache()
@@ -205,6 +207,46 @@ object Dedup {
       bandedSignatures(sh, numHashes, bands)
         .write.mode("overwrite").parquet(s"$path/bands")
     } finally sh.unpersist()
+  }
+
+  /** UPSERT a batch into a persisted LSH index: the batch's rows
+    * REPLACE any previously-indexed version of the same doc ids, and
+    * genuinely-new ids append. Keeps the index a function of the
+    * current corpus state — the invariant `incrementalLshPairsIndexed`
+    * verification relies on. The rewrite stages to a `.tmp` directory
+    * and renames into place, so a crash mid-upsert leaves the previous
+    * index readable (rename is atomic per directory on HDFS-like
+    * filesystems; between the two renames a reader sees the old index
+    * at `<path>.old`). */
+  def upsertLshIndex(newDocs: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val spark = newDocs.sparkSession
+    val newIds = newDocs.select(id.as("doc_id")).distinct()
+    val sh = shingleSet(newDocs, id, text, n).cache()
+    try {
+      writeSwap(spark.read.parquet(s"$path/shingles")
+        .join(newIds, Seq("doc_id"), "left_anti").unionByName(sh),
+        s"$path/shingles")
+      writeSwap(spark.read.parquet(s"$path/bands")
+        .join(newIds, Seq("doc_id"), "left_anti")
+        .unionByName(bandedSignatures(sh, numHashes, bands)),
+        s"$path/bands")
+    } finally sh.unpersist()
+  }
+
+  /** Write `df` next to `dest`, then swap directories — required when
+    * the plan READS `dest` (parquet overwrite-while-reading corrupts). */
+  private def writeSwap(df: DataFrame, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + ".tmp")
+    val old = new Path(dest + ".old")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(destPath)) fs.rename(destPath, old)
+    fs.rename(tmp, destPath)
+    fs.delete(old, true)
   }
 
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):
@@ -224,12 +266,23 @@ object Dedup {
       shOld: DataFrame, bandedOldRaw: DataFrame, n: Int, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
     val shNew = shingleSet(newDocs, id, text, n)
-    val shAll = shNew.union(shOld).cache()
+    // A doc id on BOTH sides is a CHANGED doc (snapshotDiff's "changed"
+    // rows land in the batch while the superseded version sits in the
+    // old corpus/index). The new version must fully replace the old:
+    // without this anti-join the union merges both versions' shingles
+    // (inflating n_sh and intersection counts in jaccardOnPairs) and
+    // the stale band rows emit candidates from a signature that no
+    // longer exists. Batch ids ≪ corpus, so AQE turns these into
+    // broadcast anti-joins — one corpus scan, no shuffle.
+    val newIds = newDocs.select(id.as("doc_id")).distinct()
+    val shAll = shNew
+      .union(shOld.join(newIds, Seq("doc_id"), "left_anti")).cache()
     try {
       val bandedNew = bandedSignatures(shNew, numHashes, bands)
         .withColumn("is_new", lit(true))
       val bandedAll = bandedNew.unionByName(
-        bandedOldRaw.withColumn("is_new", lit(false)))
+        bandedOldRaw.join(newIds, Seq("doc_id"), "left_anti")
+          .withColumn("is_new", lit(false)))
       val firstSharedBand = array_position(
         zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
       val candidates = bandedNew.as("l")

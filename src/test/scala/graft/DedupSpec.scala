@@ -104,6 +104,63 @@ class DedupSpec extends SparkSuite {
     assert(pairSet(viaIndex) == direct)
   }
 
+  test("incremental LSH: a changed doc's new version fully replaces the old") {
+    import spark.implicits._
+    val v1 = "the quick brown fox jumps over the lazy dog again today somehow"
+    val v2 = "entirely new content about streaming pipelines and keyed state stores here now"
+    val old = Seq((1L, v1),
+      (2L, "completely unrelated article text about engines and query planners here"))
+      .toDF("doc_id", "text")
+    // batch re-ingests doc 1 with NEW text, plus: doc 3 near-dups the
+    // NEW version, doc 4 exactly copies the SUPERSEDED version.
+    val batch = Seq((1L, v2), (3L, v2 + " x"), (4L, v1)).toDF("doc_id", "text")
+    val inc = pairSet(Dedup.incrementalLshPairs(batch, old, col("doc_id"), col("text")))
+    // ground truth = full LSH over the POST-BATCH corpus state
+    val current = Seq((1L, v2), (3L, v2 + " x"), (4L, v1),
+      (2L, "completely unrelated article text about engines and query planners here"))
+      .toDF("doc_id", "text")
+    val expected = pairSet(Dedup.minhashLshPairs(current, col("doc_id"), col("text")))
+    assert(inc.contains((1L, 3L)), "new-version near-dup must be found")
+    assert(!inc.exists { case (a, b) => a == 4L || b == 4L },
+      "doc 4 matches only the superseded text — no live partner")
+    assert(inc == expected, s"extra=${inc -- expected} missing=${expected -- inc}")
+  }
+
+  test("upsertLshIndex replaces re-ingested ids; indexed pairs match post-upsert state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshups").toString
+    val v1 = "the quick brown fox jumps over the lazy dog again today somehow"
+    val v2 = "entirely new content about streaming pipelines and keyed state stores here now"
+    val other = "completely unrelated article text about engines and query planners here"
+    Dedup.writeLshIndex(Seq((1L, v1), (2L, other)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    Dedup.upsertLshIndex(Seq((1L, v2), (3L, v2 + " y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    // index now holds exactly one version per id — 1:v2, 2, 3
+    val perDoc = spark.read.parquet(s"$dir/shingles")
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0)).toSet
+    assert(perDoc == Set(1L, 2L, 3L))
+    val idxShingles = spark.read.parquet(s"$dir/shingles")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val liveShingles = Dedup.shingleSet(
+      Seq((1L, v2), (2L, other), (3L, v2 + " y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(idxShingles == liveShingles, "upserted index == fresh index of current state")
+    // probe batch: doc 5 copies v2 (live), doc 4 copies v1 (superseded)
+    val probe = Seq((4L, v1), (5L, v2)).toDF("doc_id", "text")
+    val viaIndex = pairSet(Dedup.incrementalLshPairsIndexed(
+      probe, col("doc_id"), col("text"), dir))
+    val direct = pairSet(Dedup.incrementalLshPairs(probe,
+      Seq((1L, v2), (2L, other), (3L, v2 + " y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")))
+    assert(viaIndex == direct)
+    assert(viaIndex.exists { case (a, b) => Set(a, b) == Set(1L, 5L) },
+      "v2 copy must match the upserted version of doc 1")
+    assert(!viaIndex.exists { case (a, b) => a == 4L || b == 4L },
+      "v1 copy matches nothing — the superseded rows are gone")
+  }
+
   test("duplicateSpans: cross-doc k-spans flagged, within-doc repeats and short docs not") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
