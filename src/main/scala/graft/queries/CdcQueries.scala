@@ -71,5 +71,84 @@ object CdcQueries {
       .orderBy(col("tbl"))
   }
 
-  val all: Seq[QueryDef] = Seq(q45, q46)
+  /** Envelopes keyed by user_id (so ids collide across events and the
+    * mirror merge has real last-writer-wins work to do), routed over
+    * FOUR tables — the fourth is unsupported, exercising the
+    * skip-unknown branch of the reference policy. */
+  def synthesizedKeyed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "view", "r")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val table = element_at(
+      array(lit("articles"), lit("media"), lit("article_changes"), lit("unknown_tbl")),
+      (col("user_id") % 4).cast("int") + 1)
+    val image = struct(col("user_id").as("id"), col("value").as("value"))
+    val noImage = lit(null).cast("struct<id:bigint,value:double>")
+    ev.select(to_json(struct(
+      op.as("op"),
+      when(op === "d", image).otherwise(noImage).as("before"),
+      when(op =!= "d", image).otherwise(noImage).as("after"),
+      struct(table.as("table")).as("source"),
+      (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("value"))
+  }
+
+  // S8 per-table delete routing (SyncService.py:143-145,224,257):
+  // upsert batch then delete batch through the mirror sink under the
+  // reference policy — articles tombstone (soft), media rows vanish
+  // (hard), article_changes d-events are ignored, the unknown table
+  // never lands. The oracle replays last-writer-wins + routing in SQL
+  // directly over events. (`value` is deliberately NOT asserted: ties
+  // on (table,id,ts_ms,is_deleted) keep an arbitrary row's value, by
+  // design — the reference's ON DUPLICATE KEY UPDATE has the same
+  // arbitrary-winner freedom within one poll batch.)
+  val q120 = sql(
+    "q120_mirror_delete_policy",
+    """WITH ev AS (
+      |  SELECT user_id AS id,
+      |    CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'articles' WHEN 1 THEN 'media'
+      |      WHEN 2 THEN 'article_changes' ELSE 'unknown_tbl' END AS tbl,
+      |    CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms,
+      |    (event_type = 'error') AS is_deleted
+      |  FROM events),
+      |routed AS (
+      |  SELECT * FROM ev
+      |  WHERE tbl IN ('articles', 'media')
+      |     OR (tbl = 'article_changes' AND NOT is_deleted)),
+      |last AS (
+      |  SELECT tbl, id, is_deleted FROM (
+      |    SELECT tbl, id, is_deleted,
+      |      row_number() OVER (PARTITION BY tbl, id
+      |        ORDER BY ts_ms DESC, is_deleted DESC) AS rn
+      |    FROM (SELECT DISTINCT tbl, id, ts_ms, is_deleted FROM routed)) r
+      |  WHERE rn = 1)
+      |SELECT tbl, is_deleted, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+      |FROM last
+      |WHERE NOT (tbl = 'media' AND is_deleted)
+      |GROUP BY tbl, is_deleted
+      |ORDER BY tbl, is_deleted""".stripMargin) { (s, d) =>
+    import graft.streaming.Pipelines
+    val dir = java.nio.file.Files.createTempDirectory("graft-q120").toString + "/m"
+    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value"))
+    // upserts first, then the delete batch — hard deletes must remove
+    // rows that were already live in the mirror, not just filter the
+    // incoming batch.
+    Pipelines.applyCdcBatch(s, parsed.filter(col("op") =!= "d"), dir,
+      Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+      Pipelines.TablePolicy.SkipTable)
+    Pipelines.applyCdcBatch(s, parsed.filter(col("op") === "d"), dir,
+      Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+      Pipelines.TablePolicy.SkipTable)
+    val out = s.read.parquet(dir)
+      .groupBy(col("table").as("tbl"), col("is_deleted"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .orderBy(col("tbl"), col("is_deleted"))
+      .localCheckpoint() // materialize before the temp mirror is removed
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p.getParent, true)
+    out
+  }
+
+  val all: Seq[QueryDef] = Seq(q45, q46, q120)
 }

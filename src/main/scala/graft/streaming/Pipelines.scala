@@ -177,13 +177,56 @@ object Pipelines {
     * O(touched buckets), never O(table). */
   val MirrorBuckets = 64
 
+  /** Per-table CDC routing policy. The reference does NOT treat every
+    * table uniformly (targetDB1/SyncService.py): `articles` deletes
+    * run `UPDATE ... SET is_deleted = TRUE` (soft, :143),
+    * `media` deletes run a real `DELETE FROM media` (hard, :144),
+    * `article_changes` has upsert statements but NO delete statement —
+    * its d-events are dropped (:257, `table_name not in
+    * self.delete_queries`), and a table with no statements at all is
+    * skipped entirely (:224). */
+  sealed trait TablePolicy
+  object TablePolicy {
+    /** d-ops tombstone the row: kept in the mirror with is_deleted=true. */
+    case object SoftDelete extends TablePolicy
+    /** d-ops physically remove the row from the mirror. */
+    case object HardDelete extends TablePolicy
+    /** upserts apply; d-ops are ignored (no delete statement). */
+    case object SkipDeletes extends TablePolicy
+    /** every event for the table is dropped (unsupported table). */
+    case object SkipTable extends TablePolicy
+  }
+
+  /** The reference's exact routing (SyncService.py:143-145,224,257);
+    * the default policy (unknown table) is skip. */
+  val ReferenceTablePolicy: Map[String, TablePolicy] = Map(
+    "articles" -> TablePolicy.SoftDelete,
+    "media" -> TablePolicy.HardDelete,
+    "article_changes" -> TablePolicy.SkipDeletes)
+
+  /** `table` matches policy value `p` (counting the default for tables
+    * not in the map). Pure column predicate — the policy map is tiny
+    * driver-side config, never row data. */
+  private def policyPred(policy: Map[String, TablePolicy], default: TablePolicy,
+      p: TablePolicy): Column = {
+    val named = policy.collect { case (t, pol) if pol == p => t }.toSeq
+    val inNamed = if (named.isEmpty) lit(false) else col("table").isin(named: _*)
+    if (default == p) {
+      if (policy.isEmpty) lit(true)
+      else inNamed || !col("table").isin(policy.keys.toSeq: _*)
+    } else inNamed
+  }
+
   private def mirrorBucket(nBuckets: Int): Column =
     pmod(hash(col("table"), col("id")), lit(nBuckets))
 
   /** S8: apply one CDC micro-batch to a parquet mirror table —
-    * idempotent last-writer-wins MERGE keyed on id, soft delete for
-    * `d` ops (SyncService.py:87-146,222-283). Used from foreachBatch;
-    * also callable on batch data (tests).
+    * idempotent last-writer-wins MERGE keyed on id, with per-table
+    * delete routing (SyncService.py:87-146,222-283). The default
+    * policy (empty map + SoftDelete) tombstones every table — pass
+    * `ReferenceTablePolicy` with `defaultPolicy = SkipTable` for exact
+    * reference parity. Used from foreachBatch; also callable on batch
+    * data (tests).
     *
     * Incremental: only the hash buckets containing keys present in the
     * batch are read and rewritten (partition-pruned scan; the driver
@@ -196,7 +239,9 @@ object Pipelines {
     * checkpointed source replays the interrupted batch, whose merge is
     * idempotent — so exactly-once state survives failure. */
   def applyCdcBatch(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
-      nBuckets: Int = MirrorBuckets): Unit = {
+      nBuckets: Int = MirrorBuckets,
+      policy: Map[String, TablePolicy] = Map.empty,
+      defaultPolicy: TablePolicy = TablePolicy.SoftDelete): Unit = {
     val incoming = parsed.select(
       coalesce(col("after.id"), col("before.id")).as("id"),
       col("table"),
@@ -204,6 +249,12 @@ object Pipelines {
       col("after.value").as("value"),
       (col("op") === "d").as("is_deleted"))
       .filter(col("id").isNotNull)
+      // routing: unsupported tables drop entirely; d-events for
+      // tables with no delete statement drop before the merge (the
+      // previously-mirrored row, if any, stays live).
+      .filter(!policyPred(policy, defaultPolicy, TablePolicy.SkipTable))
+      .filter(!(col("is_deleted") &&
+        policyPred(policy, defaultPolicy, TablePolicy.SkipDeletes)))
       .withColumn("bucket", mirrorBucket(nBuckets))
     val root = new Path(mirrorPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -229,6 +280,12 @@ object Pipelines {
       .dropDuplicates(Seq("table", "id", "ts_ms", "is_deleted"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      // hard-delete tables: a winning d-event removes the row
+      // physically instead of leaving a tombstone. (Same caveat as the
+      // reference's DELETE: a later replay of an OLDER upsert can
+      // resurrect the id, because no tombstone remains to outrank it.)
+      .filter(!(col("is_deleted") &&
+        policyPred(policy, defaultPolicy, TablePolicy.HardDelete)))
     val staging = new Path(root, ".staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
@@ -345,13 +402,15 @@ object Pipelines {
 
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
-      checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      policy: Map[String, TablePolicy] = Map.empty,
+      defaultPolicy: TablePolicy = TablePolicy.SoftDelete): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(spark, batch, mirrorPath)
+        applyCdcBatch(spark, batch, mirrorPath, MirrorBuckets, policy, defaultPolicy)
       }
       .start()
 }

@@ -170,6 +170,39 @@ class SyncMirrorSpec extends SparkSuite {
     assert(rows == Map("articles" -> 1.0, "media" -> 5.0))
   }
 
+  test("reference policy: articles soft-delete, media hard-delete, " +
+      "article_changes skip-delete, unknown table skipped") {
+    val dir = Files.createTempDirectory("mirror6").toString + "/m"
+    def apply(rows: Seq[String]): Unit =
+      Pipelines.applyCdcBatch(spark, parse(rows), dir,
+        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+        Pipelines.TablePolicy.SkipTable)
+    apply(Seq(
+      """{"op":"c","after":{"id":1,"value":1.0},"source":{"table":"articles"},"ts_ms":1000}""",
+      """{"op":"c","after":{"id":2,"value":2.0},"source":{"table":"media"},"ts_ms":1000}""",
+      """{"op":"c","after":{"id":3,"value":3.0},"source":{"table":"article_changes"},"ts_ms":1000}""",
+      """{"op":"c","after":{"id":4,"value":4.0},"source":{"table":"nope"},"ts_ms":1000}"""))
+    def rows(): Map[(String, Long), Boolean] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[String]("table"), r.getAs[Long]("id")) ->
+          r.getAs[Boolean]("is_deleted")).toMap
+    assert(rows() == Map(("articles", 1L) -> false, ("media", 2L) -> false,
+      ("article_changes", 3L) -> false), "unknown table must never land")
+
+    apply(Seq(
+      """{"op":"d","before":{"id":1,"value":1.0},"source":{"table":"articles"},"ts_ms":2000}""",
+      """{"op":"d","before":{"id":2,"value":2.0},"source":{"table":"media"},"ts_ms":2000}""",
+      """{"op":"d","before":{"id":3,"value":3.0},"source":{"table":"article_changes"},"ts_ms":2000}""",
+      """{"op":"d","before":{"id":4,"value":4.0},"source":{"table":"nope"},"ts_ms":2000}"""))
+    assert(rows() == Map(("articles", 1L) -> true, ("article_changes", 3L) -> false),
+      "articles tombstones, media row is physically gone, article_changes delete ignored")
+
+    // a media delete with no prior upsert must not materialize either
+    apply(Seq(
+      """{"op":"d","before":{"id":9,"value":9.0},"source":{"table":"media"},"ts_ms":3000}"""))
+    assert(!rows().contains(("media", 9L)))
+  }
+
   test("out-of-order replay keeps last-writer-wins by ts_ms") {
     val dir = Files.createTempDirectory("mirror2").toString + "/m"
     val newer = parse(Seq(
