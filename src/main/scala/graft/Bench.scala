@@ -3,7 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed at the given
-  * scale factor; one JSON line on stdout.
+  * scale factor; one JSON line on stdout, full JSON (incl. the
+  * per-run matrix) to SPARK_GRAFT_BENCH_OUT (default
+  * /root/repo/BENCH_FULL.json) — the stdout record gets tail-truncated
+  * by the driver, the file never loses q01–q40.
+  *
+  * Noise control: the WHOLE suite runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 3) and each query reports its per-run MEDIAN. Repeating at
+  * suite level (not per-query back-to-back) de-correlates shared-host
+  * noise waves that travel through the alphabetical execution order —
+  * three consecutive timings of one query would all sit inside the
+  * same wave.
   *
   * Warm-up: each table's footer/schema is touched once before timing
   * so the first measured query doesn't absorb JVM + parquet-metadata
@@ -46,25 +56,47 @@ object Bench {
     // only queries (fingerprints, token stats) would be timed as bare
     // scans. A failed query is reported as -1 plus an entry in
     // "errors" — never as a normal-looking timing.
-    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     // Optional dev filter: SPARK_GRAFT_ONLY=q60,q85 times just those
     // queries (prefix match). The driver never sets it — full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => errors += name; false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = selected.map(_._1).zipWithIndex.map { case (name, i) =>
+      name -> median(runs.flatMap(r => Some(r(i)._2).filter(_ >= 0)))
+    }
+    def qjson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    val head = s""""metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
+      s""""run_totals":$runTotals,"queries":${qjson(medians)},"errors":$errs,"sf":"$sfDir""""
+    // Full record (per-run matrix) to a file the driver can't truncate.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val detail = runs.map(qjson).mkString("[", ",", "]")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{$head,"runs_detail":$detail}""")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    println(s"{$head}")
     spark.stop()
   }
 }

@@ -81,14 +81,17 @@ object Curation {
     * and the q85 cross-split near-dup count is zero by construction.
     *
     * Scale: the cluster side is pair-graph-sized ≪ corpus (only docs
-    * with at least one near-dup appear), so the label join broadcasts
-    * and the corpus is never shuffled — same shape as
-    * `Dedup.keepOnePerCluster`. */
+    * with at least one near-dup appear) — typically broadcast-sized,
+    * but the hint is left to AQE: a forced `broadcast()` FAILS (driver
+    * OOM) instead of degrading when the dup graph is pathologically
+    * large, while AQE picks the broadcast plan whenever the runtime
+    * size fits and falls back to a shuffle join otherwise — same shape
+    * as `Dedup.keepOnePerCluster`. */
   def leakageSafeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
       salt: String = "split", trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val clusters = Dedup.dupClusters(pairs)
       .select(col("doc_id").as("_ls_id"), col("cluster").as("_ls_cluster"))
-    val keyed = docs.join(broadcast(clusters), id === col("_ls_id"), "left")
+    val keyed = docs.join(clusters, id === col("_ls_id"), "left")
       .withColumn("split_key", coalesce(col("_ls_cluster"), id))
       .drop("_ls_id", "_ls_cluster")
     withSplit(keyed, col("split_key"), salt, trainPct, valPct)
@@ -264,27 +267,27 @@ object Curation {
     * step is a single IEEE op on exact integers, so the thresholds
     * are too. Domains missing from `weights` get weight 0 (dropped).
     *
-    * Adds `mix_thresh_ppm` and `mix_keep`; filter on `mix_keep` for
-    * the sampled corpus. Scale: one aggregation for T_d (domain
-    * cardinality rows) joined back broadcast — the corpus is scanned
-    * once, never shuffled. */
+    * Adds `mix_domain`, `mix_tok`, `mix_thresh_ppm` and `mix_keep`;
+    * filter on `mix_keep` for the sampled corpus. Scale: one
+    * aggregation for T_d (domain cardinality rows) joined back
+    * broadcast — the corpus is scanned once, never shuffled. */
   def mixtureSample(df: DataFrame, domain: Column, key: Column,
       tokenCount: Column, weights: Seq[(String, Double)], budgetTokens: Long,
       salt: String = "mix"): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val wmap = map(weights.flatMap { case (d, w) => Seq(lit(d), lit(w)) }: _*)
-    val withTok = df.withColumn("_dom", domain).withColumn("_tok", tokenCount)
-    val totals = withTok.groupBy(col("_dom"))
-      .agg(sum(col("_tok")).as("_dom_tok"))
-    withTok.join(broadcast(totals), "_dom")
-      .withColumn("_w", coalesce(element_at(wmap, col("_dom")), lit(0.0)))
+    val withTok = df.withColumn("mix_domain", domain).withColumn("mix_tok", tokenCount)
+    val totals = withTok.groupBy(col("mix_domain"))
+      .agg(sum(col("mix_tok")).as("_dom_tok"))
+    withTok.join(broadcast(totals), "mix_domain")
+      .withColumn("_w", coalesce(element_at(wmap, col("mix_domain")), lit(0.0)))
       .withColumn("mix_thresh_ppm",
         floor(lit(1000000.0) *
           least(lit(1.0), lit(budgetTokens.toDouble) * col("_w") / col("_dom_tok")))
           .cast("long"))
       .withColumn("mix_keep",
         hashBucket(key, salt, 1000000) < col("mix_thresh_ppm"))
-      .drop("_w")
+      .drop("_w", "_dom_tok")
   }
 
   /** Sequence-length bucketing — the dynamic-batching prep step: docs
@@ -317,9 +320,9 @@ object Curation {
     * loaders consume.
     *
     * Deterministic and engine-replayable (portable salted hash, one
-    * IEEE division). Adds (sched_rank, sched_vt). Scale: the rank
-    * window partitions by domain; no global sort — consumers either
-    * range-partition on vt or take bounded prefixes
+    * IEEE division). Adds (sched_domain, sched_rank, sched_vt).
+    * Scale: the rank window partitions by domain; no global sort —
+    * consumers either range-partition on vt or take bounded prefixes
     * (TakeOrderedAndProject). Domains absent from `weights` are
     * dropped. */
   def mixtureSchedule(df: DataFrame, domain: Column, key: Column,
@@ -327,10 +330,10 @@ object Curation {
     require(weights.forall(_._2 > 0))
     GraftFunctions.register(df.sparkSession)
     val wmap = map(weights.flatMap { case (d, w) => Seq(lit(d), lit(w)) }: _*)
-    val w = Window.partitionBy(col("_dom"))
+    val w = Window.partitionBy(col("sched_domain"))
       .orderBy(saltedHash(key, salt), key)
-    df.withColumn("_dom", domain)
-      .withColumn("_w", element_at(wmap, col("_dom")))
+    df.withColumn("sched_domain", domain)
+      .withColumn("_w", element_at(wmap, col("sched_domain")))
       .filter(col("_w").isNotNull)
       .withColumn("sched_rank", row_number().over(w).cast("long"))
       .withColumn("sched_vt", col("sched_rank").cast("double") / col("_w"))

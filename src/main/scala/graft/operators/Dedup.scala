@@ -191,74 +191,178 @@ object Dedup {
       n, numHashes, bands, threshold)
   }
 
+  /** Persisted LSH index layout — VERSIONED with a single commit
+    * marker per version:
+    *
+    * {{{
+    *   <path>/v=N/shingles/…       parquet
+    *   <path>/v=N/bands/…          parquet
+    *   <path>/v=N/params           {n, numHashes, bands} at write time
+    *   <path>/v=N/_GRAFT_COMMITTED the commit point — created LAST
+    * }}}
+    *
+    * The current index is the HIGHEST committed version. Both tables
+    * plus the hash parameters become visible atomically when the
+    * marker file is created; live data is never renamed or deleted
+    * before the replacement commits, so:
+    *   - a crash anywhere pre-marker leaves the previous version the
+    *     current one, fully readable (no "nothing at dest" window);
+    *   - readers can never observe a shingles/bands pair from two
+    *     different states;
+    *   - uncommitted `v=` orphans are swept by the next writer, and
+    *     superseded versions are swept only AFTER the new commit.
+    * Every FileSystem mutation checks its boolean return and throws —
+    * HDFS reports rename/delete failure by returning false. */
+  private val LshCommitMarker = "_GRAFT_COMMITTED"
+  private val LshParamsFile = "params"
+
+  private def lshVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Int, Boolean)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("v=").toInt).toOption
+          .map(v => v -> fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, LshCommitMarker)))
+      }.sortBy(_._1)
+
+  /** Directory of the current committed index version. Falls back to
+    * the legacy unversioned layout (`<path>/shingles`) for indexes
+    * written before versioning existed. */
+  def currentLshIndexDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lshVersions(fs, root).filter(_._2).lastOption match {
+      case Some((v, _)) => s"$path/v=$v"
+      case None if fs.exists(new org.apache.hadoop.fs.Path(path, "shingles")) => path
+      case None => sys.error(s"no committed LSH index at $path")
+    }
+  }
+
+  private def readLshParams(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, LshParamsFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = txt.linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
+      }.toMap
+      Some((kv("n"), kv("numHashes"), kv("bands")))
+    }
+  }
+
+  /** Fail fast when the caller's hash parameters disagree with the
+    * ones the index was built with — mixing them silently produces
+    * incomparable signatures (candidates vanish, never an error). */
+  private def requireLshParams(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Int, numHashes: Int, bands: Int): Unit =
+    readLshParams(fs, dir).foreach { case stored @ (sn, sh, sb) =>
+      require(stored == ((n, numHashes, bands)),
+        s"LSH index at $dir was written with n=$sn numHashes=$sh bands=$sb; " +
+          s"got n=$n numHashes=$numHashes bands=$bands")
+    }
+
+  /** Stage (shingles, bands, params) as version current+1, then commit
+    * with the marker. The input plans may READ the current version —
+    * nothing is overwritten in place. */
+  private def commitLshVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingles: DataFrame, bands: DataFrame,
+      n: Int, numHashes: Int, bandCount: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = lshVersions(fs, root)
+    val cur = versions.filter(_._2).lastOption.map(_._1).getOrElse(0)
+    // sweep uncommitted orphans from crashed writers before reusing
+    // their version numbers
+    versions.filter { case (v, committed) => v > cur && !committed }.foreach {
+      case (v, _) =>
+        val d = new org.apache.hadoop.fs.Path(root, s"v=$v")
+        require(fs.delete(d, true), s"failed to sweep orphaned $d")
+    }
+    val vdir = new org.apache.hadoop.fs.Path(root, s"v=${cur + 1}")
+    shingles.write.parquet(new org.apache.hadoop.fs.Path(vdir, "shingles").toString)
+    bands.write.parquet(new org.apache.hadoop.fs.Path(vdir, "bands").toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(vdir, LshParamsFile), true)
+    try out.write(s"n=$n\nnumHashes=$numHashes\nbands=$bandCount\n".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.createNewFile(new org.apache.hadoop.fs.Path(vdir, LshCommitMarker)),
+      s"failed to commit $vdir (marker already exists?)")
+    // committed — now sweep superseded versions (and any legacy layout)
+    versions.filter { case (v, committed) => v <= cur && committed }.foreach {
+      case (v, _) =>
+        val d = new org.apache.hadoop.fs.Path(root, s"v=$v")
+        require(fs.delete(d, true), s"failed to sweep superseded $d")
+    }
+    Seq("shingles", "bands").foreach { legacy =>
+      val d = new org.apache.hadoop.fs.Path(root, legacy)
+      if (fs.exists(d)) require(fs.delete(d, true), s"failed to sweep legacy $d")
+    }
+  }
+
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
     * O(batch) — the corpus text is never re-tokenized, re-hashed, or
-    * re-banded. Overwrites `path`. After a round, UPSERT the batch's
-    * own rows via `upsertLshIndex` (an append would accumulate stale
-    * rows for re-ingested doc ids; the incremental join anti-joins the
-    * current batch's ids defensively, but rows superseded in EARLIER
-    * rounds can only be cured at the index). */
+    * re-banded. Commits a fresh version at `path` (atomic, see the
+    * layout note above). After a round, UPSERT the batch's own rows
+    * via `upsertLshIndex` (an append would accumulate stale rows for
+    * re-ingested doc ids; the incremental join anti-joins the current
+    * batch's ids defensively, but rows superseded in EARLIER rounds
+    * can only be cured at the index). */
   def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val sh = shingleSet(docs, id, text, n).cache()
-    try {
-      sh.write.mode("overwrite").parquet(s"$path/shingles")
-      bandedSignatures(sh, numHashes, bands)
-        .write.mode("overwrite").parquet(s"$path/bands")
-    } finally sh.unpersist()
+    try commitLshVersion(docs.sparkSession, path,
+      sh, bandedSignatures(sh, numHashes, bands), n, numHashes, bands)
+    finally sh.unpersist()
   }
 
   /** UPSERT a batch into a persisted LSH index: the batch's rows
     * REPLACE any previously-indexed version of the same doc ids, and
     * genuinely-new ids append. Keeps the index a function of the
     * current corpus state — the invariant `incrementalLshPairsIndexed`
-    * verification relies on. The rewrite stages to a `.tmp` directory
-    * and renames into place, so a crash mid-upsert leaves the previous
-    * index readable (rename is atomic per directory on HDFS-like
-    * filesystems; between the two renames a reader sees the old index
-    * at `<path>.old`). */
+    * verification relies on. Commits as one new index version: the
+    * shingle and band tables flip together (never a mixed pair), the
+    * previous version stays readable until the commit, and the
+    * parameters must match the ones the index was written with. */
   def upsertLshIndex(newDocs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val spark = newDocs.sparkSession
+    val curDir = currentLshIndexDir(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireLshParams(fs, new org.apache.hadoop.fs.Path(curDir), n, numHashes, bands)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val sh = shingleSet(newDocs, id, text, n).cache()
-    try {
-      writeSwap(spark.read.parquet(s"$path/shingles")
+    try commitLshVersion(spark, path,
+      spark.read.parquet(s"$curDir/shingles")
         .join(newIds, Seq("doc_id"), "left_anti").unionByName(sh),
-        s"$path/shingles")
-      writeSwap(spark.read.parquet(s"$path/bands")
+      spark.read.parquet(s"$curDir/bands")
         .join(newIds, Seq("doc_id"), "left_anti")
         .unionByName(bandedSignatures(sh, numHashes, bands)),
-        s"$path/bands")
-    } finally sh.unpersist()
-  }
-
-  /** Write `df` next to `dest`, then swap directories — required when
-    * the plan READS `dest` (parquet overwrite-while-reading corrupts). */
-  private def writeSwap(df: DataFrame, dest: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val destPath = new Path(dest)
-    val fs = destPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dest + ".tmp")
-    val old = new Path(dest + ".old")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(destPath)) fs.rename(destPath, old)
-    fs.rename(tmp, destPath)
-    fs.delete(old, true)
+      n, numHashes, bands)
+    finally sh.unpersist()
   }
 
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):
     * identical semantics, but the old side is two parquet reads —
-    * the scaling claim made concrete. */
+    * the scaling claim made concrete. Rejects parameter mismatches
+    * against the index's stored params. */
   def incrementalLshPairsIndexed(newDocs: DataFrame, id: Column, text: Column,
       indexPath: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
+    val curDir = currentLshIndexDir(spark, indexPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireLshParams(fs, new org.apache.hadoop.fs.Path(curDir), n, numHashes, bands)
     incrementalAgainst(newDocs, id, text,
-      spark.read.parquet(s"$indexPath/shingles"),
-      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$curDir/shingles"),
+      spark.read.parquet(s"$curDir/bands"),
       n, numHashes, bands, threshold)
   }
 
@@ -370,16 +474,30 @@ object Dedup {
     * a million-node boilerplate component at corpus scale. Each round
     * is two joins + one aggregation on the GRAPH (orders of magnitude
     * smaller than the corpus); localCheckpoint truncates the plan so
-    * lineage doesn't grow with iterations. */
+    * lineage doesn't grow with iterations.
+    *
+    * Convergence costs NO extra job: a long accumulator incremented by
+    * a row pass rides the (eager) localCheckpoint materialization, so
+    * each round is exactly one Spark action — the former per-round
+    * `filter(_chg).count()` was a second driver-synchronized barrier
+    * over the pair graph (a full scheduler round-trip per iteration at
+    * corpus scale). Task retries can only OVERcount the accumulator,
+    * and only `== 0` is consulted, so a retry can at worst add one
+    * harmless extra round. A ⌈log₂ n⌉+2 round cap bounds the loop
+    * regardless (pointer jumping halves pointer depth every round). */
   def dupClusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
     val edges = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
       .distinct().cache()
     try {
+      val spark = pairs.sparkSession
       var labels = edges.select(col("x").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint()
+      val maxRounds =
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(labels.count(), 1L)) + 2
+      var round = 0
       var changed = 1L
-      while (changed > 0) {
+      while (changed > 0 && round < maxRounds) {
         val neighborMin = edges
           .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
           .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
@@ -392,9 +510,18 @@ object Dedup {
             least(col("lbl"), coalesce(col("nmin"), col("lbl")), col("ll")).as("lbl"),
             (coalesce(col("nmin"), col("lbl")) < col("lbl") ||
               col("ll") < col("lbl")).as("_chg"))
-        val nextCk = next.localCheckpoint()
-        changed = nextCk.filter(col("_chg")).count()
+        val acc = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
+        val chgIdx = next.schema.fieldIndex("_chg")
+        val counted = next.mapPartitions { it =>
+          it.map { r =>
+            if (!r.isNullAt(chgIdx) && r.getBoolean(chgIdx)) acc.add(1L)
+            r
+          }
+        }(org.apache.spark.sql.Encoders.row(next.schema))
+        val nextCk = counted.localCheckpoint()
+        changed = acc.value
         labels = nextCk.drop("_chg")
+        round += 1
       }
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
       labels.join(sizes, "lbl")
@@ -407,13 +534,17 @@ object Dedup {
     * cluster label). Composition: pair detection (LSH) → connected
     * components → anti-join — docs in no cluster pass through
     * untouched. The anti-join's right side is cluster members minus
-    * representatives, i.e. graph-sized ≪ corpus, so Catalyst
-    * broadcasts it and the corpus never shuffles. */
+    * representatives, i.e. graph-sized ≪ corpus — typically
+    * broadcast-sized, but the hint is left to AQE: a forced
+    * `broadcast()` FAILS (driver OOM) instead of degrading when a
+    * pathological corpus makes the drop list huge, while AQE picks
+    * the broadcast plan whenever the runtime size fits and falls back
+    * to a shuffle join otherwise. */
   def keepOnePerCluster(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
     val drop = dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("_drop_id"))
-    docs.join(broadcast(drop), id === col("_drop_id"), "left_anti")
+    docs.join(drop, id === col("_drop_id"), "left_anti")
   }
 
   /** 64-bit SimHash per doc from token-count-weighted hash bits. The

@@ -203,8 +203,8 @@ object CurationQueries {
     Curation.mixtureSample(Tables.documents(s, d), col("lang"), col("doc_id"),
       Text.wsTokenCount(col("text")), weights, 15000L)
       .filter(col("mix_keep"))
-      .groupBy(col("_dom").as("lang"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("_tok")).as("tok_kept"),
+      .groupBy(col("mix_domain").as("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("mix_tok")).as("tok_kept"),
         max(col("mix_thresh_ppm")).as("mix_thresh_ppm"))
       .orderBy(col("lang"))
   }
@@ -521,8 +521,8 @@ object CurationQueries {
     }) { (s, d) =>
     val weights = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.2, "zh" -> 0.1)
     Curation.mixtureSchedule(Tables.documents(s, d), col("lang"), col("doc_id"), weights)
-      .orderBy(col("sched_vt"), col("_dom"), col("doc_id")).limit(300)
-      .groupBy(col("_dom").as("lang"))
+      .orderBy(col("sched_vt"), col("sched_domain"), col("doc_id")).limit(300)
+      .groupBy(col("sched_domain").as("lang"))
       .agg(count(lit(1)).as("n_scheduled"), max(col("sched_vt")).as("max_vt"))
       .orderBy(col("lang"))
   }

@@ -164,11 +164,15 @@ object Pipelines {
     * holds one fingerprint per kept doc only while late duplicates can
     * still arrive, so it stays bounded at any ingest rate. */
   def dedupByContent(docs: DataFrame, textCol: String, eventTime: String,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    // fingerprint uses the native graft_nfc function — register it so
+    // the operator works on sessions not built via GraftSession.create
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     dedupByKey(
       docs.withColumn("_fp", graft.functions.Text.fingerprint(col(textCol))),
       Seq("_fp"), eventTime, watermark)
       .drop("_fp")
+  }
 
   /** Mirror layout: `bucket = pmod(hash(table, id), nBuckets)` hive
     * partitions. 64 buckets suit the test scale; at 100 TB raise the
@@ -359,7 +363,14 @@ object Pipelines {
   }
 
   /** Streaming wrapper for the snapshot loop: complete-mode counts →
-    * foreachBatch snapshot/delta advance per trigger. */
+    * foreachBatch snapshot/delta advance per trigger.
+    *
+    * NOTE: complete-mode aggregation state grows with ALL-TIME key
+    * cardinality — the reference expires idle keyword buckets after
+    * 7 days (advanced_trend_analyzer.py:89). Prefer
+    * `rankDeltaSnapshotSinkTtl`, which runs the same loop over
+    * TTL-evicting keyed state; this variant remains for short-lived
+    * queries where complete mode's simplicity wins. */
   def rankDeltaSnapshotSink(spark: SparkSession, counts: DataFrame, stateDir: String,
       checkpoint: String, topN: Int = 50,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
@@ -371,6 +382,60 @@ object Pipelines {
         applyRankDeltaSnapshot(spark, batch, stateDir, topN)
       }
       .start()
+
+  /** TTL-parity rank-delta loop (W2 + the reference's 7-day Redis
+    * EXPIRE, advanced_trend_analyzer.py:89): per-key running counts
+    * live in TTL-evicting keyed state (`Stateful.runningCountsEvicting`
+    * — watermark-driven, RocksDB-partitioned, never driver-side), and
+    * each trigger's UPDATE batch (changed totals + eviction
+    * tombstones) folds into a persisted `stateDir/counts` table before
+    * the usual top-N/delta/snapshot advance. On-disk state is O(live
+    * keys) — an idle key leaves the state store after `ttlMs` of
+    * event-time silence and drops from `counts` (and therefore from
+    * the next snapshot) at its eviction trigger. */
+  def rankDeltaSnapshotSinkTtl(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, stateDir: String, checkpoint: String,
+      ttlMs: Long = 7L * 24 * 3600 * 1000, topN: Int = 50,
+      watermarkDelay: String = "0 seconds",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    Stateful.runningCountsEvicting(events, keyCol, tsCol, ttlMs, watermarkDelay)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyRankDeltaUpdates(spark, batch, stateDir, topN)
+      }
+      .start()
+
+  /** Fold one update batch (key, total, evicted) into the persisted
+    * live-counts table, then advance the snapshot/delta pair. The
+    * merge is one anti-join + union keyed on `key` — O(live keys) per
+    * trigger, distributed, no driver-side rows. Replay-safe: totals
+    * are absolute (last writer wins), evictions are idempotent. */
+  def applyRankDeltaUpdates(spark: SparkSession, updates: DataFrame,
+      stateDir: String, topN: Int = 50): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val countsPath = new Path(root, "counts")
+    val prior =
+      if (fs.exists(countsPath)) spark.read.parquet(countsPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    val merged = prior
+      .join(updates.select(col("key")), Seq("key"), "left_anti")
+      .unionByName(updates.filter(!col("evicted"))
+        .select(col("key"), col("total").as("cnt")))
+    writeSwap(spark, fs, root, "counts", merged)
+    applyRankDeltaSnapshot(spark,
+      spark.read.parquet(countsPath.toString), stateDir, topN)
+  }
 
   /** Training-data landing zone: the streaming curation funnel's keep
     * rows written per micro-batch as split/shard-partitioned parquet —

@@ -66,6 +66,46 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class KeyUpdate(key: String, total: Long, evicted: Boolean)
+
+  /** `runningCounts` variant that makes TTL eviction OBSERVABLE: a key
+    * silent past the watermark for longer than `ttlMs` emits one final
+    * `KeyUpdate(key, 0, evicted = true)` tombstone as its state is
+    * removed. Downstream sinks that mirror the live totals (the
+    * rank-delta snapshot loop) consume the tombstone to drop the key —
+    * the reference's Redis buckets expire the same way
+    * (advanced_trend_analyzer.py:89, 7-day EXPIRE). */
+  def runningCountsEvicting(events: DataFrame, keyCol: String, tsCol: String,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[KeyUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val projected = events.selectExpr(
+      s"CAST($keyCol AS STRING) AS key",
+      s"to_timestamp($tsCol) AS ts")
+    val keyed = (if (streaming) projected.withWatermark("ts", watermarkDelay)
+      else projected).as[Keyed]
+
+    def update(key: String, rows: Iterator[Keyed],
+        state: GroupState[Long]): Iterator[KeyUpdate] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.single(KeyUpdate(key, 0L, evicted = true))
+      } else {
+        var n = 0L
+        var maxTs = Long.MinValue
+        rows.foreach { r => n += 1; maxTs = math.max(maxTs, r.ts.getTime) }
+        val total = state.getOption.getOrElse(0L) + n
+        state.update(total)
+        if (streaming) state.setTimeoutTimestamp(maxTs + ttlMs)
+        Iterator.single(KeyUpdate(key, total, evicted = false))
+      }
+    }
+
+    keyed.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** The same running totals on Spark 4's transformWithState — the
     * modern stateful API (SPARK-46815): typed per-key ValueState with
     * a NATIVE TTL (TTLConfig) instead of hand-rolled timeout
@@ -136,7 +176,19 @@ object Stateful {
     * (watermark-driven, like runningCounts) and `maxBucketSize` — a
     * bucket at cap stops admitting new docs; hot buckets are
     * boilerplate by definition and their pairs are better handled by
-    * the batch tier. */
+    * the batch tier.
+    *
+    * RECALL IS BEST-EFFORT under those bounds, by design: each pair is
+    * emitted only from the FIRST band the two signatures share, so if
+    * that specific bucket has hit `maxBucketSize` (or one member
+    * already TTL-evicted from it) the pair is LOST even when both docs
+    * still coexist in a LATER shared band's bucket — the first-band
+    * check in the later bucket sees "not my band" and stays silent.
+    * With cap/TTL never hit, replay equals the batch candidate stage
+    * exactly (the spec pins this); with bounds active, treat the
+    * stream as a low-latency prefilter and run the batch
+    * `lshCandidatePairs`/`incrementalLshPairsIndexed` tier for the
+    * authoritative sweep. */
   def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, ttlMs: Long, numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 64,

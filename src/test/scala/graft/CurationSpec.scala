@@ -303,10 +303,10 @@ class CurationSpec extends SparkSuite {
     // a domain absent from the weight map keeps nothing
     val noZh = Curation.mixtureSample(docs, col("lang"), col("doc_id"),
       graft.functions.Text.wsTokenCount(col("text")), weights.filterNot(_._1 == "zh"), 15000L)
-    assert(noZh.filter(col("mix_keep") && col("_dom") === "zh").count() == 0)
+    assert(noZh.filter(col("mix_keep") && col("mix_domain") === "zh").count() == 0)
     // kept token mass per capped domain lands near budget·w (hash noise aside)
-    val keptTok = m.filter(col("mix_keep") && col("_dom") === "en")
-      .agg(sum(col("_tok"))).as[Long].collect().head
+    val keptTok = m.filter(col("mix_keep") && col("mix_domain") === "en")
+      .agg(sum(col("mix_tok"))).as[Long].collect().head
     assert(keptTok > 1500 && keptTok < 9000, s"en kept tokens $keptTok far from target 4500")
   }
 
@@ -317,8 +317,8 @@ class CurationSpec extends SparkSuite {
     val sched = Curation.mixtureSchedule(d, col("lang"), col("doc_id"), weights)
     // stride property: in the prefix {vt <= T}, domain d holds
     // min(floor(w_d * T), |d|) docs — exact, not approximate
-    val prefix = sched.orderBy(col("sched_vt"), col("_dom"), col("doc_id")).limit(200)
-      .select(col("_dom"), col("sched_vt")).collect()
+    val prefix = sched.orderBy(col("sched_vt"), col("sched_domain"), col("doc_id")).limit(200)
+      .select(col("sched_domain"), col("sched_vt")).collect()
     val t = prefix.map(_.getDouble(1)).max
     val counts = prefix.groupBy(_.getString(0)).view.mapValues(_.length).toMap
     val domSizes = d.groupBy(col("lang")).count().as[(String, Long)].collect().toMap

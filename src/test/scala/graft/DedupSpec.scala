@@ -92,7 +92,8 @@ class DedupSpec extends SparkSuite {
     val oldSide = docs.filter(col("doc_id") % 3 === 0)
     Dedup.writeLshIndex(oldSide, col("doc_id"), col("text"), dir)
     // the persisted artifacts are faithful replicas of the live tables
-    val storedShingles = spark.read.parquet(s"$dir/shingles")
+    val storedShingles = spark.read
+      .parquet(s"${Dedup.currentLshIndexDir(spark, dir)}/shingles")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val liveShingles = Dedup.shingleSet(oldSide, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -137,10 +138,11 @@ class DedupSpec extends SparkSuite {
     Dedup.upsertLshIndex(Seq((1L, v2), (3L, v2 + " y")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), dir)
     // index now holds exactly one version per id — 1:v2, 2, 3
-    val perDoc = spark.read.parquet(s"$dir/shingles")
+    val cur = Dedup.currentLshIndexDir(spark, dir)
+    val perDoc = spark.read.parquet(s"$cur/shingles")
       .groupBy("doc_id").count().collect().map(r => r.getLong(0)).toSet
     assert(perDoc == Set(1L, 2L, 3L))
-    val idxShingles = spark.read.parquet(s"$dir/shingles")
+    val idxShingles = spark.read.parquet(s"$cur/shingles")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val liveShingles = Dedup.shingleSet(
       Seq((1L, v2), (2L, other), (3L, v2 + " y")).toDF("doc_id", "text"),
@@ -159,6 +161,63 @@ class DedupSpec extends SparkSuite {
       "v2 copy must match the upserted version of doc 1")
     assert(!viaIndex.exists { case (a, b) => a == 4L || b == 4L },
       "v1 copy matches nothing — the superseded rows are gone")
+  }
+
+  test("LSH index versioning: upsert commits atomically, sweeps superseded versions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshver").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Dedup.writeLshIndex(Seq((1L, t1)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=1"))
+    Dedup.upsertLshIndex(Seq((2L, t1 + " lambda")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=2"))
+    // superseded v=1 swept after the new commit
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
+    // both tables present and consistent in the committed version
+    val ids = spark.read.parquet(s"$dir/v=2/shingles").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bandIds = spark.read.parquet(s"$dir/v=2/bands").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L) && bandIds == Set(1L, 2L))
+  }
+
+  test("LSH index: uncommitted orphan version is ignored by readers and swept by writers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshorph").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Dedup.writeLshIndex(Seq((1L, t1)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    // simulate a writer that crashed mid-upsert: v=2 exists with data
+    // but NO commit marker
+    val orphan = java.nio.file.Paths.get(dir, "v=2", "shingles")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=1"),
+      "reader must stay on the last committed version")
+    // next upsert sweeps the orphan and commits cleanly as v=2
+    Dedup.upsertLshIndex(Seq((2L, t1 + " mu")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=2"))
+    assert(spark.read.parquet(s"$dir/v=2/shingles").select("doc_id")
+      .distinct().count() == 2)
+  }
+
+  test("LSH index rejects mismatched hash parameters on upsert and read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshpar").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t1)).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), dir,
+      numHashes = 64, bands = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.upsertLshIndex(docs, col("doc_id"), col("text"), dir,
+        numHashes = 32, bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairsIndexed(docs, col("doc_id"), col("text"), dir,
+        n = 5)
+    }
   }
 
   test("duplicateSpans: cross-doc k-spans flagged, within-doc repeats and short docs not") {

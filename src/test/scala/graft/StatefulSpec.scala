@@ -48,6 +48,35 @@ class StatefulSpec extends SparkSuite {
     q.stop()
   }
 
+  test("TTL rank-delta loop: idle key leaves state and drops from the next snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("rankttl").toString
+    val stream = MemoryStream[(String, Timestamp)]
+    val df = stream.toDF().toDF("key", "ts")
+    val q = graft.streaming.Pipelines.rankDeltaSnapshotSinkTtl(spark, df, "key", "ts",
+      s"$base/state", s"$base/ckpt", ttlMs = 60000L, topN = 10,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    def counts() = spark.read.parquet(s"$base/state/counts").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("cnt")).toMap
+    def snapshot() = spark.read.parquet(s"$base/state/snapshot").collect()
+      .map(_.getAs[String]("key")).toSet
+
+    stream.addData(("a", ts(0)), ("a", ts(0)), ("b", ts(0)))
+    q.processAllAvailable()
+    assert(counts() == Map("a" -> 2L, "b" -> 1L))
+    assert(snapshot() == Set("a", "b"))
+
+    // watermark trails one batch; the second advance pushes it past
+    // b's timeout (ts(0) + 60 s) and the eviction tombstone fires
+    stream.addData(("a", ts(120)))
+    q.processAllAvailable()
+    stream.addData(("a", ts(180)))
+    q.processAllAvailable()
+    assert(counts() == Map("a" -> 4L), s"b must leave the live counts: ${counts()}")
+    assert(snapshot() == Set("a"), "idle key must drop from the next snapshot")
+    q.stop()
+  }
+
   test("batch execution: one pass equals a plain groupBy count") {
     val ev = Tables.events(spark, sf0001).select(col("event_type").as("key"), col("ts"))
     val stateful = Stateful.runningCounts(ev, "key", "ts", ttlMs = 1000L)
