@@ -88,6 +88,35 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("plan census gate: no query's shuffle/SMJ count grows past the committed PLANS.md; udf=0") {
+    // PLANS.md is the committed physical-plan census (one line per
+    // gated query). This gate re-counts every query's plan with the
+    // same regexes graft.Explain uses and fails when a change grows a
+    // query's exchange or sort-merge-join count past the committed
+    // numbers (+1 slack for AQE/stats jitter), introduces a Scala UDF
+    // anywhere, or ships a query the census has never seen — plan
+    // regressions must arrive as an explicit PLANS.md diff
+    // (regenerate: sbt "runMain graft.Explain").
+    val line = """^(q\S+)\s+exchange=\s*(\d+) bcast_join=\s*(\d+) smj=\s*(\d+) window=\s*(\d+) udf=\s*(\d+)$""".r
+    val baseline = Files.readAllLines(java.nio.file.Paths.get("PLANS.md"))
+      .toArray(Array.empty[String]).collect {
+        case line(n, ex, _, smj, _, udf) => n -> ((ex.toInt, smj.toInt, udf.toInt))
+      }.toMap
+    assert(baseline.size >= 100, s"PLANS.md census parse failed (${baseline.size} rows)")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val base = baseline.getOrElse(name,
+        fail(s"$name missing from PLANS.md — regenerate the census"))
+      val p = plan(SparkEntry.queries(name)(spark, sf0001))
+      def c(s: String) = s.r.findAllIn(p).size
+      assert(c("ScalaUDF") == 0, s"$name plans a Scala UDF")
+      assert(c("Exchange") <= base._1 + 1,
+        s"$name shuffle count grew: ${c("Exchange")} > census ${base._1} (+1 slack) — " +
+          "optimize or regenerate PLANS.md deliberately")
+      assert(c("SortMergeJoin") <= base._2 + 1,
+        s"$name SMJ count grew: ${c("SortMergeJoin")} > census ${base._2} (+1 slack)")
+    }
+  }
+
   test("rank-delta's global rank windows run over pre-limited snapshots") {
     // rankDelta mirrors the reference's candidate over-fetch
     // (realtime_keyword_aggregator.py:166-172): each snapshot is
