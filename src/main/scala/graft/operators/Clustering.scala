@@ -55,9 +55,25 @@ object Clustering {
     * `passes` = number of assignment passes; centroid updates run
     * between passes (passes=2 → init, assign, update, assign).
     * Returns (vec_id, label, cluster, dist).
+    *
+    * TWO assignment strategies, same values:
+    *  - k ≤ `maxLiteralK`: centroids compile into k literal distance
+    *    expressions and argmin is one `array_min` — a single
+    *    WholeStageCodegen scan, zero joins/shuffles per pass.
+    *  - k > `maxLiteralK`: the literal tree leaves the codegen
+    *    envelope (analyzer + janino cost grows with k·d and the
+    *    generated method exceeds JIT limits well before k=1000), so
+    *    assignment switches to a broadcast cross-join against the
+    *    centroid table + a map-side-combined `min(struct(dist,
+    *    cluster))` argmin and one join back for (label, q8). Costs one
+    *    shuffle per pass but scales to arbitrary k. The default
+    *    threshold 256 is the measured envelope on this corpus (d=64:
+    *    literal assignment stays sub-second to k≈256, balloons
+    *    super-linearly past it).
     */
   def kmeansInt8(emb: DataFrame, k: Int, passes: Int,
-      id: String = "vec_id", v: String = "embedding"): DataFrame = {
+      id: String = "vec_id", v: String = "embedding",
+      maxLiteralK: Int = 256): DataFrame = {
     require(k > 0 && passes >= 1)
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = Quantization.withInt8(emb, v)
@@ -74,7 +90,7 @@ object Clustering {
         .sortBy(_.getLong(0))
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Int](1)) }
 
-    def assign(cs: Seq[(Int, Seq[Int])]): DataFrame = {
+    def assignLiteral(cs: Seq[(Int, Seq[Int])]): DataFrame = {
       // k literal distance expressions per row; argmin via array_min
       // over (dist, cluster) structs — lexicographic struct ordering
       // gives the lowest-cluster tiebreak for free.
@@ -85,6 +101,29 @@ object Clustering {
         .select(col("vec_id"), col("label"), col("q8"),
           col("_best.cluster").as("cluster"), col("_best.dist").as("dist"))
     }
+
+    def assignJoin(cs: Seq[(Int, Seq[Int])]): DataFrame = {
+      // Broadcast the O(k·d) centroid table, expand to n·k (dist,
+      // cluster) rows, reduce with min(struct) — partial aggregation
+      // collapses each vector to one row map-side, so the shuffle
+      // carries n rows, not n·k. Identical values and tiebreak as the
+      // literal path (lexicographic struct min).
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val cdf = cs.toDF("cluster", "q8c")
+      val best = q.select(col("vec_id"), col("q8"))
+        .crossJoin(broadcast(cdf))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(sqDistInt(col("q8"), col("q8c")).as("dist"),
+          col("cluster").as("cluster"))).as("_best"))
+        .select(col("vec_id").as("_vid"),
+          col("_best.cluster").as("cluster"), col("_best.dist").as("dist"))
+      q.join(best, col("vec_id") === col("_vid"))
+        .select(col("vec_id"), col("label"), col("q8"), col("cluster"), col("dist"))
+    }
+
+    def assign(cs: Seq[(Int, Seq[Int])]): DataFrame =
+      if (cs.size <= maxLiteralK) assignLiteral(cs) else assignJoin(cs)
 
     var assigned = assign(centroids)
     for (_ <- 2 to passes) {

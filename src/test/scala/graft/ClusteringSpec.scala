@@ -50,6 +50,32 @@ class ClusteringSpec extends SparkSuite {
     assert(base == shuffled)
   }
 
+  test("broadcast-join argmin path (k > maxLiteralK) equals the literal path exactly") {
+    val k = 8
+    val literal = Clustering.kmeansInt8(emb, k, passes = 2)
+      .select("vec_id", "cluster", "dist")
+      .as[(Long, Int, Long)].collect().toSet
+    // force the join strategy at the same k — values must be identical
+    val joined = Clustering.kmeansInt8(emb, k, passes = 2, maxLiteralK = 0)
+      .select("vec_id", "cluster", "dist")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(joined == literal)
+  }
+
+  test("k=256 runs through the join path: valid exhaustive assignment") {
+    // 256 is past the default literal threshold boundary; with
+    // maxLiteralK=0 this exercises the large-k strategy at the
+    // documented envelope edge on the 500-vector fixture.
+    val a = Clustering.kmeansInt8(emb, 256, passes = 1, maxLiteralK = 0)
+    val n = emb.count()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= 256).count() == 0)
+    // every vector's distance to its centroid is a genuine min: zero
+    // for the 256 vectors that ARE initial centroids
+    assert(a.filter(col("vec_id") < 256 && col("dist") =!= 0L).count() == 0)
+  }
+
   test("semanticDedup drops exactly the higher-id ends of in-cluster pairs") {
     val tau = 0.3
     val pairs = Clustering.semanticNearDupPairs(emb, 8, 2, tau)
