@@ -465,6 +465,100 @@ object Pipelines {
       .start()
   }
 
+  /** The full streaming CORPUS FACTORY — the end-to-end composition a
+    * continuously-crawled training corpus runs per micro-batch:
+    *
+    *   ingest → curation funnel (gates + PII scrub) → incremental
+    *   near-dup dedup against the PERSISTED LSH index → index upsert →
+    *   split/shard-partitioned landing zone.
+    *
+    * Semantics per batch:
+    *  - only `verdict == keep` rows proceed (Curation.curateStream);
+    *  - a kept doc is DROPPED when it near-dups (verified Jaccard ≥
+    *    `threshold`, scrubbed text) either an already-indexed corpus
+    *    doc or a LOWER-id doc of the same batch (greedy min-id-wins,
+    *    the semanticDedup rule — within one batch a chain a~b~c keeps
+    *    only a; cross-batch, first-indexed wins);
+    *  - survivors upsert into the LSH index (`upsertLshIndex`: atomic
+    *    versioned commit; re-ingested ids replace their old rows) and
+    *    land under `landingPath/batch=<id>/split=…/shard=…`.
+    *
+    * Replay-idempotent without a transaction: survivors are
+    * materialized (localCheckpoint) BEFORE the index commit, the
+    * landing write overwrites the batch-scoped directory, and the
+    * index upsert replaces the batch's ids — replaying a batch after
+    * a crash at ANY point converges to the same corpus state (the
+    * incremental join anti-joins the batch's own ids from the index
+    * side, so a half-committed previous attempt changes nothing).
+    *
+    * Scale: every stage is the already-audited operator — the funnel
+    * is stateless column algebra, the dedup join touches O(batch)
+    * signatures plus index bucket probes, the index rewrite is one
+    * version commit, the landing write shuffles only the batch. */
+  def applyCorpusFactoryBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, landingPath: String, nShards: Int = 8,
+      threshold: Double = 0.8, minTokens: Int = 30, minQuality: Double = 0.65): Unit = {
+    import graft.operators.{Curation, Dedup}
+    val curated = Curation.curateStream(batch, col("doc_id"), col("text"),
+        minTokens = minTokens, minQuality = minQuality)
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"))
+      .localCheckpoint()
+    val hasIndex =
+      scala.util.Try(Dedup.currentLshIndexDir(spark, indexPath)).isSuccess
+    val pairs =
+      if (hasIndex) Dedup.incrementalLshPairsIndexed(curated, col("doc_id"),
+        col("scrubbed"), indexPath, threshold = threshold)
+      else Dedup.minhashLshPairs(curated, col("doc_id"), col("scrubbed"),
+        threshold = threshold)
+    val batchIds = curated.select(col("doc_id"))
+    // every pair has ≥1 batch member. doc_b in batch → drop doc_b
+    // (doc_a is older-indexed or the lower batch id); doc_a in batch
+    // with an INDEXED doc_b → drop doc_a too (the corpus copy wins
+    // regardless of id order).
+    val dropB = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("_drop"))
+    val dropA = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(batchIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("_drop"))
+    // materialize BEFORE the index commit: the pair plan reads the
+    // CURRENT index version, which the upsert's commit sweeps.
+    val survivors = curated
+      .join(dropB.union(dropA).distinct(), col("doc_id") === col("_drop"), "left_anti")
+      .localCheckpoint()
+    if (hasIndex)
+      Dedup.upsertLshIndex(survivors, col("doc_id"), col("scrubbed"), indexPath)
+    else Dedup.writeLshIndex(survivors, col("doc_id"), col("scrubbed"), indexPath)
+    Curation.withSplit(survivors, col("doc_id"))
+      .withColumn("shard", Curation.hashBucket(col("doc_id"), "shard", nShards))
+      .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"),
+        col("split"), col("shard"))
+      .write.mode("overwrite").partitionBy("split", "shard")
+      .parquet(s"$landingPath/batch=$batchId")
+  }
+
+  /** Streaming wrapper: Kafka-shaped (doc_id, text) stream →
+    * applyCorpusFactoryBatch per trigger. Checkpointed source replay +
+    * the batch's idempotence (see above) give exactly-once landing
+    * state. */
+  def corpusFactorySink(docs: DataFrame, indexPath: String, landingPath: String,
+      checkpoint: String, nShards: Int = 8, threshold: Double = 0.8,
+      minTokens: Int = 30, minQuality: Double = 0.65,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
+          nShards, threshold, minTokens, minQuality)
+      }
+      .start()
+  }
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),

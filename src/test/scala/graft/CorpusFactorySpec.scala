@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.Pipelines
+
+/** The streaming corpus factory end-to-end (round-6 upsert primitive
+  * composed): curation funnel → incremental LSH dedup against the
+  * persisted index → atomic index upsert → batch-scoped landing zone.
+  * Replay of a batch must converge to the same corpus state.
+  */
+class CorpusFactorySpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  // four genuinely distinct English documents (≥30 tokens, disjoint
+  // content vocabulary, en-marker stopwords present)
+  private val docA = "the ancient library holds thousands of rare manuscripts " +
+    "and the curators carefully restore faded pages while scholars from " +
+    "distant universities request access to study medieval bindings inks " +
+    "and marginal annotations preserved under controlled humidity for " +
+    "future generations"
+  private val docB = "the mountain expedition began before dawn and the " +
+    "climbers traced a narrow ridge above the glacier while porters carried " +
+    "supplies toward the high camp where meteorologists monitored wind " +
+    "pressure and visibility before granting the final ascent window"
+  private val docC = "the harbor market opens with fishermen unloading crates " +
+    "of mackerel and the vendors arrange octopus squid and clams on crushed " +
+    "ice while chefs negotiate morning prices and gulls circle the pier " +
+    "waiting for scraps near the auction bell"
+  private val docD = "the orchestra rehearsed the new symphony and the " +
+    "conductor adjusted tempo through the difficult passage while violinists " +
+    "marked bowings cellists tuned against the oboe and the composer " +
+    "listened from the balcony taking notes for revisions"
+
+  private def landedIds(path: String): Set[Long] =
+    spark.read.parquet(path).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def indexIds(idx: String): Set[Long] =
+    spark.read.parquet(s"${Dedup.currentLshIndexDir(spark, idx)}/shingles")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+  test("corpus factory: funnel → incremental dedup → index upsert → landing, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cfactory").toString
+    val (idx, land) = (s"$base/idx", s"$base/land")
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = Pipelines.corpusFactorySink(sdf, idx, land, s"$base/ckpt",
+      minQuality = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // batch 0: doc 2 near-dups doc 1 (greedy min-id keeps 1), doc 3 is
+    // distinct, doc 4 fails the token gate
+    stream.addData((1L, docA), (2L, docA + " extra tail"),
+      (3L, docB), (4L, "too short"))
+    q.processAllAvailable()
+    assert(landedIds(s"$land/batch=0") == Set(1L, 3L))
+    assert(Dedup.currentLshIndexDir(spark, idx).endsWith("/v=1"))
+    assert(indexIds(idx) == Set(1L, 3L))
+
+    // batch 1: doc 5 near-dups the INDEXED doc 3 (drops even though
+    // 5 > 3 is irrelevant — corpus copy wins); doc 6 fresh; docs 7/8
+    // near-dup each other within the batch (7 kept)
+    stream.addData((5L, docB + " small tail"), (6L, docC),
+      (7L, docD), (8L, docD + " more appended"))
+    q.processAllAvailable()
+    assert(landedIds(s"$land/batch=1") == Set(6L, 7L))
+    assert(indexIds(idx) == Set(1L, 3L, 6L, 7L))
+    q.stop()
+
+    // crash-replay: re-apply batch 1 verbatim (same batchId) — the
+    // landing overwrites, the index re-upserts the same rows, and the
+    // corpus state is unchanged
+    val batch1 = Seq((5L, docB + " small tail"), (6L, docC),
+      (7L, docD), (8L, docD + " more appended")).toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, batch1, 1L, idx, land,
+      minQuality = 0.5)
+    assert(landedIds(s"$land/batch=1") == Set(6L, 7L))
+    assert(indexIds(idx) == Set(1L, 3L, 6L, 7L))
+    // whole landing zone = the deduped curated corpus
+    assert(landedIds(land) == Set(1L, 3L, 6L, 7L))
+  }
+
+  test("corpus factory batch: curation gates attribute before dedup (batch mode)") {
+    val base = java.nio.file.Files.createTempDirectory("cfactory2").toString
+    // a near-dup PAIR where the lower id fails a gate: the higher id
+    // must survive (gates run first; dropped docs never join dedup)
+    val b = Seq((10L, "way too short to pass"), (11L, docC))
+      .toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, b, 0L, s"$base/idx", s"$base/land",
+      minQuality = 0.5)
+    assert(landedIds(s"$base/land/batch=0") == Set(11L))
+    assert(indexIds(s"$base/idx") == Set(11L))
+  }
+}
