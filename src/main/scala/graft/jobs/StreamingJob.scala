@@ -18,9 +18,11 @@ import graft.streaming.{Metrics, Pipelines}
   * Starts five queries off ONE parsed CDC stream:
   *  1. keyword windowed counts → parquet state table (minute buckets)
   *  2. trending alerts → parquet append (threshold per AlertConfig)
-  *  3. idempotent mirror sink (MERGE per micro-batch)
-  *  4. rank-delta snapshot loop (top-K movements per trigger —
-  *     realtime_keyword_aggregator.py:358-383)
+  *  3. idempotent mirror sink (MERGE per micro-batch, per-table
+  *     delete routing — SyncService.py parity)
+  *  4. rank-delta snapshot loop (top-K movements per trigger with
+  *     7-day key TTL — realtime_keyword_aggregator.py:358-383 +
+  *     advanced_trend_analyzer.py:89)
   *  5. curated training-data landing zone: upsert content through the
   *     streaming curation funnel (content dedup → gates → scrub) into
   *     split/shard-partitioned parquet
@@ -62,12 +64,19 @@ object StreamingJob {
       .start()
 
     val mirror = Pipelines.cdcMirrorSink(
-      spark, parsed, s"$out/mirror", s"$out/ckpt/mirror")
+      spark, parsed, s"$out/mirror", s"$out/ckpt/mirror",
+      // reference routing: articles soft-delete, media hard-delete,
+      // article_changes upsert-only, unknown tables skipped
+      policy = Pipelines.ReferenceTablePolicy,
+      defaultPolicy = Pipelines.TablePolicy.SkipTable)
 
-    val rankDeltas = Pipelines.rankDeltaSnapshotSink(
-      spark,
-      keywords.groupBy(col("keyword").as("key")).agg(count(lit(1)).as("cnt")),
-      s"$out/rank_state", s"$out/ckpt/rank_state", topN = 50)
+    // TTL-parity rank-delta loop: per-key running counts evict after
+    // 7 days of event-time silence (the reference's Redis EXPIRE)
+    val rankDeltas = Pipelines.rankDeltaSnapshotSinkTtl(
+      spark, keywords, "keyword", "event_time",
+      s"$out/rank_state", s"$out/ckpt/rank_state",
+      ttlMs = 7L * 24 * 3600 * 1000, topN = 50,
+      watermarkDelay = "10 minutes")
 
     val landing = Pipelines.curatedLandingSink(
       Pipelines.dedupByContent(

@@ -291,20 +291,27 @@ object Pipelines {
       .filter(!(col("is_deleted") &&
         policyPred(policy, defaultPolicy, TablePolicy.HardDelete)))
     val staging = new Path(root, ".staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(staging))
+      require(fs.delete(staging, true), s"failed to clear $staging")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     val bak = new Path(root, ".bak")
     fs.mkdirs(bak)
+    // HDFS reports rename/delete failure by RETURNING FALSE, not by
+    // throwing — an unchecked rename here silently loses a bucket.
     touched.foreach { b =>
       val live = new Path(root, s"bucket=$b")
       val stagedB = new Path(staging, s"bucket=$b")
       val bakB = new Path(bak, s"bucket=$b")
-      if (fs.exists(live)) fs.rename(live, bakB)
-      if (fs.exists(stagedB)) fs.rename(stagedB, live)
-      if (fs.exists(bakB)) fs.delete(bakB, true)
+      if (fs.exists(live))
+        require(fs.rename(live, bakB), s"failed to move $live aside")
+      if (fs.exists(stagedB))
+        require(fs.rename(stagedB, live), s"failed to publish $stagedB")
+      if (fs.exists(bakB))
+        require(fs.delete(bakB, true), s"failed to drop backup $bakB")
     }
-    fs.delete(bak, true)
-    fs.delete(staging, true)
+    require(fs.delete(bak, true), s"failed to clean $bak")
+    if (fs.exists(staging))
+      require(fs.delete(staging, true), s"failed to clean $staging")
   }
 
   /** Crash recovery for the bucket swap: a leftover `.bak/bucket=N`
@@ -317,10 +324,11 @@ object Pipelines {
     if (fs.exists(bak)) {
       fs.listStatus(bak).foreach { st =>
         val live = new Path(root, st.getPath.getName)
-        if (fs.exists(live)) fs.delete(st.getPath, true)
-        else fs.rename(st.getPath, live)
+        if (fs.exists(live))
+          require(fs.delete(st.getPath, true), s"failed to drop ${st.getPath}")
+        else require(fs.rename(st.getPath, live), s"failed to restore $live")
       }
-      fs.delete(bak, true)
+      require(fs.delete(bak, true), s"failed to clean $bak")
     }
   }
 
@@ -355,11 +363,13 @@ object Pipelines {
   private def writeSwap(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       root: Path, name: String, df: DataFrame): Unit = {
     val tmp = new Path(root, s".tmp-$name")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to clear $tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     val live = new Path(root, name)
-    if (fs.exists(live)) fs.delete(live, true)
-    fs.rename(tmp, live)
+    // boolean returns checked: a silently failed rename onto an
+    // existing dir would nest tmp INSIDE live on HDFS-like filesystems
+    if (fs.exists(live)) require(fs.delete(live, true), s"failed to clear $live")
+    require(fs.rename(tmp, live), s"failed to publish $live")
   }
 
   /** Streaming wrapper for the snapshot loop: complete-mode counts →
