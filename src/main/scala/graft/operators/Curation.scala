@@ -442,6 +442,69 @@ object Curation {
           .otherwise("keep"))
       .drop("_toks")
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — public): score every raw document by how much
+    * its hashed-bigram profile resembles a TARGET corpus. Feature =
+    * token bigrams hashed into `m` buckets (the portable salted hash,
+    * so any engine replays the bucketing); target and raw bucket
+    * distributions are add-1-smoothed multinomials; a document's
+    * weight is its bigram-multiset log likelihood ratio
+    * Σ_g [ln p̂_target(b(g)) − ln p̂_raw(b(g))].
+    *
+    * Determinism: the per-bucket log ratio is computed ONCE (exact
+    * integer counts → one IEEE divide → one ln) and immediately fixed
+    * to integer MICRO-nats (round(l·1e6) as BIGINT), so each doc's
+    * weight is an order-free exact integer sum — a float Σ over grams
+    * would depend on aggregation order and break cross-engine hash
+    * parity. Returns (doc_id, n_grams, dsir_w_micro); docs with <2
+    * tokens have no bigrams and drop out.
+    *
+    * Scale: two m-row bucket-count aggregations (map-side combined),
+    * the m-row ratio table broadcast onto the exploded gram stream,
+    * one per-doc sum — the corpus is scanned once per side and never
+    * shuffled except for the (doc, partial-sum) reduce. Selection is
+    * a TakeOrderedAndProject over the weights (see q121), or a
+    * threshold filter for streaming admission. */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column, m: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(m > 0)
+    GraftFunctions.register(raw.sparkSession)
+    def gramBuckets(df: DataFrame, cols: Seq[Column], t: Column): DataFrame =
+      df.select(cols :+ explode(Text.bigrams(Text.tokens(t))).as("gram"): _*)
+        .select(cols :+ hashBucket(col("gram"), salt, m).as("bucket"): _*)
+    val rawGr = gramBuckets(raw, Seq(id.as("doc_id")), text)
+    val tgtGr = gramBuckets(target, Seq.empty, targetText)
+    val rawCnt = rawGr.groupBy(col("bucket")).agg(count(lit(1)).as("_cq"))
+    val tgtCnt = tgtGr.groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
+    val tgtTot = tgtGr.agg(count(lit(1)).as("_nt"))
+    val rawTot = rawGr.agg(count(lit(1)).as("_nq"))
+    // every bucket that occurs in raw docs gets a ratio row (≤ m rows);
+    // target-absent buckets smooth to ct=0
+    val ratios = rawCnt
+      .join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("bucket"),
+        round((log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + lit(m.toDouble)))
+          - log((col("_cq") + lit(1.0)) / (col("_nq") + lit(m.toDouble)))) * lit(1000000.0))
+          .cast("long").as("_lmicro"))
+    rawGr.join(broadcast(ratios), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("_lmicro")).as("dsir_w_micro"))
+  }
+
+  /** The selection step: the `n` highest-weight raw docs (ties to the
+    * lower id) — plans as TakeOrderedAndProject, never a global sort. */
+  def dsirSelect(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column, n: Int, m: Int = 1024): DataFrame = {
+    val w = dsirWeights(raw, id, text, target, targetText, m)
+      .withColumnRenamed("doc_id", "_dsir_id")
+    raw.join(w, id === col("_dsir_id")).drop("_dsir_id")
+      .orderBy(col("dsir_w_micro").desc, id)
+      .limit(n)
+  }
+
   /** Deterministic epoch shuffle, sharded: shard = hash mod nShards,
     * position within shard = rank of the hash. Reproduces "global
     * random training order" the way real pipelines ship it — as N

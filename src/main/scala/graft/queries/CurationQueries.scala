@@ -527,6 +527,47 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  // DSIR-style importance selection (arXiv:2302.03169): hashed-bigram
+  // log likelihood ratio against a target corpus (here: the en slice),
+  // weights as exact integer micro-nats (order-free sums — the float
+  // Σ would break cross-engine hash parity), selection = top-100 by
+  // weight. The oracle replays tokenization, the portable bucket
+  // hash, add-1 smoothing, and the micro-nat fixing in SQL.
+  val q121 = sql(
+    "q121_dsir_selection", {
+      val bucket = pmodSql(signedSql(uSql("md5('dsir' || gram)")), 1024)
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM t WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, lang, $bucket AS bucket FROM g),
+         |qc AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+         |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS nt,
+         |               (SELECT count(*) FROM b) AS nq),
+         |r AS (SELECT qc.bucket,
+         |    CAST(round((ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 1024.0))
+         |      - ln((qc.cq + 1.0) / (tot.nq + 1024.0))) * 1000000.0) AS BIGINT) AS lmicro
+         |  FROM qc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+         |w AS (SELECT b.doc_id, min(b.lang) AS lang, count(*) AS n_grams,
+         |    CAST(sum(r.lmicro) AS BIGINT) AS w_micro
+         |  FROM b JOIN r ON b.bucket = r.bucket GROUP BY b.doc_id),
+         |sel AS (SELECT * FROM w ORDER BY w_micro DESC, doc_id LIMIT 100)
+         |SELECT lang, count(*) AS n_selected, CAST(sum(w_micro) AS BIGINT) AS w_micro_sum
+         |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = Curation.dsirWeights(docs, col("doc_id"), col("text"),
+      docs.filter(col("lang") === "en"), col("text"))
+    w.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .orderBy(col("dsir_w_micro").desc, col("doc_id")).limit(100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("dsir_w_micro")).as("w_micro_sum"))
+      .orderBy(col("lang"))
+  }
+
   // Sequence-length buckets with padding-waste accounting
   // (Curation.lengthBuckets) — the dynamic-batching prep report.
   val q114 = sql(
@@ -612,5 +653,5 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113, q114, q116)
+    q97, q108, q110, q111, q112, q113, q114, q116, q121)
 }

@@ -293,7 +293,14 @@ object Pipelines {
     val staging = new Path(root, ".staging")
     if (fs.exists(staging))
       require(fs.delete(staging, true), s"failed to clear $staging")
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    // repartition on the bucket key before the partitionBy write: the
+    // merge window leaves rows of one bucket spread over every task,
+    // and partitionBy alone would then emit tasks×buckets small files
+    // per micro-batch — a file-count explosion at 100 TB. One extra
+    // exchange of the touched-buckets subset buys one file per bucket
+    // (AQE coalesces the near-empty partitions).
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     val bak = new Path(root, ".bak")
     fs.mkdirs(bak)
     // HDFS reports rename/delete failure by RETURNING FALSE, not by

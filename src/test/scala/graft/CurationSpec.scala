@@ -334,6 +334,23 @@ class CurationSpec extends SparkSuite {
     assert(a.sameElements(b), "schedule must not depend on physical partitioning")
   }
 
+  test("DSIR selection: target-like docs dominate, weights invariant under repartitioning") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val target = docs.filter(col("lang") === "en")
+    val sel = Curation.dsirSelect(docs, col("doc_id"), col("text"),
+      target, col("text"), 50)
+    val langs = sel.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.getOrElse("en", 0L) >= 40,
+      s"selection must skew heavily to the target language: $langs")
+    // weights are a pure function of the input — exact integer
+    // micro-nats, no float-sum order dependence
+    def w(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirWeights(df, col("doc_id"), col("text"), target, col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(w(docs) == w(docs.repartition(7)))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged partition the key space") {
     import spark.implicits._
     val vOld = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
