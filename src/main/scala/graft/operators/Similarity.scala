@@ -20,6 +20,37 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of ranked
+    * candidate lists — the standard hybrid-retrieval combiner for
+    * lexical (BM25) + dense (ANN) results: fused(id) =
+    * Σ_lists 1/(k0 + rank_list(id)); ids absent from a list simply
+    * contribute nothing, so no score normalization across
+    * incomparable scales is needed.
+    *
+    * Determinism: each list ranks by (score desc, id) — the
+    * engine-unambiguous ordering — and each contribution is a single
+    * exact IEEE division; the fused sum is rounded to 6. Inputs are
+    * bounded top-k lists (TakeOrderedAndProject upstream), so the
+    * global rank windows here run over ≤k rows, never the corpus —
+    * and the final top-k is itself a TakeOrderedAndProject. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k0: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc, col("_id"))
+    val contribs = lists.map { df =>
+      df.select(col(idCol).as("_id"), col(scoreCol).cast("double").as("_s"))
+        .withColumn("_r", row_number().over(w))
+        .select(col("_id"), (lit(1.0) / (lit(k0.toDouble) + col("_r"))).as("_c"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col("_id"))
+      .agg(round(sum(col("_c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("_id"))
+      .limit(k)
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Cosine top-k against one query vector taken from the corpus. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)

@@ -432,6 +432,35 @@ object VectorQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // Hybrid retrieval: BM25 lexical top-10 (q93) + dense cosine top-10
+  // (q37) fused by reciprocal-rank fusion — the standard lexical+dense
+  // combiner (Cormack et al. 2009). The oracle composes the two
+  // already-verified oracle queries and replays the fusion; the
+  // documents/embeddings tables share the 0..n id space, so vec_id IS
+  // the doc id.
+  val q122 = sql(
+    "q122_hybrid_retrieval", {
+      s"""WITH bm AS (SELECT doc_id AS id, score FROM (${TextQueries.q93.oracle.get}) b),
+         |ann AS (SELECT vec_id AS id, sim AS score FROM (${q37.oracle.get}) a),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM bm),
+         |annr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM ann),
+         |u AS (SELECT id, 1.0 / (60 + r) AS c FROM bmr
+         |      UNION ALL SELECT id, 1.0 / (60 + r) AS c FROM annr)
+         |SELECT id AS doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val bm = graft.functions.Text.bm25TopK(Tables.documents(s, d),
+      col("doc_id"), col("text"), Seq("join", "hash", "spark", "window"))
+      .select(col("doc_id").as("id"), col("score"))
+    val ann = Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)
+      .select(col("vec_id").as("id"), col("sim").as("score"))
+    Similarity.rrfFuse(Seq(bm, ann), "id", "score")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117)
+    q76, q79, q82, q95, q96, q104, q117, q122)
 }
