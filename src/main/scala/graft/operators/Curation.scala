@@ -478,8 +478,10 @@ object Curation {
     val tgtGr = gramBuckets(target, Seq.empty, targetText)
     val rawCnt = rawGr.groupBy(col("bucket")).agg(count(lit(1)).as("_cq"))
     val tgtCnt = tgtGr.groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
-    val tgtTot = tgtGr.agg(count(lit(1)).as("_nt"))
-    val rawTot = rawGr.agg(count(lit(1)).as("_nq"))
+    // corpus totals from the ≤m-row bucket tables, NOT a second scan
+    // of the tokenized corpora
+    val tgtTot = tgtCnt.agg(coalesce(sum(col("_ct")), lit(0L)).as("_nt"))
+    val rawTot = rawCnt.agg(coalesce(sum(col("_cq")), lit(0L)).as("_nq"))
     // every bucket that occurs in raw docs gets a ratio row (≤ m rows);
     // target-absent buckets smooth to ct=0
     val ratios = rawCnt
