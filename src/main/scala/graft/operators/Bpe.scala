@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Byte-pair-encoding MERGE TRAINING in-engine (Sennrich et al. 2016,
+  * arXiv:1508.07909 — the tokenizer-training step of every LLM data
+  * pipeline): learn the top-k symbol merges from corpus statistics.
+  *
+  * Scale design — the reason this is cheap at 100 TB: after ONE
+  * corpus pass (word → frequency), every merge round runs on the
+  * DISTINCT-WORD symbol table, whose size is the corpus VOCABULARY
+  * (≈10⁵–10⁶ rows), independent of corpus size. k merge rounds are k
+  * joins+windows over that small table; the corpus itself is never
+  * touched again.
+  *
+  * Determinism (oracle-replayable):
+  *  - words: whitespace tokens (Text.tokens); symbols start as single
+  *    characters (no end-of-word marker — documented simplification);
+  *  - pair counts: word-frequency-weighted counts of ADJACENT symbol
+  *    pairs, overlapping occurrences counted naively (the standard
+  *    Counter-over-zip convention);
+  *  - winner: (count desc, sym_a asc, sym_b asc) — a total order;
+  *  - application: greedy LEFT-TO-RIGHT non-overlapping, realized as
+  *    gaps-and-islands over matched positions with odd-parity keep
+  *    (within a run of consecutive matches the 1st, 3rd, … merge; the
+  *    2nd, 4th, … would overlap a consumed symbol) — the sequential
+  *    semantics, computed as one window pass;
+  *  - exact integer counts throughout; no floats anywhere.
+  */
+object Bpe {
+
+  /** One character per row: (word, fr, pos, sym), pos 1-based. */
+  private def initSymbols(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(Text.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("fr"))
+      .select(col("word"), col("fr"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => substring(col("word"), i, lit(1)).cast("string")))
+          .as(Seq("pos0", "sym")))
+      .select(col("word"), col("fr"), (col("pos0") + 1).as("pos"), col("sym"))
+
+  private val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+  /** Apply ONE merge (a, b) to the symbol table — greedy left-to-right
+    * non-overlapping via odd-parity islands over matched positions. */
+  private def applyMerge(w: DataFrame, a: Column, b: Column): DataFrame = {
+    val flagged = w
+      .withColumn("_next", lead(col("sym"), 1).over(byPos))
+      .withColumn("_m", col("_next").isNotNull &&
+        col("sym") === a && col("_next") === b)
+    val kept = flagged.filter(col("_m"))
+      .withColumn("_rn", row_number().over(byPos))
+      .withColumn("_k", row_number().over(
+        Window.partitionBy(col("word"), col("pos") - col("_rn"))
+          .orderBy(col("pos"))))
+      .filter(col("_k") % 2 === 1)
+      .select(col("word").as("_kw"), col("pos").as("_kp"))
+    flagged
+      .join(kept, col("word") === col("_kw") && col("pos") === col("_kp"), "left")
+      .withColumn("_kept", col("_kp").isNotNull)
+      .drop("_kw", "_kp")
+      .join(kept, col("word") === col("_kw") && col("pos") === col("_kp") + 1, "left")
+      .withColumn("_consumed", col("_kp").isNotNull)
+      .filter(!col("_consumed"))
+      .select(col("word"), col("fr"), col("pos"),
+        when(col("_kept"), concat(a, b)).otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(byPos))
+  }
+
+  /** The training loop: (merge table, final symbol table). */
+  private def train(docs: DataFrame, text: Column,
+      merges: Int): (DataFrame, DataFrame) = {
+    require(merges >= 1)
+    var w = initSymbols(docs, text).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val pairs = w.as("a").join(w.as("b"),
+          col("a.word") === col("b.word") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.sym").as("sym_a"), col("b.sym").as("sym_b"))
+        .agg(sum(col("a.fr")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(1)
+        .localCheckpoint() // 1 row; feeds both the output and the apply
+      if (top.isEmpty) exhausted = true
+      else {
+        learned += top.select(lit(r).as("rank"), col("sym_a"), col("sym_b"),
+          concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
+        val t = broadcast(top.select(col("sym_a").as("_A"), col("sym_b").as("_B")))
+        w = applyMerge(w.crossJoin(t), col("_A"), col("_B"))
+          .localCheckpoint() // truncate lineage; table stays vocab-sized
+      }
+      r += 1
+    }
+    val mergeTable =
+      if (learned.isEmpty)
+        // degenerate corpus (every word one symbol): empty merge list
+        initSymbols(docs, text).limit(0)
+          .select(lit(0).as("rank"), col("sym").as("sym_a"), col("sym").as("sym_b"),
+            col("sym").as("merged"), col("fr").as("cnt"))
+      else learned.reduce(_.unionByName(_)).orderBy(col("rank"))
+    (mergeTable, w)
+  }
+
+  /** Train `merges` BPE merges over the corpus; returns the merge
+    * table (rank, sym_a, sym_b, merged, cnt) with rank 1..merges in
+    * learned order. Stops early if no adjacent pair remains. */
+  def trainMerges(docs: DataFrame, text: Column, merges: Int): DataFrame =
+    train(docs, text, merges)._1
+
+  /** Post-training vocabulary: distinct symbols of the final word
+    * table with frequency-weighted occurrence counts — what a
+    * tokenizer ships alongside the merge list. */
+  def vocabAfterMerges(docs: DataFrame, text: Column, merges: Int): DataFrame =
+    train(docs, text, merges)._2
+      .groupBy(col("sym")).agg(sum(col("fr")).as("occurrences"))
+}

@@ -593,6 +593,59 @@ object TextQueries {
       .orderBy(col("norm"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61,
+  /** One unrolled BPE merge round in DuckDB — identical semantics to
+    * Bpe.applyMerge: frequency-weighted overlapping pair counts,
+    * (cnt desc, sym_a, sym_b) winner, greedy left-to-right application
+    * via odd-parity islands over matched positions. */
+  private def bpeRound(r: Int): String =
+    s"""p$r AS MATERIALIZED (SELECT a.sym AS sa, b.sym AS sb, CAST(sum(a.fr) AS BIGINT) AS cnt
+       |  FROM w$r a JOIN w$r b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY 1, 2),
+       |t$r AS MATERIALIZED (SELECT sa, sb, cnt FROM p$r ORDER BY cnt DESC, sa, sb LIMIT 1),
+       |f$r AS MATERIALIZED (SELECT w.word, w.fr, w.pos, w.sym, t.sa, t.sb,
+       |    lead(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) AS nxt
+       |  FROM w$r w CROSS JOIN t$r t),
+       |m$r AS MATERIALIZED (SELECT word, pos, row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+       |  FROM f$r WHERE nxt IS NOT NULL AND sym = sa AND nxt = sb),
+       |k$r AS MATERIALIZED (SELECT word, pos FROM (
+       |    SELECT word, pos, row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS kk
+       |    FROM m$r) z WHERE kk % 2 = 1),
+       |w${r + 1} AS MATERIALIZED (
+       |  SELECT word, fr, CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN kept THEN sa || sb ELSE sym END AS sym
+       |  FROM (SELECT f.word, f.fr, f.pos, f.sym, f.sa, f.sb,
+       |      k1.pos IS NOT NULL AS kept, k2.pos IS NOT NULL AS consumed
+       |    FROM f$r f
+       |    LEFT JOIN k$r k1 ON f.word = k1.word AND f.pos = k1.pos
+       |    LEFT JOIN k$r k2 ON f.word = k2.word AND f.pos = k2.pos + 1) x
+       |  WHERE NOT consumed)""".stripMargin
+
+  // In-engine BPE tokenizer training (arXiv:1508.07909): the first 5
+  // learned merges over the corpus. The oracle unrolls 5 full
+  // count-pick-apply rounds in SQL — winner order, overlap counting,
+  // and greedy left-to-right application all replayed exactly.
+  val q123 = sql(
+    "q123_bpe_merges", {
+      val rounds = (1 to 5).map(bpeRound).mkString(",\n")
+      val heads = (1 to 5).map(r =>
+        s"SELECT $r AS merge_rank, sa AS sym_a, sb AS sym_b, sa || sb AS merged, cnt FROM t$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tokw AS (SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS fr FROM tokw GROUP BY word),
+         |wc AS (SELECT word, fr, unnest(range(1, length(word)+1)) AS pos0 FROM wf),
+         |w1 AS MATERIALIZED (SELECT word, fr, CAST(pos0 AS BIGINT) AS pos,
+         |    word[CAST(pos0 AS INT)] AS sym FROM wc),
+         |$rounds
+         |SELECT * FROM (
+         |  $heads) m
+         |ORDER BY merge_rank""".stripMargin
+    }) { (s, d) =>
+    graft.operators.Bpe.trainMerges(docs(s, d), col("text"), 5)
+      .select(col("rank").as("merge_rank"), col("sym_a"), col("sym_b"),
+        col("merged"), col("cnt"))
+      .orderBy(col("merge_rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123,
     q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
 }
