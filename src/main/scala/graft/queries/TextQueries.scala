@@ -619,23 +619,29 @@ object TextQueries {
        |    LEFT JOIN k$r k2 ON f.word = k2.word AND f.pos = k2.pos + 1) x
        |  WHERE NOT consumed)""".stripMargin
 
+  /** Shared oracle prefix: word frequencies, char-level symbol table,
+    * and `n` unrolled merge rounds ending at CTE w{n+1}. */
+  private def bpePrefix(n: Int): String = {
+    val rounds = (1 to n).map(bpeRound).mkString(",\n")
+    s"""WITH tokw AS (SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS fr FROM tokw GROUP BY word),
+       |wc AS (SELECT word, fr, unnest(range(1, length(word)+1)) AS pos0 FROM wf),
+       |w1 AS MATERIALIZED (SELECT word, fr, CAST(pos0 AS BIGINT) AS pos,
+       |    word[CAST(pos0 AS INT)] AS sym FROM wc),
+       |$rounds""".stripMargin
+  }
+
   // In-engine BPE tokenizer training (arXiv:1508.07909): the first 5
   // learned merges over the corpus. The oracle unrolls 5 full
   // count-pick-apply rounds in SQL — winner order, overlap counting,
   // and greedy left-to-right application all replayed exactly.
   val q123 = sql(
     "q123_bpe_merges", {
-      val rounds = (1 to 5).map(bpeRound).mkString(",\n")
       val heads = (1 to 5).map(r =>
         s"SELECT $r AS merge_rank, sa AS sym_a, sb AS sym_b, sa || sb AS merged, cnt FROM t$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH tokw AS (SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
-         |  FROM documents),
-         |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS fr FROM tokw GROUP BY word),
-         |wc AS (SELECT word, fr, unnest(range(1, length(word)+1)) AS pos0 FROM wf),
-         |w1 AS MATERIALIZED (SELECT word, fr, CAST(pos0 AS BIGINT) AS pos,
-         |    word[CAST(pos0 AS INT)] AS sym FROM wc),
-         |$rounds
+      s"""${bpePrefix(5)}
          |SELECT * FROM (
          |  $heads) m
          |ORDER BY merge_rank""".stripMargin
@@ -646,6 +652,19 @@ object TextQueries {
       .orderBy(col("merge_rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123,
+  // The trained tokenizer's VOCABULARY: distinct symbols of the final
+  // word table with frequency-weighted occurrence counts — what ships
+  // with the merge list. Segmentation is per DISTINCT word (vocab-
+  // sized work), never per corpus occurrence.
+  val q124 = sql(
+    "q124_bpe_vocab",
+    s"""${bpePrefix(5)}
+       |SELECT sym, CAST(sum(fr) AS BIGINT) AS occurrences
+       |FROM w6 GROUP BY sym ORDER BY occurrences DESC, sym""".stripMargin) { (s, d) =>
+    graft.operators.Bpe.vocabAfterMerges(docs(s, d), col("text"), 5)
+      .orderBy(col("occurrences").desc, col("sym"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124,
     q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
 }
