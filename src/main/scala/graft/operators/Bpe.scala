@@ -119,4 +119,23 @@ object Bpe {
   def vocabAfterMerges(docs: DataFrame, text: Column, merges: Int): DataFrame =
     train(docs, text, merges)._2
       .groupBy(col("sym")).agg(sum(col("fr")).as("occurrences"))
+
+  /** Tokenize the corpus under the trained tokenizer: per-document
+    * BPE token counts after `merges` merges. The scale move: a word's
+    * segmentation is a pure function of the word, so segmentation is
+    * computed ONCE PER DISTINCT WORD (the training loop's final state
+    * already holds it) and the corpus only pays an explode + a
+    * broadcast join against the vocabulary-sized (word → n_sym) map —
+    * the corpus is never re-segmented occurrence by occurrence.
+    * Returns (doc_id, n_words, n_tok) with n_tok = Σ per-word symbol
+    * counts. */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column,
+      merges: Int): DataFrame = {
+    val wordLens = train(docs, text, merges)._2
+      .groupBy(col("word")).agg(count(lit(1)).as("_n_sym"))
+    docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("word"))
+      .join(broadcast(wordLens), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n_sym")).as("n_tok"))
+  }
 }

@@ -665,6 +665,24 @@ object TextQueries {
       .orderBy(col("occurrences").desc, col("sym"))
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124,
+  // Corpus tokenization under the trained tokenizer: per-doc token
+  // counts after 5 merges. Segmentation is per DISTINCT word (the
+  // final training state), corpus pays one broadcast join.
+  val q125 = sql(
+    "q125_bpe_token_counts",
+    s"""${bpePrefix(5)},
+       |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM w6 GROUP BY word),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wl.n_sym) AS BIGINT) AS n_tok
+       |FROM dw JOIN wl USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Bpe.tokenCounts(docs(s, d), col("doc_id"), col("text"), 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124, q125,
     q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
 }
