@@ -507,6 +507,54 @@ object Curation {
       .limit(n)
   }
 
+  /** The (bucket → micro-nat log-ratio) table of `dsirWeights` as a
+    * reusable artifact — fit once on a batch corpus, persist like the
+    * LSH index, apply to any future batch or STREAM. ≤ m rows. */
+  def dsirRatios(raw: DataFrame, text: Column,
+      target: DataFrame, targetText: Column, m: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    // same construction as dsirWeights, without the per-doc rollup
+    GraftFunctions.register(raw.sparkSession)
+    def buckets(df: DataFrame, t: Column): DataFrame =
+      df.select(explode(Text.bigrams(Text.tokens(t))).as("gram"))
+        .select(hashBucket(col("gram"), salt, m).as("bucket"))
+    val rawCnt = buckets(raw, text).groupBy(col("bucket")).agg(count(lit(1)).as("_cq"))
+    val tgtCnt = buckets(target, targetText).groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
+    val tgtTot = tgtCnt.agg(coalesce(sum(col("_ct")), lit(0L)).as("_nt"))
+    val rawTot = rawCnt.agg(coalesce(sum(col("_cq")), lit(0L)).as("_nq"))
+    rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("bucket"),
+        round((log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + lit(m.toDouble)))
+          - log((col("_cq") + lit(1.0)) / (col("_nq") + lit(m.toDouble)))) * lit(1000000.0))
+          .cast("long").as("lmicro"))
+  }
+
+  /** STREAMING-legal DSIR admission score: the fitted ratio table
+    * (collected once — ≤ m rows of driver state, the same sanctioned
+    * bound as k-means centroids) compiles into a literal map, and the
+    * score is a pure column expression over the row's own bigrams —
+    * no join, no state, stream==batch by construction. Buckets absent
+    * from the fitted table (bigrams never seen at fit time) contribute
+    * 0. Gate with `score >= thresholdMicro` in any funnel, including
+    * `curateStream`-shaped streaming pipelines. */
+  def dsirScore(text: Column, ratios: Map[Long, Long], m: Int = 1024,
+      salt: String = "dsir"): Column = {
+    require(ratios.nonEmpty)
+    val entries = ratios.toSeq.sortBy(_._1)
+    val lookup = map(entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
+    val grams = Text.bigrams(Text.tokens(text))
+    aggregate(
+      transform(grams, g =>
+        coalesce(element_at(lookup, hashBucket(g, salt, m)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Collect a fitted ratio table into the literal-map form `dsirScore`
+    * consumes (≤ m rows — bounded by construction). */
+  def collectRatios(ratios: DataFrame): Map[Long, Long] =
+    ratios.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Deterministic epoch shuffle, sharded: shard = hash mod nShards,
     * position within shard = rank of the hash. Reproduces "global
     * random training order" the way real pipelines ship it — as N

@@ -351,6 +351,42 @@ class CurationSpec extends SparkSuite {
     assert(w(docs) == w(docs.repartition(7)))
   }
 
+  test("dsirScore: literal-map streaming form equals dsirWeights; stream == batch") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val target = docs.filter(col("lang") === "en")
+    val ratios = Curation.collectRatios(
+      Curation.dsirRatios(docs, col("text"), target, col("text")))
+    assert(ratios.nonEmpty && ratios.size <= 1024)
+    val viaScore = docs
+      .select(col("doc_id"), Curation.dsirScore(col("text"), ratios).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWeights = Curation.dsirWeights(docs, col("doc_id"), col("text"),
+      target, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // fit corpus == scored corpus → every bucket is in the map; the
+    // two formulations must agree exactly (docs with <2 tokens are
+    // absent from the rollup form and score 0 in the column form)
+    viaWeights.foreach { case (id, w) =>
+      assert(viaScore(id) == w, s"doc $id: $w vs ${viaScore(id)}")
+    }
+
+    // the column form is stateless → streaming replay equals batch
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.dsirScore(col("text"), ratios).as("w"))
+      .writeStream.outputMode("append").format("memory").queryName("dsirs").start()
+    val sample = docs.select(col("doc_id"), col("text")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    stream.addData(sample)
+    q.processAllAvailable()
+    val streamed = spark.table("dsirs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach { case (id, _) => assert(streamed(id) == viaScore(id)) }
+    q.stop()
+  }
+
   test("snapshot diff: added/removed/changed/unchanged partition the key space") {
     import spark.implicits._
     val vOld = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
