@@ -514,11 +514,20 @@ object Pipelines {
     * version commit, the landing write shuffles only the batch. */
   def applyCorpusFactoryBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexPath: String, landingPath: String, nShards: Int = 8,
-      threshold: Double = 0.8, minTokens: Int = 30, minQuality: Double = 0.65): Unit = {
+      threshold: Double = 0.8, minTokens: Int = 30, minQuality: Double = 0.65,
+      dsirGate: Option[(Map[Long, Long], Long)] = None): Unit = {
     import graft.operators.{Curation, Dedup}
-    val curated = Curation.curateStream(batch, col("doc_id"), col("text"),
+    val funneled = Curation.curateStream(batch, col("doc_id"), col("text"),
         minTokens = minTokens, minQuality = minQuality)
       .filter(col("verdict") === "keep")
+    // optional DSIR admission (fitted ratio map + micro-nat floor):
+    // target-likeness gating as a stateless column — scored on the
+    // scrubbed text, the same form the corpus persists
+    val admitted = dsirGate.fold(funneled) { case (ratios, floor) =>
+      funneled.filter(
+        Curation.dsirScore(col("scrubbed"), ratios) >= lit(floor))
+    }
+    val curated = admitted
       .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"))
       .localCheckpoint()
     val hasIndex =
@@ -563,6 +572,7 @@ object Pipelines {
   def corpusFactorySink(docs: DataFrame, indexPath: String, landingPath: String,
       checkpoint: String, nShards: Int = 8, threshold: Double = 0.8,
       minTokens: Int = 30, minQuality: Double = 0.65,
+      dsirGate: Option[(Map[Long, Long], Long)] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
@@ -571,7 +581,7 @@ object Pipelines {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
-          nShards, threshold, minTokens, minQuality)
+          nShards, threshold, minTokens, minQuality, dsirGate)
       }
       .start()
   }

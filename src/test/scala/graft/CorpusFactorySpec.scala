@@ -84,6 +84,25 @@ class CorpusFactorySpec extends SparkSuite {
     assert(landedIds(land) == Set(1L, 3L, 6L, 7L))
   }
 
+  test("corpus factory: optional DSIR admission gate drops off-target docs") {
+    val base = java.nio.file.Files.createTempDirectory("cfactory3").toString
+    // fit ratios with docC as the target and docD as the raw tail —
+    // docD's bigram buckets get negative log-ratios, docC's positive
+    val fitDocs = Seq((100L, docC), (101L, docD)).toDF("doc_id", "text")
+    val ratios = graft.operators.Curation.collectRatios(
+      graft.operators.Curation.dsirRatios(
+        fitDocs, col("text"), Seq((100L, docC)).toDF("doc_id", "text"), col("text")))
+    // with a 2-doc fit corpus the shared function-word bigrams push
+    // BOTH totals negative (q̂ > p̂ on doc-shared grams) — the gate is
+    // a RELATIVE threshold: docC scores ~-0.3 nats, docD ~-22 nats,
+    // so a floor between them admits only the target-like doc
+    val b = Seq((21L, docC), (22L, docD)).toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, b, 0L, s"$base/idx", s"$base/land",
+      minQuality = 0.5, dsirGate = Some((ratios, -1000000L)))
+    assert(landedIds(s"$base/land/batch=0") == Set(21L),
+      "only the target-like doc may pass the DSIR admission gate")
+  }
+
   test("corpus factory batch: curation gates attribute before dedup (batch mode)") {
     val base = java.nio.file.Files.createTempDirectory("cfactory2").toString
     // a near-dup PAIR where the lower id fails a gate: the higher id
