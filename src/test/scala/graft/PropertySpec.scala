@@ -140,6 +140,76 @@ class PropertySpec extends SparkSuite {
       s"mismatch: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
   }
 
+  test("property: dupClusters equals union-find on random graphs") {
+    import graft.operators.Dedup
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (trial <- 0 until 5) {
+      val edges = sample(edgeGen, 60, 100L + trial * 31).distinct
+      // plain-Scala union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: ${got.toSet -- expected.toSet} " +
+        s"vs ${expected.toSet -- got.toSet}")
+      // csize consistency: sizes sum to node count
+      val sizes = Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .select("cluster", "csize").distinct().as[(Long, Long)].collect()
+      assert(sizes.map(_._2).sum == expected.size)
+    }
+  }
+
+  test("property: BPE merge application equals a sequential greedy merger") {
+    import graft.operators.Bpe
+    // random short words over a 3-letter alphabet → adversarial overlap
+    val wordGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    for (trial <- 0 until 3) {
+      val words = sample(wordGen, 40, 500L + trial * 17).filter(_.nonEmpty)
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val merges = 4
+      val got = Bpe.trainMerges(docs, col("text"), merges)
+        .select("rank", "sym_a", "sym_b", "cnt")
+        .as[(Int, String, String, Long)].collect().toList
+      // sequential reference: exact greedy BPE on a word-frequency map
+      var wf = words.groupBy(identity).map { case (w, ws) =>
+        w.split("").toList -> ws.size.toLong
+      }.toList
+      val expected = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+      for (r <- 1 to merges) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        wf.foreach { case (syms, fr) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + fr)
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+          expected += ((r, a, b, c))
+          wf = wf.map { case (syms, fr) =>
+            val out = scala.collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toList -> fr
+          }
+        }
+      }
+      assert(got == expected.toList, s"trial $trial: $got vs ${expected.toList}")
+    }
+  }
+
   test("property: josa stripping only removes listed suffixes") {
     val base = Seq("삼성전자", "기술", "한국", "서울")
     val josa = Seq("이", "가", "을", "를", "은", "는", "에서", "로", "만")
