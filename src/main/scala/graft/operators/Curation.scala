@@ -462,9 +462,14 @@ object Curation {
     *
     * Scale: two m-row bucket-count aggregations (map-side combined),
     * the m-row ratio table broadcast onto the exploded gram stream,
-    * one per-doc sum — the corpus is scanned once per side and never
-    * shuffled except for the (doc, partial-sum) reduce. Selection is
-    * a TakeOrderedAndProject over the weights (see q121), or a
+    * one per-doc sum — nothing shuffles except the (doc, partial-sum)
+    * reduce. NOTE the raw gram stream is produced twice in this
+    * one-shot form (bucket histogram + per-doc rollup); the
+    * production-scale path is fit-once/score-many — persist
+    * `dsirRatios` (corpus-level, reusable across batches) and score
+    * each batch with the single-scan stateless `dsirScore` column, as
+    * the corpus factory's admission gate does. Selection is a
+    * TakeOrderedAndProject over the weights (see q121), or a
     * threshold filter for streaming admission. */
   def dsirWeights(raw: DataFrame, id: Column, text: Column,
       target: DataFrame, targetText: Column, m: Int = 1024,
