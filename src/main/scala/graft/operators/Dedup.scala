@@ -213,96 +213,36 @@ object Dedup {
     *     superseded versions are swept only AFTER the new commit.
     * Every FileSystem mutation checks its boolean return and throws —
     * HDFS reports rename/delete failure by returning false. */
-  private val LshCommitMarker = "_GRAFT_COMMITTED"
-  private val LshParamsFile = "params"
-
-  private def lshVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[(Int, Boolean)] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .flatMap { st =>
-        scala.util.Try(st.getPath.getName.stripPrefix("v=").toInt).toOption
-          .map(v => v -> fs.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, LshCommitMarker)))
-      }.sortBy(_._1)
-
-  /** Directory of the current committed index version. Falls back to
-    * the legacy unversioned layout (`<path>/shingles`) for indexes
-    * written before versioning existed. */
+  /** Directory of the current committed index version (the generic
+    * [[VersionedIndex]] layout). Falls back to the legacy unversioned
+    * layout (`<path>/shingles`) for indexes written before versioning
+    * existed. */
   def currentLshIndexDir(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    lshVersions(fs, root).filter(_._2).lastOption match {
-      case Some((v, _)) => s"$path/v=$v"
-      case None if fs.exists(new org.apache.hadoop.fs.Path(path, "shingles")) => path
-      case None => sys.error(s"no committed LSH index at $path")
+      path: String): String =
+    VersionedIndex.currentDir(spark, path).getOrElse {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "shingles"))) path
+      else sys.error(s"no committed LSH index at $path")
     }
-  }
-
-  private def readLshParams(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Option[(Int, Int, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(dir, LshParamsFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val kv = txt.linesIterator.filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
-      }.toMap
-      Some((kv("n"), kv("numHashes"), kv("bands")))
-    }
-  }
 
   /** Fail fast when the caller's hash parameters disagree with the
     * ones the index was built with — mixing them silently produces
     * incomparable signatures (candidates vanish, never an error). */
-  private def requireLshParams(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, n: Int, numHashes: Int, bands: Int): Unit =
-    readLshParams(fs, dir).foreach { case stored @ (sn, sh, sb) =>
-      require(stored == ((n, numHashes, bands)),
-        s"LSH index at $dir was written with n=$sn numHashes=$sh bands=$sb; " +
-          s"got n=$n numHashes=$numHashes bands=$bands")
-    }
+  private def requireLshParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int, numHashes: Int, bands: Int): Unit =
+    VersionedIndex.requireParams(spark, dir,
+      Map("n" -> n.toString, "numHashes" -> numHashes.toString,
+        "bands" -> bands.toString))
 
-  /** Stage (shingles, bands, params) as version current+1, then commit
-    * with the marker. The input plans may READ the current version —
-    * nothing is overwritten in place. */
   private def commitLshVersion(spark: org.apache.spark.sql.SparkSession,
       path: String, shingles: DataFrame, bands: DataFrame,
-      n: Int, numHashes: Int, bandCount: Int): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = lshVersions(fs, root)
-    val cur = versions.filter(_._2).lastOption.map(_._1).getOrElse(0)
-    // sweep uncommitted orphans from crashed writers before reusing
-    // their version numbers
-    versions.filter { case (v, committed) => v > cur && !committed }.foreach {
-      case (v, _) =>
-        val d = new org.apache.hadoop.fs.Path(root, s"v=$v")
-        require(fs.delete(d, true), s"failed to sweep orphaned $d")
-    }
-    val vdir = new org.apache.hadoop.fs.Path(root, s"v=${cur + 1}")
-    shingles.write.parquet(new org.apache.hadoop.fs.Path(vdir, "shingles").toString)
-    bands.write.parquet(new org.apache.hadoop.fs.Path(vdir, "bands").toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(vdir, LshParamsFile), true)
-    try out.write(s"n=$n\nnumHashes=$numHashes\nbands=$bandCount\n".getBytes("UTF-8"))
-    finally out.close()
-    require(fs.createNewFile(new org.apache.hadoop.fs.Path(vdir, LshCommitMarker)),
-      s"failed to commit $vdir (marker already exists?)")
-    // committed — now sweep superseded versions (and any legacy layout)
-    versions.filter { case (v, committed) => v <= cur && committed }.foreach {
-      case (v, _) =>
-        val d = new org.apache.hadoop.fs.Path(root, s"v=$v")
-        require(fs.delete(d, true), s"failed to sweep superseded $d")
-    }
-    Seq("shingles", "bands").foreach { legacy =>
-      val d = new org.apache.hadoop.fs.Path(root, legacy)
-      if (fs.exists(d)) require(fs.delete(d, true), s"failed to sweep legacy $d")
-    }
-  }
+      n: Int, numHashes: Int, bandCount: Int): Unit =
+    VersionedIndex.commit(spark, path,
+      Seq("shingles" -> shingles, "bands" -> bands),
+      Map("n" -> n.toString, "numHashes" -> numHashes.toString,
+        "bands" -> bandCount.toString),
+      legacySweep = Seq("shingles", "bands"))
 
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
@@ -333,9 +273,7 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val spark = newDocs.sparkSession
     val curDir = currentLshIndexDir(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireLshParams(fs, new org.apache.hadoop.fs.Path(curDir), n, numHashes, bands)
+    requireLshParams(spark, curDir, n, numHashes, bands)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val sh = shingleSet(newDocs, id, text, n).cache()
     try commitLshVersion(spark, path,
@@ -357,9 +295,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
     val curDir = currentLshIndexDir(spark, indexPath)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireLshParams(fs, new org.apache.hadoop.fs.Path(curDir), n, numHashes, bands)
+    requireLshParams(spark, curDir, n, numHashes, bands)
     incrementalAgainst(newDocs, id, text,
       spark.read.parquet(s"$curDir/shingles"),
       spark.read.parquet(s"$curDir/bands"),

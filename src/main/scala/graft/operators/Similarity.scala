@@ -172,15 +172,28 @@ object Similarity {
   }
 
   /** Build and persist the IVF index: the assignment laid out as one
-    * hive partition per inverted list. The `embeddings.count()` inside
-    * ivfAssign is a build-time-only cost — queries against the
-    * persisted index never run driver actions over the corpus. At
-    * 100 TB this table is additionally bucketed within each list
-    * partition; the layout contract (probe touches only its
+    * hive partition per inverted list, committed through the
+    * [[VersionedIndex]] layout (`<path>/v=N/lists/list_id=…` + commit
+    * marker) — a crashed rebuild leaves the previous index current and
+    * readable, exactly like the LSH index (a plain overwrite would
+    * delete live data before the replacement exists). The
+    * `embeddings.count()` inside ivfAssign is a build-time-only cost —
+    * queries against the persisted index never run driver actions over
+    * the corpus. At 100 TB this table is additionally bucketed within
+    * each list partition; the layout contract (probe touches only its
     * partitions) is what LayoutSpec asserts. */
   def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String): Unit =
-    ivfAssign(embeddings, nLists)
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    VersionedIndex.commit(embeddings.sparkSession, path,
+      Seq("lists" -> ivfAssign(embeddings, nLists)),
+      Map("nLists" -> nLists.toString),
+      partitionBy = Map("lists" -> Seq("list_id")))
+
+  /** Resolve the current committed IVF table dir; legacy flat layout
+    * (pre-versioning `<path>/list_id=…`) falls back to `path`. */
+  private def currentIvfListsDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    VersionedIndex.currentDir(spark, path)
+      .map(d => s"$d/lists").getOrElse(path)
 
   /** Search the persisted index. Centroid ranking (the rows where
     * vec_id == list_id — centroids need no side table) picks `nProbe`
@@ -190,7 +203,7 @@ object Similarity {
     * pruning, only the probed list partitions are read. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       nProbe: Int, queryId: Long, k: Int): DataFrame = {
-    val index = spark.read.parquet(indexPath)
+    val index = spark.read.parquet(currentIvfListsDir(spark, indexPath))
     val q = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     val probes = index.filter(col("vec_id") === col("list_id"))

@@ -49,6 +49,27 @@ class LayoutSpec extends SparkSuite {
     assert(res.count() > 0)
   }
 
+  test("IVF index rebuild: versioned commit, orphan ignored, old version swept") {
+    import graft.operators.{Similarity, VersionedIndex}
+    val idx = Files.createTempDirectory("ivf2").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")))
+    val r1 = Similarity.ivfSearchIndexed(spark, idx, 2, 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    // a crashed rebuild (uncommitted v=2) must not affect readers
+    Files.createDirectories(java.nio.file.Paths.get(idx, "v=2", "lists"))
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")))
+    // full rebuild sweeps the orphan, commits v=2, removes v=1
+    Similarity.buildIvfIndex(emb, 8, idx)
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+    assert(!Files.exists(java.nio.file.Paths.get(idx, "v=1")))
+    assert(VersionedIndex.readParams(spark, s"$idx/v=2") == Map("nLists" -> "8"))
+    val r2 = Similarity.ivfSearchIndexed(spark, idx, 2, 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == r1, "identical corpus + params must search identically")
+  }
+
   test("streaming dedup by natural key drops duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)](11, spark, None)
