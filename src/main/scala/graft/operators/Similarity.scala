@@ -195,6 +195,53 @@ object Similarity {
     VersionedIndex.currentDir(spark, path)
       .map(d => s"$d/lists").getOrElse(path)
 
+  /** UPSERT a batch of vectors into a persisted IVF index — the
+    * per-crawl-round form of buildIvfIndex, the ANN twin of
+    * `Dedup.upsertLshIndex`: new vectors assign to the nearest
+    * EXISTING centroid (the list geometry is stable across rounds;
+    * re-centering is a full rebuild), re-ingested vec_ids replace
+    * their old rows, and the result commits atomically as one new
+    * version. A re-ingested CENTROID vector keeps its own list id —
+    * its row anchors the list and must stay discoverable by the
+    * `vec_id == list_id` centroid scan.
+    *
+    * Scale: the batch cross-joins only the broadcast centroid set
+    * (O(batch·nLists) with a windowed argmin over the batch), the
+    * corpus side is one anti-join on vec_id, and the commit rewrites
+    * the lists table once — O(batch) assignment work per round. */
+  def upsertIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val vdir = VersionedIndex.currentDir(spark, path)
+    val listsDir = vdir.map(d => s"$d/lists").getOrElse(path)
+    val index = spark.read.parquet(listsDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    val centroids = index.filter(col("vec_id") === col("list_id"))
+      .select(col("list_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val centroidIds = centroids
+      .select(col("centroid_id").as("vec_id")).withColumn("_isc", lit(true))
+    val assignedNew = newEmb
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Vectors.cosine(col("embedding"), col("c_emb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(broadcast(centroidIds), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        when(col("_isc"), col("vec_id")).otherwise(col("centroid_id"))
+          .cast("long").as("list_id"))
+    val newIds = newEmb.select(col("vec_id")).distinct()
+    val merged = index
+      .join(newIds, Seq("vec_id"), "left_anti")
+      .unionByName(assignedNew)
+    VersionedIndex.commit(spark, path, Seq("lists" -> merged),
+      vdir.map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty),
+      partitionBy = Map("lists" -> Seq("list_id")))
+  }
+
   /** Search the persisted index. Centroid ranking (the rows where
     * vec_id == list_id — centroids need no side table) picks `nProbe`
     * lists; the probe set is collected as nProbe integers (a bounded

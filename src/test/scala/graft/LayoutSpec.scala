@@ -70,6 +70,44 @@ class LayoutSpec extends SparkSuite {
     assert(r2 == r1, "identical corpus + params must search identically")
   }
 
+  test("IVF index upsert: new vectors join existing lists, centroids stay anchored") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val idx = Files.createTempDirectory("ivf3").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    val initial = emb.filter(col("vec_id") < 400)
+    Similarity.buildIvfIndex(initial, 8, idx)
+    val v1 = spark.read.parquet(s"$idx/v=1/lists")
+    val centroidIds = v1.filter(col("vec_id") === col("list_id").cast("long"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(centroidIds.nonEmpty)
+
+    // batch: the remaining vectors PLUS a re-ingested centroid (its
+    // embedding unchanged here; the pin keeps its own list id) and a
+    // re-ingested non-centroid
+    val someCentroid = centroidIds.min
+    val batch = emb.filter(col("vec_id") >= 400)
+      .unionByName(emb.filter(col("vec_id") === someCentroid))
+      .unionByName(emb.filter(col("vec_id") === 399L))
+    Similarity.upsertIvfIndex(batch, idx)
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+    val v2 = spark.read.parquet(s"$idx/v=2/lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    // every vector exactly once
+    assert(v2.count() == emb.count())
+    assert(v2.select(countDistinct(col("vec_id"))).head.getLong(0) == emb.count())
+    // centroid set unchanged and anchored (vec_id == list_id rows)
+    val c2 = v2.filter(col("vec_id") === col("list_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(c2 == centroidIds, s"centroids must survive upsert: $c2 vs $centroidIds")
+    // new vectors landed in EXISTING lists only
+    val lists2 = v2.select("list_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(lists2 == centroidIds)
+    // search over the upserted index can return post-upsert vectors
+    val res = Similarity.ivfSearchIndexed(spark, idx, 8, someCentroid, 500)
+    assert(res.count() == emb.count() - 1, "full-probe search sees every vector")
+  }
+
   test("streaming dedup by natural key drops duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)](11, spark, None)
