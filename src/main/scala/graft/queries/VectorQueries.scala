@@ -205,6 +205,27 @@ object VectorQueries {
       .select(col("vec_id"), col("label"), col("sim"))
   }, q37.oracle)
 
+  // The incremental-ingestion contract hash-gated: build the IVF index
+  // on part of the corpus, UPSERT the rest (plus a re-ingested id),
+  // then a full probe must STILL equal the brute-force ground truth —
+  // the upsert path produces an index indistinguishable from a fresh
+  // build for search purposes.
+  val q126 = QueryDef("q126_ivf_upsert_full_probe", (s, d) => {
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivfups-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), 16, tmp.getPath)
+      Similarity.upsertIvfIndex(
+        emb.filter(col("vec_id") >= 300)
+          .unionByName(emb.filter(col("vec_id") === 7L)), tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    Similarity.ivfSearchIndexed(s, idx, 16, 0L, 10)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }, q37.oracle)
+
   // Embedding-cosine near-dup with label blocking — exact within the
   // block, so the oracle reproduces it with the same double-precision
   // dot formula.
@@ -462,5 +483,5 @@ object VectorQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117, q122)
+    q76, q79, q82, q95, q96, q104, q117, q122, q126)
 }

@@ -586,6 +586,32 @@ object Pipelines {
       .start()
   }
 
+  /** Streaming VECTOR ingestion into the persisted IVF index: each
+    * micro-batch upserts atomically (one committed index version per
+    * trigger — `Similarity.upsertIvfIndex`); the first batch
+    * bootstraps the index and fixes the list geometry. Replay-safe:
+    * an upsert of the same ids replaces the same rows, and a crashed
+    * first build replays as an upsert of its own ids (same state).
+    * The continuous-serving twin of the corpus factory's text side —
+    * embeddings stream in, ANN search stays available on the last
+    * committed version throughout. */
+  def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
+      nLists: Int = 16,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val spark = vectors.sparkSession
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{Similarity, VersionedIndex}
+        if (VersionedIndex.currentDir(spark, indexPath).isEmpty)
+          Similarity.buildIvfIndex(batch, nLists, indexPath)
+        else Similarity.upsertIvfIndex(batch, indexPath)
+      }
+      .start()
+  }
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
