@@ -107,35 +107,94 @@ object Bpe {
     (mergeTable, w)
   }
 
+  /** A trained tokenizer: the learned merge list and the final
+    * per-word symbol table (both vocabulary-sized, both already
+    * lineage-truncated by the training loop). Every derivation —
+    * merge list, vocab, corpus token counts, admission gates — reads
+    * from here, so a pipeline that wants several pays the k-round
+    * training loop ONCE. */
+  final case class BpeState(mergeTable: DataFrame, symbolTable: DataFrame) {
+
+    /** Post-training vocabulary: distinct symbols of the final word
+      * table with frequency-weighted occurrence counts — what a
+      * tokenizer ships alongside the merge list. */
+    def vocab: DataFrame = symbolTable
+      .groupBy(col("sym")).agg(sum(col("fr")).as("occurrences"))
+
+    /** (word → n_sym): the per-distinct-word BPE token count — the
+      * broadcastable map every corpus-side derivation joins against. */
+    def wordTokenCounts: DataFrame = symbolTable
+      .groupBy(col("word")).agg(count(lit(1)).as("_n_sym"))
+
+    /** Tokenize a corpus under this trained tokenizer: per-document
+      * BPE token counts. The scale move: a word's segmentation is a
+      * pure function of the word, so it is computed ONCE PER DISTINCT
+      * WORD (the training loop's final state already holds it) and the
+      * corpus only pays an explode + a broadcast join against the
+      * vocabulary-sized (word → n_sym) map — the corpus is never
+      * re-segmented occurrence by occurrence. Returns
+      * (doc_id, n_words, n_tok) with n_tok = Σ per-word symbol
+      * counts. */
+    def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
+      docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("word"))
+        .join(broadcast(wordTokenCounts), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("_n_sym")).as("n_tok"))
+
+    /** The (word → n_sym) map as driver-side literal data, for
+      * [[Bpe.bpeTokenCount]] — the per-ROW streaming-legal token
+      * counter (no join, no aggregation state; the dsirScore
+      * literal-map trick). Bounded by `maxVocab`: the inline-map
+      * expression must stay codegen-friendly, so this form fits a
+      * budgeted reference tokenizer (admission gates); corpus-scale
+      * vocabularies use the broadcast-join [[tokenCounts]] instead. */
+    def collectWordTokenCounts(maxVocab: Int = 4096): Map[String, Long] = {
+      val m = wordTokenCounts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(m.size <= maxVocab,
+        s"vocabulary ${m.size} exceeds the literal-map cap $maxVocab — " +
+          "use the broadcast-join tokenCounts form at this scale")
+      m
+    }
+  }
+
+  /** BPE token count of `text` as a pure column — tokens looked up in
+    * the trained (word → n_sym) literal map, summed per row. A word
+    * outside the trained vocabulary counts its character length (the
+    * zero-merges-applicable segmentation — a deterministic upper
+    * bound). Streaming-legal by construction: stateless column
+    * algebra, so an admission gate can budget documents in BPE tokens
+    * BEFORE any aggregation, in or out of foreachBatch. */
+  def bpeTokenCount(text: Column, wordNsym: Map[String, Long]): Column = {
+    require(wordNsym.nonEmpty)
+    val entries = wordNsym.toSeq.sortBy(_._1)
+    val lookup = map(entries.flatMap { case (w, n) =>
+      Seq(lit(w), lit(n)) }: _*)
+    aggregate(Text.tokens(text), lit(0L),
+      (acc, w) => acc + coalesce(element_at(lookup, w), length(w).cast("long")))
+  }
+
+  /** Run the k-round training loop once and return the reusable
+    * trained state (merge table + final symbol table). */
+  def trainState(docs: DataFrame, text: Column, merges: Int): BpeState = {
+    val (m, w) = train(docs, text, merges)
+    BpeState(m, w)
+  }
+
   /** Train `merges` BPE merges over the corpus; returns the merge
     * table (rank, sym_a, sym_b, merged, cnt) with rank 1..merges in
     * learned order. Stops early if no adjacent pair remains. */
   def trainMerges(docs: DataFrame, text: Column, merges: Int): DataFrame =
     train(docs, text, merges)._1
 
-  /** Post-training vocabulary: distinct symbols of the final word
-    * table with frequency-weighted occurrence counts — what a
-    * tokenizer ships alongside the merge list. */
+  /** One-shot convenience for [[BpeState.vocab]]; pipelines wanting
+    * more than one derivation should hold a [[trainState]]. */
   def vocabAfterMerges(docs: DataFrame, text: Column, merges: Int): DataFrame =
-    train(docs, text, merges)._2
-      .groupBy(col("sym")).agg(sum(col("fr")).as("occurrences"))
+    trainState(docs, text, merges).vocab
 
-  /** Tokenize the corpus under the trained tokenizer: per-document
-    * BPE token counts after `merges` merges. The scale move: a word's
-    * segmentation is a pure function of the word, so segmentation is
-    * computed ONCE PER DISTINCT WORD (the training loop's final state
-    * already holds it) and the corpus only pays an explode + a
-    * broadcast join against the vocabulary-sized (word → n_sym) map —
-    * the corpus is never re-segmented occurrence by occurrence.
-    * Returns (doc_id, n_words, n_tok) with n_tok = Σ per-word symbol
-    * counts. */
+  /** One-shot convenience for [[BpeState.tokenCounts]]; pipelines
+    * wanting more than one derivation should hold a [[trainState]]. */
   def tokenCounts(docs: DataFrame, id: Column, text: Column,
-      merges: Int): DataFrame = {
-    val wordLens = train(docs, text, merges)._2
-      .groupBy(col("word")).agg(count(lit(1)).as("_n_sym"))
-    docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("word"))
-      .join(broadcast(wordLens), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("_n_sym")).as("n_tok"))
-  }
+      merges: Int): DataFrame =
+    trainState(docs, text, merges).tokenCounts(docs, id, text)
 }

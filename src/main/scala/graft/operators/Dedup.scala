@@ -191,32 +191,37 @@ object Dedup {
       n, numHashes, bands, threshold)
   }
 
-  /** Persisted LSH index layout — VERSIONED with a single commit
-    * marker per version:
+  /** Persisted LSH index layout — the generic [[VersionedIndex]]
+    * contract (atomic rename commits, partition manifests):
     *
     * {{{
-    *   <path>/v=N/shingles/…       parquet
-    *   <path>/v=N/bands/…          parquet
-    *   <path>/v=N/params           {n, numHashes, bands} at write time
-    *   <path>/v=N/_GRAFT_COMMITTED the commit point — created LAST
+    *   <path>/v=N/shingles/idx_bucket=…/…   partitions OWNED by v=N
+    *   <path>/v=N/bands/idx_bucket=…/…
+    *   <path>/v=N/MANIFEST                  partition → owner version
+    *   <path>/v=N/params                    {n, numHashes, bands, idxBuckets}
+    *   <path>/v=N/_GRAFT_COMMITTED
     * }}}
     *
-    * The current index is the HIGHEST committed version. Both tables
-    * plus the hash parameters become visible atomically when the
-    * marker file is created; live data is never renamed or deleted
-    * before the replacement commits, so:
-    *   - a crash anywhere pre-marker leaves the previous version the
-    *     current one, fully readable (no "nothing at dest" window);
-    *   - readers can never observe a shingles/bands pair from two
-    *     different states;
-    *   - uncommitted `v=` orphans are swept by the next writer, and
-    *     superseded versions are swept only AFTER the new commit.
-    * Every FileSystem mutation checks its boolean return and throws —
-    * HDFS reports rename/delete failure by returning false. */
+    * Both member tables are hive-partitioned by
+    * `idx_bucket = pmod(xxhash64(doc_id), idxBuckets)` — a pure
+    * function of the doc id, so an UPSERT knows its touched partitions
+    * from the batch alone (no index lookup) and rewrites ONLY those:
+    * per-round commit I/O is O(batch ∕ bucket density), not O(index).
+    * Untouched buckets stay byte-identical in the version that last
+    * wrote them, referenced by manifest. Readers resolve the manifest
+    * via [[VersionedIndex.readTable]]. */
+
+  /** Bucket partition key: a pure function of the doc id, so batch →
+    * touched-partitions needs no index read. */
+  private def idxBucketCol(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
+
   /** Directory of the current committed index version (the generic
     * [[VersionedIndex]] layout). Falls back to the legacy unversioned
     * layout (`<path>/shingles`) for indexes written before versioning
-    * existed. */
+    * existed. NOTE: under partial commits a version dir holds only the
+    * partitions it owns — read member tables with [[readLshTable]],
+    * not by pathing into this dir. */
   def currentLshIndexDir(spark: org.apache.spark.sql.SparkSession,
       path: String): String =
     VersionedIndex.currentDir(spark, path).getOrElse {
@@ -225,6 +230,18 @@ object Dedup {
       if (fs.exists(new org.apache.hadoop.fs.Path(path, "shingles"))) path
       else sys.error(s"no committed LSH index at $path")
     }
+
+  /** Manifest-resolved read of an LSH index member table ("shingles"
+    * or "bands"), without the internal `idx_bucket` partition column.
+    * Legacy layouts (pre-versioning or pre-bucketing) read as-is. */
+  def readLshTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String): DataFrame = {
+    val df =
+      if (VersionedIndex.currentDir(spark, path).isDefined)
+        VersionedIndex.readTable(spark, path, table)
+      else spark.read.parquet(s"${currentLshIndexDir(spark, path)}/$table")
+    if (df.columns.contains("idx_bucket")) df.drop("idx_bucket") else df
+  }
 
   /** Fail fast when the caller's hash parameters disagree with the
     * ones the index was built with — mixing them silently produces
@@ -235,14 +252,21 @@ object Dedup {
       Map("n" -> n.toString, "numHashes" -> numHashes.toString,
         "bands" -> bands.toString))
 
+  /** Commit shingles+bands (already carrying `idx_bucket`) as one new
+    * version; `carry` references untouched bucket partitions from
+    * prior versions (empty = full rewrite). */
   private def commitLshVersion(spark: org.apache.spark.sql.SparkSession,
       path: String, shingles: DataFrame, bands: DataFrame,
-      n: Int, numHashes: Int, bandCount: Int): Unit =
+      n: Int, numHashes: Int, bandCount: Int, idxBuckets: Int,
+      carry: Map[String, Map[String, Int]] = Map.empty): Unit =
     VersionedIndex.commit(spark, path,
       Seq("shingles" -> shingles, "bands" -> bands),
       Map("n" -> n.toString, "numHashes" -> numHashes.toString,
-        "bands" -> bandCount.toString),
-      legacySweep = Seq("shingles", "bands"))
+        "bands" -> bandCount.toString, "idxBuckets" -> idxBuckets.toString),
+      partitionBy = Map("shingles" -> Seq("idx_bucket"),
+        "bands" -> Seq("idx_bucket")),
+      legacySweep = Seq("shingles", "bands"),
+      carry = carry)
 
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
@@ -254,10 +278,14 @@ object Dedup {
     * batch's ids defensively, but rows superseded in EARLIER rounds
     * can only be cured at the index). */
   def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      idxBuckets: Int = 64): Unit = {
     val sh = shingleSet(docs, id, text, n).cache()
     try commitLshVersion(docs.sparkSession, path,
-      sh, bandedSignatures(sh, numHashes, bands), n, numHashes, bands)
+      sh.withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
+      bandedSignatures(sh, numHashes, bands)
+        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
+      n, numHashes, bands, idxBuckets)
     finally sh.unpersist()
   }
 
@@ -268,22 +296,74 @@ object Dedup {
     * verification relies on. Commits as one new index version: the
     * shingle and band tables flip together (never a mixed pair), the
     * previous version stays readable until the commit, and the
-    * parameters must match the ones the index was written with. */
+    * parameters must match the ones the index was written with.
+    *
+    * The commit is PARTIAL: touched buckets =
+    * `pmod(xxhash64(batch ids), idxBuckets)` — a pure function of the
+    * batch, no index read — and only those partitions are rewritten
+    * (read partition-pruned, anti-joined against the batch ids, plus
+    * the batch's own rows). Every untouched bucket is carried by
+    * manifest reference, byte-identical. Per-round write I/O is
+    * O(touched buckets), not O(index). Once the manifest references
+    * `maxVersionChain` distinct versions the upsert compacts with a
+    * full rewrite (also the migration path for a pre-bucketing
+    * index, which has no `idxBuckets` param). */
   def upsertLshIndex(newDocs: DataFrame, id: Column, text: Column, path: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxVersionChain: Int = 8, idxBuckets: Int = 64): Unit = {
     val spark = newDocs.sparkSession
     val curDir = currentLshIndexDir(spark, path)
     requireLshParams(spark, curDir, n, numHashes, bands)
+    val storedBuckets = VersionedIndex.readParams(spark, curDir)
+      .get("idxBuckets").map(_.toInt)
+    val nBuckets = storedBuckets.getOrElse(idxBuckets)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val sh = shingleSet(newDocs, id, text, n).cache()
-    try commitLshVersion(spark, path,
-      spark.read.parquet(s"$curDir/shingles")
-        .join(newIds, Seq("doc_id"), "left_anti").unionByName(sh),
-      spark.read.parquet(s"$curDir/bands")
-        .join(newIds, Seq("doc_id"), "left_anti")
-        .unionByName(bandedSignatures(sh, numHashes, bands)),
-      n, numHashes, bands)
-    finally sh.unpersist()
+    try {
+      val shNew = sh.withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+      val bandsNew = bandedSignatures(sh, numHashes, bands)
+        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+      val prevMf = VersionedIndex.manifest(spark, path)
+      val shMf = prevMf.getOrElse("shingles", Map.empty)
+      val bandsMf = prevMf.getOrElse("bands", Map.empty)
+      val chainOk = (shMf.values.toSet ++ bandsMf.values.toSet + -1).size <=
+        maxVersionChain // prior owners + the new version (-1 stands in)
+      val partialOk = storedBuckets.isDefined && shMf.nonEmpty &&
+        !shMf.contains(VersionedIndex.WholeTable) &&
+        !bandsMf.contains(VersionedIndex.WholeTable) && chainOk
+      if (!partialOk) {
+        // full rewrite: legacy/unbucketed index, or compaction point
+        commitLshVersion(spark, path,
+          readLshTable(spark, path, "shingles")
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+            .unionByName(shNew),
+          readLshTable(spark, path, "bands")
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+            .unionByName(bandsNew),
+          n, numHashes, bands, nBuckets)
+      } else {
+        // touched buckets from the batch alone; ≤ idxBuckets ints
+        val touched = newIds
+          .select(idxBucketCol(col("doc_id"), nBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        if (touched.isEmpty) return // empty batch — nothing to commit
+        val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
+        val inTouched = col("idx_bucket").isin(touched.map(Int.box): _*)
+        def rewrite(table: String, fresh: DataFrame): DataFrame =
+          VersionedIndex.readTable(spark, path, table)
+            .filter(inTouched)
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .unionByName(fresh)
+        commitLshVersion(spark, path,
+          rewrite("shingles", shNew), rewrite("bands", bandsNew),
+          n, numHashes, bands, nBuckets,
+          carry = Map(
+            "shingles" -> shMf.filter { case (d, _) => !touchedDirs.contains(d) },
+            "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
+      }
+    } finally sh.unpersist()
   }
 
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):
@@ -297,8 +377,8 @@ object Dedup {
     val curDir = currentLshIndexDir(spark, indexPath)
     requireLshParams(spark, curDir, n, numHashes, bands)
     incrementalAgainst(newDocs, id, text,
-      spark.read.parquet(s"$curDir/shingles"),
-      spark.read.parquet(s"$curDir/bands"),
+      readLshTable(spark, indexPath, "shingles"),
+      readLshTable(spark, indexPath, "bands"),
       n, numHashes, bands, threshold)
   }
 
@@ -459,6 +539,15 @@ object Dedup {
         labels = nextCk.drop("_chg")
         round += 1
       }
+      // The cap converts a hang into a LOUD failure, never a silent
+      // wrong answer: the ⌈log₂n⌉+2 bound is pointer-jumping intuition,
+      // not a proof for this min-neighbor + label-of-label variant, and
+      // returning with changed > 0 would emit split clusters (wrong
+      // dedup / leaky splits) with no error.
+      require(changed == 0,
+        s"dupClusters failed to converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component structure " +
+          "deeper than the pointer-jumping bound; raise the cap")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
       labels.join(sizes, "lbl")
         .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))

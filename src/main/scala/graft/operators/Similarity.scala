@@ -32,16 +32,25 @@ object Similarity {
     * exact IEEE division; the fused sum is rounded to 6. Inputs are
     * bounded top-k lists (TakeOrderedAndProject upstream), so the
     * global rank windows here run over ≤k rows, never the corpus —
-    * and the final top-k is itself a TakeOrderedAndProject. */
+    * and the final top-k is itself a TakeOrderedAndProject.
+    *
+    * `weights` (empty = unweighted): one multiplier per list,
+    * w_i/(k0 + rank_i) — the production norm for BM25-heavy corpora
+    * where the lexical list deserves more credit than the dense one.
+    * Each weighted contribution stays a single IEEE division
+    * (w / (k0+r)), so cross-engine hash parity holds. */
   def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
-      k0: Int = 60, k: Int = 10): DataFrame = {
+      k0: Int = 60, k: Int = 10, weights: Seq[Double] = Seq.empty): DataFrame = {
     require(lists.nonEmpty)
+    require(weights.isEmpty || weights.length == lists.length,
+      s"${weights.length} weights for ${lists.length} lists")
+    val ws = if (weights.isEmpty) Seq.fill(lists.length)(1.0) else weights
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_s").desc, col("_id"))
-    val contribs = lists.map { df =>
+    val contribs = lists.zip(ws).map { case (df, wt) =>
       df.select(col(idCol).as("_id"), col(scoreCol).cast("double").as("_s"))
         .withColumn("_r", row_number().over(w))
-        .select(col("_id"), (lit(1.0) / (lit(k0.toDouble) + col("_r"))).as("_c"))
+        .select(col("_id"), (lit(wt) / (lit(k0.toDouble) + col("_r"))).as("_c"))
     }
     contribs.reduce(_.unionByName(_))
       .groupBy(col("_id"))
@@ -188,12 +197,15 @@ object Similarity {
       Map("nLists" -> nLists.toString),
       partitionBy = Map("lists" -> Seq("list_id")))
 
-  /** Resolve the current committed IVF table dir; legacy flat layout
-    * (pre-versioning `<path>/list_id=…`) falls back to `path`. */
-  private def currentIvfListsDir(spark: org.apache.spark.sql.SparkSession,
-      path: String): String =
-    VersionedIndex.currentDir(spark, path)
-      .map(d => s"$d/lists").getOrElse(path)
+  /** Current committed lists table, manifest-resolved (partial commits
+    * leave untouched list partitions in earlier versions); legacy flat
+    * layout (pre-versioning `<path>/list_id=…`) falls back to a plain
+    * read of `path`. */
+  private def readIvfLists(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    if (VersionedIndex.currentDir(spark, path).isDefined)
+      VersionedIndex.readTable(spark, path, "lists")
+    else spark.read.parquet(path)
 
   /** UPSERT a batch of vectors into a persisted IVF index — the
     * per-crawl-round form of buildIvfIndex, the ANN twin of
@@ -206,14 +218,25 @@ object Similarity {
     * `vec_id == list_id` centroid scan.
     *
     * Scale: the batch cross-joins only the broadcast centroid set
-    * (O(batch·nLists) with a windowed argmin over the batch), the
-    * corpus side is one anti-join on vec_id, and the commit rewrites
-    * the lists table once — O(batch) assignment work per round. */
-  def upsertIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    * (O(batch·nLists) with a windowed argmin over the batch), and the
+    * commit is PARTIAL — only list partitions the batch touches (lists
+    * receiving new rows, plus lists holding superseded rows of
+    * re-ingested ids) are rewritten; every other partition is carried
+    * by manifest reference from the version that last wrote it,
+    * byte-untouched. Per-trigger write I/O is O(touched lists), not
+    * O(index). The touched-list discovery join reads only the
+    * (vec_id, list_id) columns of the corpus; at 100 TB a deployment
+    * that needs to avoid even that column scan would maintain a
+    * vec_id→list side table, the same contract. Once the manifest
+    * references `maxVersionChain` distinct versions, the upsert
+    * compacts with one full rewrite, bounding read fan-out and letting
+    * old versions sweep. */
+  def upsertIvfIndex(newEmb: DataFrame, path: String,
+      maxVersionChain: Int = 8): Unit = {
     val spark = newEmb.sparkSession
     val vdir = VersionedIndex.currentDir(spark, path)
-    val listsDir = vdir.map(d => s"$d/lists").getOrElse(path)
-    val index = spark.read.parquet(listsDir)
+    val raw = readIvfLists(spark, path)
+    val index = raw
       .select(col("vec_id"), col("label"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
     val centroids = index.filter(col("vec_id") === col("list_id"))
@@ -233,13 +256,132 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         when(col("_isc"), col("vec_id")).otherwise(col("centroid_id"))
           .cast("long").as("list_id"))
-    val newIds = newEmb.select(col("vec_id")).distinct()
-    val merged = index
-      .join(newIds, Seq("vec_id"), "left_anti")
-      .unionByName(assignedNew)
-    VersionedIndex.commit(spark, path, Seq("lists" -> merged),
-      vdir.map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty),
-      partitionBy = Map("lists" -> Seq("list_id")))
+      .cache()
+    try {
+      val newIds = newEmb.select(col("vec_id")).distinct()
+      val params = vdir.map(VersionedIndex.readParams(spark, _))
+        .getOrElse(Map.empty)
+      // per-list adds/removes of this batch — bounded by nLists, so
+      // the collects are driver-side plan steps; they yield BOTH the
+      // touched-partition set and the incrementally-maintained list
+      // histogram persisted for drift detection (ivfIndexStats)
+      val adds = assignedNew.groupBy(col("list_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val removes = index.join(broadcast(newIds), Seq("vec_id"))
+        .groupBy(col("list_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prevSizes = params.get("listSizes").map(parseSizes)
+        .getOrElse(ivfListSizes(spark, path))
+      val newSizes = (prevSizes.keySet ++ adds.keySet).map { l =>
+        l -> (prevSizes.getOrElse(l, 0L) - removes.getOrElse(l, 0L) +
+          adds.getOrElse(l, 0L))
+      }.toMap.filter(_._2 > 0)
+      val sorted = newSizes.values.toSeq.sorted
+      val skew =
+        if (sorted.isEmpty) 1.0
+        else sorted.last.toDouble / math.max(sorted(sorted.size / 2), 1L)
+      val statsParams = params ++ Map(
+        "listSizes" -> serializeSizes(newSizes),
+        "listSkew" -> f"$skew%.3f")
+      val prevMf = vdir.map(_ => VersionedIndex.manifest(spark, path)
+        .getOrElse("lists", Map.empty)).getOrElse(Map.empty)
+      // chain length if we carried: prior owners + the new version
+      val partialOk = prevMf.nonEmpty && !prevMf.contains(VersionedIndex.WholeTable) &&
+        (prevMf.values.toSet.size + 1) <= maxVersionChain
+      if (!partialOk) {
+        // full rewrite: legacy layout, or compaction point reached
+        val merged = index.join(newIds, Seq("vec_id"), "left_anti")
+          .unionByName(assignedNew)
+        VersionedIndex.commit(spark, path, Seq("lists" -> merged), statsParams,
+          partitionBy = Map("lists" -> Seq("list_id")))
+      } else {
+        // touched = lists gaining rows ∪ lists losing superseded rows
+        val touched = (adds.keySet ++ removes.keySet).toArray
+        if (touched.isEmpty) return // empty batch — nothing to commit
+        val touchedSet = touched.toSet
+        // prune on the RAW partition column with literals of its exact
+        // type — a CAST on the partition column would defeat pruning
+        val inVals: Seq[Any] =
+          if (raw.schema("list_id").dataType ==
+              org.apache.spark.sql.types.IntegerType)
+            touched.toSeq.map(v => Int.box(v.toInt))
+          else touched.toSeq.map(Long.box)
+        val rewritten = raw
+          .filter(col("list_id").isin(inVals: _*))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("list_id").cast("long").as("list_id"))
+          .join(newIds, Seq("vec_id"), "left_anti")
+          .unionByName(assignedNew)
+        val carry = prevMf.filter { case (dir, _) =>
+          scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
+            .forall(v => !touchedSet.contains(v))
+        }
+        VersionedIndex.commit(spark, path, Seq("lists" -> rewritten), statsParams,
+          partitionBy = Map("lists" -> Seq("list_id")),
+          carry = Map("lists" -> carry))
+      }
+    } finally assignedNew.unpersist()
+  }
+
+  /** The committed index's vector rows (vec_id, label, embedding) —
+    * what a re-centering rebuild feeds back into [[buildIvfIndex]].
+    * LAZY, bound to the current version's files: feeding it straight
+    * into a rebuild is safe (the commit's staged write executes before
+    * superseded versions sweep), but reusing the returned frame AFTER
+    * a subsequent commit reads swept files — `localCheckpoint()` it
+    * first if it must outlive the next commit. */
+  def readIvfIndexRows(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    readIvfLists(spark, path)
+      .select(col("vec_id"), col("label"), col("embedding"))
+
+  /** Health of a persisted IVF index under perpetual streaming upsert:
+    * the list geometry is pinned to the original centroids, so months
+    * of drifting ingest skew the list histogram and probe recall
+    * decays SILENTLY — this is the statistic that makes it loud.
+    * `skew` = max/median list cardinality; `needsRebuild` is the
+    * documented rebuild trigger (re-centering is a full
+    * [[buildIvfIndex]] over the current rows — wired optionally into
+    * `Pipelines.vectorIngestSink`). */
+  final case class IvfStats(listSizes: Map[Long, Long], maxSize: Long,
+      medianSize: Long, skew: Double, needsRebuild: Boolean)
+
+  private def serializeSizes(sizes: Map[Long, Long]): String =
+    sizes.toSeq.sorted.map { case (l, n) => s"$l:$n" }.mkString(",")
+
+  private def parseSizes(s: String): Map[Long, Long] =
+    s.split(",").iterator.filter(_.contains(":")).map { e =>
+      val Array(l, n) = e.split(":", 2); l.toLong -> n.toLong
+    }.toMap
+
+  /** Per-list cardinalities of the committed index. Upserts persist
+    * them in `params` (maintained incrementally from the batch's adds
+    * and removes — O(batch), never an index scan); an index without
+    * the param (fresh build, legacy) falls back to one aggregation
+    * over the lists table that reads ONLY the partition column —
+    * parquet answers it from file metadata, no vector data I/O. */
+  def ivfListSizes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Long, Long] =
+    VersionedIndex.currentDir(spark, path)
+      .flatMap(d => VersionedIndex.readParams(spark, d).get("listSizes"))
+      .map(parseSizes)
+      .getOrElse {
+        readIvfLists(spark, path)
+          .groupBy(col("list_id").cast("long").as("list_id"))
+          .count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ nLists rows
+      }
+
+  /** Skew statistic + rebuild decision for the committed IVF index. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      skewThreshold: Double = 4.0): IvfStats = {
+    val sizes = ivfListSizes(spark, path)
+    require(sizes.nonEmpty, s"no lists in IVF index at $path")
+    val vals = sizes.values.toSeq.sorted
+    val max = vals.last
+    val med = math.max(vals(vals.size / 2), 1L)
+    val skew = max.toDouble / med
+    IvfStats(sizes, max, med, skew, skew >= skewThreshold)
   }
 
   /** Search the persisted index. Centroid ranking (the rows where
@@ -250,7 +392,7 @@ object Similarity {
     * pruning, only the probed list partitions are read. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       nProbe: Int, queryId: Long, k: Int): DataFrame = {
-    val index = spark.read.parquet(currentIvfListsDir(spark, indexPath))
+    val index = readIvfLists(spark, indexPath)
     val q = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     val probes = index.filter(col("vec_id") === col("list_id"))

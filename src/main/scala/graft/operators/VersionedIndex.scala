@@ -4,26 +4,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Generic versioned on-disk index with single-file atomic commit —
-  * the persistence contract shared by the LSH near-dup index and the
-  * IVF ANN index (and any future multi-table index artifact):
+/** Generic versioned on-disk index with atomic commits and
+  * Iceberg-style partial commits — the persistence contract shared by
+  * the LSH near-dup index and the IVF ANN index (and any future
+  * multi-table index artifact):
   *
   * {{{
-  *   <path>/v=N/<table>/…            one parquet dir per member table
-  *   <path>/v=N/params               key=value lines, written pre-marker
-  *   <path>/v=N/_GRAFT_COMMITTED     the commit point — created LAST
+  *   <path>/v=N/<table>/<part>=…/…   partitions OWNED by version N
+  *   <path>/v=N/MANIFEST             <table>/<partDir> <tab> <ownerVersion>
+  *   <path>/v=N/params               key=value lines
+  *   <path>/v=N/_GRAFT_COMMITTED     marker (always present post-commit)
   * }}}
   *
-  * The current index is the HIGHEST committed version. All member
-  * tables plus the params become visible atomically when the marker
-  * file is created; live data is never renamed or deleted before the
-  * replacement commits, so:
-  *  - a crash anywhere pre-marker leaves the previous version current
+  * The current index is the HIGHEST committed version. A commit stages
+  * everything — member tables, params, MANIFEST, marker — into a
+  * writer-unique `.staging-*` directory and then RENAMES it to `v=N`:
+  * the rename is the commit point (atomic on HDFS and POSIX), so
+  *  - a crash anywhere pre-rename leaves the previous version current
   *    and fully readable (no "nothing at dest" window);
   *  - readers can never observe member tables from two different
   *    states (the mixed shingles/bands failure class);
-  *  - uncommitted `v=` orphans are swept by the next writer, and
-  *    superseded versions are swept only AFTER the new commit.
+  *  - two racing writers cannot interleave data: both stage privately,
+  *    the second rename to the same `v=N` fails and throws (lost race).
+  *
+  * PARTIAL commits (the 100 TB upsert path): a version's MANIFEST may
+  * reference partition directories OWNED BY EARLIER VERSIONS via the
+  * `carry` argument. An upsert then writes only the partitions its
+  * batch touches — O(touched), not O(index) — while untouched
+  * partitions stay exactly where they are, byte-identical, in the
+  * version that last wrote them. Readers resolve the manifest with
+  * [[readTable]]. Superseded versions are swept only when no longer
+  * referenced by the newest manifest; callers bound the referenced
+  * chain (and hence read fan-out) by periodically compacting with a
+  * full rewrite (see `upsertIvfIndex` / `upsertLshIndex`
+  * `maxVersionChain`).
+  *
   * Every FileSystem mutation checks its boolean return and throws —
   * HDFS reports rename/delete failure by returning false, not by
   * exception.
@@ -32,6 +47,11 @@ object VersionedIndex {
 
   val CommitMarker = "_GRAFT_COMMITTED"
   val ParamsFile = "params"
+  val ManifestFile = "MANIFEST"
+
+  /** Manifest entry key for a table committed without partitioning:
+    * the whole table directory belongs to the owner version. */
+  val WholeTable = "."
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val root = new Path(path)
@@ -48,11 +68,15 @@ object VersionedIndex {
           .map(v => v -> fs.exists(new Path(st.getPath, CommitMarker)))
       }.sortBy(_._1)
 
-  /** Directory of the current committed version, if any. */
-  def currentDir(spark: SparkSession, path: String): Option[String] = {
+  /** Number of the current committed version, if any. */
+  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
     val (fs, root) = fsFor(spark, path)
-    versions(fs, root).filter(_._2).lastOption.map { case (v, _) => s"$path/v=$v" }
+    versions(fs, root).filter(_._2).lastOption.map(_._1)
   }
+
+  /** Directory of the current committed version, if any. */
+  def currentDir(spark: SparkSession, path: String): Option[String] =
+    currentVersion(spark, path).map(v => s"$path/v=$v")
 
   def readParams(spark: SparkSession, dir: String): Map[String, String] = {
     val (fs, _) = fsFor(spark, dir)
@@ -80,42 +104,159 @@ object VersionedIndex {
     }
   }
 
-  /** Stage member tables + params as version current+1, then commit
-    * with the marker. `tables` may READ the current version — nothing
-    * is overwritten in place. `partitionBy` applies per table when
-    * non-empty. `legacySweep` names top-level dirs from a pre-version
-    * layout to remove after the first successful commit. */
+  /** The current committed version's manifest:
+    * table → (partition dir name → owner version). Versions written
+    * before manifests existed report every member table as wholly
+    * owned by the current version (their layout is exactly that). */
+  def manifest(spark: SparkSession, path: String): Map[String, Map[String, Int]] = {
+    val (fs, root) = fsFor(spark, path)
+    versions(fs, root).filter(_._2).lastOption match {
+      case None => Map.empty
+      case Some((v, _)) =>
+        val vdir = new Path(root, s"v=$v")
+        val mf = new Path(vdir, ManifestFile)
+        if (fs.exists(mf)) {
+          val in = fs.open(mf)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          txt.linesIterator.filter(_.contains("\t")).toSeq.map { l =>
+            val Array(key, owner) = l.split("\t", 2)
+            val (table, part) = key.split("/", 2) match {
+              case Array(t, p) => (t, p)
+              case Array(t) => (t, WholeTable)
+            }
+            (table, part, owner.trim.toInt)
+          }.groupBy(_._1).map { case (t, es) =>
+            t -> es.map(e => e._2 -> e._3).toMap
+          }
+        } else {
+          // legacy full-version layout: synthesize from the listing
+          fs.listStatus(vdir).toSeq
+            .filter(st => st.isDirectory)
+            .map { st =>
+              val partDirs = fs.listStatus(st.getPath).toSeq
+                .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+                .map(_.getPath.getName)
+              st.getPath.getName ->
+                (if (partDirs.isEmpty) Map(WholeTable -> v)
+                 else partDirs.map(_ -> v).toMap)
+            }.toMap
+        }
+    }
+  }
+
+  /** Read a member table of the current committed version, resolving
+    * the partition manifest: each referenced version contributes
+    * exactly the partition directories it still owns (an explicit-dir
+    * read with `basePath`, so partition columns survive and any
+    * further partition-column filter prunes within the leg). The
+    * common case — every entry owned by the current version — reads
+    * the version's table directory directly, so fresh/full builds keep
+    * the exact plan shape of a plain parquet read. */
+  def readTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed version at $path"))
+    val parts = manifest(spark, path).getOrElse(table,
+      sys.error(s"table $table not in manifest at $path"))
+    val owners = parts.values.toSet
+    if (owners == Set(cur)) spark.read.parquet(s"$path/v=$cur/$table")
+    else {
+      val legs = parts.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (owner, entries) =>
+          val base = s"$path/v=$owner/$table"
+          val dirs = entries.map(_._1).sorted
+          if (dirs == Seq(WholeTable)) spark.read.parquet(base)
+          else spark.read.option("basePath", base)
+            .parquet(dirs.map(d => s"$base/$d"): _*)
+      }
+      legs.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Stage member tables + params + manifest as version current+1 in a
+    * writer-unique staging dir, then commit by renaming it to `v=N` —
+    * the atomic commit point (a lost rename race throws; data from two
+    * writers can never interleave). `tables` may READ the current
+    * version — nothing is overwritten in place. `partitionBy` applies
+    * per table when non-empty.
+    *
+    * `carry` (partial commit): per table, partition-dir → owner-version
+    * entries to REFERENCE from earlier versions instead of rewriting.
+    * Partitions actually written this commit always own themselves and
+    * override any carried entry with the same name. Versions no longer
+    * referenced by the new manifest are swept after the commit.
+    *
+    * `legacySweep` names top-level dirs from a pre-version layout to
+    * remove after the first successful commit. */
   def commit(spark: SparkSession, path: String,
       tables: Seq[(String, DataFrame)], params: Map[String, String],
       partitionBy: Map[String, Seq[String]] = Map.empty,
-      legacySweep: Seq[String] = Seq.empty): Unit = {
+      legacySweep: Seq[String] = Seq.empty,
+      carry: Map[String, Map[String, Int]] = Map.empty): Unit = {
     val (fs, root) = fsFor(spark, path)
     val vs = versions(fs, root)
     val cur = vs.filter(_._2).lastOption.map(_._1).getOrElse(0)
+    // sweep uncommitted `v=` orphans and dead staging dirs (crashed
+    // writers); racing LIVE writers are detected at rename time
     vs.filter { case (v, committed) => v > cur && !committed }.foreach {
       case (v, _) =>
         val d = new Path(root, s"v=$v")
         require(fs.delete(d, true), s"failed to sweep orphaned $d")
     }
-    val vdir = new Path(root, s"v=${cur + 1}")
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+      .foreach(st => require(fs.delete(st.getPath, true),
+        s"failed to sweep dead staging dir ${st.getPath}"))
+    carry.foreach { case (t, entries) =>
+      entries.values.foreach(o => require(o <= cur,
+        s"carried entry for $t references version $o > current $cur"))
+    }
+
+    val next = cur + 1
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     tables.foreach { case (name, df) =>
       val w = df.write
       partitionBy.get(name).filter(_.nonEmpty).fold(w)(cols =>
         w.partitionBy(cols: _*))
-        .parquet(new Path(vdir, name).toString)
+        .parquet(new Path(staging, name).toString)
     }
-    val out = fs.create(new Path(vdir, ParamsFile), true)
+    // manifest: carried entries + everything staged (staged wins)
+    val owned: Map[String, Map[String, Int]] = tables.map { case (name, _) =>
+      val tdir = new Path(staging, name)
+      val partDirs = fs.listStatus(tdir).toSeq
+        .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+        .map(_.getPath.getName)
+      name -> (if (partDirs.isEmpty) Map(WholeTable -> next)
+               else partDirs.map(_ -> next).toMap)
+    }.toMap
+    val mf: Map[String, Map[String, Int]] =
+      (carry.keySet ++ owned.keySet).map { t =>
+        t -> (carry.getOrElse(t, Map.empty) ++ owned.getOrElse(t, Map.empty))
+      }.toMap
+    val mfOut = fs.create(new Path(staging, ManifestFile), true)
+    try mfOut.write(mf.toSeq.sortBy(_._1).flatMap { case (t, es) =>
+      es.toSeq.sortBy(_._1).map { case (p, o) => s"$t/$p\t$o\n" }
+    }.mkString.getBytes("UTF-8"))
+    finally mfOut.close()
+    val out = fs.create(new Path(staging, ParamsFile), true)
     try out.write(params.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
-    require(fs.createNewFile(new Path(vdir, CommitMarker)),
-      s"failed to commit $vdir (marker already exists?)")
-    // committed — sweep superseded versions and any legacy layout
-    vs.filter { case (v, committed) => v <= cur && committed }.foreach {
-      case (v, _) =>
+    val marker = fs.create(new Path(staging, CommitMarker), true)
+    marker.close()
+    // THE commit point: atomic dir rename; failure = lost writer race
+    val vdir = new Path(root, s"v=$next")
+    require(fs.rename(staging, vdir),
+      s"failed to commit $vdir (concurrent writer won the race?)")
+
+    // committed — sweep versions no longer referenced, plus any legacy layout
+    val referenced = mf.values.flatMap(_.values).toSet + next
+    vs.filter { case (v, committed) => committed && !referenced.contains(v) }
+      .foreach { case (v, _) =>
         val d = new Path(root, s"v=$v")
         require(fs.delete(d, true), s"failed to sweep superseded $d")
-    }
+      }
     legacySweep.foreach { name =>
       val d = new Path(root, name)
       if (fs.exists(d)) require(fs.delete(d, true), s"failed to sweep legacy $d")

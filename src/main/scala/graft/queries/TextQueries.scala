@@ -17,7 +17,7 @@ object TextQueries {
 
   // SC1/A8/W1: corpus token counts, top 50 (word-cloud candidate pool).
   val q28 = sql(
-    "q28_token_counts",
+    "q129_token_counts",
     """SELECT t AS token, count(*) AS n FROM (
       |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents) u
       |WHERE t <> '' GROUP BY t ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
@@ -683,6 +683,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // BPE-token-budgeted admission — the corpus factory's trained-
+  // tokenizer gate (Pipelines.applyCorpusFactoryBatch `bpeGate`) made
+  // oracle-checkable: per-doc BPE token count evaluated through the
+  // STREAMING-LEGAL literal-map column (Bpe.bpeTokenCount — token
+  // lookup in an inline word→n_sym map, no join, no aggregation
+  // state) must equal the batch recompute (the oracle re-trains the
+  // tokenizer in SQL and re-derives every count through the join
+  // form). The admitted flag is the gate's verdict at a 300-token
+  // budget.
+  val q127 = sql(
+    "q127_bpe_admission",
+    s"""${bpePrefix(5)},
+       |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM w6 GROUP BY word),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(sum(wl.n_sym) AS BIGINT) AS n_tok_bpe,
+       |  CAST(sum(wl.n_sym) >= 300 AS BOOLEAN) AS admitted
+       |FROM dw JOIN wl USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val state = graft.operators.Bpe.trainState(docs(s, d), col("text"), 5)
+    val wordMap = state.collectWordTokenCounts()
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.operators.Bpe.bpeTokenCount(col("text"), wordMap).as("n_tok_bpe"))
+      .withColumn("admitted", col("n_tok_bpe") >= 300L)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124, q125,
-    q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
+    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
 }

@@ -482,6 +482,33 @@ object VectorQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
+  // Weighted RRF — q122's fusion with per-list credit (0.7 lexical /
+  // 0.3 dense, the BM25-heavy production norm). Each contribution is
+  // still one IEEE division (w / (k0+r)), unrolled identically in the
+  // oracle, so the fused doubles hash-match across engines.
+  val q128 = sql(
+    "q128_weighted_hybrid", {
+      s"""WITH bm AS (SELECT doc_id AS id, score FROM (${TextQueries.q93.oracle.get}) b),
+         |ann AS (SELECT vec_id AS id, sim AS score FROM (${q37.oracle.get}) a),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM bm),
+         |annr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM ann),
+         |u AS (SELECT id, 0.7 / (60 + r) AS c FROM bmr
+         |      UNION ALL SELECT id, 0.3 / (60 + r) AS c FROM annr)
+         |SELECT id AS doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val bm = graft.functions.Text.bm25TopK(Tables.documents(s, d),
+      col("doc_id"), col("text"), Seq("join", "hash", "spark", "window"))
+      .select(col("doc_id").as("id"), col("score"))
+    val ann = Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)
+      .select(col("vec_id").as("id"), col("sim").as("score"))
+    Similarity.rrfFuse(Seq(bm, ann), "id", "score", weights = Seq(0.7, 0.3))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117, q122, q126)
+    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128)
 }

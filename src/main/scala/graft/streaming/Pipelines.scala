@@ -175,10 +175,23 @@ object Pipelines {
   }
 
   /** Mirror layout: `bucket = pmod(hash(table, id), nBuckets)` hive
-    * partitions. 64 buckets suit the test scale; at 100 TB raise the
-    * count (or compose with a `stored_date` partition level) so one
-    * bucket stays a few GB — the merge cost per micro-batch is
-    * O(touched buckets), never O(table). */
+    * partitions. Only buckets containing batch keys are merged and
+    * swapped, so the per-micro-batch rewrite unit is
+    * `mirror_size / nBuckets` — SIZE THE COUNT FROM THE MIRROR:
+    *
+    *   nBuckets ≈ mirror_size / target_rewrite_unit
+    *
+    * with the rewrite unit a few GB (one executor-friendly merge +
+    * rename). 64 suits the test-scale mirrors here (≈ MBs/bucket); a
+    * 1 TB mirror wants ~10³, a 100 TB mirror ~10⁴–10⁵ (optionally
+    * composed with a `stored_date` partition level so old days freeze
+    * out of the touched set entirely). The worst case — a batch whose
+    * keys span every bucket — degrades to a full-mirror rewrite, so
+    * the count must be high enough that a typical batch touches a
+    * small fraction. Pass the count through `cdcMirrorSink`/
+    * `applyCdcBatch` (`nBuckets`); it is a layout constant PER MIRROR
+    * — changing it re-hashes every key, i.e. a full rewrite
+    * migration. */
   val MirrorBuckets = 64
 
   /** Per-table CDC routing policy. The reference does NOT treat every
@@ -354,6 +367,7 @@ object Pipelines {
       stateDir: String, topN: Int = 50): Unit = {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreSwap(fs, root, "snapshot")
     val snap = new Path(root, "snapshot")
     val current = counts.select(col("key"), col("cnt"))
       .orderBy(col("cnt").desc, col("key")).limit(topN)
@@ -367,16 +381,42 @@ object Pipelines {
     writeSwap(spark, fs, root, "snapshot", current)
   }
 
+  /** Publish `df` at `root/name` with NO lost-table crash window: the
+    * previous live dir is renamed ASIDE (never deleted) before the
+    * replacement renames in, and is dropped only after the new table
+    * is live. A crash between the two renames leaves the previous
+    * table recoverable at `.old-name`; [[restoreSwap]] (run by every
+    * reader in the apply loop) renames it back, so an authoritative
+    * long-lived table — the TTL loop's `counts`, whose idle keys are
+    * NEVER re-emitted by update-mode state — cannot silently vanish
+    * and restart empty. Boolean returns checked: a silently failed
+    * rename onto an existing dir would nest tmp INSIDE live on
+    * HDFS-like filesystems. */
   private def writeSwap(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       root: Path, name: String, df: DataFrame): Unit = {
     val tmp = new Path(root, s".tmp-$name")
     if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to clear $tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     val live = new Path(root, name)
-    // boolean returns checked: a silently failed rename onto an
-    // existing dir would nest tmp INSIDE live on HDFS-like filesystems
-    if (fs.exists(live)) require(fs.delete(live, true), s"failed to clear $live")
+    val aside = new Path(root, s".old-$name")
+    // a stale aside here means the LAST swap completed (its live dir
+    // exists — callers restore before reading); clear it
+    if (fs.exists(aside)) require(fs.delete(aside, true), s"failed to clear $aside")
+    if (fs.exists(live)) require(fs.rename(live, aside), s"failed to set aside $live")
     require(fs.rename(tmp, live), s"failed to publish $live")
+    if (fs.exists(aside)) require(fs.delete(aside, true), s"failed to drop $aside")
+  }
+
+  /** Crash recovery for [[writeSwap]]: if a crash landed between the
+    * aside and publish renames (live dir missing, aside present),
+    * restore the aside copy. Idempotent; called before every read of
+    * a swap-published table. */
+  private def restoreSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, name: String): Unit = {
+    val live = new Path(root, name)
+    val aside = new Path(root, s".old-$name")
+    if (!fs.exists(live) && fs.exists(aside))
+      require(fs.rename(aside, live), s"failed to restore $live from $aside")
   }
 
   /** Streaming wrapper for the snapshot loop: complete-mode counts →
@@ -435,6 +475,7 @@ object Pipelines {
       stateDir: String, topN: Int = 50): Unit = {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreSwap(fs, root, "counts")
     val countsPath = new Path(root, "counts")
     val prior =
       if (fs.exists(countsPath)) spark.read.parquet(countsPath.toString)
@@ -515,17 +556,26 @@ object Pipelines {
   def applyCorpusFactoryBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexPath: String, landingPath: String, nShards: Int = 8,
       threshold: Double = 0.8, minTokens: Int = 30, minQuality: Double = 0.65,
-      dsirGate: Option[(Map[Long, Long], Long)] = None): Unit = {
-    import graft.operators.{Curation, Dedup}
+      dsirGate: Option[(Map[Long, Long], Long)] = None,
+      bpeGate: Option[(Map[String, Long], Long)] = None): Unit = {
+    import graft.operators.{Bpe, Curation, Dedup}
     val funneled = Curation.curateStream(batch, col("doc_id"), col("text"),
         minTokens = minTokens, minQuality = minQuality)
       .filter(col("verdict") === "keep")
     // optional DSIR admission (fitted ratio map + micro-nat floor):
     // target-likeness gating as a stateless column — scored on the
     // scrubbed text, the same form the corpus persists
-    val admitted = dsirGate.fold(funneled) { case (ratios, floor) =>
+    val dsirAdmitted = dsirGate.fold(funneled) { case (ratios, floor) =>
       funneled.filter(
         Curation.dsirScore(col("scrubbed"), ratios) >= lit(floor))
+    }
+    // optional trained-tokenizer admission: the budget the trainer
+    // actually pays is BPE tokens, not whitespace tokens — gate on
+    // the literal-map count (Bpe.bpeTokenCount, word→n_sym from a
+    // trained BpeState), stateless and streaming-legal like dsirScore
+    val admitted = bpeGate.fold(dsirAdmitted) { case (wordNsym, minBpeTok) =>
+      dsirAdmitted.filter(
+        Bpe.bpeTokenCount(col("scrubbed"), wordNsym) >= lit(minBpeTok))
     }
     val curated = admitted
       .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"))
@@ -573,6 +623,7 @@ object Pipelines {
       checkpoint: String, nShards: Int = 8, threshold: Double = 0.8,
       minTokens: Int = 30, minQuality: Double = 0.65,
       dsirGate: Option[(Map[Long, Long], Long)] = None,
+      bpeGate: Option[(Map[String, Long], Long)] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
@@ -581,7 +632,7 @@ object Pipelines {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
-          nShards, threshold, minTokens, minQuality, dsirGate)
+          nShards, threshold, minTokens, minQuality, dsirGate, bpeGate)
       }
       .start()
   }
@@ -594,9 +645,20 @@ object Pipelines {
     * first build replays as an upsert of its own ids (same state).
     * The continuous-serving twin of the corpus factory's text side —
     * embeddings stream in, ANN search stays available on the last
-    * committed version throughout. */
+    * committed version throughout.
+    *
+    * Drift policy: upserts pin the list geometry to the original
+    * centroids, so a drifting stream skews the list histogram and
+    * probe recall decays silently. Each upsert commit maintains the
+    * histogram in the index params; when `rebuildSkewThreshold` is
+    * set and `Similarity.ivfIndexStats` reports max/median ≥ the
+    * threshold, the trigger re-centers with a full [[Similarity
+    * .buildIvfIndex]] over the current rows — the documented O(index)
+    * rebuild, amortized over the many O(batch) triggers between
+    * rebuilds, after which search parity and balanced probes are
+    * restored. */
   def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
-      nLists: Int = 16,
+      nLists: Int = 16, rebuildSkewThreshold: Option[Double] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = vectors.sparkSession
     vectors.writeStream
@@ -607,7 +669,14 @@ object Pipelines {
         import graft.operators.{Similarity, VersionedIndex}
         if (VersionedIndex.currentDir(spark, indexPath).isEmpty)
           Similarity.buildIvfIndex(batch, nLists, indexPath)
-        else Similarity.upsertIvfIndex(batch, indexPath)
+        else {
+          Similarity.upsertIvfIndex(batch, indexPath)
+          rebuildSkewThreshold.foreach { thr =>
+            if (Similarity.ivfIndexStats(spark, indexPath, thr).needsRebuild)
+              Similarity.buildIvfIndex(
+                Similarity.readIvfIndexRows(spark, indexPath), nLists, indexPath)
+          }
+        }
       }
       .start()
   }
@@ -616,13 +685,14 @@ object Pipelines {
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       policy: Map[String, TablePolicy] = Map.empty,
-      defaultPolicy: TablePolicy = TablePolicy.SoftDelete): StreamingQuery =
+      defaultPolicy: TablePolicy = TablePolicy.SoftDelete,
+      nBuckets: Int = MirrorBuckets): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(spark, batch, mirrorPath, MirrorBuckets, policy, defaultPolicy)
+        applyCdcBatch(spark, batch, mirrorPath, nBuckets, policy, defaultPolicy)
       }
       .start()
 }

@@ -44,7 +44,7 @@ object Stateful {
       else projected).as[Keyed]
 
     def update(key: String, rows: Iterator[Keyed],
-        state: GroupState[Long]): Iterator[RunningTotal] = {
+        state: GroupState[(Long, Long)]): Iterator[RunningTotal] = {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
@@ -52,12 +52,17 @@ object Stateful {
         var n = 0L
         var maxTs = Long.MinValue
         rows.foreach { r => n += 1; maxTs = math.max(maxTs, r.ts.getTime) }
-        val total = state.getOption.getOrElse(0L) + n
-        state.update(total)
+        val (prev, prevMaxTs) = state.getOption.getOrElse((0L, Long.MinValue))
+        val total = prev + n
+        // the deadline anchors to the newest event EVER seen, kept in
+        // state — a late-but-in-watermark batch whose maxTs is older
+        // must not SHRINK the key's ttl (Redis EXPIRE-on-touch parity)
+        val maxTsEver = math.max(maxTs, prevMaxTs)
+        state.update((total, maxTsEver))
         // Evict when the watermark passes the key's newest event + ttl.
         // (Batch execution has no watermark/timeouts; setting one there
         // is meaningless and throws, hence the streaming guard.)
-        if (streaming) state.setTimeoutTimestamp(maxTs + ttlMs)
+        if (streaming) state.setTimeoutTimestamp(maxTsEver + ttlMs)
         Iterator.single(RunningTotal(key, total))
       }
     }
@@ -87,7 +92,7 @@ object Stateful {
       else projected).as[Keyed]
 
     def update(key: String, rows: Iterator[Keyed],
-        state: GroupState[Long]): Iterator[KeyUpdate] = {
+        state: GroupState[(Long, Long)]): Iterator[KeyUpdate] = {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.single(KeyUpdate(key, 0L, evicted = true))
@@ -95,9 +100,13 @@ object Stateful {
         var n = 0L
         var maxTs = Long.MinValue
         rows.foreach { r => n += 1; maxTs = math.max(maxTs, r.ts.getTime) }
-        val total = state.getOption.getOrElse(0L) + n
-        state.update(total)
-        if (streaming) state.setTimeoutTimestamp(maxTs + ttlMs)
+        val (prev, prevMaxTs) = state.getOption.getOrElse((0L, Long.MinValue))
+        val total = prev + n
+        // deadline from the newest event EVER (kept in state): a late
+        // batch must not shrink a key's ttl below one already set
+        val maxTsEver = math.max(maxTs, prevMaxTs)
+        state.update((total, maxTsEver))
+        if (streaming) state.setTimeoutTimestamp(maxTsEver + ttlMs)
         Iterator.single(KeyUpdate(key, total, evicted = false))
       }
     }

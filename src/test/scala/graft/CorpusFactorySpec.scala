@@ -39,7 +39,7 @@ class CorpusFactorySpec extends SparkSuite {
     spark.read.parquet(path).select("doc_id").collect().map(_.getLong(0)).toSet
 
   private def indexIds(idx: String): Set[Long] =
-    spark.read.parquet(s"${Dedup.currentLshIndexDir(spark, idx)}/shingles")
+    Dedup.readLshTable(spark, idx, "shingles")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
 
   test("corpus factory: funnel → incremental dedup → index upsert → landing, replay-idempotent") {
@@ -101,6 +101,33 @@ class CorpusFactorySpec extends SparkSuite {
       minQuality = 0.5, dsirGate = Some((ratios, -1000000L)))
     assert(landedIds(s"$base/land/batch=0") == Set(21L),
       "only the target-like doc may pass the DSIR admission gate")
+  }
+
+  test("corpus factory: BPE-token admission gate == batch recompute of the trained budget") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfbpe").toString
+    // train the reference tokenizer on a held corpus, collect the
+    // literal word→n_sym map the streaming gate consumes
+    val fit = Seq((100L, docA), (101L, docB), (102L, docC), (103L, docD))
+      .toDF("doc_id", "text")
+    val state = graft.operators.Bpe.trainState(fit, col("text"), 5)
+    val wordMap = state.collectWordTokenCounts()
+    val batch = Seq((31L, docC), (32L, docD), (33L, docA + " " + docB))
+      .toDF("doc_id", "text")
+    // batch recompute of each candidate's BPE budget via the SAME map
+    // (docs pass the quality funnel untouched by PII scrub, so the
+    // gate sees the identical text)
+    val budgets = batch.select(col("doc_id"),
+      graft.operators.Bpe.bpeTokenCount(col("text"), wordMap).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = budgets.values.toSeq.sorted.apply(1) + 1 // admit only above the median doc
+    val expectAdmitted = budgets.filter(_._2 >= cut).keySet
+    assert(expectAdmitted.nonEmpty && expectAdmitted.size < budgets.size,
+      s"test needs a discriminating budget: $budgets cut=$cut")
+    Pipelines.applyCorpusFactoryBatch(spark, batch, 0L, s"$base/idx", s"$base/land",
+      minQuality = 0.5, bpeGate = Some((wordMap, cut)))
+    assert(landedIds(s"$base/land/batch=0") == expectAdmitted,
+      "streaming literal-map gate must equal the batch recompute")
   }
 
   test("corpus factory batch: curation gates attribute before dedup (batch mode)") {

@@ -92,8 +92,7 @@ class DedupSpec extends SparkSuite {
     val oldSide = docs.filter(col("doc_id") % 3 === 0)
     Dedup.writeLshIndex(oldSide, col("doc_id"), col("text"), dir)
     // the persisted artifacts are faithful replicas of the live tables
-    val storedShingles = spark.read
-      .parquet(s"${Dedup.currentLshIndexDir(spark, dir)}/shingles")
+    val storedShingles = Dedup.readLshTable(spark, dir, "shingles")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val liveShingles = Dedup.shingleSet(oldSide, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -138,11 +137,10 @@ class DedupSpec extends SparkSuite {
     Dedup.upsertLshIndex(Seq((1L, v2), (3L, v2 + " y")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), dir)
     // index now holds exactly one version per id — 1:v2, 2, 3
-    val cur = Dedup.currentLshIndexDir(spark, dir)
-    val perDoc = spark.read.parquet(s"$cur/shingles")
+    val perDoc = Dedup.readLshTable(spark, dir, "shingles")
       .groupBy("doc_id").count().collect().map(r => r.getLong(0)).toSet
     assert(perDoc == Set(1L, 2L, 3L))
-    val idxShingles = spark.read.parquet(s"$cur/shingles")
+    val idxShingles = Dedup.readLshTable(spark, dir, "shingles")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val liveShingles = Dedup.shingleSet(
       Seq((1L, v2), (2L, other), (3L, v2 + " y")).toDF("doc_id", "text"),
@@ -173,14 +171,25 @@ class DedupSpec extends SparkSuite {
     Dedup.upsertLshIndex(Seq((2L, t1 + " lambda")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), dir)
     assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=2"))
-    // superseded v=1 swept after the new commit
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
-    // both tables present and consistent in the committed version
-    val ids = spark.read.parquet(s"$dir/v=2/shingles").select("doc_id")
+    // the partial commit CARRIES doc 1's untouched bucket from v=1 —
+    // v=1 must survive (it is referenced by the v=2 manifest) and the
+    // manifest-resolved read must see both docs in both tables
+    val mf = graft.operators.VersionedIndex.manifest(spark, dir)
+    if (mf("shingles").values.toSet.contains(1))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")),
+        "referenced version must not be swept")
+    val ids = Dedup.readLshTable(spark, dir, "shingles").select("doc_id")
       .distinct().collect().map(_.getLong(0)).toSet
-    val bandIds = spark.read.parquet(s"$dir/v=2/bands").select("doc_id")
+    val bandIds = Dedup.readLshTable(spark, dir, "bands").select("doc_id")
       .distinct().collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L) && bandIds == Set(1L, 2L))
+    // a full REBUILD (writeLshIndex) references nothing older — v=1
+    // and v=2 both sweep after it commits v=3
+    Dedup.writeLshIndex(Seq((1L, t1), (2L, t1 + " lambda")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=3"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=2")))
   }
 
   test("LSH index: uncommitted orphan version is ignored by readers and swept by writers") {
@@ -199,7 +208,7 @@ class DedupSpec extends SparkSuite {
     Dedup.upsertLshIndex(Seq((2L, t1 + " mu")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), dir)
     assert(Dedup.currentLshIndexDir(spark, dir).endsWith("/v=2"))
-    assert(spark.read.parquet(s"$dir/v=2/shingles").select("doc_id")
+    assert(Dedup.readLshTable(spark, dir, "shingles").select("doc_id")
       .distinct().count() == 2)
   }
 

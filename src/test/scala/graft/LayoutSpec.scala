@@ -91,7 +91,7 @@ class LayoutSpec extends SparkSuite {
       .unionByName(emb.filter(col("vec_id") === 399L))
     Similarity.upsertIvfIndex(batch, idx)
     assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
-    val v2 = spark.read.parquet(s"$idx/v=2/lists")
+    val v2 = VersionedIndex.readTable(spark, idx, "lists")
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
     // every vector exactly once
     assert(v2.count() == emb.count())
@@ -106,6 +106,148 @@ class LayoutSpec extends SparkSuite {
     // search over the upserted index can return post-upsert vectors
     val res = Similarity.ivfSearchIndexed(spark, idx, 8, someCentroid, 500)
     assert(res.count() == emb.count() - 1, "full-probe search sees every vector")
+  }
+
+  // (path of a partition dir) -> (file name -> (length, mtime)) — the
+  // byte-identity witness for carried partitions
+  private def fileSnapshot(dir: String): Map[String, (Long, Long)] = {
+    val d = new java.io.File(dir)
+    assert(d.isDirectory, s"$dir is not a directory")
+    d.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("IVF partial commit: untouched list partitions carried byte-identical, not rewritten") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfpart").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    val v1 = spark.read.parquet(s"$idx/v=1/lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    val byList = v1.groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch: re-ingest two non-centroid members of ONE list — their
+    // embeddings are unchanged so they re-assign to the same list
+    val target = byList.filter(_._2 >= 3).keys.min
+    val batchIds = v1.filter(col("list_id") === target && col("vec_id") =!= target)
+      .select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    val untouched = byList.keys.filter(_ != target).toSeq.sorted
+    val before = untouched.map(l =>
+      l -> fileSnapshot(s"$idx/v=1/lists/list_id=$l")).toMap
+
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id").isin(batchIds.map(Long.box): _*)), idx)
+
+    // untouched partitions: same files, same bytes, same mtimes, still
+    // served from v=1; the new version does NOT contain them
+    untouched.foreach { l =>
+      assert(fileSnapshot(s"$idx/v=1/lists/list_id=$l") == before(l),
+        s"untouched list $l was rewritten")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, "v=2", "lists", s"list_id=$l")))
+    }
+    val mf = VersionedIndex.manifest(spark, idx)("lists")
+    assert(mf(s"list_id=$target") == 2, "touched partition owned by new version")
+    untouched.foreach(l => assert(mf(s"list_id=$l") == 1,
+      s"untouched list $l must be carried from v=1"))
+    // manifest-resolved read equals the pre-upsert corpus state (the
+    // re-ingest was idempotent)
+    val after = VersionedIndex.readTable(spark, idx, "lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val orig = v1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == orig)
+  }
+
+  test("index commit: dead staging dir is invisible to readers and swept by the next writer") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfstg").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    // simulate a writer that crashed mid-stage: private dir, no v= name
+    val dead = java.nio.file.Paths.get(idx, ".staging-deadbeef", "lists")
+    java.nio.file.Files.createDirectories(dead)
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")),
+      "staging dirs must never be visible as versions")
+    assert(Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5).count() == 5)
+    Similarity.upsertIvfIndex(emb.filter(col("vec_id") >= 300), idx)
+    assert(!java.nio.file.Files.exists(dead.getParent), "dead staging not swept")
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+  }
+
+  test("IVF drift: skewed ingest flips needsRebuild; rebuild restores brute-force parity") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfdrift").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 500)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    val stats0 = Similarity.ivfIndexStats(spark, idx)
+    // drifted stream: clones of the LARGEST list's members under new
+    // ids — every one assigns to that same list, quadrupling it
+    val v1 = spark.read.parquet(s"$idx/v=1/lists")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    val fattest = stats0.listSizes.maxBy(_._2)._1
+    val members = v1.filter(col("list_id") === fattest)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    (1 to 3).foreach { i =>
+      Similarity.upsertIvfIndex(
+        members.select((col("vec_id") + i * 100000L).as("vec_id"),
+          col("label"), col("embedding")), idx)
+    }
+    val thr = stats0.skew * 2.0
+    val stats1 = Similarity.ivfIndexStats(spark, idx, thr)
+    assert(stats1.skew > stats0.skew && stats1.needsRebuild,
+      s"skewed ingest must flip the flag: ${stats0.skew} -> ${stats1.skew}")
+    // the persisted incremental histogram equals a recount from disk
+    val recounted = VersionedIndex.readTable(spark, idx, "lists")
+      .groupBy(col("list_id").cast("long").as("list_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats1.listSizes == recounted,
+      "incrementally-maintained list histogram must stay exact")
+    // re-center: full rebuild over the current rows, then a full probe
+    // must equal brute force over the same corpus (q126's contract).
+    // The rebuild's commit sweeps the versions `rows` is lazily bound
+    // to — materialize before reusing it across the commit (the
+    // readIvfIndexRows contract).
+    val rows = Similarity.readIvfIndexRows(spark, idx).localCheckpoint()
+    Similarity.buildIvfIndex(rows, 8, idx)
+    val got = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val want = Similarity.bruteForceTopK(rows, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got == want, s"post-rebuild parity broken: ${got -- want} vs ${want -- got}")
+  }
+
+  test("LSH upsert chain: bounded version fan-out via compaction") {
+    import graft.operators.{Dedup, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lshchain").toString
+    def doc(i: Long) = (i, s"document number $i with enough words alpha beta " +
+      s"gamma delta epsilon zeta eta theta unique tail token$i")
+    Dedup.writeLshIndex(Seq(doc(1)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    (2L to 7L).foreach { i =>
+      Dedup.upsertLshIndex(Seq(doc(i)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), dir, maxVersionChain = 3)
+    }
+    // every surviving version is referenced; the referenced set (and
+    // hence the on-disk version count and read fan-out) stays ≤ chain
+    val owners = VersionedIndex.manifest(spark, dir)
+      .values.flatMap(_.values).toSet
+    assert(owners.size <= 3, s"chain exceeded bound: $owners")
+    val vdirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    assert(vdirs == owners.map(o => s"v=$o"),
+      s"on-disk versions $vdirs != referenced $owners")
+    // and the index still reads as the full corpus state
+    val ids = Dedup.readLshTable(spark, dir, "shingles").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 7L).toSet)
   }
 
   test("streaming vector ingest: batches bootstrap then upsert the IVF index atomically") {

@@ -77,6 +77,64 @@ class StatefulSpec extends SparkSuite {
     q.stop()
   }
 
+  test("late in-watermark batch must not shrink a key's ttl (EXPIRE-on-touch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    val df = stream.toDF().toDF("key", "ts")
+    val out = Stateful.runningCountsEvicting(df, "key", "ts",
+      ttlMs = 60000L, watermarkDelay = "300 seconds")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("ttl_late").start()
+    def rows() = spark.table("ttl_late").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+
+    stream.addData(("b", ts(200)))
+    q.processAllAvailable()
+    // LATE but inside the 300 s watermark: older than b's newest
+    // event. Anchoring the deadline to this batch's maxTs would set
+    // timeout = ts(10)+60 s, SHRINKING the ttl already set from
+    // ts(200); the deadline must stay ts(200)+60 s.
+    stream.addData(("b", ts(10)))
+    q.processAllAvailable()
+    assert(rows().contains(("b", 2L, false)), s"late event not counted: ${rows()}")
+    // advance the watermark past ts(10)+60s but NOT past ts(200)+60s
+    stream.addData(("a", ts(400)))
+    q.processAllAvailable()
+    stream.addData(("a", ts(405)))
+    q.processAllAvailable()
+    assert(!rows().exists(r => r._1 == "b" && r._3),
+      s"b evicted before its true latest event + ttl: ${rows()}")
+    q.stop()
+  }
+
+  test("rank-delta counts table survives a crash between the swap renames") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("rankcrash").toString
+    val state = s"$base/state"
+    // trigger 1: keys a,b live
+    graft.streaming.Pipelines.applyRankDeltaUpdates(spark,
+      Seq(("a", 2L, false), ("b", 1L, false)).toDF("key", "total", "evicted"),
+      state, topN = 10)
+    def counts() = spark.read.parquet(s"$state/counts").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("cnt")).toMap
+    assert(counts() == Map("a" -> 2L, "b" -> 1L))
+    // simulate the fatal window of a delete-then-rename publish: the
+    // live counts dir is gone mid-swap (here: moved aside, exactly
+    // what writeSwap now does instead of deleting)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(state, "counts"),
+      new org.apache.hadoop.fs.Path(state, ".old-counts")))
+    // trigger 2 after "restart": only key c arrives — update-mode
+    // state never re-emits idle keys a/b, so without recovery they
+    // would silently vanish from the authoritative table
+    graft.streaming.Pipelines.applyRankDeltaUpdates(spark,
+      Seq(("c", 5L, false)).toDF("key", "total", "evicted"),
+      state, topN = 10)
+    assert(counts() == Map("a" -> 2L, "b" -> 1L, "c" -> 5L),
+      s"idle keys lost across the crash window: ${counts()}")
+  }
+
   test("batch execution: one pass equals a plain groupBy count") {
     val ev = Tables.events(spark, sf0001).select(col("event_type").as("key"), col("ts"))
     val stateful = Stateful.runningCounts(ev, "key", "ts", ttlMs = 1000L)

@@ -140,6 +140,23 @@ class SyncMirrorSpec extends SparkSuite {
     assert(s(1L) == (99.0, false) && s.size == 40)
   }
 
+  test("bucket count is a per-mirror layout parameter (sizing rule: mirror/rewrite-unit)") {
+    val dir = Files.createTempDirectory("mirror8").toString + "/m"
+    val seed = parse((1L to 40L).map(i =>
+      s"""{"op":"c","after":{"id":$i,"value":$i.0},"source":{"table":"articles"},"ts_ms":1000}"""))
+    Pipelines.applyCdcBatch(spark, seed, dir, nBuckets = 8)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.stripPrefix("bucket=").toInt < 8),
+      s"bucket values must land in [0, 8): $dirs")
+    // merges against the same mirror must keep using ITS bucket count
+    Pipelines.applyCdcBatch(spark, parse(Seq(
+      """{"op":"u","after":{"id":7,"value":70.0},"source":{"table":"articles"},"ts_ms":2000}""")),
+      dir, nBuckets = 8)
+    val s = state(dir)
+    assert(s(7L) == (70.0, false) && s.size == 40)
+  }
+
   test("crash mid-swap recovers from .bak when the batch replays") {
     val dir = Files.createTempDirectory("mirror4").toString + "/m"
     val batch1 = parse(Seq(
