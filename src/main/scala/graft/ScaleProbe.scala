@@ -65,7 +65,7 @@ object ScaleProbe {
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val docStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     docs.select(col("*"), reps)
       .select(
         (col("doc_id") + col("rep") * docStride).as("doc_id"),
@@ -79,7 +79,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val vecStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     emb.select(col("*"), reps)
       .select(
         (col("vec_id") + col("rep") * vecStride).as("vec_id"),

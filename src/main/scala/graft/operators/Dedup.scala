@@ -350,7 +350,7 @@ object Dedup {
           .distinct().collect().map(_.getInt(0))
         if (touched.isEmpty) return // empty batch — nothing to commit
         val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
-        val inTouched = col("idx_bucket").isin(touched.map(Int.box): _*)
+        val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
         def rewrite(table: String, fresh: DataFrame): DataFrame =
           VersionedIndex.readTable(spark, path, table)
             .filter(inTouched)
@@ -364,6 +364,63 @@ object Dedup {
             "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
       }
     } finally sh.unpersist()
+  }
+
+  /** DELETE documents from a persisted LSH index — the takedown/
+    * opt-out path. Touched buckets are a pure function of the deleted
+    * ids (`pmod(xxhash64(id), idxBuckets)` — no index read); only
+    * those partitions of shingles+bands are rewritten minus the ids,
+    * every other bucket is carried by manifest reference,
+    * byte-identical. A takedown of b documents costs O(touched
+    * buckets), not O(index). Deletion removes current rows — a later
+    * upsert of the same doc_id re-inserts it. No hash parameters are
+    * taken: deletion never hashes text, and the stored params carry
+    * forward unchanged. Pre-bucketing indexes (no `idxBuckets` param)
+    * take a full rewrite, which migrates them. */
+  def deleteFromLshIndex(deleteIds: DataFrame, path: String,
+      maxVersionChain: Int = 8): Unit = {
+    val spark = deleteIds.sparkSession
+    val curDir = currentLshIndexDir(spark, path)
+    val params = VersionedIndex.readParams(spark, curDir)
+    val (n, numHashes, bandCount) = (params("n").toInt,
+      params("numHashes").toInt, params("bands").toInt)
+    val storedBuckets = params.get("idxBuckets").map(_.toInt)
+    val nBuckets = storedBuckets.getOrElse(64)
+    val ids = deleteIds.select(col("doc_id")).distinct()
+    val prevMf = VersionedIndex.manifest(spark, path)
+    val shMf = prevMf.getOrElse("shingles", Map.empty)
+    val bandsMf = prevMf.getOrElse("bands", Map.empty)
+    val chainOk = (shMf.values.toSet ++ bandsMf.values.toSet + -1).size <=
+      maxVersionChain
+    val partialOk = storedBuckets.isDefined && shMf.nonEmpty &&
+      !shMf.contains(VersionedIndex.WholeTable) &&
+      !bandsMf.contains(VersionedIndex.WholeTable) && chainOk
+    def bucketed(table: String): DataFrame =
+      readLshTable(spark, path, table)
+        .join(ids, Seq("doc_id"), "left_anti")
+        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+    if (!partialOk) {
+      commitLshVersion(spark, path,
+        bucketed("shingles"), bucketed("bands"),
+        n, numHashes, bandCount, nBuckets)
+    } else {
+      val touched = ids
+        .select(idxBucketCol(col("doc_id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      if (touched.isEmpty) return // empty id set — nothing to commit
+      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
+      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      def rewrite(table: String): DataFrame =
+        VersionedIndex.readTable(spark, path, table)
+          .filter(inTouched)
+          .join(ids, Seq("doc_id"), "left_anti")
+      commitLshVersion(spark, path,
+        rewrite("shingles"), rewrite("bands"),
+        n, numHashes, bandCount, nBuckets,
+        carry = Map(
+          "shingles" -> shMf.filter { case (d, _) => !touchedDirs.contains(d) },
+          "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
+    }
   }
 
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):

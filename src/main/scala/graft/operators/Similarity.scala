@@ -130,12 +130,18 @@ object Similarity {
     * scan. At 100 TB the list id becomes the partition key, so a query
     * touches only nprobe partitions.
     */
-  def ivfAssign(embeddings: DataFrame, nLists: Int): DataFrame = {
+  /** Deterministic seed-centroid sample — (centroid_id, c_emb). */
+  private def ivfSeeds(embeddings: DataFrame, nLists: Int): DataFrame = {
     val n = embeddings.count()
     val stride = math.max(1L, n / nLists)
-    val centroids = embeddings
+    embeddings
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+  }
+
+  /** Nearest-centroid assignment: one broadcast cross-join + windowed
+    * argmin over the input — O(n·nLists) with no corpus shuffle. */
+  private def assignSeeded(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("centroid_id"))
@@ -146,6 +152,9 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         col("centroid_id").as("list_id"))
   }
+
+  def ivfAssign(embeddings: DataFrame, nLists: Int): DataFrame =
+    assignSeeded(embeddings, ivfSeeds(embeddings, nLists))
 
   /** Ad-hoc IVF search: rank centroids for the query, scan the
     * top-`nprobe` lists, cosine top-k within them. Builds the
@@ -191,11 +200,15 @@ object Similarity {
     * the corpus. At 100 TB this table is additionally bucketed within
     * each list partition; the layout contract (probe touches only its
     * partitions) is what LayoutSpec asserts. */
-  def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String): Unit =
+  def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String): Unit = {
+    val seeds = ivfSeeds(embeddings, nLists)
     VersionedIndex.commit(embeddings.sparkSession, path,
-      Seq("lists" -> ivfAssign(embeddings, nLists)),
+      Seq("lists" -> assignSeeded(embeddings, seeds),
+        "centroids" -> seeds.select(
+          col("centroid_id").cast("long").as("list_id"), col("c_emb"))),
       Map("nLists" -> nLists.toString),
       partitionBy = Map("lists" -> Seq("list_id")))
+  }
 
   /** Current committed lists table, manifest-resolved (partial commits
     * leave untouched list partitions in earlier versions); legacy flat
@@ -206,6 +219,25 @@ object Similarity {
     if (VersionedIndex.currentDir(spark, path).isDefined)
       VersionedIndex.readTable(spark, path, "lists")
     else spark.read.parquet(path)
+
+  /** The index's list GEOMETRY — (list_id, c_emb), nLists rows. The
+    * authoritative `centroids` member table makes probe selection an
+    * O(nLists) read instead of an O(index) lists scan, and survives
+    * DELETION of seed vectors (a takedown removes the data row from
+    * `lists`; the geometry row here is not corpus data and stays).
+    * Indexes committed before the table existed derive it from the
+    * `vec_id == list_id` seed rows — correct there, because without a
+    * deletion path every seed row is still present. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val hasTable = VersionedIndex.currentDir(spark, path).isDefined &&
+      VersionedIndex.manifest(spark, path).contains("centroids")
+    if (hasTable) VersionedIndex.readTable(spark, path, "centroids")
+    else readIvfLists(spark, path)
+      .filter(col("vec_id") === col("list_id"))
+      .select(col("list_id").cast("long").as("list_id"),
+        col("embedding").as("c_emb"))
+  }
 
   /** UPSERT a batch of vectors into a persisted IVF index — the
     * per-crawl-round form of buildIvfIndex, the ANN twin of
@@ -239,8 +271,8 @@ object Similarity {
     val index = raw
       .select(col("vec_id"), col("label"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
-    val centroids = index.filter(col("vec_id") === col("list_id"))
-      .select(col("list_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centroids = readIvfCentroids(spark, path)
+      .select(col("list_id").as("centroid_id"), col("c_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("centroid_id"))
@@ -276,24 +308,23 @@ object Similarity {
         l -> (prevSizes.getOrElse(l, 0L) - removes.getOrElse(l, 0L) +
           adds.getOrElse(l, 0L))
       }.toMap.filter(_._2 > 0)
-      val sorted = newSizes.values.toSeq.sorted
-      val skew =
-        if (sorted.isEmpty) 1.0
-        else sorted.last.toDouble / math.max(sorted(sorted.size / 2), 1L)
-      val statsParams = params ++ Map(
-        "listSizes" -> serializeSizes(newSizes),
-        "listSkew" -> f"$skew%.3f")
-      val prevMf = vdir.map(_ => VersionedIndex.manifest(spark, path)
-        .getOrElse("lists", Map.empty)).getOrElse(Map.empty)
+      val statsParams = params ++ sizeParams(newSizes)
+      val fullMf = vdir.map(_ => VersionedIndex.manifest(spark, path))
+        .getOrElse(Map.empty)
+      val prevMf = fullMf.getOrElse("lists", Map.empty)
+      val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
       // chain length if we carried: prior owners + the new version
       val partialOk = prevMf.nonEmpty && !prevMf.contains(VersionedIndex.WholeTable) &&
         (prevMf.values.toSet.size + 1) <= maxVersionChain
       if (!partialOk) {
-        // full rewrite: legacy layout, or compaction point reached
+        // full rewrite: legacy layout, or compaction point reached —
+        // also (re)writes the authoritative centroids table, migrating
+        // pre-centroids indexes
         val merged = index.join(newIds, Seq("vec_id"), "left_anti")
           .unionByName(assignedNew)
-        VersionedIndex.commit(spark, path, Seq("lists" -> merged), statsParams,
-          partitionBy = Map("lists" -> Seq("list_id")))
+        VersionedIndex.commit(spark, path,
+          Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path)),
+          statsParams, partitionBy = Map("lists" -> Seq("list_id")))
       } else {
         // touched = lists gaining rows ∪ lists losing superseded rows
         val touched = (adds.keySet ++ removes.keySet).toArray
@@ -318,9 +349,85 @@ object Similarity {
         }
         VersionedIndex.commit(spark, path, Seq("lists" -> rewritten), statsParams,
           partitionBy = Map("lists" -> Seq("list_id")),
-          carry = Map("lists" -> carry))
+          carry = Map("lists" -> carry, "centroids" -> centroidsMf)
+            .filter(_._2.nonEmpty))
       }
     } finally assignedNew.unpersist()
+  }
+
+  /** DELETE vectors from a persisted IVF index — the takedown/opt-out
+    * path a perpetually-ingesting corpus needs as much as upsert. The
+    * commit is PARTIAL like upsert's: touched lists (those holding any
+    * deleted id — discovered from a (vec_id, list_id) column-pruned
+    * scan) are rewritten minus the ids; every other partition is
+    * carried by manifest reference, byte-identical, so a takedown of b
+    * documents costs O(lists holding them), not O(index). Deleting a
+    * seed vector removes its DATA row; the list geometry lives in the
+    * authoritative `centroids` table and is unaffected (probes of its
+    * list keep working). A later upsert of a deleted vec_id re-inserts
+    * it — deletion removes current rows, it is not a tombstone. The
+    * list-size histogram and skew stats update incrementally, same as
+    * upsert. Indexes without a `centroids` table (pre-deletion-era)
+    * take the full-rewrite path, which writes it — after the first
+    * delete the geometry no longer depends on seed rows being
+    * present. */
+  def deleteFromIvfIndex(deleteIds: DataFrame, path: String,
+      maxVersionChain: Int = 8): Unit = {
+    val spark = deleteIds.sparkSession
+    val vdir = VersionedIndex.currentDir(spark, path)
+    val raw = readIvfLists(spark, path)
+    val index = raw
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    val ids = deleteIds.select(col("vec_id")).distinct()
+    // per-list removals: bounded by nLists; reads only (vec_id, list_id)
+    val removes = index.join(broadcast(ids), Seq("vec_id"))
+      .groupBy(col("list_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (removes.isEmpty) return // nothing present to delete
+    val params = vdir.map(VersionedIndex.readParams(spark, _))
+      .getOrElse(Map.empty)
+    val prevSizes = params.get("listSizes").map(parseSizes)
+      .getOrElse(ivfListSizes(spark, path))
+    val newSizes = prevSizes.map { case (l, n) =>
+      l -> (n - removes.getOrElse(l, 0L))
+    }.filter(_._2 > 0)
+    val statsParams = params ++ sizeParams(newSizes)
+    val fullMf = vdir.map(_ => VersionedIndex.manifest(spark, path))
+      .getOrElse(Map.empty)
+    val prevMf = fullMf.getOrElse("lists", Map.empty)
+    val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
+    // partial deletes require the authoritative centroids table: once
+    // seed rows can be absent, geometry must not derive from them
+    val partialOk = prevMf.nonEmpty && centroidsMf.nonEmpty &&
+      !prevMf.contains(VersionedIndex.WholeTable) &&
+      (prevMf.values.toSet.size + 1) <= maxVersionChain
+    if (!partialOk) {
+      VersionedIndex.commit(spark, path,
+        Seq("lists" -> index.join(ids, Seq("vec_id"), "left_anti"),
+          "centroids" -> readIvfCentroids(spark, path)),
+        statsParams, partitionBy = Map("lists" -> Seq("list_id")))
+    } else {
+      val touched = removes.keySet.toArray
+      val inVals: Seq[Any] =
+        if (raw.schema("list_id").dataType ==
+            org.apache.spark.sql.types.IntegerType)
+          touched.toSeq.map(v => Int.box(v.toInt))
+        else touched.toSeq.map(Long.box)
+      val rewritten = raw
+        .filter(col("list_id").isin(inVals: _*))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("list_id").cast("long").as("list_id"))
+        .join(ids, Seq("vec_id"), "left_anti")
+      val touchedSet = touched.toSet
+      val carry = prevMf.filter { case (dir, _) =>
+        scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
+          .forall(v => !touchedSet.contains(v))
+      }
+      VersionedIndex.commit(spark, path, Seq("lists" -> rewritten), statsParams,
+        partitionBy = Map("lists" -> Seq("list_id")),
+        carry = Map("lists" -> carry, "centroids" -> centroidsMf))
+    }
   }
 
   /** The committed index's vector rows (vec_id, label, embedding) —
@@ -345,6 +452,16 @@ object Similarity {
     * `Pipelines.vectorIngestSink`). */
   final case class IvfStats(listSizes: Map[Long, Long], maxSize: Long,
       medianSize: Long, skew: Double, needsRebuild: Boolean)
+
+  /** The incremental list-histogram params every index mutation
+    * commits: serialized per-list sizes + the max/median skew. */
+  private def sizeParams(newSizes: Map[Long, Long]): Map[String, String] = {
+    val sorted = newSizes.values.toSeq.sorted
+    val skew =
+      if (sorted.isEmpty) 1.0
+      else sorted.last.toDouble / math.max(sorted(sorted.size / 2), 1L)
+    Map("listSizes" -> serializeSizes(newSizes), "listSkew" -> f"$skew%.3f")
+  }
 
   private def serializeSizes(sizes: Map[Long, Long]): String =
     sizes.toSeq.sorted.map { case (l, n) => s"$l:$n" }.mkString(",")
@@ -395,9 +512,11 @@ object Similarity {
     val index = readIvfLists(spark, indexPath)
     val q = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val probes = index.filter(col("vec_id") === col("list_id"))
+    // probe selection reads the nLists-row centroids table, never the
+    // lists data (pre-centroids indexes fall back to the seed-row scan)
+    val probes = readIvfCentroids(spark, indexPath)
       .crossJoin(broadcast(q))
-      .withColumn("c_sim", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("c_sim", Vectors.cosine(col("c_emb"), col("q_emb")))
       .orderBy(col("c_sim").desc, col("list_id"))
       .limit(nProbe)
       .select(col("list_id"))

@@ -227,8 +227,13 @@ object VersionedIndex {
       val partDirs = fs.listStatus(tdir).toSeq
         .filter(c => c.isDirectory && c.getPath.getName.contains("="))
         .map(_.getPath.getName)
-      name -> (if (partDirs.isEmpty) Map(WholeTable -> next)
-               else partDirs.map(_ -> next).toMap)
+      // a PARTITIONED table staged with zero rows (e.g. a delete that
+      // emptied every touched partition) owns nothing — recording it
+      // as whole-table-owned would point readers at an empty dir and
+      // mark the manifest unpartitioned, breaking later partial commits
+      name -> (if (partDirs.nonEmpty) partDirs.map(_ -> next).toMap
+               else if (partitionBy.get(name).exists(_.nonEmpty)) Map.empty[String, Int]
+               else Map(WholeTable -> next))
     }.toMap
     val mf: Map[String, Map[String, Int]] =
       (carry.keySet ++ owned.keySet).map { t =>

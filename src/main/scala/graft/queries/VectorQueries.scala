@@ -226,6 +226,37 @@ object VectorQueries {
       .select(col("vec_id"), col("label"), col("sim"))
   }, q37.oracle)
 
+  // The DELETION (takedown/opt-out) contract hash-gated: build the
+  // index on part of the corpus, DELETE a deterministic slice — which
+  // includes seed-centroid ids, so list geometry must survive losing
+  // its seed rows — then upsert the rest, and a full probe must equal
+  // brute force over EXACTLY the surviving vectors: deleted rows are
+  // unfindable, everything else is undisturbed.
+  val q130 = QueryDef("q130_ivf_delete_probe", (s, d) => {
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivfdel-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 1500), 16, tmp.getPath)
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") < 1500 && col("vec_id") % 7 === 3)
+          .select(col("vec_id")), tmp.getPath)
+      Similarity.upsertIvfIndex(emb.filter(col("vec_id") >= 1500), tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    Similarity.ivfSearchIndexed(s, idx, 16, 0L, 10)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }, Some(
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id, label, round(
+      |    list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings, q
+      |  WHERE vec_id <> 0 AND NOT (vec_id < 1500 AND vec_id % 7 = 3))
+      |SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+
   // Embedding-cosine near-dup with label blocking — exact within the
   // block, so the oracle reproduces it with the same double-precision
   // dot formula.
@@ -453,6 +484,40 @@ object VectorQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // The full persisted-LSH-index lifecycle hash-gated — write, upsert,
+  // DELETE (takedown), then incremental detection for a probe batch:
+  // the pair set must equal ground truth over exactly (index survivors
+  // ∪ probe batch) with at least one probe endpoint — deleted docs
+  // stop matching, everything else is undisturbed. Exercises the
+  // partial-commit carry chain end-to-end (3 commits deep).
+  val q131 = sql(
+    "q131_lsh_delete_incremental", {
+      s"""WITH gt AS (SELECT doc_a, doc_b, jaccard FROM ($jaccardOracle) g)
+         |SELECT doc_a, doc_b, jaccard FROM gt
+         |WHERE (doc_a % 3 = 2 OR doc_b % 3 = 2)
+         |  AND (doc_a % 3 = 2 OR doc_a % 5 <> 2)
+         |  AND (doc_b % 3 = 2 OR doc_b % 5 <> 2)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-lshdel-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      graft.operators.Dedup.writeLshIndex(
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), tmp.getPath)
+      graft.operators.Dedup.upsertLshIndex(
+        docs.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), tmp.getPath)
+      graft.operators.Dedup.deleteFromLshIndex(
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 2)
+          .select(col("doc_id")), tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    graft.operators.Dedup.incrementalLshPairsIndexed(
+      docs.filter(col("doc_id") % 3 === 2), col("doc_id"), col("text"), idx)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // Hybrid retrieval: BM25 lexical top-10 (q93) + dense cosine top-10
   // (q37) fused by reciprocal-rank fusion — the standard lexical+dense
   // combiner (Cormack et al. 2009). The oracle composes the two
@@ -510,5 +575,5 @@ object VectorQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128)
+    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131)
 }

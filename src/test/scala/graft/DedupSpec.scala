@@ -212,6 +212,54 @@ class DedupSpec extends SparkSuite {
       .distinct().count() == 2)
   }
 
+  test("LSH delete: takedown rewrites only touched buckets; full lifecycle == direct recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshdel").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    // lifecycle: write {1,2}, upsert {3 (near-dup of 1)}, delete {1}
+    Dedup.writeLshIndex(Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    Dedup.upsertLshIndex(Seq((3L, t1 + " lambda")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    val mfBefore = graft.operators.VersionedIndex.manifest(spark, dir)
+    Dedup.deleteFromLshIndex(Seq(1L).toDF("doc_id"), dir)
+    // touched buckets are a pure function of the deleted ids — compute
+    // them the same way and assert every OTHER bucket kept its owner
+    val touchedDirs = Seq(1L).toDF("doc_id")
+      .select(pmod(xxhash64(col("doc_id")), lit(64L)).cast("int").as("b"))
+      .collect().map(r => s"idx_bucket=${r.getInt(0)}").toSet
+    val mfAfter = graft.operators.VersionedIndex.manifest(spark, dir)
+    for (table <- Seq("shingles", "bands"); (d, owner) <- mfAfter(table))
+      if (!touchedDirs.contains(d))
+        assert(owner == mfBefore(table)(d),
+          s"untouched $table/$d was rewritten by the delete")
+    // stored rows: doc 1 gone from both tables, params unchanged
+    assert(Dedup.readLshTable(spark, dir, "shingles").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(Dedup.readLshTable(spark, dir, "bands").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // a probe copying the DELETED doc matches only the surviving
+    // near-dup (3), never 1 — and the indexed result equals a direct
+    // incremental run against the surviving docs
+    val probe = Seq((9L, t1)).toDF("doc_id", "text")
+    val viaIndex = pairSet(Dedup.incrementalLshPairsIndexed(
+      probe, col("doc_id"), col("text"), dir))
+    val direct = pairSet(Dedup.incrementalLshPairs(probe,
+      Seq((2L, t2), (3L, t1 + " lambda")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")))
+    assert(viaIndex == direct)
+    assert(viaIndex.exists { case (a, b) => Set(a, b) == Set(3L, 9L) })
+    assert(!viaIndex.exists { case (a, b) => a == 1L || b == 1L },
+      "deleted doc must be unfindable")
+    // deletion is not a tombstone: re-upserting doc 1 restores matching
+    Dedup.upsertLshIndex(Seq((1L, t1)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(pairSet(Dedup.incrementalLshPairsIndexed(
+      probe, col("doc_id"), col("text"), dir))
+      .exists { case (a, b) => Set(a, b) == Set(1L, 9L) })
+  }
+
   test("LSH index rejects mismatched hash parameters on upsert and read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lshpar").toString

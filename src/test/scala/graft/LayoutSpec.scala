@@ -161,6 +161,64 @@ class LayoutSpec extends SparkSuite {
     assert(after == orig)
   }
 
+  test("IVF delete: partial commit, untouched lists carried, seed deletion keeps geometry") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfdel").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    val v1 = spark.read.parquet(s"$idx/v=1/lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    val byList = v1.groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // delete one list's SEED row (vec_id == list_id) plus one member —
+    // the geometry must survive losing its seed, because it lives in
+    // the authoritative centroids table, not in the data rows
+    val target = byList.filter { case (l, n) => l != 0L && n >= 3 }.keys.min
+    val member = v1.filter(col("list_id") === target && col("vec_id") =!= target)
+      .select("vec_id").orderBy("vec_id").limit(1).collect()(0).getLong(0)
+    val untouched = byList.keys.filter(_ != target).toSeq.sorted
+    val before = untouched.map(l =>
+      l -> fileSnapshot(s"$idx/v=1/lists/list_id=$l")).toMap
+
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(Seq(target, member).toDF("vec_id"), idx)
+
+    untouched.foreach { l =>
+      assert(fileSnapshot(s"$idx/v=1/lists/list_id=$l") == before(l),
+        s"untouched list $l was rewritten by the delete")
+    }
+    val mf = VersionedIndex.manifest(spark, idx)
+    assert(mf("lists")(s"list_id=$target") == 2)
+    untouched.foreach(l => assert(mf("lists")(s"list_id=$l") == 1))
+    assert(mf("centroids") == Map(VersionedIndex.WholeTable -> 1),
+      "centroids must be carried, not rewritten")
+    // rows gone, everyone else undisturbed
+    val after = VersionedIndex.readTable(spark, idx, "lists")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val orig = v1.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == orig -- Set(target, member))
+    // the histogram param decremented incrementally (no index scan)
+    assert(Similarity.ivfListSizes(spark, idx)(target) == byList(target) - 2)
+    // geometry intact: all 8 centroids still probe-able, deleted ids
+    // unfindable, and a full probe == brute force over the survivors
+    assert(Similarity.readIvfCentroids(spark, idx).count() == 8)
+    val got = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = Similarity.bruteForceTopK(
+      emb.filter(!col("vec_id").isin(target, member)), 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // a later upsert of a deleted id RE-INSERTS it (deletion is not a
+    // tombstone) — and assignment still works with the seed row gone
+    Similarity.upsertIvfIndex(emb.filter(col("vec_id") === member), idx)
+    val reAdded = VersionedIndex.readTable(spark, idx, "lists")
+      .filter(col("vec_id") === member)
+      .select(col("list_id").cast("long")).collect().map(_.getLong(0))
+    assert(reAdded.toSeq == Seq(target),
+      "re-ingested member must re-assign to its nearest (seedless) list")
+  }
+
   test("index commit: dead staging dir is invisible to readers and swept by the next writer") {
     import graft.operators.{Similarity, VersionedIndex}
     import org.apache.spark.sql.functions.col
