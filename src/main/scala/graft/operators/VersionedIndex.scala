@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - readers can never observe member tables from two different
   *    states (the mixed shingles/bands failure class);
   *  - two racing writers cannot interleave data: both stage privately,
-  *    the second rename to the same `v=N` fails and throws (lost race).
+  *    the loser's rename to the same `v=N` either fails outright or —
+  *    on filesystems whose rename(src, existingDir) moves src INTO
+  *    the dir — is unmasked by the marker-token read-back; either way
+  *    the loser throws and the winner's version is untouched.
   *
   * PARTIAL commits (the 100 TB upsert path): a version's MANIFEST may
   * reference partition directories OWNED BY EARLIER VERSIONS via the
@@ -48,6 +51,23 @@ object VersionedIndex {
   val CommitMarker = "_GRAFT_COMMITTED"
   val ParamsFile = "params"
   val ManifestFile = "MANIFEST"
+
+  /** Staging dirs older than this (by mtime) are treated as crashed
+    * writers and swept at the next commit. Younger ones may belong to
+    * a LIVE concurrent writer mid-stage — sweeping those would delete
+    * in-flight data and, worse, let the victim's manifest (built by
+    * re-listing its partially-deleted staging dir) commit with
+    * silently missing partitions. The race itself is decided at
+    * rename time, never by the sweep. Writers refresh the staging
+    * dir's mtime after each table stage, so the clock measures
+    * per-table progress, not total commit duration. */
+  val StagingSweepTtlMs: Long = 6L * 3600 * 1000
+
+  private def readSmallText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
   /** Manifest entry key for a table committed without partitioning:
     * the whole table directory belongs to the owner version. */
@@ -82,14 +102,9 @@ object VersionedIndex {
     val (fs, _) = fsFor(spark, dir)
     val p = new Path(dir, ParamsFile)
     if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      txt.linesIterator.filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v.trim
-      }.toMap
-    }
+    else readSmallText(fs, p).linesIterator.filter(_.contains("=")).map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v.trim
+    }.toMap
   }
 
   /** Fail fast when the caller's parameters disagree with the ones the
@@ -116,10 +131,7 @@ object VersionedIndex {
         val vdir = new Path(root, s"v=$v")
         val mf = new Path(vdir, ManifestFile)
         if (fs.exists(mf)) {
-          val in = fs.open(mf)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          txt.linesIterator.filter(_.contains("\t")).toSeq.map { l =>
+          readSmallText(fs, mf).linesIterator.filter(_.contains("\t")).toSeq.map { l =>
             val Array(key, owner) = l.split("\t", 2)
             val (table, part) = key.split("/", 2) match {
               case Array(t, p) => (t, p)
@@ -192,19 +204,27 @@ object VersionedIndex {
       tables: Seq[(String, DataFrame)], params: Map[String, String],
       partitionBy: Map[String, Seq[String]] = Map.empty,
       legacySweep: Seq[String] = Seq.empty,
-      carry: Map[String, Map[String, Int]] = Map.empty): Unit = {
+      carry: Map[String, Map[String, Int]] = Map.empty,
+      onStaged: () => Unit = () => ()): Unit = {
     val (fs, root) = fsFor(spark, path)
     val vs = versions(fs, root)
     val cur = vs.filter(_._2).lastOption.map(_._1).getOrElse(0)
-    // sweep uncommitted `v=` orphans and dead staging dirs (crashed
-    // writers); racing LIVE writers are detected at rename time
+    // Sweep uncommitted `v=` orphans (renames are atomic, so an
+    // uncommitted v= dir can only be a pre-staging-era crash or an
+    // external mkdir — never an in-flight writer) and staging dirs
+    // whose mtime shows no progress for StagingSweepTtlMs (crashed
+    // writers). YOUNG staging dirs are left alone: they may belong to
+    // a live concurrent writer, and the race is decided at rename
+    // time, not here.
     vs.filter { case (v, committed) => v > cur && !committed }.foreach {
       case (v, _) =>
         val d = new Path(root, s"v=$v")
         require(fs.delete(d, true), s"failed to sweep orphaned $d")
     }
+    val now = System.currentTimeMillis()
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+      .filter(st => now - st.getModificationTime > StagingSweepTtlMs)
       .foreach(st => require(fs.delete(st.getPath, true),
         s"failed to sweep dead staging dir ${st.getPath}"))
     carry.foreach { case (t, entries) =>
@@ -220,6 +240,10 @@ object VersionedIndex {
       partitionBy.get(name).filter(_.nonEmpty).fold(w)(cols =>
         w.partitionBy(cols: _*))
         .parquet(new Path(staging, name).toString)
+      // refresh the staging dir's mtime so the liveness clock other
+      // writers' sweeps read measures per-TABLE progress — a long
+      // multi-table stage never looks dead while it advances
+      fs.setTimes(staging, System.currentTimeMillis(), -1)
     }
     // manifest: carried entries + everything staged (staged wins)
     val owned: Map[String, Map[String, Int]] = tables.map { case (name, _) =>
@@ -248,12 +272,33 @@ object VersionedIndex {
     try out.write(params.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
+    // the marker carries a writer-unique token: rename alone is not
+    // proof of ownership on HDFS-semantics filesystems, where
+    // rename(src, existingDir) "succeeds" by moving src INTO the dir
+    val token = java.util.UUID.randomUUID().toString
     val marker = fs.create(new Path(staging, CommitMarker), true)
-    marker.close()
-    // THE commit point: atomic dir rename; failure = lost writer race
+    try marker.write(token.getBytes("UTF-8")) finally marker.close()
+    onStaged() // test seam: everything staged, rename not yet attempted
+    // THE commit point: atomic dir rename; a lost writer race either
+    // returns false (POSIX: dest exists) or nests our staging inside
+    // the winner's committed dir (HDFS move-into-dir semantics) — the
+    // token read-back distinguishes a real commit from the latter
     val vdir = new Path(root, s"v=$next")
-    require(fs.rename(staging, vdir),
-      s"failed to commit $vdir (concurrent writer won the race?)")
+    val renamed = fs.rename(staging, vdir)
+    if (!renamed)
+      sys.error(s"lost commit race for $vdir: rename failed " +
+        "(concurrent writer committed first); staged data left for TTL sweep")
+    val committedToken = {
+      val p = new Path(vdir, CommitMarker)
+      if (fs.exists(p)) readSmallText(fs, p) else ""
+    }
+    if (committedToken != token) {
+      val nested = new Path(vdir, staging.getName)
+      if (fs.exists(nested)) require(fs.delete(nested, true),
+        s"failed to remove lost-race staging nested at $nested")
+      sys.error(s"lost commit race for $vdir: another writer's commit is " +
+        "already live (staging was renamed into it and has been removed)")
+    }
 
     // committed — sweep versions no longer referenced, plus any legacy layout
     val referenced = mf.values.flatMap(_.values).toSet + next

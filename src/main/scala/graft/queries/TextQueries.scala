@@ -691,18 +691,23 @@ object TextQueries {
   // state) must equal the batch recompute (the oracle re-trains the
   // tokenizer in SQL and re-derives every count through the join
   // form). The admitted flag is the gate's verdict at a 300-token
-  // budget.
+  // budget. Empty/whitespace-only docs are part of the contract: the
+  // engine column counts them 0 (never admitted), so the oracle
+  // left-joins from documents (coalesce to 0) rather than dropping
+  // them at the word join.
   val q127 = sql(
     "q127_bpe_admission",
     s"""${bpePrefix(5)},
        |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM w6 GROUP BY word),
        |dw AS (SELECT doc_id,
        |    unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
-       |  FROM documents)
-       |SELECT doc_id, CAST(sum(wl.n_sym) AS BIGINT) AS n_tok_bpe,
-       |  CAST(sum(wl.n_sym) >= 300 AS BOOLEAN) AS admitted
-       |FROM dw JOIN wl USING (word)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |  FROM documents),
+       |dwc AS (SELECT doc_id, CAST(sum(wl.n_sym) AS BIGINT) AS n_tok
+       |  FROM dw JOIN wl USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(dwc.n_tok, 0) AS BIGINT) AS n_tok_bpe,
+       |  CAST(coalesce(dwc.n_tok, 0) >= 300 AS BOOLEAN) AS admitted
+       |FROM documents d LEFT JOIN dwc ON d.doc_id = dwc.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val state = graft.operators.Bpe.trainState(docs(s, d), col("text"), 5)
     val wordMap = state.collectWordTokenCounts()
     docs(s, d)

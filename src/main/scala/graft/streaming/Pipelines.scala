@@ -368,6 +368,10 @@ object Pipelines {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     restoreSwap(fs, root, "snapshot")
+    // delta is swap-published too: a crash between ITS aside and
+    // publish renames would otherwise leave the previous delta at
+    // `.old-delta`, which the next writeSwap clears unrecovered
+    restoreSwap(fs, root, "delta")
     val snap = new Path(root, "snapshot")
     val current = counts.select(col("key"), col("cnt"))
       .orderBy(col("cnt").desc, col("key")).limit(topN)

@@ -29,7 +29,16 @@ object Stateful {
     * caller-side watermark). Emits the updated total for a key
     * whenever the key receives events in a trigger; a key silent past
     * the watermark for longer than `ttlMs` is evicted (its next event
-    * restarts from zero). */
+    * restarts from zero).
+    *
+    * STATE SCHEMA NOTE: the per-key state is `(total, maxTsEver)` —
+    * a (Long, Long) tuple (the second slot anchors the TTL deadline
+    * to the newest event ever seen). Checkpoints written by the
+    * earlier Long-only shape are NOT compatible: restarting such a
+    * query against this code fails to deserialize its state store —
+    * discard the old checkpoint (accepting a state rebuild) before
+    * upgrading a live query. Applies to [[runningCountsEvicting]]
+    * too. */
   def runningCounts(events: DataFrame, keyCol: String, tsCol: String,
       ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[RunningTotal] = {
     val spark = events.sparkSession

@@ -225,15 +225,108 @@ class LayoutSpec extends SparkSuite {
     val idx = Files.createTempDirectory("ivfstg").toString + "/index"
     val emb = Tables.embeddings(spark, sf0001)
     Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), 8, idx)
-    // simulate a writer that crashed mid-stage: private dir, no v= name
+    // simulate a writer that crashed mid-stage LONG ago (private dir,
+    // no v= name, mtime past the sweep TTL) and one that is LIVE right
+    // now (young mtime) — only the former may be swept
     val dead = java.nio.file.Paths.get(idx, ".staging-deadbeef", "lists")
     java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.setLastModifiedTime(dead.getParent,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedIndex.StagingSweepTtlMs - 3600000L))
+    val live = java.nio.file.Paths.get(idx, ".staging-11vebeef", "lists")
+    java.nio.file.Files.createDirectories(live)
     assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")),
       "staging dirs must never be visible as versions")
     assert(Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5).count() == 5)
     Similarity.upsertIvfIndex(emb.filter(col("vec_id") >= 300), idx)
     assert(!java.nio.file.Files.exists(dead.getParent), "dead staging not swept")
+    assert(java.nio.file.Files.exists(live.getParent),
+      "a YOUNG staging dir may belong to a live writer and must survive the sweep")
     assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+  }
+
+  test("live writer race: two staged commits to one version — one wins, loser throws, index consistent") {
+    import graft.operators.VersionedIndex
+    import spark.implicits._
+    val dir = Files.createTempDirectory("race").toString + "/index"
+    VersionedIndex.commit(spark, dir,
+      Seq("t" -> Seq((1L, "base")).toDF("id", "v")), Map("who" -> "base"))
+    // Writer L stages fully, then (via the onStaged seam) writer W
+    // stages AND commits the same next version before L's rename —
+    // the exact interleaving of two concurrent upsert triggers.
+    var winnerCommitted = false
+    val ex = intercept[RuntimeException] {
+      VersionedIndex.commit(spark, dir,
+        Seq("t" -> Seq((2L, "loser")).toDF("id", "v")), Map("who" -> "loser"),
+        onStaged = () => {
+          VersionedIndex.commit(spark, dir,
+            Seq("t" -> Seq((3L, "winner")).toDF("id", "v")), Map("who" -> "winner"))
+          winnerCommitted = true
+        })
+    }
+    assert(winnerCommitted, "winner's commit must succeed while loser is staged")
+    assert(ex.getMessage.contains("lost commit race"), s"got: ${ex.getMessage}")
+    // exactly one version won; its data and params are the winner's, whole
+    assert(VersionedIndex.currentDir(spark, dir).exists(_.endsWith("/v=2")))
+    assert(VersionedIndex.readParams(spark, s"$dir/v=2")("who") == "winner")
+    val rows = VersionedIndex.readTable(spark, dir, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((3L, "winner")), s"committed table corrupted: $rows")
+    // nothing of the loser leaked INTO the committed dir (the HDFS
+    // move-into-dir hazard), and its leftover staging (if any) stays
+    // OUTSIDE v=2 awaiting the TTL sweep
+    val inV2 = new java.io.File(s"$dir/v=2").listFiles()
+      .map(_.getName).filter(_.startsWith(".staging-"))
+    assert(inV2.isEmpty, s"loser staging nested in committed dir: ${inV2.toSeq}")
+  }
+
+  test("chained manifest: every corpus leg of the probe scan keeps its list_id partition filter") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfchain").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    val v1 = spark.read.parquet(s"$idx/v=1/lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    // two single-list partial upserts (re-ingest one member of two
+    // DIFFERENT lists) → the lists manifest spans three owner versions
+    val byList = v1.filter(col("vec_id") =!= col("list_id"))
+      .groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val targets = byList.filter(_._2 >= 2).keys.toSeq.sorted.take(2)
+    assert(targets.size == 2, s"fixture must fill >=2 lists: $byList")
+    targets.foreach { t =>
+      val member = v1.filter(col("list_id") === t && col("vec_id") =!= t)
+        .select("vec_id").orderBy("vec_id").limit(1).collect()(0).getLong(0)
+      Similarity.upsertIvfIndex(emb.filter(col("vec_id") === member), idx)
+    }
+    val owners = VersionedIndex.manifest(spark, idx)("lists").values.toSet
+    assert(owners.size >= 3, s"test needs a chained manifest, got owners=$owners")
+
+    val res = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5)
+    // under AQE the executed plan is one AdaptiveSparkPlan leaf — match
+    // the per-scan lines of its tree string (one FileScan per line)
+    val scanLines = res.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    // corpus legs push Not(EqualTo(vec_id, query)); the query-vector
+    // lookup legs push EqualTo and legitimately scan all partitions
+    val corpusLegs = scanLines.filter(_.contains("Not(EqualTo(vec_id"))
+    assert(corpusLegs.size >= 3,
+      s"multi-leg corpus read expected:\n${scanLines.mkString("\n---\n")}")
+    corpusLegs.foreach { s =>
+      val i = s.indexOf("PartitionFilters: [")
+      assert(i >= 0 && s.substring(i, math.max(s.indexOf("]", i), i)).contains("list_id"),
+        s"a chained leg lost its list_id partition filter:\n$s")
+    }
+    assert(res.count() == 5)
+    // and the probe answer is unchanged by the chain: the two
+    // re-ingests were idempotent, so search == the fresh-build answer
+    val fresh = Files.createTempDirectory("ivfchainref").toString + "/index"
+    Similarity.buildIvfIndex(emb, 8, fresh)
+    val want = Similarity.ivfSearchIndexed(spark, fresh, 8, 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val got = res.collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"chained probe answer drifted: $got vs $want")
   }
 
   test("IVF drift: skewed ingest flips needsRebuild; rebuild restores brute-force parity") {
