@@ -53,45 +53,82 @@ object ScaleProbe {
     "q123_bpe_merges",
     "q125_bpe_token_counts")
 
-  /** Replicate documents+embeddings ×factor into `outDir` (skipped if
-    * already present). Only the two tables the probe set reads. */
+  /** CDC/mirror tier — the reference's core workload. Envelope
+    * synthesis + dual-shape JSON round-trip (q45/q46) and the full
+    * mirror merge with per-table delete routing (q120, two
+    * `applyCdcBatch` merges internally). Reads the replicated
+    * `events` table: ids remap into disjoint ranges, so the mirror's
+    * key space and last-writer-wins group count grow linearly — what
+    * 10× more CDC traffic over the same wall-clock window looks
+    * like. */
+  val CdcProbeQueries: Seq[String] = Seq(
+    "q45_cdc_parse_route",
+    "q46_cdc_deletes",
+    "q120_mirror_delete_policy")
+
+  /** Replicate documents+embeddings+events ×factor into `outDir`
+    * (each table skipped if already present). */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet")))
-      return
+    def missing(name: String): Boolean =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name"))
 
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    docs.select(col("*"), reps)
-      .select(
-        (col("doc_id") + col("rep") * docStride).as("doc_id"),
-        // replica-salted tokens: "$1rK" = regex group 1 + literal rK —
-        // replica shingle/vocab spaces are pairwise disjoint
-        when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1r"), col("rep")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (missing("documents.parquet")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      docs.select(col("*"), reps)
+        .select(
+          (col("doc_id") + col("rep") * docStride).as("doc_id"),
+          // replica-salted tokens: "$1rK" = regex group 1 + literal rK —
+          // replica shingle/vocab spaces are pairwise disjoint
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"), col("rep")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    emb.select(col("*"), reps)
-      .select(
-        (col("vec_id") + col("rep") * vecStride).as("vec_id"),
-        // ±0.01 deterministic jitter so replicas are near, not equal
-        when(col("rep") === 0, col("embedding"))
-          .otherwise(transform(col("embedding"), (x, i) =>
-            (x + (pmod(hash(col("vec_id") * 31 + i + col("rep")), lit(2000))
-              - 1000).cast("float") / lit(100000.0f)).cast("float")))
-          .as("embedding"),
-        col("label"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (missing("embeddings.parquet")) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      emb.select(col("*"), reps)
+        .select(
+          (col("vec_id") + col("rep") * vecStride).as("vec_id"),
+          // ±0.01 deterministic jitter so replicas are near, not equal
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), (x, i) =>
+              (x + (pmod(hash(col("vec_id") * 31 + i + col("rep")), lit(2000))
+                - 1000).cast("float") / lit(100000.0f)).cast("float")))
+            .as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    if (missing("events.parquet")) {
+      // replicas keep the same time range (10× traffic density, not a
+      // longer window) with event_id AND user_id remapped into
+      // disjoint ranges: the CDC key space — and hence the mirror's
+      // upsert/delete group count — scales like real growth. Read via
+      // Tables.events so the ts normalization contract applies before
+      // the rewrite.
+      val ev = graft.sources.Tables.events(spark, srcDir)
+      val evStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val userStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+      ev.select(col("*"), reps)
+        .select(
+          (col("event_id") + col("rep") * evStride).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * userStride).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
@@ -125,10 +162,11 @@ object ScaleProbe {
     Seq(srcDir, workDir).foreach { d =>
       spark.read.parquet(s"$d/documents.parquet").count()
       spark.read.parquet(s"$d/embeddings.parquet").count()
+      spark.read.parquet(s"$d/events.parquet").count()
     }
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    val rows = ProbeQueries.map { name =>
+    val rows = (ProbeQueries ++ CdcProbeQueries).map { name =>
       val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
       val big = (1 to runs).map(_ => time(spark, name, workDir)).min
       val ratio = big / small

@@ -189,6 +189,44 @@ object Similarity {
     } finally assigned.unpersist()
   }
 
+  /** Default hive-bucket count for the `vec_map` side table. Each
+    * bucket holds ~n/B 16-byte (vec_id, list_id) rows — at 10¹¹
+    * vectors and B=64 that is ~25 GB per partition; a deployment at
+    * that scale raises B so one discovery read stays a few GB. */
+  val DefaultVecMapBuckets = 64
+
+  /** vec_map bucket key — a PURE function of the vec id (the LSH
+    * `idx_bucket` contract, `Dedup.idxBucketCol`): a mutation batch
+    * knows its touched vec_map partitions from the batch alone, with
+    * no index read. */
+  private def vbCol(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id.cast("long")), lit(buckets.toLong)).cast("int")
+
+  /** Derived-table writer for `vec_map`: a column-pruned projection of
+    * the lists table STAGED THIS COMMIT — the expensive assignment
+    * plan is not recomputed; the read touches only bytes already
+    * written by this commit. */
+  private def deriveVecMap(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int)(staging: String): DataFrame =
+    spark.read.parquet(s"$staging/lists")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .withColumn("vb", vbCol(col("vec_id"), buckets))
+
+  /** Derived-table writer for `list_sizes`: the per-list histogram of
+    * the staged lists, aggregated over the PARTITION COLUMN only —
+    * parquet answers it from file metadata, no vector data I/O. */
+  private def deriveListSizes(spark: org.apache.spark.sql.SparkSession)(
+      staging: String): DataFrame =
+    spark.read.parquet(s"$staging/lists")
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n"))
+
+  private def sizesDf(spark: org.apache.spark.sql.SparkSession,
+      sizes: Map[Long, Long]): DataFrame = {
+    import spark.implicits._
+    sizes.toSeq.sorted.toDF("list_id", "n")
+  }
+
   /** Build and persist the IVF index: the assignment laid out as one
     * hive partition per inverted list, committed through the
     * [[VersionedIndex]] layout (`<path>/v=N/lists/list_id=…` + commit
@@ -199,15 +237,28 @@ object Similarity {
     * queries against the persisted index never run driver actions over
     * the corpus. At 100 TB this table is additionally bucketed within
     * each list partition; the layout contract (probe touches only its
-    * partitions) is what LayoutSpec asserts. */
-  def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String): Unit = {
+    * partitions) is what LayoutSpec asserts.
+    *
+    * Side tables committed in the same transaction:
+    *  - `vec_map` — (vec_id, list_id) partitioned by
+    *    `vb = pmod(xxhash64(vec_id), vecMapBuckets)`, giving upsert /
+    *    delete O(batch) mutation discovery (they read only the batch
+    *    ids' vb partitions, never the whole index);
+    *  - `list_sizes` — the nLists-row histogram behind
+    *    [[ivfIndexStats]], maintained incrementally by mutations. */
+  def buildIvfIndex(embeddings: DataFrame, nLists: Int, path: String,
+      vecMapBuckets: Int = DefaultVecMapBuckets): Unit = {
+    val spark = embeddings.sparkSession
     val seeds = ivfSeeds(embeddings, nLists)
-    VersionedIndex.commit(embeddings.sparkSession, path,
+    VersionedIndex.commit(spark, path,
       Seq("lists" -> assignSeeded(embeddings, seeds),
         "centroids" -> seeds.select(
           col("centroid_id").cast("long").as("list_id"), col("c_emb"))),
-      Map("nLists" -> nLists.toString),
-      partitionBy = Map("lists" -> Seq("list_id")))
+      Map("nLists" -> nLists.toString,
+        "vecMapBuckets" -> vecMapBuckets.toString),
+      partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+      derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),
+        "list_sizes" -> deriveListSizes(spark)))
   }
 
   /** Current committed lists table, manifest-resolved (partial commits
@@ -239,6 +290,37 @@ object Similarity {
         col("embedding").as("c_emb"))
   }
 
+  /** The committed vec_map side table, if this index has one (indexes
+    * built before it existed migrate at their next full rewrite). */
+  private def readVecMap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    if (VersionedIndex.currentDir(spark, path).isDefined &&
+        VersionedIndex.manifest(spark, path).contains("vec_map"))
+      Some(VersionedIndex.readTable(spark, path, "vec_map"))
+    else None
+
+  /** Mutation-discovery read: index rows whose vec_id is in `ids`, as
+    * (vec_id, list_id, vb), plus the batch's vb partition set. Reads
+    * ONLY those vb partitions of the vec_map side table — O(batch) per
+    * trigger, with the vb literals in PartitionFilters (LayoutSpec
+    * asserts the pruning) — never the lists table. None when the index
+    * predates vec_map; callers fall back to a (vec_id, list_id)
+    * column-pruned scan of the whole lists table until the next full
+    * rewrite migrates the layout. */
+  private[graft] def vecMapHits(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Option[(DataFrame, Seq[Int])] =
+    readVecMap(spark, path).map { vm =>
+      val buckets = VersionedIndex.currentDir(spark, path)
+        .map(VersionedIndex.readParams(spark, _)).flatMap(_.get("vecMapBuckets"))
+        .getOrElse(sys.error(s"index at $path has vec_map but no " +
+          "vecMapBuckets param")).toInt
+      val vbs = ids.select(vbCol(col("vec_id"), buckets).as("vb"))
+        .distinct().collect().map(_.getInt(0)).toSeq // ≤ buckets values
+      val hits = vm.filter(col("vb").isin(vbs.map(Int.box): _*))
+        .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"))
+      (hits, vbs)
+    }
+
   /** UPSERT a batch of vectors into a persisted IVF index — the
     * per-crawl-round form of buildIvfIndex, the ANN twin of
     * `Dedup.upsertLshIndex`: new vectors assign to the nearest
@@ -256,13 +338,16 @@ object Similarity {
     * re-ingested ids) are rewritten; every other partition is carried
     * by manifest reference from the version that last wrote it,
     * byte-untouched. Per-trigger write I/O is O(touched lists), not
-    * O(index). The touched-list discovery join reads only the
-    * (vec_id, list_id) columns of the corpus; at 100 TB a deployment
-    * that needs to avoid even that column scan would maintain a
-    * vec_id→list side table, the same contract. Once the manifest
-    * references `maxVersionChain` distinct versions, the upsert
-    * compacts with one full rewrite, bounding read fan-out and letting
-    * old versions sweep. */
+    * O(index). Superseded-row DISCOVERY is O(batch) too: the `vec_map`
+    * side table is partitioned by a pure function of vec_id, so the
+    * read prunes to the batch ids' vb partitions — no per-trigger
+    * index scan (the LSH `idx_bucket` contract). vec_map itself
+    * commits partially in the same transaction: only the batch's vb
+    * partitions rewrite, the rest carry. Once the manifest references
+    * `maxVersionChain` distinct versions, the upsert compacts with one
+    * full rewrite, bounding read fan-out and letting old versions
+    * sweep (which also migrates pre-vec_map indexes to the new
+    * layout). */
   def upsertIvfIndex(newEmb: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = newEmb.sparkSession
@@ -293,38 +378,49 @@ object Similarity {
       val newIds = newEmb.select(col("vec_id")).distinct()
       val params = vdir.map(VersionedIndex.readParams(spark, _))
         .getOrElse(Map.empty)
+      val buckets = params.get("vecMapBuckets").map(_.toInt)
+        .getOrElse(DefaultVecMapBuckets)
       // per-list adds/removes of this batch — bounded by nLists, so
       // the collects are driver-side plan steps; they yield BOTH the
       // touched-partition set and the incrementally-maintained list
-      // histogram persisted for drift detection (ivfIndexStats)
+      // histogram persisted for drift detection (ivfIndexStats).
+      // Discovery is vb-pruned through vec_map — O(batch), never an
+      // index scan (legacy fallback until the next full rewrite).
+      val hits = vecMapHits(spark, path, newIds)
       val adds = assignedNew.groupBy(col("list_id")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val removes = index.join(broadcast(newIds), Seq("vec_id"))
+      val removes = hits.map(_._1)
+        .getOrElse(index.join(broadcast(newIds), Seq("vec_id")))
         .groupBy(col("list_id")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val prevSizes = params.get("listSizes").map(parseSizes)
-        .getOrElse(ivfListSizes(spark, path))
+      val prevSizes = ivfListSizes(spark, path)
       val newSizes = (prevSizes.keySet ++ adds.keySet).map { l =>
         l -> (prevSizes.getOrElse(l, 0L) - removes.getOrElse(l, 0L) +
           adds.getOrElse(l, 0L))
       }.toMap.filter(_._2 > 0)
-      val statsParams = params ++ sizeParams(newSizes)
+      val statsParams = (params - "listSizes") ++ skewParam(newSizes) +
+        ("vecMapBuckets" -> buckets.toString)
       val fullMf = vdir.map(_ => VersionedIndex.manifest(spark, path))
         .getOrElse(Map.empty)
       val prevMf = fullMf.getOrElse("lists", Map.empty)
       val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
-      // chain length if we carried: prior owners + the new version
+      val vmMf = fullMf.getOrElse("vec_map", Map.empty)
+      // chain length if we carried: prior owners (either table) + new
+      val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet
       val partialOk = prevMf.nonEmpty && !prevMf.contains(VersionedIndex.WholeTable) &&
-        (prevMf.values.toSet.size + 1) <= maxVersionChain
+        (chainOwners.size + 1) <= maxVersionChain
       if (!partialOk) {
         // full rewrite: legacy layout, or compaction point reached —
-        // also (re)writes the authoritative centroids table, migrating
-        // pre-centroids indexes
+        // also (re)writes the authoritative centroids table and the
+        // vec_map/list_sizes side tables, migrating older indexes
         val merged = index.join(newIds, Seq("vec_id"), "left_anti")
           .unionByName(assignedNew)
         VersionedIndex.commit(spark, path,
-          Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path)),
-          statsParams, partitionBy = Map("lists" -> Seq("list_id")))
+          Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path),
+            "list_sizes" -> sizesDf(spark, newSizes)),
+          statsParams,
+          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+          derive = Seq("vec_map" -> deriveVecMap(spark, buckets)))
       } else {
         // touched = lists gaining rows ∪ lists losing superseded rows
         val touched = (adds.keySet ++ removes.keySet).toArray
@@ -347,10 +443,29 @@ object Similarity {
           scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
             .forall(v => !touchedSet.contains(v))
         }
-        VersionedIndex.commit(spark, path, Seq("lists" -> rewritten), statsParams,
-          partitionBy = Map("lists" -> Seq("list_id")),
-          carry = Map("lists" -> carry, "centroids" -> centroidsMf)
-            .filter(_._2.nonEmpty))
+        // vec_map rides the same partial commit: its touched
+        // partitions are the batch ids' vb values — known from the
+        // batch alone — rewritten minus superseded ids plus the new
+        // assignments; every other vb partition carries
+        val vbs = hits.map(_._2).getOrElse(Seq.empty)
+        val vbSet = vbs.toSet
+        val vmWrite: Seq[(String, DataFrame)] = readVecMap(spark, path).toSeq.map { vm =>
+          "vec_map" -> vm.filter(col("vb").isin(vbs.map(Int.box): _*))
+            .join(newIds, Seq("vec_id"), "left_anti")
+            .unionByName(assignedNew.select(col("vec_id"), col("list_id"))
+              .withColumn("vb", vbCol(col("vec_id"), buckets)))
+        }
+        val vmCarry = vmMf.filter { case (dir, _) =>
+          scala.util.Try(dir.stripPrefix("vb=").toInt).toOption
+            .forall(v => !vbSet.contains(v))
+        }
+        VersionedIndex.commit(spark, path,
+          Seq("lists" -> rewritten,
+            "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
+          statsParams,
+          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+          carry = Map("lists" -> carry, "centroids" -> centroidsMf,
+            "vec_map" -> vmCarry).filter(_._2.nonEmpty))
       }
     } finally assignedNew.unpersist()
   }
@@ -358,19 +473,23 @@ object Similarity {
   /** DELETE vectors from a persisted IVF index — the takedown/opt-out
     * path a perpetually-ingesting corpus needs as much as upsert. The
     * commit is PARTIAL like upsert's: touched lists (those holding any
-    * deleted id — discovered from a (vec_id, list_id) column-pruned
-    * scan) are rewritten minus the ids; every other partition is
+    * deleted id) are rewritten minus the ids; every other partition is
     * carried by manifest reference, byte-identical, so a takedown of b
-    * documents costs O(lists holding them), not O(index). Deleting a
-    * seed vector removes its DATA row; the list geometry lives in the
-    * authoritative `centroids` table and is unaffected (probes of its
-    * list keep working). A later upsert of a deleted vec_id re-inserts
-    * it — deletion removes current rows, it is not a tombstone. The
-    * list-size histogram and skew stats update incrementally, same as
-    * upsert. Indexes without a `centroids` table (pre-deletion-era)
-    * take the full-rewrite path, which writes it — after the first
-    * delete the geometry no longer depends on seed rows being
-    * present. */
+    * documents costs O(lists holding them), not O(index). Discovery of
+    * those lists is O(batch): the `vec_map` side table prunes to the
+    * deleted ids' vb partitions (legacy indexes fall back to a
+    * (vec_id, list_id) column-pruned scan until their next full
+    * rewrite). vec_map partitions actually HOLDING deleted rows
+    * rewrite minus the ids in the same transaction; the rest carry.
+    * Deleting a seed vector removes its DATA row; the list geometry
+    * lives in the authoritative `centroids` table and is unaffected
+    * (probes of its list keep working). A later upsert of a deleted
+    * vec_id re-inserts it — deletion removes current rows, it is not a
+    * tombstone. The list-size histogram and skew stats update
+    * incrementally, same as upsert. Indexes without a `centroids`
+    * table (pre-deletion-era) take the full-rewrite path, which writes
+    * it — after the first delete the geometry no longer depends on
+    * seed rows being present. */
   def deleteFromIvfIndex(deleteIds: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = deleteIds.sparkSession
@@ -380,33 +499,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
     val ids = deleteIds.select(col("vec_id")).distinct()
-    // per-list removals: bounded by nLists; reads only (vec_id, list_id)
-    val removes = index.join(broadcast(ids), Seq("vec_id"))
-      .groupBy(col("list_id")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (removes.isEmpty) return // nothing present to delete
     val params = vdir.map(VersionedIndex.readParams(spark, _))
       .getOrElse(Map.empty)
-    val prevSizes = params.get("listSizes").map(parseSizes)
-      .getOrElse(ivfListSizes(spark, path))
+    val buckets = params.get("vecMapBuckets").map(_.toInt)
+      .getOrElse(DefaultVecMapBuckets)
+    // (list_id, vb, n) of rows holding deleted ids — bounded by
+    // touched lists × touched buckets; vb-pruned through vec_map
+    val hits = vecMapHits(spark, path, ids)
+    val pairs = hits.map(_._1)
+      .getOrElse(index.join(broadcast(ids), Seq("vec_id"))
+        .withColumn("vb", lit(-1)))
+      .groupBy(col("list_id"), col("vb")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val removes = pairs.groupBy(_._1).map { case (l, es) =>
+      l -> es.map(_._3).sum
+    }
+    if (removes.isEmpty) return // nothing present to delete
+    val prevSizes = ivfListSizes(spark, path)
     val newSizes = prevSizes.map { case (l, n) =>
       l -> (n - removes.getOrElse(l, 0L))
     }.filter(_._2 > 0)
-    val statsParams = params ++ sizeParams(newSizes)
+    val statsParams = (params - "listSizes") ++ skewParam(newSizes) +
+      ("vecMapBuckets" -> buckets.toString)
     val fullMf = vdir.map(_ => VersionedIndex.manifest(spark, path))
       .getOrElse(Map.empty)
     val prevMf = fullMf.getOrElse("lists", Map.empty)
     val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
+    val vmMf = fullMf.getOrElse("vec_map", Map.empty)
     // partial deletes require the authoritative centroids table: once
     // seed rows can be absent, geometry must not derive from them
+    val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet
     val partialOk = prevMf.nonEmpty && centroidsMf.nonEmpty &&
       !prevMf.contains(VersionedIndex.WholeTable) &&
-      (prevMf.values.toSet.size + 1) <= maxVersionChain
+      (chainOwners.size + 1) <= maxVersionChain
     if (!partialOk) {
       VersionedIndex.commit(spark, path,
         Seq("lists" -> index.join(ids, Seq("vec_id"), "left_anti"),
-          "centroids" -> readIvfCentroids(spark, path)),
-        statsParams, partitionBy = Map("lists" -> Seq("list_id")))
+          "centroids" -> readIvfCentroids(spark, path),
+          "list_sizes" -> sizesDf(spark, newSizes)),
+        statsParams,
+        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+        derive = Seq("vec_map" -> deriveVecMap(spark, buckets)))
     } else {
       val touched = removes.keySet.toArray
       val inVals: Seq[Any] =
@@ -424,9 +557,25 @@ object Similarity {
         scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
           .forall(v => !touchedSet.contains(v))
       }
-      VersionedIndex.commit(spark, path, Seq("lists" -> rewritten), statsParams,
-        partitionBy = Map("lists" -> Seq("list_id")),
-        carry = Map("lists" -> carry, "centroids" -> centroidsMf))
+      // only vb partitions that actually HELD deleted rows rewrite (a
+      // pure delete adds nothing elsewhere); the rest carry
+      val vbs = pairs.map(_._2).distinct.toSeq
+      val vbSet = vbs.toSet
+      val vmWrite: Seq[(String, DataFrame)] = readVecMap(spark, path).toSeq.map { vm =>
+        "vec_map" -> vm.filter(col("vb").isin(vbs.map(Int.box): _*))
+          .join(ids, Seq("vec_id"), "left_anti")
+      }
+      val vmCarry = vmMf.filter { case (dir, _) =>
+        scala.util.Try(dir.stripPrefix("vb=").toInt).toOption
+          .forall(v => !vbSet.contains(v))
+      }
+      VersionedIndex.commit(spark, path,
+        Seq("lists" -> rewritten,
+          "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
+        statsParams,
+        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+        carry = Map("lists" -> carry, "centroids" -> centroidsMf,
+          "vec_map" -> vmCarry).filter(_._2.nonEmpty))
     }
   }
 
@@ -453,33 +602,40 @@ object Similarity {
   final case class IvfStats(listSizes: Map[Long, Long], maxSize: Long,
       medianSize: Long, skew: Double, needsRebuild: Boolean)
 
-  /** The incremental list-histogram params every index mutation
-    * commits: serialized per-list sizes + the max/median skew. */
-  private def sizeParams(newSizes: Map[Long, Long]): Map[String, String] = {
+  /** The skew scalar every index mutation commits to `params`. The
+    * full histogram lives in the `list_sizes` member table — a params
+    * text line would be an O(nLists) string parsed on the driver each
+    * commit, fine at 10³ lists and wrong at 10⁵. */
+  private def skewParam(newSizes: Map[Long, Long]): Map[String, String] = {
     val sorted = newSizes.values.toSeq.sorted
     val skew =
       if (sorted.isEmpty) 1.0
       else sorted.last.toDouble / math.max(sorted(sorted.size / 2), 1L)
-    Map("listSizes" -> serializeSizes(newSizes), "listSkew" -> f"$skew%.3f")
+    Map("listSkew" -> f"$skew%.3f")
   }
 
-  private def serializeSizes(sizes: Map[Long, Long]): String =
-    sizes.toSeq.sorted.map { case (l, n) => s"$l:$n" }.mkString(",")
-
+  /** Legacy format: sizes serialized as one `params` text line
+    * (pre-`list_sizes`-table indexes only). */
   private def parseSizes(s: String): Map[Long, Long] =
     s.split(",").iterator.filter(_.contains(":")).map { e =>
       val Array(l, n) = e.split(":", 2); l.toLong -> n.toLong
     }.toMap
 
-  /** Per-list cardinalities of the committed index. Upserts persist
-    * them in `params` (maintained incrementally from the batch's adds
-    * and removes — O(batch), never an index scan); an index without
-    * the param (fresh build, legacy) falls back to one aggregation
-    * over the lists table that reads ONLY the partition column —
-    * parquet answers it from file metadata, no vector data I/O. */
+  /** Per-list cardinalities of the committed index, maintained
+    * incrementally from each batch's adds and removes — O(batch),
+    * never an index scan. Read order: the `list_sizes` member table
+    * (current layout, ≤ nLists rows), then the legacy `listSizes`
+    * params line, then — for indexes predating both — one aggregation
+    * over the lists table that reads ONLY the partition column, which
+    * parquet answers from file metadata with no vector data I/O. */
   def ivfListSizes(spark: org.apache.spark.sql.SparkSession,
-      path: String): Map[Long, Long] =
-    VersionedIndex.currentDir(spark, path)
+      path: String): Map[Long, Long] = {
+    val hasTable = VersionedIndex.currentDir(spark, path).isDefined &&
+      VersionedIndex.manifest(spark, path).contains("list_sizes")
+    if (hasTable)
+      VersionedIndex.readTable(spark, path, "list_sizes")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ nLists rows
+    else VersionedIndex.currentDir(spark, path)
       .flatMap(d => VersionedIndex.readParams(spark, d).get("listSizes"))
       .map(parseSizes)
       .getOrElse {
@@ -488,6 +644,7 @@ object Similarity {
           .count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ nLists rows
       }
+  }
 
   /** Skew statistic + rebuild decision for the committed IVF index. */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, path: String,

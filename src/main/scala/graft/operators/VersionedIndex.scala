@@ -198,6 +198,14 @@ object VersionedIndex {
     * override any carried entry with the same name. Versions no longer
     * referenced by the new manifest are swept after the commit.
     *
+    * `derive` stages additional member tables AFTER `tables`, each
+    * computed by a function of the STAGING DIRECTORY path — the way to
+    * commit a projection of a sibling table (e.g. the IVF `vec_map`
+    * from the staged `lists`) without recomputing the expensive
+    * upstream plan: the derived read is a column-pruned scan of bytes
+    * already written this commit. Derived tables join the manifest and
+    * the atomic rename exactly like primary ones.
+    *
     * `legacySweep` names top-level dirs from a pre-version layout to
     * remove after the first successful commit. */
   def commit(spark: SparkSession, path: String,
@@ -205,6 +213,7 @@ object VersionedIndex {
       partitionBy: Map[String, Seq[String]] = Map.empty,
       legacySweep: Seq[String] = Seq.empty,
       carry: Map[String, Map[String, Int]] = Map.empty,
+      derive: Seq[(String, String => DataFrame)] = Seq.empty,
       onStaged: () => Unit = () => ()): Unit = {
     val (fs, root) = fsFor(spark, path)
     val vs = versions(fs, root)
@@ -235,7 +244,7 @@ object VersionedIndex {
     val next = cur + 1
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    tables.foreach { case (name, df) =>
+    def stage(name: String, df: DataFrame): Unit = {
       val w = df.write
       partitionBy.get(name).filter(_.nonEmpty).fold(w)(cols =>
         w.partitionBy(cols: _*))
@@ -245,8 +254,15 @@ object VersionedIndex {
       // multi-table stage never looks dead while it advances
       fs.setTimes(staging, System.currentTimeMillis(), -1)
     }
+    tables.foreach { case (name, df) => stage(name, df) }
+    // derived tables read bytes already staged this commit
+    val derived = derive.map { case (name, fn) =>
+      name -> fn(staging.toString)
+    }
+    derived.foreach { case (name, df) => stage(name, df) }
     // manifest: carried entries + everything staged (staged wins)
-    val owned: Map[String, Map[String, Int]] = tables.map { case (name, _) =>
+    val staged = tables.map { case (n, _) => n } ++ derived.map(_._1)
+    val owned: Map[String, Map[String, Int]] = staged.map { name =>
       val tdir = new Path(staging, name)
       val partDirs = fs.listStatus(tdir).toSeq
         .filter(c => c.isDirectory && c.getPath.getName.contains("="))

@@ -24,22 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
-    * (µs) cannot represent; read the raw int64 nanos and floor-divide to
-    * µs with integer DIV (a double division would lose precision at
-    * ~1.7e18 ns). All downstream queries bucket to ≥1 s anyway.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session construction (GraftSession / Verify / Bench / test suite)
-    * — a table loader must not mutate session conf as a side effect.
-    */
+  /** events.parquet's `ts` physical type has varied across driver
+    * generations — TIMESTAMP(NANOS) (readable only as int64 via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then TIMESTAMP(µs)
+    * without UTC adjustment (inferred as TIMESTAMP_NTZ). Normalize
+    * BY SCHEMA to one downstream contract: session-zoned TimestampType
+    * at µs precision. Sessions run with timeZone=UTC (GraftSession /
+    * Verify / Bench / test suite), so the NTZ→timestamp cast is
+    * wall-clock-preserving and matches the DuckDB oracle's naive read
+    * of the same file. The nanos branch floor-divides with integer DIV
+    * (a double division would lose precision at ~1.7e18 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
-        "(see GraftSession.create) before reading the events table")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos file read under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => sys.error(s"unsupported events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

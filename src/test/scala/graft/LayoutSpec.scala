@@ -64,7 +64,8 @@ class LayoutSpec extends SparkSuite {
     Similarity.buildIvfIndex(emb, 8, idx)
     assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
     assert(!Files.exists(java.nio.file.Paths.get(idx, "v=1")))
-    assert(VersionedIndex.readParams(spark, s"$idx/v=2") == Map("nLists" -> "8"))
+    assert(VersionedIndex.readParams(spark, s"$idx/v=2") ==
+      Map("nLists" -> "8", "vecMapBuckets" -> "64"))
     val r2 = Similarity.ivfSearchIndexed(spark, idx, 2, 0L, 5)
       .collect().map(_.getLong(0)).toSet
     assert(r2 == r1, "identical corpus + params must search identically")
@@ -217,6 +218,90 @@ class LayoutSpec extends SparkSuite {
       .select(col("list_id").cast("long")).collect().map(_.getLong(0))
     assert(reAdded.toSeq == Seq(target),
       "re-ingested member must re-assign to its nearest (seedless) list")
+  }
+
+  test("IVF vec_map: O(batch) discovery prunes to the batch's vb partitions; untouched vb partitions carried byte-identical") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("ivfvm").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, 8, idx)
+    // the side table exists, bucketed by vb, and mirrors lists exactly
+    def vmState() = VersionedIndex.readTable(spark, idx, "vec_map")
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def listState() = VersionedIndex.readTable(spark, idx, "lists")
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vmState() == listState(), "vec_map must mirror lists after build")
+    val allVbs = new java.io.File(s"$idx/v=1/vec_map").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(allVbs.size > 2 && allVbs.forall(_.startsWith("vb=")))
+
+    // DISCOVERY: the mutation-scope read carries a vb partition filter —
+    // it reads the batch's buckets, never the index
+    val ids = emb.filter(col("vec_id").isin(7L, 13L)).select("vec_id")
+    val (hits, vbs) = Similarity.vecMapHits(spark, idx, ids).get
+    assert(vbs.size <= 2, s"two ids touch at most two buckets: $vbs")
+    // match per-scan tree-string lines (robust under AQE, where
+    // collectLeaves can return one AdaptiveSparkPlan leaf)
+    val vmScans = hits.queryExecution.executedPlan.toString
+      .linesIterator.filter(s => s.contains("FileScan") && s.contains("vec_map"))
+      .toSeq
+    assert(vmScans.nonEmpty, "no vec_map scan in the discovery plan")
+    vmScans.foreach { s =>
+      val i = s.indexOf("PartitionFilters: [")
+      assert(i >= 0 &&
+        s.substring(i, math.max(s.indexOf("]", i), i)).contains("vb"),
+        s"discovery scan must prune on vb:\n$s")
+    }
+
+    // UPSERT: only the batch's vb partitions rewrite; the rest stay
+    // byte-identical in v=1 and are carried by manifest reference
+    val touchedDirs = vbs.map(v => s"vb=$v").toSet
+    val untouched = (allVbs -- touchedDirs).toSeq.sorted
+    val before = untouched.map(d => d -> fileSnapshot(s"$idx/v=1/vec_map/$d")).toMap
+    Similarity.upsertIvfIndex(emb.filter(col("vec_id").isin(7L, 13L)), idx)
+    untouched.foreach { d =>
+      assert(fileSnapshot(s"$idx/v=1/vec_map/$d") == before(d),
+        s"untouched vec_map partition $d was rewritten")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, "v=2", "vec_map", d)))
+    }
+    val mf2 = VersionedIndex.manifest(spark, idx)("vec_map")
+    touchedDirs.foreach(d => assert(mf2(d) == 2, s"$d must be owned by v=2"))
+    untouched.foreach(d => assert(mf2(d) == 1, s"$d must be carried from v=1"))
+    assert(vmState() == listState(), "vec_map must mirror lists after upsert")
+
+    // DELETE: only vb partitions that held deleted rows rewrite
+    val delId = 7L
+    val delVb = vbs // 7 and 13 may share a bucket; rewrite set ⊆ these
+    val stable = (allVbs -- delVb.map(v => s"vb=$v")).toSeq.sorted
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(Seq(delId).toDF("vec_id"), idx)
+    val mf3 = VersionedIndex.manifest(spark, idx)("vec_map")
+    stable.foreach(d => assert(mf3(d) == 1, s"$d must still be carried from v=1"))
+    assert(vmState() == listState(), "vec_map must mirror lists after delete")
+    assert(!vmState().exists(_._1 == delId), "deleted id gone from vec_map")
+    // and the index still answers searches correctly
+    val got = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= delId), 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"full probe after vec_map mutations: $got vs $want")
+  }
+
+  test("ivfListSizes: legacy params line readable; mutations migrate to the list_sizes table") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import spark.implicits._
+    // an index written by the pre-table format: histogram in params
+    val dir = Files.createTempDirectory("lsizes").toString + "/index"
+    VersionedIndex.commit(spark, dir,
+      Seq("lists" -> Seq((1L, 0L), (2L, 0L), (3L, 5L)).toDF("vec_id", "list_id")),
+      Map("nLists" -> "8", "listSizes" -> "0:2,5:1"))
+    assert(Similarity.ivfListSizes(spark, dir) == Map(0L -> 2L, 5L -> 1L),
+      "legacy params histogram must stay readable")
   }
 
   test("index commit: dead staging dir is invisible to readers and swept by the next writer") {

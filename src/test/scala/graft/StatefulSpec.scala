@@ -182,6 +182,58 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState: TTL evicts an idle key; its next event restarts from zero (RocksDB provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val stream = MemoryStream[(String, Timestamp)]
+      val df = stream.toDF().toDF("key", "ts")
+      // native TTLConfig tier: processing-time TTL, so the test pairs
+      // it with a real trigger cadence (the runningCountsTws contract).
+      // NOTE: in TimeMode.ProcessingTime the engine schedules a batch
+      // per trigger interval forever, so `noNewData` never latches and
+      // processAllAvailable() HANGS — poll the sink with a deadline.
+      val q = Stateful.runningCountsTws(df, "key", "ts",
+        ttl = Some(java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode("update").format("memory").queryName("twsttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+        .start()
+      def rows() = spark.table("twsttl").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("total"))).toSeq
+      def await(cond: => Boolean, msg: => String, timeoutMs: Long = 60000): Unit = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(cond, msg)
+      }
+
+      stream.addData(("a", ts(0)), ("a", ts(0)), ("b", ts(0)))
+      await(rows().sorted == Seq(("a", 2L), ("b", 1L)),
+        s"first batch totals wrong: ${rows()}")
+
+      // wall-clock past the 1 s TTL: b's ValueState expires
+      Thread.sleep(3000)
+      stream.addData(("b", ts(10)))
+      // b restarts from zero — the TTLConfig analog of the GroupState
+      // evict-and-restart case above
+      await(rows().count(_ == ("b", 1L)) == 2,
+        s"b must restart at 1 after TTL eviction, got ${rows()}")
+      assert(!rows().contains(("b", 2L)), s"stale state survived TTL: ${rows()}")
+      q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming LSH candidates: replay equals the batch candidate stage") {
     implicit val sqlCtx = spark.sqlContext
     // real corpus text (has planted near-dups) with synthetic
