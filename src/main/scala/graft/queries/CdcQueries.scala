@@ -130,7 +130,10 @@ object CdcQueries {
       |ORDER BY tbl, is_deleted""".stripMargin) { (s, d) =>
     import graft.streaming.Pipelines
     val dir = java.nio.file.Files.createTempDirectory("graft-q120").toString + "/m"
-    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value"))
+    // materialize the synthesize→to_json→from_json chain ONCE — it
+    // feeds two mirror batches (each of which consumes its input
+    // twice); recomputing it per consumer would dominate the query
+    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
     // upserts first, then the delete batch — hard deletes must remove
     // rows that were already live in the mirror, not just filter the
     // incoming batch.

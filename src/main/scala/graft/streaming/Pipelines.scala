@@ -259,6 +259,11 @@ object Pipelines {
       nBuckets: Int = MirrorBuckets,
       policy: Map[String, TablePolicy] = Map.empty,
       defaultPolicy: TablePolicy = TablePolicy.SoftDelete): Unit = {
+    // cached: the routed batch is consumed TWICE (touched-bucket
+    // collect, then the merge) — without the cache a caller whose
+    // `parsed` is itself an expensive lazy chain (JSON parse over a
+    // synthesized batch) pays that chain once per consumer. Batch-
+    // sized, freed in the finally.
     val incoming = parsed.select(
       coalesce(col("after.id"), col("before.id")).as("id"),
       col("table"),
@@ -273,65 +278,68 @@ object Pipelines {
       .filter(!(col("is_deleted") &&
         policyPred(policy, defaultPolicy, TablePolicy.SkipDeletes)))
       .withColumn("bucket", mirrorBucket(nBuckets))
-    val root = new Path(mirrorPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverMirror(fs, root)
-    // Bounded driver-side state: ≤ nBuckets ints, regardless of batch size.
-    val touched = incoming.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val hasLiveBuckets = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
-    val existing =
-      if (hasLiveBuckets)
-        spark.read.parquet(mirrorPath)
-          .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        incoming.schema)
-    // union → keep the newest (ts_ms) version per (table, id); replayed
-    // duplicates collapse because dropDuplicates runs before the rank.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("table"), col("id"))
-      .orderBy(col("ts_ms").desc, col("is_deleted").desc)
-    val merged = existing.unionByName(incoming)
-      .dropDuplicates(Seq("table", "id", "ts_ms", "is_deleted"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-      // hard-delete tables: a winning d-event removes the row
-      // physically instead of leaving a tombstone. (Same caveat as the
-      // reference's DELETE: a later replay of an OLDER upsert can
-      // resurrect the id, because no tombstone remains to outrank it.)
-      .filter(!(col("is_deleted") &&
-        policyPred(policy, defaultPolicy, TablePolicy.HardDelete)))
-    val staging = new Path(root, ".staging")
-    if (fs.exists(staging))
-      require(fs.delete(staging, true), s"failed to clear $staging")
-    // repartition on the bucket key before the partitionBy write: the
-    // merge window leaves rows of one bucket spread over every task,
-    // and partitionBy alone would then emit tasks×buckets small files
-    // per micro-batch — a file-count explosion at 100 TB. One extra
-    // exchange of the touched-buckets subset buys one file per bucket
-    // (AQE coalesces the near-empty partitions).
-    merged.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-    val bak = new Path(root, ".bak")
-    fs.mkdirs(bak)
-    // HDFS reports rename/delete failure by RETURNING FALSE, not by
-    // throwing — an unchecked rename here silently loses a bucket.
-    touched.foreach { b =>
-      val live = new Path(root, s"bucket=$b")
-      val stagedB = new Path(staging, s"bucket=$b")
-      val bakB = new Path(bak, s"bucket=$b")
-      if (fs.exists(live))
-        require(fs.rename(live, bakB), s"failed to move $live aside")
-      if (fs.exists(stagedB))
-        require(fs.rename(stagedB, live), s"failed to publish $stagedB")
-      if (fs.exists(bakB))
-        require(fs.delete(bakB, true), s"failed to drop backup $bakB")
-    }
-    require(fs.delete(bak, true), s"failed to clean $bak")
-    if (fs.exists(staging))
-      require(fs.delete(staging, true), s"failed to clean $staging")
+      .cache()
+    try {
+      val root = new Path(mirrorPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverMirror(fs, root)
+      // Bounded driver-side state: ≤ nBuckets ints, regardless of batch size.
+      val touched = incoming.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val hasLiveBuckets = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
+      val existing =
+        if (hasLiveBuckets)
+          spark.read.parquet(mirrorPath)
+            .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          incoming.schema)
+      // union → keep the newest (ts_ms) version per (table, id); replayed
+      // duplicates collapse because dropDuplicates runs before the rank.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("table"), col("id"))
+        .orderBy(col("ts_ms").desc, col("is_deleted").desc)
+      val merged = existing.unionByName(incoming)
+        .dropDuplicates(Seq("table", "id", "ts_ms", "is_deleted"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        // hard-delete tables: a winning d-event removes the row
+        // physically instead of leaving a tombstone. (Same caveat as the
+        // reference's DELETE: a later replay of an OLDER upsert can
+        // resurrect the id, because no tombstone remains to outrank it.)
+        .filter(!(col("is_deleted") &&
+          policyPred(policy, defaultPolicy, TablePolicy.HardDelete)))
+      val staging = new Path(root, ".staging")
+      if (fs.exists(staging))
+        require(fs.delete(staging, true), s"failed to clear $staging")
+      // repartition on the bucket key before the partitionBy write: the
+      // merge window leaves rows of one bucket spread over every task,
+      // and partitionBy alone would then emit tasks×buckets small files
+      // per micro-batch — a file-count explosion at 100 TB. One extra
+      // exchange of the touched-buckets subset buys one file per bucket
+      // (AQE coalesces the near-empty partitions).
+      merged.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      val bak = new Path(root, ".bak")
+      fs.mkdirs(bak)
+      // HDFS reports rename/delete failure by RETURNING FALSE, not by
+      // throwing — an unchecked rename here silently loses a bucket.
+      touched.foreach { b =>
+        val live = new Path(root, s"bucket=$b")
+        val stagedB = new Path(staging, s"bucket=$b")
+        val bakB = new Path(bak, s"bucket=$b")
+        if (fs.exists(live))
+          require(fs.rename(live, bakB), s"failed to move $live aside")
+        if (fs.exists(stagedB))
+          require(fs.rename(stagedB, live), s"failed to publish $stagedB")
+        if (fs.exists(bakB))
+          require(fs.delete(bakB, true), s"failed to drop backup $bakB")
+      }
+      require(fs.delete(bak, true), s"failed to clean $bak")
+      if (fs.exists(staging))
+        require(fs.delete(staging, true), s"failed to clean $staging")
+    } finally incoming.unpersist()
   }
 
   /** Crash recovery for the bucket swap: a leftover `.bak/bucket=N`
