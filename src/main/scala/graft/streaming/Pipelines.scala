@@ -693,6 +693,33 @@ object Pipelines {
       .start()
   }
 
+  /** Streaming TAKEDOWN for the persisted IVF index: each micro-batch
+    * of vec_ids deletes atomically (one committed index version per
+    * trigger — `Similarity.deleteFromIvfIndex`), the opt-out /
+    * right-to-be-forgotten stream a perpetually-ingesting corpus pairs
+    * with [[vectorIngestSink]]. Replay-safe two ways: deleting
+    * already-absent ids commits NOTHING (no new version), so an
+    * at-least-once replay of a processed batch leaves the index
+    * byte-identical; and a batch arriving before the index exists is
+    * a no-op rather than an error (deletes of nothing). O(batch) per
+    * trigger end to end: discovery reads only the batch ids' vec_map
+    * vb partitions and the commit rewrites only touched list/vb
+    * partitions, everything else carried by manifest reference. */
+  def vectorDeleteSink(deletes: DataFrame, indexPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val spark = deletes.sparkSession
+    deletes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{Similarity, VersionedIndex}
+        if (VersionedIndex.currentDir(spark, indexPath).isDefined)
+          Similarity.deleteFromIvfIndex(batch, indexPath)
+      }
+      .start()
+  }
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),

@@ -404,6 +404,19 @@ class LayoutSpec extends SparkSuite {
         s"a chained leg lost its list_id partition filter:\n$s")
     }
     assert(res.count() == 5)
+    // the DISCOVERY read keeps its vb partition filter in every leg of
+    // the chained vec_map too (same manifest mechanism as lists)
+    val (hits, _) = Similarity.vecMapHits(spark, idx,
+      emb.filter(col("vec_id").isin(7L, 13L)).select("vec_id")).get
+    val vmLegs = hits.queryExecution.executedPlan.toString
+      .linesIterator.filter(s => s.contains("FileScan") && s.contains("vec_map"))
+      .toSeq
+    assert(vmLegs.nonEmpty, "no vec_map scan in the chained discovery plan")
+    vmLegs.foreach { s =>
+      val j = s.indexOf("PartitionFilters: [")
+      assert(j >= 0 && s.substring(j, math.max(s.indexOf("]", j), j)).contains("vb"),
+        s"a chained vec_map leg lost its vb partition filter:\n$s")
+    }
     // and the probe answer is unchanged by the chain: the two
     // re-ingests were idempotent, so search == the fresh-build answer
     val fresh = Files.createTempDirectory("ivfchainref").toString + "/index"
@@ -514,6 +527,46 @@ class LayoutSpec extends SparkSuite {
     // to float on read parity is preserved by parquet round-trip
     val res = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 500)
     assert(res.count() == rows.length - 1, "full probe sees every ingested vector")
+  }
+
+  test("streaming vector takedown: batches delete atomically; replayed deletes commit nothing") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("vecdel").toString
+    val idx = s"$base/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val sdf = stream.toDF().toDF("vec_id")
+    val q = graft.streaming.Pipelines.vectorDeleteSink(sdf, idx, s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // a takedown arriving BEFORE the index exists is a no-op, not an error
+    stream.addData(999L)
+    q.processAllAvailable()
+    assert(VersionedIndex.currentVersion(spark, idx).isEmpty)
+
+    Similarity.buildIvfIndex(emb, 8, idx)
+    stream.addData(7L, 13L)
+    q.processAllAvailable()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+    stream.addData(21L)
+    q.processAllAvailable()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=3")))
+    // replay of already-deleted ids: no rows present → NO commit, the
+    // index stays byte-identical at v=3
+    stream.addData(7L, 13L, 21L)
+    q.processAllAvailable()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=3")),
+      "replayed takedown must not commit a new version")
+    q.stop()
+    // survivors: full probe == brute force over the corpus minus the
+    // three deleted ids
+    val got = Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = Similarity.bruteForceTopK(
+      emb.filter(!col("vec_id").isin(7L, 13L, 21L)), 0L, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"takedown survivors: $got vs $want")
   }
 
   test("streaming dedup by natural key drops duplicates across batches") {
