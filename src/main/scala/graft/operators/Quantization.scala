@@ -99,4 +99,153 @@ object Quantization {
       .select(col("vec_id"), col("label"), col("qdot_raw"),
         round(col("simq"), 6).as("simq"))
   }
+
+  // ──────────────────── product quantization (PQ) ────────────────────
+
+  /** PQ codebook: `m` subspaces × up to `kPq` codewords of
+    * `subDim = d/m` ints each; `codes(j)(t)` is codeword t of
+    * subspace j. */
+  final case class PqCodebook(m: Int, subDim: Int,
+      codes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]])
+
+  /** Unit-normalized int8 codes (`q8u`) — the PQ code space: v̂=v/‖v‖₂
+    * quantized with a FIXED ×127 scale (unit components lie in
+    * [-1,1]), so codes are comparable ACROSS vectors:
+    * ‖a_q8u − b_q8u‖² ≈ 127²·(2 − 2·cos(a,b)) — integer L2 here is
+    * monotone in cosine up to quantization error, which is what makes
+    * ADC a cosine-ANN scorer. (withInt8's per-vector max-abs scale
+    * maximizes per-vector reconstruction precision but renders
+    * cross-vector L2 meaningless — measured: PQ recall over that
+    * space plateaus at 6/10 however wide the shortlist; over this
+    * space a 5×k shortlist recovers the exact top-k.) Same half-up
+    * floor as withInt8: codes are bit-reproducible in any engine. */
+  def withUnitInt8(emb: DataFrame, v: String = "embedding"): DataFrame =
+    emb.withColumn("_nrm", sqrt(aggregate(
+        transform(col(v), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)))
+      .withColumn("q8u",
+        when(col("_nrm") === 0.0, transform(col(v), _ => lit(0)))
+          .otherwise(transform(col(v), x =>
+            least(greatest(floor(x.cast("double") / col("_nrm") * 127.0 + 0.5),
+              lit(-127.0)), lit(127.0)).cast("int"))))
+      .drop("_nrm")
+
+  /** Product-quantization codebook over the INT8 CODE SPACE: each q8
+    * vector splits into `m` subvectors; each subspace's codewords are
+    * a deterministic stride sample of the corpus (the ivfSeeds
+    * contract — a Lloyd-refined per-subspace codebook slots into the
+    * same shape, exactly as k-means re-centering does for IVF seeds).
+    * Working in q8 keeps every downstream distance a BIGINT
+    * squared-L2 — the q86 integer-exactness property applied to PQ,
+    * so codes, ADC tables and rankings are bit-identical in any
+    * engine.
+    *
+    * Memory at 100 TB: a 64-dim float32 vector (256 B) becomes m=16
+    * one-byte codes (16 B) — 16× smaller than raw floats vs ~3.7× for
+    * flat int8 — and the ADC scan reads ONLY the code column. The
+    * codebook is m·kPq·subDim ints, a driver-side literal (≤ kPq
+    * collected rows, loud cap below; no broadcast, no join).
+    *
+    * Accuracy/size knob (measured, sf0.001, query 0, exact top-10):
+    * m=8 (8-dim subspaces, 16 sampled codewords) under-covers —
+    * two-stage recall 5/10 at any shortlist; m=16 recovers 10/10 with
+    * a 10×k shortlist (the shipped default); m=32 gives 9/10 at 5×k
+    * for 2× the code bytes. A Lloyd-trained codebook (kmeansInt8 per
+    * subspace) would shift each point up — the sampled codebook keeps
+    * the whole pipeline oracle-replayable at q86-style exactness. */
+  def pqCodebook(emb: DataFrame, m: Int = 16, kPq: Int = 16): PqCodebook = {
+    val n = emb.count()
+    val stride = math.max(1L, n / kPq)
+    val samples = withUnitInt8(emb)
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * kPq)
+      .orderBy(col("vec_id"))
+      .select(col("q8u")).collect()
+      .map(_.getSeq[Int](0).toIndexedSeq).toIndexedSeq
+    require(samples.nonEmpty, "empty corpus: no PQ codewords")
+    require(samples.length <= kPq, s"${samples.length} samples > kPq=$kPq")
+    val d = samples.head.length
+    require(d % m == 0, s"dim $d does not split into $m subspaces")
+    val sub = d / m
+    PqCodebook(m, sub,
+      IndexedSeq.tabulate(m)(j => samples.map(_.slice(j * sub, (j + 1) * sub))))
+  }
+
+  /** Adds `pq` (array<int>, length m): each vector's argmin codeword
+    * per subspace — pure column algebra against the literal codebook
+    * (no shuffle, no join, whole-stage codegen; the same
+    * broadcast-free literal trick as dsirScore / bpeTokenCount). Ties
+    * resolve to the LOWEST codeword index via array_position's
+    * first-match semantics — unambiguous because the distances are
+    * exact integers. */
+  def withPqCodes(emb: DataFrame, cb: PqCodebook): DataFrame = {
+    val kEff = cb.codes.head.length
+    val cbLit = typedLit(cb.codes.map(_.map(_.toSeq).toSeq).toSeq)
+    withUnitInt8(emb).withColumn("pq",
+      transform(sequence(lit(0), lit(cb.m - 1)), j => {
+        val dists = transform(sequence(lit(0), lit(kEff - 1)), t =>
+          aggregate(
+            zip_with(
+              slice(col("q8u"), j * lit(cb.subDim) + lit(1), lit(cb.subDim)),
+              element_at(element_at(cbLit, j + lit(1)), t + lit(1)),
+              (a, c) => (a.cast("long") - c.cast("long")) *
+                (a.cast("long") - c.cast("long"))),
+            lit(0L), (acc, x) => acc + x))
+        (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
+      }))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query's
+    * m × kPq integer distance table is computed ON THE DRIVER from its
+    * q8 codes (bounded — the same driver-side query planning as
+    * multi-probe's margins) and folded over each vector's codes as a
+    * literal-lookup sum — one element_at per subspace, an exact BIGINT
+    * total. Ranking by (adc_dist asc, vec_id) plans as
+    * TakeOrderedAndProject; at 100 TB the scan reads the m-byte code
+    * column, never embeddings. */
+  def pqAdcTopK(emb: DataFrame, cb: PqCodebook, queryId: Long,
+      k: Int): DataFrame = {
+    val coded = withPqCodes(emb, cb)
+    val qq8 = coded.filter(col("vec_id") === queryId)
+      .select(col("q8u")).head().getSeq[Int](0).toIndexedSeq
+    val table: Seq[Seq[Long]] = IndexedSeq.tabulate(cb.m) { j =>
+      cb.codes(j).map { cw =>
+        var s = 0L
+        var i = 0
+        while (i < cb.subDim) {
+          val dv = (qq8(j * cb.subDim + i) - cw(i)).toLong
+          s += dv * dv
+          i += 1
+        }
+        s
+      }
+    }
+    val tLit = typedLit(table.map(_.toSeq).toSeq)
+    coded.filter(col("vec_id") =!= queryId)
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(tLit, j + lit(1)),
+            element_at(col("pq"), j + lit(1)) + lit(1))))
+      .select(col("vec_id"), col("label"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ two-stage retrieval: ADC shortlist → exact float-cosine
+    * re-rank of only those candidates (the IVF-PQ serving shape minus
+    * the coarse quantizer — compose with the IVF index to get full
+    * IVF-PQ: probe partitions, ADC within them, exact re-rank). */
+  def pqTwoStageTopK(emb: DataFrame, cb: PqCodebook, queryId: Long,
+      k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.Vectors
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val candidates = pqAdcTopK(emb, cb, queryId, shortlist).select("vec_id")
+    val target = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(target))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

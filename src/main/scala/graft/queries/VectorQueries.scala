@@ -375,6 +375,84 @@ object VectorQueries {
     (s, d) => Quantization.twoStageTopK(Tables.embeddings(s, d), 0L, 10, 50)
   }
 
+  /** DuckDB replica of Quantization.withUnitInt8 — the PQ code space:
+    * unit-L2-normalize, then a FIXED ×127 scale, so integer L2 between
+    * codes is monotone in cosine (identical half-up-floor arithmetic;
+    * zero-norm vectors code to zeros). */
+  private val pqQuantCte =
+    """qu AS (SELECT vec_id, label,
+      |    CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding, x ->
+      |           CAST(least(greatest(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5), -127.0), 127.0) AS INT))
+      |    END AS q8
+      |  FROM (SELECT vec_id, label, embedding,
+      |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |    FROM embeddings) n0)""".stripMargin
+
+  /** Shared DuckDB CTEs for product quantization over the unit-int8
+    * code space (identical arithmetic to Quantization.pqCodebook /
+    * withPqCodes): stride-sampled per-subspace codewords, integer
+    * squared-L2 argmin codes, and the query's ADC distance table —
+    * every value a BIGINT, the q86 integer-exactness property. m=16
+    * subspaces of 4 dims; kPq=16 codewords; query = corpus vector 0. */
+  private val pqCtes =
+    """p AS (SELECT greatest(1, count(*) // 16) AS stride FROM qu),
+      |cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, q8
+      |  FROM qu, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 16),
+      |sp AS (SELECT j FROM range(0, 16) r(j)),
+      |dv AS (SELECT v.vec_id, s.j, c.t,
+      |    CAST(list_sum(list_transform(range(1, 5), i ->
+      |      CAST(v.q8[s.j*4+i] - c.q8[s.j*4+i] AS BIGINT)
+      |        * (v.q8[s.j*4+i] - c.q8[s.j*4+i]))) AS BIGINT) AS d2
+      |  FROM qu v CROSS JOIN sp s CROSS JOIN cbs c),
+      |codes AS (SELECT vec_id, j, t FROM (
+      |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, t) AS rn
+      |  FROM dv) z WHERE rn = 1),
+      |qt AS (SELECT s.j, c.t,
+      |    CAST(list_sum(list_transform(range(1, 5), i ->
+      |      CAST(tq.q8[s.j*4+i] - c.q8[s.j*4+i] AS BIGINT)
+      |        * (tq.q8[s.j*4+i] - c.q8[s.j*4+i]))) AS BIGINT) AS d2
+      |  FROM (SELECT q8 FROM qu WHERE vec_id = 0) tq CROSS JOIN sp s CROSS JOIN cbs c),
+      |adc AS (SELECT cv.vec_id, CAST(sum(qt.d2) AS BIGINT) AS adc_dist
+      |  FROM codes cv JOIN qt ON qt.j = cv.j AND qt.t = cv.t
+      |  WHERE cv.vec_id <> 0 GROUP BY cv.vec_id)""".stripMargin
+
+  // Product quantization, ADC search: per-subspace argmin codes
+  // against a stride-sampled codebook, then the query's distance
+  // table folded over each vector's codes — all integer-exact, so the
+  // oracle replays codebook, encoding AND search under the hash gate.
+  val q132 = sql(
+    "q132_pq_adc_ann",
+    s"""WITH $pqQuantCte,
+       |$pqCtes
+       |SELECT a.vec_id, v.label, a.adc_dist
+       |FROM adc a JOIN qu v USING (vec_id)
+       |ORDER BY a.adc_dist, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Quantization.pqAdcTopK(emb, Quantization.pqCodebook(emb), 0L, 10)
+  }
+
+  // PQ two-stage: ADC shortlist (100) → exact-cosine re-rank (10) —
+  // the IVF-PQ serving shape's refine step. Oracle mirrors the
+  // two-stage plan itself (like q79), deterministic regardless of the
+  // shortlist's recall.
+  val q133 = sql(
+    "q133_pq_two_stage",
+    s"""WITH $pqQuantCte,
+       |$pqCtes,
+       |sl AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 100),
+       |t2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |r AS (SELECT e.vec_id, e.label, round(
+       |    list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS sim
+       |  FROM embeddings e JOIN sl USING (vec_id), t2)
+       |SELECT vec_id, label, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Quantization.pqTwoStageTopK(emb, Quantization.pqCodebook(emb), 0L, 10, 100)
+  }
+
   // Near-dup REMOVAL — keep one representative per cluster, count the
   // surviving corpus per language. Oracle: transitive closure over the
   // exact ground-truth pairs (q64's CTE), drop non-representatives.
@@ -575,5 +653,5 @@ object VectorQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131)
+    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133)
 }

@@ -47,6 +47,33 @@ class QuantizationSpec extends SparkSuite {
     assert(staged == exact, "5x-k shortlist must recover the exact top-10")
   }
 
+  test("PQ: codes shaped m × [0, kEff); ADC distances are non-negative integers") {
+    val cb = Quantization.pqCodebook(emb)
+    val kEff = cb.codes.head.length
+    assert(cb.m == 16 && cb.subDim == 4 && kEff >= 2 && kEff <= 16)
+    val coded = Quantization.withPqCodes(emb, cb)
+    val bad = coded.select(explode(col("pq")).as("c"))
+      .filter(col("c") < 0 || col("c") >= kEff).count()
+    assert(bad == 0, s"PQ codes must lie in [0, $kEff)")
+    assert(coded.select(size(col("pq"))).distinct().as[Int].collect().toSeq == Seq(16))
+    val adc = Quantization.pqAdcTopK(emb, cb, 0L, emb.count().toInt)
+    assert(adc.filter(col("adc_dist") < 0).count() == 0,
+      "squared-L2 ADC distances must be ≥ 0")
+  }
+
+  test("PQ two-stage (ADC shortlist 100 → exact rerank 10) equals the exact scan") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val staged = Quantization.pqTwoStageTopK(
+      emb, Quantization.pqCodebook(emb), 0L, 10, 100)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    // m=16 unit-space codes + a 10×k shortlist recover the exact
+    // top-10 on the testdata (the measured knob ladder is in the
+    // pqCodebook docs); the operative guarantee — deterministic
+    // two-stage semantics — is oracle-gated in q133
+    assert(staged == exact, "10x-k PQ shortlist must recover the exact top-10")
+  }
+
   test("zero vector quantizes to zero codes with zero error") {
     val df = Seq((1L, Seq.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label")
     val q = Quantization.withInt8(df)
