@@ -693,6 +693,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the full ANN serving composition — the coarse quantizer
+    * prunes the corpus to `nProbe` inverted lists, PQ/ADC ranks
+    * WITHIN the probed lists from 16-byte integer codes, and exact
+    * float cosine re-ranks only the ADC shortlist. Ad-hoc (in-flight
+    * assignment) form mirroring [[ivfSearch]]; a serving deployment
+    * stores the PQ codes as a column of the persisted lists table, so
+    * a probe reads nProbe partitions of the CODE column only — corpus
+    * I/O per query ≈ nProbe/nLists × 16 B/vector, with the two
+    * expensive reads (query planning against nLists centroids,
+    * codebook literals) bounded and driver-side. The query vector's
+    * own list is always probed (it is the rank-1 centroid by the same
+    * argmin that assigned it), so the query's codes resolve within
+    * the probed subset. */
+  def ivfPqTopK(embeddings: DataFrame, nLists: Int, nProbe: Int,
+      cb: Quantization.PqCodebook, queryId: Long, k: Int,
+      shortlist: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val assigned = ivfAssign(embeddings, nLists).cache()
+    try {
+      val q = assigned.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb"))
+      val probeLists = assigned
+        .select(col("list_id"), col("vec_id"), col("embedding")).as("c")
+        .join(broadcast(q))
+        .filter(col("vec_id") === col("list_id")) // centroid rows only
+        .withColumn("c_sim", Vectors.cosine(col("embedding"), col("q_emb")))
+        .orderBy(col("c_sim").desc, col("list_id"))
+        .limit(nProbe)
+        .select(col("list_id").as("probe_list"))
+      val members = assigned
+        .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val cand = Quantization.pqAdcTopK(members, cb, queryId, shortlist)
+        .select(col("vec_id"))
+      members.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(k)
+        .localCheckpoint() // ≤ k rows, materialized before the unpersist
+    } finally assigned.unpersist()
+  }
+
   /** k-NN graph: the top-`k` cosine neighbors of EVERY corpus vector —
     * the batch counterpart of the single-query searches above (used for
     * SemDeDup-style analysis, recall evaluation, graph-based pruning).

@@ -652,6 +652,48 @@ object VectorQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
+  /** The q37 cosine formula as a SQL fragment over two list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  // IVF-PQ: the full serving composition under the hash gate — the
+  // oracle replays ALL FOUR stages in SQL: seeded assignment (q55's
+  // geometry), partial probe selection (q62's reconstruct-the-probe-
+  // plan move, nProbe=4 of 16 lists), integer-exact ADC within the
+  // probed members, and the exact-cosine re-rank of the shortlist.
+  val q134 = sql(
+    "q134_ivf_pq", {
+      s"""WITH $pqQuantCte,
+         |$pqCtes,
+         |p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |asg0 AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, centroid_id AS list_id FROM (
+         |  SELECT vec_id, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+         |  FROM asg0) z WHERE rn = 1),
+         |pl AS (SELECT centroid_id AS probe_list FROM (
+         |    SELECT c.centroid_id, ${cosSql("c.c_emb", "qe")} AS cs FROM cents c, qv) t
+         |  ORDER BY cs DESC, centroid_id LIMIT 4),
+         |members AS (SELECT a.vec_id FROM asg a JOIN pl ON a.list_id = pl.probe_list),
+         |sl AS (SELECT adc.vec_id FROM adc JOIN members USING (vec_id)
+         |  ORDER BY adc.adc_dist, adc.vec_id LIMIT 100),
+         |r AS (SELECT e.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "qe")}, 6) AS sim
+         |  FROM embeddings e JOIN sl USING (vec_id), qv)
+         |SELECT vec_id, label, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, 16, 4, Quantization.pqCodebook(emb), 0L, 10, 100)
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
-    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133)
+    q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
+    q134)
 }
