@@ -172,26 +172,28 @@ object Quantization {
 
   /** Adds `pq` (array<int>, length m): each vector's argmin codeword
     * per subspace — pure column algebra against the literal codebook
-    * (no shuffle, no join, whole-stage codegen; the same
-    * broadcast-free literal trick as dsirScore / bpeTokenCount). Ties
-    * resolve to the LOWEST codeword index via array_position's
-    * first-match semantics — unambiguous because the distances are
-    * exact integers. */
+    * (no shuffle, no join; the same broadcast-free literal trick as
+    * dsirScore / bpeTokenCount). Ties resolve to the LOWEST codeword
+    * index via array_position's first-match semantics — unambiguous
+    * because the distances are exact integers.
+    *
+    * The m×kPq argmin tree is UNROLLED STATICALLY over the native
+    * graft_sqdist kernel (m, kPq and the codewords are driver
+    * constants) instead of nested transform/aggregate lambdas — HOF
+    * nodes are CodegenFallback, and an m×kPq×subDim interpreted
+    * lambda nest measured ~20 s for the sf0.1 corpus where this form
+    * runs in ~1 s (the same LongDot/SqDistLong lesson as the k-means
+    * argmin, GraftExpressions.scala). */
   def withPqCodes(emb: DataFrame, cb: PqCodebook): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val kEff = cb.codes.head.length
-    val cbLit = typedLit(cb.codes.map(_.map(_.toSeq).toSeq).toSeq)
-    withUnitInt8(emb).withColumn("pq",
-      transform(sequence(lit(0), lit(cb.m - 1)), j => {
-        val dists = transform(sequence(lit(0), lit(kEff - 1)), t =>
-          aggregate(
-            zip_with(
-              slice(col("q8u"), j * lit(cb.subDim) + lit(1), lit(cb.subDim)),
-              element_at(element_at(cbLit, j + lit(1)), t + lit(1)),
-              (a, c) => (a.cast("long") - c.cast("long")) *
-                (a.cast("long") - c.cast("long"))),
-            lit(0L), (acc, x) => acc + x))
-        (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
-      }))
+    val codeCols = (0 until cb.m).map { j =>
+      val sub = slice(col("q8u"), j * cb.subDim + 1, cb.subDim)
+      val dists = array((0 until kEff).map(t =>
+        graft.plans.GraftFunctions.sqdist(sub, typedLit(cb.codes(j)(t)))): _*)
+      (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
+    }
+    withUnitInt8(emb).withColumn("pq", array(codeCols: _*))
   }
 
   /** ADC (asymmetric distance computation) top-k: the query's
@@ -219,12 +221,13 @@ object Quantization {
         s
       }
     }
-    val tLit = typedLit(table.map(_.toSeq).toSeq)
+    // statically-unrolled lookup sum (no HOF fold): m element_at
+    // probes of per-subspace literal rows, added as one codegen'd tree
+    val dist = (0 until cb.m).map(j =>
+      element_at(typedLit(table(j)),
+        element_at(col("pq"), j + 1) + lit(1))).reduce(_ + _)
     coded.filter(col("vec_id") =!= queryId)
-      .withColumn("adc_dist",
-        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L), (acc, j) =>
-          acc + element_at(element_at(tLit, j + lit(1)),
-            element_at(col("pq"), j + lit(1)) + lit(1))))
+      .withColumn("adc_dist", dist)
       .select(col("vec_id"), col("label"), col("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
