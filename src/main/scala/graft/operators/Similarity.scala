@@ -405,22 +405,33 @@ object Similarity {
       val prevMf = fullMf.getOrElse("lists", Map.empty)
       val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
       val vmMf = fullMf.getOrElse("vec_map", Map.empty)
-      // chain length if we carried: prior owners (either table) + new
-      val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet
+      val pqMf = fullMf.getOrElse("pq", Map.empty)
+      val pqCbMf = fullMf.getOrElse("pq_codebook", Map.empty)
+      // IVF-PQ layer: new rows code against the PINNED codebook (like
+      // assignment against pinned centroids); re-training is a rebuild
+      val pqCb = if (pqMf.nonEmpty || pqCbMf.nonEmpty)
+        Some(readPqCodebook(spark, path)) else None
+      // chain length if we carried: prior owners (any table) + new
+      val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet ++
+        pqMf.values.toSet
       val partialOk = prevMf.nonEmpty && !prevMf.contains(VersionedIndex.WholeTable) &&
         (chainOwners.size + 1) <= maxVersionChain
       if (!partialOk) {
         // full rewrite: legacy layout, or compaction point reached —
         // also (re)writes the authoritative centroids table and the
-        // vec_map/list_sizes side tables, migrating older indexes
+        // vec_map/list_sizes (and pq, if present) side tables,
+        // migrating older indexes
         val merged = index.join(newIds, Seq("vec_id"), "left_anti")
           .unionByName(assignedNew)
         VersionedIndex.commit(spark, path,
           Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path),
-            "list_sizes" -> sizesDf(spark, newSizes)),
+            "list_sizes" -> sizesDf(spark, newSizes)) ++
+            pqCb.map(cb => "pq_codebook" -> codebookDf(spark, cb)).toSeq,
           statsParams,
-          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
-          derive = Seq("vec_map" -> deriveVecMap(spark, buckets)))
+          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
+            "pq" -> Seq("list_id")),
+          derive = Seq("vec_map" -> deriveVecMap(spark, buckets) _) ++
+            pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq)
       } else {
         // touched = lists gaining rows ∪ lists losing superseded rows
         val touched = (adds.keySet ++ removes.keySet).toArray
@@ -459,13 +470,22 @@ object Similarity {
           scala.util.Try(dir.stripPrefix("vb=").toInt).toOption
             .forall(v => !vbSet.contains(v))
         }
+        // pq mirrors lists partition-for-partition: derive codes from
+        // the staged (touched-only) lists bytes, carry the rest
+        val pqCarry = pqMf.filter { case (dir, _) =>
+          scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
+            .forall(v => !touchedSet.contains(v))
+        }
         VersionedIndex.commit(spark, path,
           Seq("lists" -> rewritten,
             "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
           statsParams,
-          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+          partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
+            "pq" -> Seq("list_id")),
+          derive = pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq,
           carry = Map("lists" -> carry, "centroids" -> centroidsMf,
-            "vec_map" -> vmCarry).filter(_._2.nonEmpty))
+            "vec_map" -> vmCarry, "pq" -> pqCarry,
+            "pq_codebook" -> pqCbMf).filter(_._2.nonEmpty))
       }
     } finally assignedNew.unpersist()
   }
@@ -526,9 +546,14 @@ object Similarity {
     val prevMf = fullMf.getOrElse("lists", Map.empty)
     val centroidsMf = fullMf.getOrElse("centroids", Map.empty)
     val vmMf = fullMf.getOrElse("vec_map", Map.empty)
+    val pqMf = fullMf.getOrElse("pq", Map.empty)
+    val pqCbMf = fullMf.getOrElse("pq_codebook", Map.empty)
+    val pqCb = if (pqMf.nonEmpty || pqCbMf.nonEmpty)
+      Some(readPqCodebook(spark, path)) else None
     // partial deletes require the authoritative centroids table: once
     // seed rows can be absent, geometry must not derive from them
-    val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet
+    val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet ++
+      pqMf.values.toSet
     val partialOk = prevMf.nonEmpty && centroidsMf.nonEmpty &&
       !prevMf.contains(VersionedIndex.WholeTable) &&
       (chainOwners.size + 1) <= maxVersionChain
@@ -536,10 +561,13 @@ object Similarity {
       VersionedIndex.commit(spark, path,
         Seq("lists" -> index.join(ids, Seq("vec_id"), "left_anti"),
           "centroids" -> readIvfCentroids(spark, path),
-          "list_sizes" -> sizesDf(spark, newSizes)),
+          "list_sizes" -> sizesDf(spark, newSizes)) ++
+          pqCb.map(cb => "pq_codebook" -> codebookDf(spark, cb)).toSeq,
         statsParams,
-        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
-        derive = Seq("vec_map" -> deriveVecMap(spark, buckets)))
+        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
+          "pq" -> Seq("list_id")),
+        derive = Seq("vec_map" -> deriveVecMap(spark, buckets) _) ++
+          pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq)
     } else {
       val touched = removes.keySet.toArray
       val inVals: Seq[Any] =
@@ -569,13 +597,20 @@ object Similarity {
         scala.util.Try(dir.stripPrefix("vb=").toInt).toOption
           .forall(v => !vbSet.contains(v))
       }
+      val pqCarry = pqMf.filter { case (dir, _) =>
+        scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
+          .forall(v => !touchedSet.contains(v))
+      }
       VersionedIndex.commit(spark, path,
         Seq("lists" -> rewritten,
           "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
         statsParams,
-        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
+        partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
+          "pq" -> Seq("list_id")),
+        derive = pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq,
         carry = Map("lists" -> carry, "centroids" -> centroidsMf,
-          "vec_map" -> vmCarry).filter(_._2.nonEmpty))
+          "vec_map" -> vmCarry, "pq" -> pqCarry,
+          "pq_codebook" -> pqCbMf).filter(_._2.nonEmpty))
     }
   }
 
@@ -688,6 +723,145 @@ object Similarity {
     index.filter(col("vec_id") =!= queryId && col("list_id").isin(inVals: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), col("list_id").cast("long").as("list_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Derived-table writer for the persisted PQ code table: codes of
+    * the lists rows STAGED THIS COMMIT, partitioned by list_id like
+    * lists itself — so partial commits touch exactly the same
+    * partition set and probes prune identically. */
+  private def derivePq(spark: org.apache.spark.sql.SparkSession,
+      cb: Quantization.PqCodebook)(staging: String): DataFrame =
+    Quantization.withPqCodes(
+        spark.read.parquet(s"$staging/lists")
+          .select(col("vec_id"), col("embedding"),
+            col("list_id").cast("long").as("list_id")), cb)
+      .select(col("vec_id"), col("pq"), col("list_id"))
+
+  /** The m×kPq codeword rows serialized as a member table. */
+  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      cb: Quantization.PqCodebook): DataFrame = {
+    import spark.implicits._
+    (for (j <- cb.codes.indices; t <- cb.codes(j).indices)
+      yield (j, t, cb.codes(j)(t))).toDF("j", "t", "cw")
+  }
+
+  private def pqParams(cb: Quantization.PqCodebook): Map[String, String] =
+    Map("pqM" -> cb.m.toString, "pqSubDim" -> cb.subDim.toString)
+
+  /** Build the PERSISTED IVF-PQ index: [[buildIvfIndex]]'s layout plus
+    * two member tables committed in the same transaction —
+    *  - `pq` (vec_id, pq, list_id), the 16-byte-per-vector code table
+    *    partitioned by list_id exactly like `lists` (derived from the
+    *    staged lists bytes via the commit's derive hook, so the
+    *    expensive assignment never recomputes);
+    *  - `pq_codebook` (j, t, cw), the m×kPq codewords — pinned at
+    *    build time like the centroid geometry; mutations code new
+    *    vectors against it, re-centering/re-training is a rebuild.
+    * A query probes nProbe partitions of the CODE table (~16 B/vector
+    * read), reranks from the lists partitions — [[ivfPqSearchIndexed]].
+    * Upsert/delete maintain `pq` partially alongside `lists` (same
+    * touched-partition set, untouched byte-identical). */
+  def buildIvfPqIndex(embeddings: DataFrame, nLists: Int, path: String,
+      pqM: Int = 16, pqK: Int = 16,
+      vecMapBuckets: Int = DefaultVecMapBuckets): Unit = {
+    val spark = embeddings.sparkSession
+    val cb = Quantization.pqCodebook(embeddings, m = pqM, kPq = pqK)
+    val seeds = ivfSeeds(embeddings, nLists)
+    VersionedIndex.commit(spark, path,
+      Seq("lists" -> assignSeeded(embeddings, seeds),
+        "centroids" -> seeds.select(
+          col("centroid_id").cast("long").as("list_id"), col("c_emb")),
+        "pq_codebook" -> codebookDf(spark, cb)),
+      Map("nLists" -> nLists.toString,
+        "vecMapBuckets" -> vecMapBuckets.toString) ++ pqParams(cb),
+      partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
+        "pq" -> Seq("list_id")),
+      derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),
+        "list_sizes" -> deriveListSizes(spark),
+        "pq" -> derivePq(spark, cb)))
+  }
+
+  /** The persisted codebook of an IVF-PQ index. */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Quantization.PqCodebook = {
+    val params = VersionedIndex.currentDir(spark, path)
+      .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
+    val m = params.getOrElse("pqM",
+      sys.error(s"index at $path has no PQ layer (pqM missing)")).toInt
+    val subDim = params("pqSubDim").toInt
+    val rows = VersionedIndex.readTable(spark, path, "pq_codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Int](2).toIndexedSeq)) // ≤ m·kPq rows, loud shape check
+    val codes = IndexedSeq.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3).toIndexedSeq)
+    require(codes.forall(_.nonEmpty), s"pq_codebook at $path missing subspaces")
+    Quantization.PqCodebook(m, subDim, codes)
+  }
+
+  /** Search the persisted IVF-PQ index: probe selection from the
+    * nLists-row centroids table (as [[ivfSearchIndexed]]), then ADC
+    * over ONLY the probed partitions of the `pq` CODE table — a scan
+    * of ~16 B/vector with a static list_id partition filter, never
+    * touching embeddings — then an exact-cosine rerank that reads the
+    * `lists` partitions pruned to the same probes and semi-joined to
+    * the shortlist. The per-query driver work (centroid ranking,
+    * query-code table) is bounded by nLists + m·kPq. */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nProbe: Int, queryId: Long, k: Int,
+      shortlist: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cb = readPqCodebook(spark, indexPath)
+    val lists = readIvfLists(spark, indexPath)
+    val q = lists.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probes = readIvfCentroids(spark, indexPath)
+      .crossJoin(broadcast(q))
+      .withColumn("c_sim", Vectors.cosine(col("c_emb"), col("q_emb")))
+      .orderBy(col("c_sim").desc, col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id"))
+      .collect().map(_.getAs[Number]("list_id").longValue())
+    def pruneVals(df: DataFrame): Seq[Any] =
+      if (df.schema("list_id").dataType == org.apache.spark.sql.types.IntegerType)
+        probes.toSeq.map(p => Int.box(p.toInt))
+      else probes.toSeq.map(Long.box)
+    // the query's unit-int8 codes via the SAME column arithmetic (a
+    // one-row job — bit-identical to the codes the table was built
+    // with, no hand-rolled driver reimplementation to drift)
+    val qq8 = Quantization.withUnitInt8(
+        lists.filter(col("vec_id") === queryId).select(col("embedding")))
+      .select(col("q8u")).head().getSeq[Int](0).toIndexedSeq
+    val table: Seq[Seq[Long]] = IndexedSeq.tabulate(cb.m) { j =>
+      cb.codes(j).map { cw =>
+        var s = 0L
+        var i = 0
+        while (i < cb.subDim) {
+          val dv = (qq8(j * cb.subDim + i) - cw(i)).toLong
+          s += dv * dv
+          i += 1
+        }
+        s
+      }
+    }
+    val dist = (0 until cb.m).map(j =>
+      element_at(typedLit(table(j).toSeq),
+        element_at(col("pq"), j + 1) + lit(1))).reduce(_ + _)
+    val codesTable = VersionedIndex.readTable(spark, indexPath, "pq")
+    val cand = codesTable
+      .filter(col("list_id").isin(pruneVals(codesTable): _*) &&
+        col("vec_id") =!= queryId)
+      .withColumn("adc_dist", dist)
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    lists
+      .filter(col("list_id").isin(pruneVals(lists): _*))
+      .join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

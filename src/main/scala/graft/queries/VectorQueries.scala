@@ -693,7 +693,25 @@ object VectorQueries {
     Similarity.ivfPqTopK(emb, 16, 4, Quantization.pqCodebook(emb), 0L, 10, 100)
   }
 
+  // PERSISTED IVF-PQ: q134's composition served from the on-disk
+  // index — codebook + per-vector codes are member tables of the
+  // VersionedIndex layout, the ADC stage scans 16-byte codes from the
+  // probed list partitions only (LayoutSpec pins the plan), and the
+  // result must be IDENTICAL to the ad-hoc composition, so the oracle
+  // is q134's four-stage replay, unchanged (the q55-vs-q37 move).
+  val q135 = QueryDef("q135_ivf_pq_indexed", (s, d) => {
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivfpq-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), 16, tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    Similarity.ivfPqSearchIndexed(s, idx, 4, 0L, 10, 100)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }, q134.oracle)
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134)
+    q134, q135)
 }
