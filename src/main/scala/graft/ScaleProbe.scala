@@ -46,6 +46,8 @@ object ScaleProbe {
     "q42_bucketed_ann",
     "q55_ivf_full_probe",
     "q57_embedding_neardup",
+    "q132_pq_adc_ann",
+    "q135_ivf_pq_indexed",
     "q64_dup_clusters",
     "q82_neardup_removal",
     "q96_knn_graph_bucketed",
