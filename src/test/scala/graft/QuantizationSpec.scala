@@ -61,6 +61,33 @@ class QuantizationSpec extends SparkSuite {
       "squared-L2 ADC distances must be ≥ 0")
   }
 
+  test("PQ encode: hand-computed codes on a 4-dim toy corpus; ties take the lowest codeword") {
+    // 2 subspaces × 2 dims; unit-int8 first: v/‖v‖·127, half-up floor.
+    // vec 0 = (1,0,0,1)/√2 → q8u (90,0,0,90); vec 1 = (0,1,1,0)/√2 →
+    // (0,90,90,0). Codebook from stride sample (n=2, kPq=2 → stride 1,
+    // both vectors are codewords): cb(j) = [sub_j(v0), sub_j(v1)].
+    val toy = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(0f, 1f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val cb = Quantization.pqCodebook(toy, m = 2, kPq = 2)
+    assert(cb.m == 2 && cb.subDim == 2)
+    assert(cb.codes(0) == Seq(Seq(90, 0), Seq(0, 90)), s"got ${cb.codes(0)}")
+    assert(cb.codes(1) == Seq(Seq(0, 90), Seq(90, 0)), s"got ${cb.codes(1)}")
+    // each vector must encode to its own codeword in both subspaces
+    val codes = Quantization.withPqCodes(toy, cb)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1), s"got $codes")
+    // tie-break: a vector equidistant from both codewords of a
+    // subspace takes the LOWEST codeword index (exact-integer ties)
+    val mid = Seq((2L, Seq(1f, 1f, 1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val midCodes = Quantization.withPqCodes(mid, cb)
+      .select(col("pq")).head().getSeq[Int](0).toSeq
+    // (1,1,1,1)/2 → q8u (64,64,64,64); d² to (90,0)=26²+64², to
+    // (0,90)=64²+26² — equal in both subspaces → code 0 twice
+    assert(midCodes == Seq(0, 0), s"tie must take codeword 0: $midCodes")
+  }
+
   test("PQ two-stage (ADC shortlist 100 → exact rerank 10) equals the exact scan") {
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
