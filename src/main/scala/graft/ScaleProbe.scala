@@ -71,11 +71,13 @@ object ScaleProbe {
   /** Replicate documents+embeddings+events ×factor into `outDir`
     * (each table skipped if already present). */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int,
+      tables: Set[String] = Set("documents", "embeddings", "events")): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def missing(name: String): Boolean =
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name"))
+      tables.contains(name.stripSuffix(".parquet")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name"))
 
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
@@ -133,6 +135,60 @@ object ScaleProbe {
     }
   }
 
+  /** Streaming-mutation tier: PER-TRIGGER wall time of the actual
+    * [[graft.streaming.Pipelines.vectorIngestSink]] /
+    * [[graft.streaming.Pipelines.vectorDeleteSink]] streaming queries
+    * (MemoryStream source, ProcessingTime(0) trigger) against a
+    * persisted IVF index built over `dir`'s embeddings — measured at
+    * the source SF and the ×factor SF with the SAME 50-vector batch
+    * size. This turns the LayoutSpec file-snapshot argument (O(batch)
+    * vec_map discovery, O(touched) rewrite) into measured seconds:
+    * with nLists scaled with the corpus (the q120 `nBuckets ≈
+    * size/rewrite_unit` sizing rule, keeping per-list bytes — the
+    * rewrite unit — constant), per-trigger cost is bounded by
+    * batch × rewrite_unit and must stay ~flat as the index grows 10×.
+    * Returns (ingest, delete) min-of-runs seconds per trigger. */
+  def mutationTier(spark: SparkSession, dir: String, nLists: Int,
+      runs: Int): (Double, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mutprobe").toString
+    val idx = s"$root/index"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Similarity.buildIvfIndex(emb, nLists, idx)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val proto = emb.orderBy(col("vec_id")).limit(50).collect() // fixed 50-row batch
+      .map(r => (r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+        r.getAs[Int]("label")))
+    def ids(run: Int): Seq[Long] =
+      proto.indices.map(i => maxId + run * 1000L + i + 1L)
+    val ingest = MemoryStream[(Long, Seq[Float], Int)]
+    val iq = graft.streaming.Pipelines.vectorIngestSink(
+      ingest.toDF().toDF("vec_id", "embedding", "label"), idx, s"$root/ickpt",
+      nLists, trigger = Trigger.ProcessingTime(0))
+    val ingestSecs = (1 to runs).map { k =>
+      ingest.addData(ids(k).zip(proto).map { case (id, (e, l)) => (id, e, l) })
+      val t0 = System.nanoTime()
+      iq.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    iq.stop()
+    val del = MemoryStream[Long]
+    val dq = graft.streaming.Pipelines.vectorDeleteSink(
+      del.toDF().toDF("vec_id"), idx, s"$root/dckpt",
+      trigger = Trigger.ProcessingTime(0))
+    val delSecs = (1 to runs).map { k =>
+      del.addData(ids(k))
+      val t0 = System.nanoTime()
+      dq.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    dq.stop()
+    (ingestSecs.min, delSecs.min)
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
@@ -141,9 +197,13 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val workDir = args.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // `--mutation-only` limits the run to the streaming-mutation tier
+    // (the query tiers take ~30 min; the mutation tier minutes)
+    val mutationOnly = args.contains("--mutation-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -158,25 +218,37 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 
-    materialize(spark, srcDir, workDir, factor)
+    val tables =
+      if (mutationOnly) Set("embeddings")
+      else Set("documents", "embeddings", "events")
+    materialize(spark, srcDir, workDir, factor, tables)
 
     // footer/JVM warm-up at both scales, then the noop sink
     Seq(srcDir, workDir).foreach { d =>
-      spark.read.parquet(s"$d/documents.parquet").count()
-      spark.read.parquet(s"$d/embeddings.parquet").count()
-      spark.read.parquet(s"$d/events.parquet").count()
+      tables.foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
     }
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    val rows = (ProbeQueries ++ CdcProbeQueries).map { name =>
-      val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
-      val big = (1 to runs).map(_ => time(spark, name, workDir)).min
-      val ratio = big / small
-      System.err.println(f"[probe] $name%-28s $small%8.2f s -> $big%8.2f s  (${ratio}%.1f×)")
-      f""""$name":{"sf01":$small%.3f,"sf1":$big%.3f,"ratio":$ratio%.2f}"""
-    }
+    val rows =
+      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries).map { name =>
+        val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
+        val big = (1 to runs).map(_ => time(spark, name, workDir)).min
+        val ratio = big / small
+        System.err.println(f"[probe] $name%-28s $small%8.2f s -> $big%8.2f s  (${ratio}%.1f×)")
+        f""""$name":{"sf01":$small%.3f,"sf1":$big%.3f,"ratio":$ratio%.2f}"""
+      }
+    // streaming-mutation tier: nLists scales with the corpus so the
+    // rewrite unit (per-list bytes) stays constant — the sizing rule a
+    // growing deployment follows
+    val (inS, delS) = mutationTier(spark, srcDir, 64, runs)
+    val (inB, delB) = mutationTier(spark, workDir, 64 * factor, runs)
+    System.err.println(f"[probe] mutation ingest/trigger     $inS%8.2f s -> $inB%8.2f s  (${inB / inS}%.1f×)")
+    System.err.println(f"[probe] mutation delete/trigger     $delS%8.2f s -> $delB%8.2f s  (${delB / delS}%.1f×)")
+    val mutation =
+      f""""mutation":{"batch":50,"ingest":{"sf01":$inS%.3f,"sf1":$inB%.3f,"ratio":${inB / inS}%.2f},""" +
+        f""""delete":{"sf01":$delS%.3f,"sf1":$delB%.3f,"ratio":${delB / delS}%.2f}}"""
     println(s"""{"metric":"scaleprobe","factor":$factor,"runs":$runs,""" +
-      s""""queries":{${rows.mkString(",")}}}""")
+      s"""$mutation,"queries":{${rows.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Unified open/dispatch for the persisted [[VersionedIndex]]
+  * layouts — the user-facing entry point a serving layer actually
+  * calls. `Index.open(spark, path)` inspects the committed manifest
+  * (member tables + params) ONCE and returns a handle of the right
+  * kind with the right search/mutate functions bound, with any
+  * driver-side index state (the PQ codebook, nLists) preloaded — so
+  * per-query work starts at the single bounded plan job, never a
+  * re-dispatch or a codebook re-read (the `ivfPqSearchIndexed` job
+  * ladder measured in SimilaritySpec).
+  *
+  * Kinds, by manifest evidence:
+  *  - `pq` / `pq_codebook` member tables (or a `pqM` param) →
+  *    [[Index.IvfPq]] — ADC serving, batch serving, mutations, drift
+  *    stats, codebook-retraining rebuild;
+  *  - `lists` member table → [[Index.Ivf]] — exact-cosine probe
+  *    serving, mutations, drift stats, re-centering rebuild;
+  *  - `shingles`/`bands` member tables → [[Index.Lsh]] — incremental
+  *    near-dup pairs against the corpus, upsert, takedown.
+  * Opening reads only the manifest, params and (for IVF-PQ) the
+  * ≤ m·kPq codebook rows — never index data.
+  */
+object Index {
+
+  sealed trait Opened {
+    def path: String
+    def kind: String
+  }
+
+  /** Persisted IVF-PQ index handle: the codebook is read once at open
+    * and every search reuses it (1 driver job per single query, one
+    * plan for a whole query batch). */
+  final class IvfPq private[Index] (spark: SparkSession, val path: String,
+      val codebook: Quantization.PqCodebook, val nLists: Int) extends Opened {
+    val kind = "ivf-pq"
+    def search(queryId: Long, k: Int, nProbe: Int = 4,
+        shortlist: Int = 100): DataFrame =
+      Similarity.ivfPqSearchIndexed(spark, path, nProbe, queryId, k,
+        shortlist, Some(codebook))
+    def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4,
+        shortlist: Int = 100): DataFrame =
+      Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, queries, k,
+        shortlist, Some(codebook))
+    def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
+    def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
+    def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
+      Similarity.ivfIndexStats(spark, path, skewThreshold)
+    /** Re-centers lists AND retrains the codebook (the drift policy). */
+    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path, nLists)
+  }
+
+  /** Persisted plain-IVF index handle (exact cosine within probed
+    * lists). */
+  final class Ivf private[Index] (spark: SparkSession, val path: String,
+      val nLists: Int) extends Opened {
+    val kind = "ivf"
+    def search(queryId: Long, k: Int, nProbe: Int = 4): DataFrame =
+      Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k)
+    def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
+    def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
+    def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
+      Similarity.ivfIndexStats(spark, path, skewThreshold)
+    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path, nLists)
+  }
+
+  /** Persisted text-LSH near-dup index handle. Banding/shingling
+    * parameters come from the index's own params — callers never
+    * re-supply (or mis-supply) them. */
+  final class Lsh private[Index] (spark: SparkSession, val path: String,
+      n: Int, numHashes: Int, bands: Int) extends Opened {
+    val kind = "lsh"
+    /** Verified near-dup pairs of `newDocs` vs the indexed corpus +
+      * within the batch — O(batch) per round. */
+    def pairs(newDocs: DataFrame, id: Column, text: Column,
+        threshold: Double = 0.8): DataFrame =
+      Dedup.incrementalLshPairsIndexed(newDocs, id, text, path,
+        n, numHashes, bands, threshold)
+    def upsert(newDocs: DataFrame, id: Column, text: Column): Unit =
+      Dedup.upsertLshIndex(newDocs, id, text, path, n, numHashes, bands)
+    def delete(ids: DataFrame): Unit = Dedup.deleteFromLshIndex(ids, path)
+  }
+
+  /** Open whatever index lives at `path`; throws with a layout dump if
+    * nothing recognizable is committed there. */
+  def open(spark: SparkSession, path: String): Opened = {
+    val cur = VersionedIndex.currentDir(spark, path).getOrElse(
+      sys.error(s"no committed index at $path"))
+    val mf = VersionedIndex.manifest(spark, path)
+    val params = VersionedIndex.readParams(spark, cur)
+    if (mf.contains("pq") || mf.contains("pq_codebook") || params.contains("pqM"))
+      new IvfPq(spark, path, Similarity.readPqCodebook(spark, path),
+        params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
+    else if (mf.contains("lists"))
+      new Ivf(spark, path,
+        params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
+    else if (mf.contains("shingles") || mf.contains("bands"))
+      new Lsh(spark, path, params("n").toInt, params("numHashes").toInt,
+        params("bands").toInt)
+    else sys.error(s"unrecognized index layout at $path: " +
+      s"tables=${mf.keys.toSeq.sorted.mkString(",")}")
+  }
+}

@@ -131,43 +131,89 @@ object Quantization {
       .drop("_nrm")
 
   /** Product-quantization codebook over the INT8 CODE SPACE: each q8
-    * vector splits into `m` subvectors; each subspace's codewords are
-    * a deterministic stride sample of the corpus (the ivfSeeds
-    * contract — a Lloyd-refined per-subspace codebook slots into the
-    * same shape, exactly as k-means re-centering does for IVF seeds).
-    * Working in q8 keeps every downstream distance a BIGINT
-    * squared-L2 — the q86 integer-exactness property applied to PQ,
-    * so codes, ADC tables and rankings are bit-identical in any
-    * engine.
+    * vector splits into `m` subvectors; each subspace's `kPq`
+    * codewords start from a deterministic hash-ordered sample of the
+    * corpus and are refined by `trainRounds` per-subspace Lloyd
+    * passes (Jégou et al.'s standard PQ construction, done with the
+    * q86 integer-exact k-means arithmetic). Working in q8 keeps every
+    * step — sampling order, argmin assignment, floor-mean update,
+    * ADC — a pure integer/IEEE-exact function of the input, so codes,
+    * ADC tables and rankings are bit-identical in any engine and the
+    * DuckDB oracle replays the training rounds themselves.
+    *
+    * Init sample: the `kPq` lowest rows by (saltedHash("pqcb",
+    * vec_id), vec_id) — layout-independent (no dense-id assumption;
+    * a post-takedown corpus with holes still yields exactly
+    * min(kPq, n) codewords) and scale-safe (TakeOrderedAndProject,
+    * never a global sort). Codeword index = 0-based rank of the
+    * sampled vec_ids.
     *
     * Memory at 100 TB: a 64-dim float32 vector (256 B) becomes m=16
     * one-byte codes (16 B) — 16× smaller than raw floats vs ~3.7× for
     * flat int8 — and the ADC scan reads ONLY the code column. The
     * codebook is m·kPq·subDim ints, a driver-side literal (≤ kPq
-    * collected rows, loud cap below; no broadcast, no join).
+    * collected rows at init, ≤ m·kPq update rows per round, loud caps
+    * below; no broadcast, no join). Each training round is ONE job:
+    * a codegen'd assignment scan plus a map-side-combined
+    * (j,t,pos)-sum shuffle bounded by m·kPq·subDim·partitions rows —
+    * corpus size never appears in the shuffle.
     *
-    * Accuracy/size knob (measured, sf0.001, query 0, exact top-10):
-    * m=8 (8-dim subspaces, 16 sampled codewords) under-covers —
-    * two-stage recall 5/10 at any shortlist; m=16 recovers 10/10 with
-    * a 10×k shortlist (the shipped default); m=32 gives 9/10 at 5×k
-    * for 2× the code bytes. A Lloyd-trained codebook (kmeansInt8 per
-    * subspace) would shift each point up — the sampled codebook keeps
-    * the whole pipeline oracle-replayable at q86-style exactness. */
-  def pqCodebook(emb: DataFrame, m: Int = 16, kPq: Int = 16): PqCodebook = {
-    val n = emb.count()
-    val stride = math.max(1L, n / kPq)
+    * Accuracy/size knob (measured over queries {0,7,42} × sf0.001/
+    * sf0.01, exact top-10; full ladder in SCALE.md): m=16 SAMPLED
+    * (trainRounds=0) averages 7.0/10 recall at a 5×k shortlist and
+    * 8.8/10 at 10×k; m=16 TRAINED (trainRounds=2, the shipped
+    * default) averages 8.7/10 at 5×k — per-cell ≥ the sampled
+    * codebook in all six (query, sf) cells — and 9.5/10 at 10×k. The
+    * training makes a 5×k shortlist as good as the sampled 10×k one,
+    * halving the exact re-rank set; a third round adds ≤ 0.2.
+    * `trainRounds = 0` reproduces the round-9 sampled behavior
+    * (modulo the layout-independent init sample). */
+  def pqCodebook(emb: DataFrame, m: Int = 16, kPq: Int = 16,
+      trainRounds: Int = 2): PqCodebook = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val samples = withUnitInt8(emb)
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * kPq)
-      .orderBy(col("vec_id"))
-      .select(col("q8u")).collect()
-      .map(_.getSeq[Int](0).toIndexedSeq).toIndexedSeq
+      .orderBy(Curation.saltedHash(col("vec_id"), "pqcb"), col("vec_id"))
+      .limit(kPq)
+      .select(col("vec_id"), col("q8u")).collect() // ≤ kPq rows, loud cap
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Int](1).toIndexedSeq).toIndexedSeq
     require(samples.nonEmpty, "empty corpus: no PQ codewords")
     require(samples.length <= kPq, s"${samples.length} samples > kPq=$kPq")
     val d = samples.head.length
     require(d % m == 0, s"dim $d does not split into $m subspaces")
     val sub = d / m
-    PqCodebook(m, sub,
+    var cb = PqCodebook(m, sub,
       IndexedSeq.tabulate(m)(j => samples.map(_.slice(j * sub, (j + 1) * sub))))
+    for (_ <- 1 to trainRounds) cb = refineCodebook(emb, cb)
+    cb
+  }
+
+  /** One per-subspace Lloyd round: assign every (vector, subspace) to
+    * its argmin codeword (the exact [[withPqCodes]] arithmetic —
+    * training and encoding share one assignment kernel, so the final
+    * codes are by construction consistent with the trained geometry),
+    * then move each codeword to the per-dimension floor-mean of its
+    * members — exact ints into an IEEE double divide, the kmeansInt8
+    * update rule. A (j, t) cell left empty by the assignment keeps
+    * its previous codeword (codeword INDICES must stay stable:
+    * persisted `pq` code tables address the codebook positionally). */
+  private def refineCodebook(emb: DataFrame, cb: PqCodebook): PqCodebook = {
+    val upd = withPqCodes(emb, cb)
+      .select(posexplode(col("pq")).as(Seq("j", "t")), col("q8u"))
+      .select(col("j"), col("t"),
+        posexplode(slice(col("q8u"), col("j") * cb.subDim + lit(1),
+          lit(cb.subDim))).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("t"), col("pos"))
+      .agg(floor(sum(col("x")) / count(lit(1))).cast("int").as("ci"))
+      .groupBy(col("j"), col("t"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+        s => s.getField("ci")).as("cw"))
+      .collect() // ≤ m·kPq rows, loud cap
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Int](2).toIndexedSeq)
+      .toMap
+    PqCodebook(cb.m, cb.subDim, IndexedSeq.tabulate(cb.m)(j =>
+      cb.codes(j).indices.map(t =>
+        upd.getOrElse((j, t), cb.codes(j)(t))).toIndexedSeq))
   }
 
   /** Adds `pq` (array<int>, length m): each vector's argmin codeword
@@ -209,7 +255,17 @@ object Quantization {
     val coded = withPqCodes(emb, cb)
     val qq8 = coded.filter(col("vec_id") === queryId)
       .select(col("q8u")).head().getSeq[Int](0).toIndexedSeq
-    val table: Seq[Seq[Long]] = IndexedSeq.tabulate(cb.m) { j =>
+    coded.filter(col("vec_id") =!= queryId)
+      .withColumn("adc_dist", adcDist(cb, qq8))
+      .select(col("vec_id"), col("label"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The query's m × kPq integer ADC distance table, computed on the
+    * driver from its unit-int8 codes (bounded — m·kPq longs). */
+  def adcTable(cb: PqCodebook, qq8: IndexedSeq[Int]): Seq[Seq[Long]] =
+    IndexedSeq.tabulate(cb.m) { j =>
       cb.codes(j).map { cw =>
         var s = 0L
         var i = 0
@@ -221,16 +277,48 @@ object Quantization {
         s
       }
     }
-    // statically-unrolled lookup sum (no HOF fold): m element_at
-    // probes of per-subspace literal rows, added as one codegen'd tree
+
+  /** ADC distance of the `pq` column vs the query table — a
+    * statically-unrolled lookup sum (no HOF fold): m element_at probes
+    * of per-subspace literal rows, added as one codegen'd tree. A code
+    * outside [0, kEff) — possible only from a CORRUPT persisted code
+    * row — RAISES instead of the non-ANSI element_at NULL (NULLs sort
+    * first under `adc_dist asc` and would silently dominate the
+    * shortlist; a damaged code table must fail the query loudly). */
+  def adcDist(cb: PqCodebook, qq8: IndexedSeq[Int]): Column = {
+    val table = adcTable(cb, qq8)
+    val kEff = cb.codes.head.length
     val dist = (0 until cb.m).map(j =>
       element_at(typedLit(table(j)),
         element_at(col("pq"), j + 1) + lit(1))).reduce(_ + _)
-    coded.filter(col("vec_id") =!= queryId)
-      .withColumn("adc_dist", dist)
-      .select(col("vec_id"), col("label"), col("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("vec_id"))
-      .limit(k)
+    when(forall(col("pq"), c => c >= lit(0) && c < lit(kEff)), dist)
+      .otherwise(raise_error(concat(
+        lit(s"corrupt pq code (outside [0,$kEff)) at vec_id="),
+        col("vec_id").cast("string"))))
+  }
+
+  /** ADC distance of the `pq` column vs a PER-ROW query code column
+    * `q8u` — the batched-serving form of [[adcDist]]: with many
+    * queries in flight there is no single driver-side distance table,
+    * so each of the m subspace terms is one fused `graft_sqdist` of
+    * the query's subvector against the candidate's codeword, looked
+    * up positionally in the LITERAL codebook (m element_at probes of
+    * array-of-array literals; no join, no shuffle — the codebook
+    * ships in the plan exactly as in the single-query path). Same
+    * BIGINT value as adcDist for the same (query, candidate), and the
+    * same loud corrupt-code guard. */
+  def adcDistVsQuery(cb: PqCodebook, q8u: Column): Column = {
+    val kEff = cb.codes.head.length
+    val dist = (0 until cb.m).map { j =>
+      graft.plans.GraftFunctions.sqdist(
+        slice(q8u, j * cb.subDim + 1, cb.subDim),
+        element_at(typedLit(cb.codes(j).map(_.toSeq)),
+          element_at(col("pq"), j + 1) + lit(1)))
+    }.reduce(_ + _)
+    when(forall(col("pq"), c => c >= lit(0) && c < lit(kEff)), dist)
+      .otherwise(raise_error(concat(
+        lit(s"corrupt pq code (outside [0,$kEff)) at vec_id="),
+        col("vec_id").cast("string"))))
   }
 
   /** PQ two-stage retrieval: ADC shortlist → exact float-cosine

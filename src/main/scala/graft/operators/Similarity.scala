@@ -693,6 +693,37 @@ object Similarity {
     IvfStats(sizes, max, med, skew, skew >= skewThreshold)
   }
 
+  /** Re-center the persisted index from its CURRENT rows — the
+    * documented O(index) answer to `needsRebuild`, amortized across
+    * the many O(batch) mutations between rebuilds. Layout-aware: a
+    * plain IVF index rebuilds with [[buildIvfIndex]]; an IVF-PQ index
+    * rebuilds with [[buildIvfPqIndex]], which RETRAINS the PQ
+    * codebook from the current corpus (same m; kPq from the persisted
+    * `pqK` param, falling back to the current codebook's size for
+    * pre-round-10 indexes). The codebook is pinned at build time
+    * exactly like the centroid geometry, so the drift policy must
+    * refresh both: after heavy upsert drift the old codewords
+    * describe a corpus that no longer exists and ADC quality degrades
+    * silently. Deterministic end to end (hash-ordered sampling,
+    * integer Lloyd training, seeded assignment): the rebuilt index
+    * answers queries identically to a fresh build over the same rows
+    * (LayoutSpec pins ADC parity). */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nLists: Int): Unit = {
+    val rows = readIvfIndexRows(spark, path)
+    val params = VersionedIndex.currentDir(spark, path)
+      .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
+    val buckets = params.get("vecMapBuckets").map(_.toInt)
+      .getOrElse(DefaultVecMapBuckets)
+    if (params.contains("pqM")) {
+      val cb = readPqCodebook(spark, path)
+      val kPq = params.get("pqK").map(_.toInt)
+        .getOrElse(cb.codes.head.length)
+      buildIvfPqIndex(rows, nLists, path, pqM = cb.m, pqK = kPq,
+        vecMapBuckets = buckets)
+    } else buildIvfIndex(rows, nLists, path, vecMapBuckets = buckets)
+  }
+
   /** Search the persisted index. Centroid ranking (the rows where
     * vec_id == list_id — centroids need no side table) picks `nProbe`
     * lists; the probe set is collected as nProbe integers (a bounded
@@ -776,7 +807,8 @@ object Similarity {
           col("centroid_id").cast("long").as("list_id"), col("c_emb")),
         "pq_codebook" -> codebookDf(spark, cb)),
       Map("nLists" -> nLists.toString,
-        "vecMapBuckets" -> vecMapBuckets.toString) ++ pqParams(cb),
+        "vecMapBuckets" -> vecMapBuckets.toString,
+        "pqK" -> pqK.toString) ++ pqParams(cb),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
         "pq" -> Seq("list_id")),
       derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),
@@ -808,52 +840,46 @@ object Similarity {
     * touching embeddings — then an exact-cosine rerank that reads the
     * `lists` partitions pruned to the same probes and semi-joined to
     * the shortlist. The per-query driver work (centroid ranking,
-    * query-code table) is bounded by nLists + m·kPq. */
+    * query-code table) is bounded by nLists + m·kPq, and is ONE job:
+    * the query's unit-int8 codes ride the probe-selection plan (the
+    * same column arithmetic the code table was built with — no
+    * hand-rolled driver reimplementation to drift), so a query costs
+    * two driver round-trips — codebook read + plan job — or one when
+    * the caller passes a preloaded `codebook` (the `Index.open`
+    * serving shape). */
   def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nProbe: Int, queryId: Long, k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int,
+      codebook: Option[Quantization.PqCodebook] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val cb = readPqCodebook(spark, indexPath)
+    val cb = codebook.getOrElse(readPqCodebook(spark, indexPath))
     val lists = readIvfLists(spark, indexPath)
     val q = lists.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val probes = readIvfCentroids(spark, indexPath)
-      .crossJoin(broadcast(q))
+    // ONE bounded plan job: centroid ranking picks the nProbe lists
+    // AND carries the query's q8u codes on every ranked row (the
+    // cross join is 1 × nLists)
+    val planRows = readIvfCentroids(spark, indexPath)
+      .crossJoin(broadcast(Quantization.withUnitInt8(
+          lists.filter(col("vec_id") === queryId).select(col("embedding")))
+        .select(col("embedding").as("q_emb"), col("q8u"))))
       .withColumn("c_sim", Vectors.cosine(col("c_emb"), col("q_emb")))
       .orderBy(col("c_sim").desc, col("list_id"))
       .limit(nProbe)
-      .select(col("list_id"))
-      .collect().map(_.getAs[Number]("list_id").longValue())
+      .select(col("list_id"), col("q8u"))
+      .collect() // ≤ nProbe rows, loud cap
+    require(planRows.nonEmpty, s"query $queryId not found in index $indexPath")
+    val probes = planRows.map(_.getAs[Number]("list_id").longValue())
+    val qq8 = planRows.head.getSeq[Int](1).toIndexedSeq
     def pruneVals(df: DataFrame): Seq[Any] =
       if (df.schema("list_id").dataType == org.apache.spark.sql.types.IntegerType)
         probes.toSeq.map(p => Int.box(p.toInt))
       else probes.toSeq.map(Long.box)
-    // the query's unit-int8 codes via the SAME column arithmetic (a
-    // one-row job — bit-identical to the codes the table was built
-    // with, no hand-rolled driver reimplementation to drift)
-    val qq8 = Quantization.withUnitInt8(
-        lists.filter(col("vec_id") === queryId).select(col("embedding")))
-      .select(col("q8u")).head().getSeq[Int](0).toIndexedSeq
-    val table: Seq[Seq[Long]] = IndexedSeq.tabulate(cb.m) { j =>
-      cb.codes(j).map { cw =>
-        var s = 0L
-        var i = 0
-        while (i < cb.subDim) {
-          val dv = (qq8(j * cb.subDim + i) - cw(i)).toLong
-          s += dv * dv
-          i += 1
-        }
-        s
-      }
-    }
-    val dist = (0 until cb.m).map(j =>
-      element_at(typedLit(table(j).toSeq),
-        element_at(col("pq"), j + 1) + lit(1))).reduce(_ + _)
     val codesTable = VersionedIndex.readTable(spark, indexPath, "pq")
     val cand = codesTable
       .filter(col("list_id").isin(pruneVals(codesTable): _*) &&
         col("vec_id") =!= queryId)
-      .withColumn("adc_dist", dist)
+      .withColumn("adc_dist", Quantization.adcDist(cb, qq8))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(shortlist)
       .select(col("vec_id"))
@@ -865,6 +891,84 @@ object Similarity {
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** BATCHED IVF-PQ serving: the whole query SET runs as one
+    * declarative plan — no per-query driver round-trips at all (the
+    * single-query API costs 1-2 collects per query; an evaluation or
+    * serving batch of thousands of queries would pay thousands).
+    *
+    * `queries` is (query_id: long, embedding); each query's result
+    * rows equal [[ivfPqSearchIndexed]] for that id (self-matches
+    * excluded). Output: (query_id, vec_id, label, sim).
+    *
+    * Stages, all set-at-a-time (the knnGraph shape):
+    *  1. probe selection — the nLists-row centroid table BROADCAST
+    *     against all queries; per-query top-nProbe via a row_number
+    *     window whose groups are nLists rows (bounded, never a global
+    *     sort), on narrow (query_id, list_id, c_sim) rows;
+    *  2. ADC — the code table joined to the broadcast probe set on
+    *     `list_id` (the partition column, so dynamic partition
+    *     pruning limits the scan to probed partitions) and to the
+    *     broadcast query codes; distances via [[Quantization
+    *     .adcDistVsQuery]] (literal codebook, fused integer kernels);
+    *  3. per-query shortlist — heap-based TopKPerGroupExec on the
+    *     packed key −(adc_dist·2³³ + vec_id): exact (adc_dist <
+    *     2²³ for int8 codes, vec_id < 2³³ — the knnGraph id bound)
+    *     and equivalent to (adc_dist asc, vec_id asc);
+    *  4. exact re-rank — `lists` joined to the broadcast shortlist on
+    *     (vec_id, list_id) (DPP again), cosine against the broadcast
+    *     query embeddings, per-query top-k on round(sim·1e6)·2³³ −
+    *     vec_id (ties on the ROUNDED sim resolve to the lowest
+    *     vec_id, exactly the single-query ordering).
+    * Broadcast sizes: nLists centroids, |queries| codes/embeddings,
+    * |queries|·shortlist shortlist rows — serving-batch-bounded,
+    * independent of corpus size. Cost per ADDITIONAL query is the
+    * marginal rows it adds to stages 2-4, not a new plan + 2 jobs —
+    * measured sub-linear vs the per-query loop (SCALE.md). */
+  def ivfPqSearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nProbe: Int, queries: DataFrame, k: Int,
+      shortlist: Int,
+      codebook: Option[Quantization.PqCodebook] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cb = codebook.getOrElse(readPqCodebook(spark, indexPath))
+    val lists = readIvfLists(spark, indexPath)
+    val qs = Quantization.withUnitInt8(
+        queries.select(col("query_id"), col("embedding")))
+      .select(col("query_id"), col("embedding").as("q_emb"), col("q8u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("list_id"))
+    val probes = qs.select(col("query_id"), col("q_emb"))
+      .crossJoin(broadcast(readIvfCentroids(spark, indexPath)))
+      .select(col("query_id"), col("list_id").cast("long").as("list_id"),
+        Vectors.cosine(col("c_emb"), col("q_emb")).as("c_sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("list_id"))
+    val codesTable = VersionedIndex.readTable(spark, indexPath, "pq")
+      .select(col("vec_id"), col("pq"), col("list_id").cast("long").as("list_id"))
+    val cand = codesTable
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs.select(col("query_id"), col("q8u"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        (-(Quantization.adcDistVsQuery(cb, col("q8u")) * lit(1L << 33)) -
+          col("vec_id")).as("_ord"))
+    val sl = graft.plans.GraftOps.topKPerGroup(
+        cand, Seq("query_id"), "_ord", shortlist)
+      .select(col("query_id"), col("vec_id"), col("list_id"))
+    val reranked = lists
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+      .join(broadcast(sl), Seq("vec_id", "list_id"))
+      .join(broadcast(qs.select(col("query_id"), col("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("_ord",
+        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id"))
+    graft.plans.GraftOps.topKPerGroup(reranked, Seq("query_id"), "_ord", k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
   }
 
   /** IVF-PQ: the full ANN serving composition — the coarse quantizer

@@ -18,19 +18,19 @@ object CurationQueries {
 
   /** RollingHash64 as an unsigned HUGEINT fold (the q49 recipe);
     * `expr` must be a parenthesizable ASCII varchar expression. */
-  private def uSql(expr: String): String =
+  private[queries] def uSql(expr: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(0 AS HUGEINT),
        |    list_transform(range(1, length($expr)+1), i -> CAST(ascii(($expr)[i]) AS HUGEINT))),
        |  (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
   /** Map the unsigned fold back to Spark's signed two's-complement. */
-  private def signedSql(u: String): String =
+  private[queries] def signedSql(u: String): String =
     s"""CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
        |  THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)""".stripMargin
 
   /** Spark's pmod over the signed hash. */
-  private def pmodSql(h: String, m: Int): String = s"((($h) % $m) + $m) % $m"
+  private[queries] def pmodSql(h: String, m: Int): String = s"((($h) % $m) + $m) % $m"
 
   // Deterministic train/val/test split — membership is a pure function
   // of the key (stable under corpus growth, joinable downstream).

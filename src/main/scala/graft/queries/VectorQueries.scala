@@ -391,36 +391,70 @@ object VectorQueries {
 
   /** Shared DuckDB CTEs for product quantization over the unit-int8
     * code space (identical arithmetic to Quantization.pqCodebook /
-    * withPqCodes): stride-sampled per-subspace codewords, integer
-    * squared-L2 argmin codes, and the query's ADC distance table —
-    * every value a BIGINT, the q86 integer-exactness property. m=16
-    * subspaces of 4 dims; kPq=16 codewords; query = corpus vector 0. */
-  private val pqCtes =
-    """p AS (SELECT greatest(1, count(*) // 16) AS stride FROM qu),
-      |cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, q8
-      |  FROM qu, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 16),
-      |sp AS (SELECT j FROM range(0, 16) r(j)),
-      |dv AS (SELECT v.vec_id, s.j, c.t,
-      |    CAST(list_sum(list_transform(range(1, 5), i ->
-      |      CAST(v.q8[s.j*4+i] - c.q8[s.j*4+i] AS BIGINT)
-      |        * (v.q8[s.j*4+i] - c.q8[s.j*4+i]))) AS BIGINT) AS d2
-      |  FROM qu v CROSS JOIN sp s CROSS JOIN cbs c),
-      |codes AS (SELECT vec_id, j, t FROM (
-      |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, t) AS rn
-      |  FROM dv) z WHERE rn = 1),
-      |qt AS (SELECT s.j, c.t,
-      |    CAST(list_sum(list_transform(range(1, 5), i ->
-      |      CAST(tq.q8[s.j*4+i] - c.q8[s.j*4+i] AS BIGINT)
-      |        * (tq.q8[s.j*4+i] - c.q8[s.j*4+i]))) AS BIGINT) AS d2
-      |  FROM (SELECT q8 FROM qu WHERE vec_id = 0) tq CROSS JOIN sp s CROSS JOIN cbs c),
-      |adc AS (SELECT cv.vec_id, CAST(sum(qt.d2) AS BIGINT) AS adc_dist
-      |  FROM codes cv JOIN qt ON qt.j = cv.j AND qt.t = cv.t
-      |  WHERE cv.vec_id <> 0 GROUP BY cv.vec_id)""".stripMargin
+    * withPqCodes): hash-ordered init sample, `TrainRounds` integer
+    * Lloyd refinement rounds REPLAYED IN SQL (argmin assignment with
+    * ties to the lowest codeword, per-dimension floor-mean updates,
+    * empty cells keep their previous codeword — the q86 move applied
+    * per subspace), then the final argmin codes and the query's ADC
+    * distance table — every distance a BIGINT, every mean an exact
+    * ints-into-IEEE-double floor. m=16 subspaces of 4 dims; kPq=16
+    * codewords; query = corpus vector 0. Produces CTEs `codes`
+    * (vec_id, j, t) and `adc` (vec_id, adc_dist). */
+  /** Integer squared-L2 of subspace j between row alias `v` (full q8)
+    * and codebook alias `c` (j, t, cw). */
+  private val pqDistSql: String =
+    """CAST(list_sum(list_transform(range(1, 5), i ->
+      |      CAST(v.q8[c.j*4+i] - c.cw[i] AS BIGINT)
+      |        * (v.q8[c.j*4+i] - c.cw[i]))) AS BIGINT)""".stripMargin
+
+  private def pqAssignSql(r: Int, cbr: String): String =
+    s"""pdv$r AS (SELECT v.vec_id, c.j, c.t, $pqDistSql AS d2
+       |  FROM qu v CROSS JOIN $cbr c),
+       |pas$r AS (SELECT vec_id, j, t FROM (
+       |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, t) AS rn
+       |  FROM pdv$r) z WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateSql(r: Int, cbPrev: String): String =
+    s"""pup$r AS (SELECT j, t, list(ci ORDER BY pos) AS cw FROM (
+       |  SELECT a.j, a.t, p.pos,
+       |    CAST(floor(sum(v.q8[a.j*4+p.pos]) / CAST(count(*) AS DOUBLE)) AS INT) AS ci
+       |  FROM pas$r a JOIN qu v USING (vec_id) CROSS JOIN range(1, 5) p(pos)
+       |  GROUP BY a.j, a.t, p.pos) g GROUP BY j, t),
+       |pcb$r AS (SELECT c.j, c.t, coalesce(u.cw, c.cw) AS cw
+       |  FROM $cbPrev c LEFT JOIN pup$r u ON u.j = c.j AND u.t = c.t)""".stripMargin
+
+  private val PqTrainRounds = 2
+
+  private val pqCtes: String = {
+    val hs = CurationQueries.signedSql(
+      CurationQueries.uSql("md5('pqcb' || CAST(vec_id AS VARCHAR))"))
+    val init =
+      s"""cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, q8 FROM (
+         |  SELECT vec_id, q8 FROM (SELECT vec_id, q8, $hs AS h FROM qu) z
+         |  ORDER BY h, vec_id LIMIT 16) s),
+         |sp AS (SELECT j FROM range(0, 16) r(j)),
+         |pcb0 AS (SELECT s.j, c.t, list_transform(range(1, 5), i -> c.q8[s.j*4+i]) AS cw
+         |  FROM cbs c CROSS JOIN sp s)""".stripMargin
+    val rounds = (1 to PqTrainRounds).map(r =>
+      pqAssignSql(r, s"pcb${r - 1}") + ",\n" + pqUpdateSql(r, s"pcb${r - 1}"))
+    val fin = PqTrainRounds + 1
+    val cbF = s"pcb$PqTrainRounds"
+    val tail =
+      s"""${pqAssignSql(fin, cbF)},
+         |codes AS (SELECT vec_id, j, t FROM pas$fin),
+         |qt AS (SELECT c.j, c.t, $pqDistSql AS d2
+         |  FROM (SELECT q8 FROM qu WHERE vec_id = 0) v CROSS JOIN $cbF c),
+         |adc AS (SELECT cv.vec_id, CAST(sum(qt.d2) AS BIGINT) AS adc_dist
+         |  FROM codes cv JOIN qt ON qt.j = cv.j AND qt.t = cv.t
+         |  WHERE cv.vec_id <> 0 GROUP BY cv.vec_id)""".stripMargin
+    (init +: rounds :+ tail).mkString(",\n")
+  }
 
   // Product quantization, ADC search: per-subspace argmin codes
-  // against a stride-sampled codebook, then the query's distance
+  // against a Lloyd-trained codebook, then the query's distance
   // table folded over each vector's codes — all integer-exact, so the
-  // oracle replays codebook, encoding AND search under the hash gate.
+  // oracle replays sampling, BOTH training rounds, encoding AND
+  // search under the hash gate.
   val q132 = sql(
     "q132_pq_adc_ann",
     s"""WITH $pqQuantCte,
@@ -699,19 +733,84 @@ object VectorQueries {
   // probed list partitions only (LayoutSpec pins the plan), and the
   // result must be IDENTICAL to the ad-hoc composition, so the oracle
   // is q134's four-stage replay, unchanged (the q55-vs-q37 move).
-  val q135 = QueryDef("q135_ivf_pq_indexed", (s, d) => {
+  /** Build-once IVF-PQ index cache for q135/q136 (atomic-rename
+    * publish, q55's pattern). "2" in the name: the cache key carries
+    * the codebook construction version — a pre-trained-codebook
+    * (round-9) index must never be reused. */
+  private def ivfPqIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfpq-" + sourceFingerprint(d)).getPath
+      "graft-ivfpq2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfPqIndex(Tables.embeddings(s, d), 16, tmp.getPath)
       if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
     }
-    Similarity.ivfPqSearchIndexed(s, idx, 4, 0L, 10, 100)
+    idx
+  }
+
+  val q135 = QueryDef("q135_ivf_pq_indexed", (s, d) => {
+    Similarity.ivfPqSearchIndexed(s, ivfPqIdx(s, d), 4, 0L, 10, 100)
       .select(col("vec_id"), col("label"), col("sim"))
   }, q134.oracle)
 
+  // BATCHED IVF-PQ serving: the whole query set {0,3,7,11} as ONE
+  // declarative plan over the persisted index (no per-query driver
+  // round-trips). Oracle: q134's four-stage replay generalized per
+  // query — probe selection, ADC and re-rank all carry query_id, so
+  // the hash gate pins batch == per-query-loop row-for-row.
+  val q136 = sql(
+    "q136_ivf_pq_batch", {
+      val qids = "(0, 3, 7, 11)"
+      s"""WITH $pqQuantCte,
+         |$pqCtes,
+         |p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
+         |asg0 AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, centroid_id AS list_id FROM (
+         |  SELECT vec_id, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+         |  FROM asg0) z WHERE rn = 1),
+         |qemb AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id IN $qids),
+         |plb AS (SELECT query_id, centroid_id AS probe_list FROM (
+         |  SELECT q.query_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.c_emb", "q.qe")} DESC, c.centroid_id) AS rn
+         |  FROM cents c CROSS JOIN qemb q) z WHERE rn <= 4),
+         |memb AS (SELECT p.query_id, a.vec_id
+         |  FROM asg a JOIN plb p ON a.list_id = p.probe_list),
+         |qtb AS (SELECT v.query_id, c.j, c.t, $pqDistSql AS d2
+         |  FROM (SELECT vec_id AS query_id, q8 FROM qu WHERE vec_id IN $qids) v
+         |  CROSS JOIN pcb$PqTrainRounds c),
+         |adcb AS (SELECT m.query_id, cv.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc_dist
+         |  FROM codes cv JOIN memb m ON m.vec_id = cv.vec_id
+         |  JOIN qtb q ON q.query_id = m.query_id AND q.j = cv.j AND q.t = cv.t
+         |  WHERE cv.vec_id <> m.query_id
+         |  GROUP BY m.query_id, cv.vec_id),
+         |slb AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+         |  FROM adcb) z WHERE rn <= 100),
+         |rb AS (SELECT s.query_id, e.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e JOIN slb s ON e.vec_id = s.vec_id
+         |  JOIN qemb q ON q.query_id = s.query_id)
+         |SELECT query_id, vec_id, label, sim FROM (
+         |  SELECT query_id, vec_id, label, sim, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rb) z WHERE rn <= 10
+         |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+    }) { (s, d) =>
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfPqSearchIndexedBatch(s, ivfPqIdx(s, d), 4, queries, 10, 100)
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135)
+    q134, q135, q136)
 }

@@ -41,7 +41,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos file read under nanosAsLong
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the cast is wall-clock-preserving ONLY under a UTC session —
+        // fail loudly (like the old nanosAsLong path) instead of
+        // silently shifting every timestamp vs the oracle's naive read
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events(): TimestampNTZ→Timestamp cast requires spark.sql.session.timeZone=UTC " +
+            s"(session has '${s.conf.get("spark.sql.session.timeZone", "<unset>")}')")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other => sys.error(s"unsupported events.ts type: $other")
     }

@@ -664,11 +664,13 @@ object Pipelines {
     * probe recall decays silently. Each upsert commit maintains the
     * histogram in the index params; when `rebuildSkewThreshold` is
     * set and `Similarity.ivfIndexStats` reports max/median ≥ the
-    * threshold, the trigger re-centers with a full [[Similarity
-    * .buildIvfIndex]] over the current rows — the documented O(index)
-    * rebuild, amortized over the many O(batch) triggers between
-    * rebuilds, after which search parity and balanced probes are
-    * restored. */
+    * threshold, the trigger re-centers with [[Similarity
+    * .rebuildIvfIndex]] over the current rows — the documented
+    * O(index) rebuild, amortized over the many O(batch) triggers
+    * between rebuilds, after which search parity and balanced probes
+    * are restored. For an IVF-PQ index the rebuild also retrains the
+    * PQ codebook from the current corpus (pinned codewords drift
+    * exactly like pinned centroids). */
   def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
       nLists: Int = 16, rebuildSkewThreshold: Option[Double] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
@@ -684,9 +686,11 @@ object Pipelines {
         else {
           Similarity.upsertIvfIndex(batch, indexPath)
           rebuildSkewThreshold.foreach { thr =>
+            // layout-aware: an IVF-PQ index also RETRAINS its codebook
+            // from the current corpus (drift skews codewords exactly
+            // like it skews centroids)
             if (Similarity.ivfIndexStats(spark, indexPath, thr).needsRebuild)
-              Similarity.buildIvfIndex(
-                Similarity.readIvfIndexRows(spark, indexPath), nLists, indexPath)
+              Similarity.rebuildIvfIndex(spark, indexPath, nLists)
           }
         }
       }
@@ -701,21 +705,37 @@ object Pipelines {
     * already-absent ids commits NOTHING (no new version), so an
     * at-least-once replay of a processed batch leaves the index
     * byte-identical; and a batch arriving before the index exists is
-    * a no-op rather than an error (deletes of nothing). O(batch) per
+    * a no-op rather than an error (deletes of nothing). NOTE the
+    * ordering requirement this implies: the checkpoint still advances
+    * past such a batch, so ids deleted BEFORE the paired
+    * [[vectorIngestSink]] bootstraps the index are never re-processed
+    * — wire ingest before delete, or replay takedowns after
+    * bootstrap. Skipped pre-index batches are not silent: each one
+    * logs a WARN and bumps the `graft.vectorDeleteSink.skippedBatches`
+    * accumulator (visible in the Spark UI / status API). O(batch) per
     * trigger end to end: discovery reads only the batch ids' vec_map
     * vb partitions and the commit rewrites only touched list/vb
     * partitions, everything else carried by manifest reference. */
   def vectorDeleteSink(deletes: DataFrame, indexPath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = deletes.sparkSession
+    val skipped = spark.sparkContext
+      .longAccumulator("graft.vectorDeleteSink.skippedBatches")
     deletes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.{Similarity, VersionedIndex}
         if (VersionedIndex.currentDir(spark, indexPath).isDefined)
           Similarity.deleteFromIvfIndex(batch, indexPath)
+        else {
+          skipped.add(1L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"vectorDeleteSink: batch $batchId arrived before index " +
+              s"$indexPath exists — takedown ids in it are DROPPED " +
+              "(checkpoint advances; see the sink-ordering note)")
+        }
       }
       .start()
   }

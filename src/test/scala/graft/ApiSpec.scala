@@ -60,4 +60,58 @@ class ApiSpec extends SparkSuite {
     assert(api.dailyCounts(7).count() == 7)
     assert(api.pipelineStats.collect().head.getAs[Long]("n_types") == 5L)
   }
+
+  test("Index.open dispatches on the manifest: ivf-pq, ivf and lsh handles all serve") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Index, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("idxopen").toString
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 300)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    Similarity.buildIvfIndex(emb, 8, s"$root/ivf")
+    Similarity.buildIvfPqIndex(emb, 8, s"$root/ivfpq")
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), s"$root/lsh")
+
+    // IVF-PQ: preloaded-codebook serving, identical to the direct call
+    val pq = Index.open(spark, s"$root/ivfpq") match {
+      case h: Index.IvfPq => h
+      case other => fail(s"expected ivf-pq, got ${other.kind}")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows(pq.search(7L, 5, nProbe = 4, shortlist = 25)) ==
+      rows(Similarity.ivfPqSearchIndexed(spark, s"$root/ivfpq", 4, 7L, 5, 25)
+        .select(col("vec_id"), col("label"), col("sim"))))
+    assert(pq.searchBatch(emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding")), 5).count() == 10)
+    assert(pq.stats().listSizes.values.sum == 300)
+
+    // plain IVF: exact-cosine probe serving
+    val ivf = Index.open(spark, s"$root/ivf") match {
+      case h: Index.Ivf => h
+      case other => fail(s"expected ivf, got ${other.kind}")
+    }
+    val got = ivf.search(7L, 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(got == Similarity.ivfSearchIndexed(spark, s"$root/ivf", 8, 7L, 5)
+      .collect().map(_.getLong(0)).toSeq)
+
+    // LSH: incremental pairs with the INDEX's own banding params
+    val lsh = Index.open(spark, s"$root/lsh") match {
+      case h: Index.Lsh => h
+      case other => fail(s"expected lsh, got ${other.kind}")
+    }
+    val batch = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val viaHandle = lsh.pairs(batch, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.incrementalLshPairsIndexed(batch, col("doc_id"),
+        col("text"), s"$root/lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHandle == direct)
+
+    // mutations route through the same layout: delete shrinks the pq
+    // index by exactly the deleted row
+    pq.delete(emb.filter(col("vec_id") === 7L).select(col("vec_id")))
+    assert(pq.stats().listSizes.values.sum == 299)
+    assert(Index.open(spark, s"$root/ivfpq").kind == "ivf-pq")
+  }
 }

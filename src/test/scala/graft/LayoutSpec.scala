@@ -536,6 +536,39 @@ class LayoutSpec extends SparkSuite {
     assert(got == want, s"post-rebuild parity broken: ${got -- want} vs ${want -- got}")
   }
 
+  test("IVF-PQ rebuild retrains the codebook: upserts pin it, rebuild matches a fresh build exactly") {
+    import graft.operators.Similarity
+    val idx = Files.createTempDirectory("ivfpqdrift").toString + "/index"
+    val fresh = Files.createTempDirectory("ivfpqfresh").toString + "/index"
+    val all = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 500)
+    val base = all.filter(col("vec_id") < 300)
+    val drift = all.filter(col("vec_id") >= 300)
+    Similarity.buildIvfPqIndex(base, 8, idx)
+    val cb0 = Similarity.readPqCodebook(spark, idx)
+    // mutations code against the PINNED codebook — upsert must not move it
+    Similarity.upsertIvfIndex(drift, idx)
+    assert(Similarity.readPqCodebook(spark, idx) == cb0,
+      "upsert must not retrain the codebook")
+    // the drift policy's answer: rebuild re-centers lists AND retrains
+    // the codebook from the current corpus — the result must equal a
+    // fresh build over the same rows (deterministic end to end)
+    Similarity.rebuildIvfIndex(spark, idx, 8)
+    Similarity.buildIvfPqIndex(all, 8, fresh)
+    val cbR = Similarity.readPqCodebook(spark, idx)
+    assert(cbR == Similarity.readPqCodebook(spark, fresh),
+      "rebuilt codebook must equal a fresh build's")
+    assert(cbR != cb0,
+      "retraining over the drifted corpus must move the codewords")
+    // ADC-path parity: identical answers from rebuilt and fresh index
+    def res(p: String) = Similarity.ivfPqSearchIndexed(spark, p, 4, 7L, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(res(idx) == res(fresh), "post-rebuild ADC parity broken")
+    // pq params survive the rebuild (pqK drives future retrains)
+    val params = graft.operators.VersionedIndex.currentDir(spark, idx)
+      .map(graft.operators.VersionedIndex.readParams(spark, _)).get
+    assert(params("pqM") == "16" && params("pqK") == "16")
+  }
+
   test("LSH upsert chain: bounded version fan-out via compaction") {
     import graft.operators.{Dedup, VersionedIndex}
     import org.apache.spark.sql.functions.col

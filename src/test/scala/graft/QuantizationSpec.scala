@@ -64,8 +64,11 @@ class QuantizationSpec extends SparkSuite {
   test("PQ encode: hand-computed codes on a 4-dim toy corpus; ties take the lowest codeword") {
     // 2 subspaces × 2 dims; unit-int8 first: v/‖v‖·127, half-up floor.
     // vec 0 = (1,0,0,1)/√2 → q8u (90,0,0,90); vec 1 = (0,1,1,0)/√2 →
-    // (0,90,90,0). Codebook from stride sample (n=2, kPq=2 → stride 1,
-    // both vectors are codewords): cb(j) = [sub_j(v0), sub_j(v1)].
+    // (0,90,90,0). Codebook: the hash-ordered init takes BOTH vectors
+    // (kPq=2=n), codeword index = vec_id rank; Lloyd refinement is a
+    // fixed point here (each vector is its own codeword's only member,
+    // so every floor-mean returns the codeword) — the trained codebook
+    // equals the sample: cb(j) = [sub_j(v0), sub_j(v1)].
     val toy = Seq(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
       (1L, Seq(0f, 1f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
@@ -88,17 +91,46 @@ class QuantizationSpec extends SparkSuite {
     assert(midCodes == Seq(0, 0), s"tie must take codeword 0: $midCodes")
   }
 
-  test("PQ two-stage (ADC shortlist 100 → exact rerank 10) equals the exact scan") {
-    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
-      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
-    val staged = Quantization.pqTwoStageTopK(
-      emb, Quantization.pqCodebook(emb), 0L, 10, 100)
-      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
-    // m=16 unit-space codes + a 10×k shortlist recover the exact
-    // top-10 on the testdata (the measured knob ladder is in the
-    // pqCodebook docs); the operative guarantee — deterministic
-    // two-stage semantics — is oracle-gated in q133
-    assert(staged == exact, "10x-k PQ shortlist must recover the exact top-10")
+  test("PQ training lifts recall: trained ≥ sampled at a 5×k shortlist, every query") {
+    // The operative guarantee — deterministic two-stage semantics — is
+    // oracle-gated in q133; THIS test pins the quality claim that pays
+    // for the training: two Lloyd rounds make a 50-candidate exact
+    // re-rank at least as good as the sampled codebook's, per query
+    // (measured ladder in SCALE.md; strictly greater on all six
+    // (query, sf) cells at measurement time).
+    val sampled = Quantization.pqCodebook(emb, trainRounds = 0)
+    val trained = Quantization.pqCodebook(emb)
+    val recalls = for (q <- Seq(0L, 7L, 42L)) yield {
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      def recall(cb: Quantization.PqCodebook) =
+        (exact intersect Quantization.pqTwoStageTopK(emb, cb, q, 10, 50)
+          .select("vec_id").as[Long].collect().toSet).size
+      val (rs, rt) = (recall(sampled), recall(trained))
+      assert(rt >= rs, s"query $q: trained recall $rt < sampled $rs at 5×k")
+      rt
+    }
+    assert(recalls.sum >= 21, s"trained 5×k mean recall too low: $recalls")
+  }
+
+  test("codebook sampling is id-layout-independent: sparse/post-takedown ids still yield kPq codewords") {
+    // A corpus with holes (every 3rd id deleted, then a high-id block
+    // remapped far away) — the round-9 stride rule (vec_id % stride)
+    // under-collected or skewed here; the hash-ordered sample must
+    // return exactly kPq codewords regardless of id layout.
+    val sparse = emb.filter(col("vec_id") % 3 =!= 0)
+      .withColumn("vec_id",
+        when(col("vec_id") > 400, col("vec_id") * 1000000).otherwise(col("vec_id")))
+    val cb = Quantization.pqCodebook(sparse)
+    assert(cb.codes.forall(_.length == 16),
+      s"sparse ids must still give 16 codewords, got ${cb.codes.map(_.length).distinct}")
+    // and the codebook still serves: codes well-shaped, search returns k
+    val got = Quantization.pqAdcTopK(sparse, cb, 1L, 5).collect()
+    assert(got.length == 5)
+    // membership-only dependence: the sample is a pure function of the
+    // SET of (vec_id, embedding) rows, not of partitioning/order
+    val cb2 = Quantization.pqCodebook(sparse.repartition(7))
+    assert(cb2 == cb, "codebook must not depend on physical layout")
   }
 
   test("zero vector quantizes to zero codes with zero error") {

@@ -68,6 +68,71 @@ class SimilaritySpec extends SparkSuite {
     assert(knn0 == bf, s"knn($knn0) != brute force($bf)")
   }
 
+  test("ivfPqSearchIndexed serving cost: 1 driver job with a preloaded codebook, 2 without") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqjobs").toString + "/index"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    val cb = Similarity.readPqCodebook(spark, idx)
+    // count DRIVER ROUND-TRIPS (blocking Dataset actions) during frame
+    // construction — the serving path's per-query cost; executing the
+    // returned frame is the caller's. Scheduler jobs are the wrong
+    // metric here (AQE materializes broadcast stages as extra jobs).
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { n.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def drained(): Int = {
+      val deadline = System.currentTimeMillis + 20000
+      var last = -1
+      while (System.currentTimeMillis < deadline && n.get != last) {
+        last = n.get; Thread.sleep(250)
+      }
+      n.get
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val warm = Similarity.ivfPqSearchIndexed(spark, idx, 4, 7L, 5, 25,
+        codebook = Some(cb))
+      assert(drained() == 1,
+        s"preloaded-codebook query must cost exactly 1 plan action, saw ${n.get}")
+      n.set(0)
+      val cold = Similarity.ivfPqSearchIndexed(spark, idx, 4, 7L, 5, 25)
+      assert(drained() == 2,
+        s"codebook read + plan action = 2, saw ${n.get}")
+      // same answers either way
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ids(warm) == ids(cold))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("ivfPqSearchIndexedBatch: one plan for the whole query set, row-identical to the per-query loop") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqbatch").toString + "/index"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    val cb = Similarity.readPqCodebook(spark, idx)
+    val qids = Seq(0L, 7L, 42L, 111L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity
+      .ivfPqSearchIndexedBatch(spark, idx, 4, queries, 5, 25, Some(cb))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(_._2).sortBy(t => (-t._3, t._1)).toSeq
+      }
+    assert(batch.keySet == qids.toSet, s"missing query groups: ${batch.keySet}")
+    for (q <- qids) {
+      val single = Similarity.ivfPqSearchIndexed(spark, idx, 4, q, 5, 25, Some(cb))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} != loop $single")
+    }
+  }
+
   test("knn graph blocked: every edge stays inside its block") {
     val withLabelBlock = Similarity.knnGraph(emb.limit(100), 2, Some(col("label")))
     val labels = emb.limit(100).select(col("vec_id"), col("label"))

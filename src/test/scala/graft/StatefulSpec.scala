@@ -185,12 +185,17 @@ class StatefulSpec extends SparkSuite {
   test("transformWithState: TTL evicts an idle key; its next event restarts from zero (RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prevMaint = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.maintenanceInterval")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       val stream = MemoryStream[(String, Timestamp)]
       val df = stream.toDF().toDF("key", "ts")
@@ -199,7 +204,7 @@ class StatefulSpec extends SparkSuite {
       // NOTE: in TimeMode.ProcessingTime the engine schedules a batch
       // per trigger interval forever, so `noNewData` never latches and
       // processAllAvailable() HANGS — poll the sink with a deadline.
-      val q = Stateful.runningCountsTws(df, "key", "ts",
+      q = Stateful.runningCountsTws(df, "key", "ts",
         ttl = Some(java.time.Duration.ofSeconds(1)))
         .writeStream.outputMode("update").format("memory").queryName("twsttl")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
@@ -224,13 +229,20 @@ class StatefulSpec extends SparkSuite {
       await(rows().count(_ == ("b", 1L)) == 2,
         s"b must restart at 1 after TTL eviction, got ${rows()}")
       assert(!rows().contains(("b", 2L)), s"stale state survived TTL: ${rows()}")
-      q.stop()
     } finally {
+      // stop the 200 ms-trigger query even on a failed await, and
+      // restore EVERY conf this test touched — leaks would bleed into
+      // later suites in the same session
+      if (q != null) q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
       }
+      restore("spark.sql.streaming.stateStore.providerClass", prev)
+      restore("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        prevChangelog)
+      restore("spark.sql.streaming.stateStore.maintenanceInterval", prevMaint)
     }
   }
 
