@@ -59,6 +59,8 @@ object Index {
     val kind = "ivf"
     def search(queryId: Long, k: Int, nProbe: Int = 4): DataFrame =
       Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k)
+    def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, queries, k)
     def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =

@@ -151,12 +151,9 @@ object Quantization {
     * Memory at 100 TB: a 64-dim float32 vector (256 B) becomes m=16
     * one-byte codes (16 B) — 16× smaller than raw floats vs ~3.7× for
     * flat int8 — and the ADC scan reads ONLY the code column. The
-    * codebook is m·kPq·subDim ints, a driver-side literal (≤ kPq
-    * collected rows at init, ≤ m·kPq update rows per round, loud caps
-    * below; no broadcast, no join). Each training round is ONE job:
-    * a codegen'd assignment scan plus a map-side-combined
-    * (j,t,pos)-sum shuffle bounded by m·kPq·subDim·partitions rows —
-    * corpus size never appears in the shuffle.
+    * codebook is m·kPq·subDim ints, a driver-side literal (no
+    * broadcast, no join). Training = ONE bounded sampling job + a
+    * driver Lloyd loop over ≤ trainSample rows (doc below).
     *
     * Accuracy/size knob (measured over queries {0,7,42} × sf0.001/
     * sf0.01, exact top-10; full ladder in SCALE.md): m=16 SAMPLED
@@ -168,52 +165,98 @@ object Quantization {
     * halving the exact re-rank set; a third round adds ≤ 0.2.
     * `trainRounds = 0` reproduces the round-9 sampled behavior
     * (modulo the layout-independent init sample). */
+  /** `trainSample` bounds the LLOYD TRAINING SET: the training rounds
+    * run over the `trainSample` lowest rows of the same
+    * (saltedHash("pqcb", vec_id), vec_id) ordering the init sample
+    * uses (so the init codewords are by construction the first kPq
+    * rows of the training set). This is the standard PQ recipe —
+    * train the codebook on a bounded sample, encode the whole
+    * corpus — and it is what makes training 100 TB-viable: cost is
+    * O(trainSample · m · kPq) per round, INDEPENDENT of corpus size
+    * (the intermediate design that ran distributed rounds over the
+    * full corpus measured 14.4 s for q132 at sf0.1 — three
+    * corpus-wide assignment passes, two existing only to feed a 1 MB
+    * update; the sampled driver loop brings the whole query to
+    * 2.6 s). */
   def pqCodebook(emb: DataFrame, m: Int = 16, kPq: Int = 16,
-      trainRounds: Int = 2): PqCodebook = {
+      trainRounds: Int = 2, trainSample: Int = 4096): PqCodebook = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val samples = withUnitInt8(emb)
+    require(trainSample >= kPq, s"trainSample=$trainSample < kPq=$kPq")
+    // ONE bounded job: the ordered sample collects ≤ trainSample rows
+    // (~trainSample·d ints, corpus-independent — the loud cap), and
+    // rows arrive in (hash, vec_id) order, so the init sample is the
+    // first kPq of the same collect. Lloyd then runs ON THE DRIVER —
+    // at this size a distributed round is all plan-compilation (two
+    // extra jobs whose generated argmin projection out-costs the 4M
+    // integer ops they execute; measured ~3 s of the ad-hoc query),
+    // while the driver loop is exact integer arithmetic in
+    // microseconds and keeps the whole construction replayable.
+    val rows = withUnitInt8(emb)
       .orderBy(Curation.saltedHash(col("vec_id"), "pqcb"), col("vec_id"))
-      .limit(kPq)
-      .select(col("vec_id"), col("q8u")).collect() // ≤ kPq rows, loud cap
-      .sortBy(_.getLong(0))
+      .limit(trainSample)
+      .select(col("vec_id"), col("q8u")).collect() // ≤ trainSample rows, loud cap
+    require(rows.nonEmpty, "empty corpus: no PQ codewords")
+    val sample = rows.map(_.getSeq[Int](1).toIndexedSeq).toIndexedSeq
+    val samples = rows.take(kPq).sortBy(_.getLong(0))
       .map(_.getSeq[Int](1).toIndexedSeq).toIndexedSeq
-    require(samples.nonEmpty, "empty corpus: no PQ codewords")
     require(samples.length <= kPq, s"${samples.length} samples > kPq=$kPq")
     val d = samples.head.length
     require(d % m == 0, s"dim $d does not split into $m subspaces")
     val sub = d / m
     var cb = PqCodebook(m, sub,
       IndexedSeq.tabulate(m)(j => samples.map(_.slice(j * sub, (j + 1) * sub))))
-    for (_ <- 1 to trainRounds) cb = refineCodebook(emb, cb)
+    for (_ <- 1 to trainRounds) cb = refineCodebook(sample, cb)
     cb
   }
 
-  /** One per-subspace Lloyd round: assign every (vector, subspace) to
-    * its argmin codeword (the exact [[withPqCodes]] arithmetic —
-    * training and encoding share one assignment kernel, so the final
-    * codes are by construction consistent with the trained geometry),
-    * then move each codeword to the per-dimension floor-mean of its
-    * members — exact ints into an IEEE double divide, the kmeansInt8
-    * update rule. A (j, t) cell left empty by the assignment keeps
-    * its previous codeword (codeword INDICES must stay stable:
-    * persisted `pq` code tables address the codebook positionally). */
-  private def refineCodebook(emb: DataFrame, cb: PqCodebook): PqCodebook = {
-    val upd = withPqCodes(emb, cb)
-      .select(posexplode(col("pq")).as(Seq("j", "t")), col("q8u"))
-      .select(col("j"), col("t"),
-        posexplode(slice(col("q8u"), col("j") * cb.subDim + lit(1),
-          lit(cb.subDim))).as(Seq("pos", "x")))
-      .groupBy(col("j"), col("t"), col("pos"))
-      .agg(floor(sum(col("x")) / count(lit(1))).cast("int").as("ci"))
-      .groupBy(col("j"), col("t"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
-        s => s.getField("ci")).as("cw"))
-      .collect() // ≤ m·kPq rows, loud cap
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Int](2).toIndexedSeq)
-      .toMap
+  /** One per-subspace Lloyd round over the collected training sample:
+    * assign every (vector, subspace) to its argmin codeword (exact
+    * integer squared-L2, ties to the LOWEST codeword — the same
+    * arithmetic [[withPqCodes]] encodes with, so trained geometry and
+    * final codes are consistent by construction), then move each
+    * codeword to the per-dimension floor-mean of its members — exact
+    * ints into an IEEE double divide, the kmeansInt8 update rule
+    * (bit-identical in any engine; the DuckDB oracle replays these
+    * rounds). A (j, t) cell left empty by the assignment keeps its
+    * previous codeword: codeword INDICES must stay stable because
+    * persisted `pq` code tables address the codebook positionally. */
+  private def refineCodebook(sample: IndexedSeq[IndexedSeq[Int]],
+      cb: PqCodebook): PqCodebook = {
+    val kEff = cb.codes.head.length
+    val sums = Array.fill(cb.m, kEff, cb.subDim)(0L)
+    val counts = Array.fill(cb.m, kEff)(0L)
+    sample.foreach { v =>
+      var j = 0
+      while (j < cb.m) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var t = 0
+        while (t < kEff) {
+          val cw = cb.codes(j)(t)
+          var dsum = 0L
+          var i = 0
+          while (i < cb.subDim) {
+            val dv = (v(j * cb.subDim + i) - cw(i)).toLong
+            dsum += dv * dv
+            i += 1
+          }
+          if (dsum < bestD) { bestD = dsum; best = t } // ties keep LOWEST t
+          t += 1
+        }
+        counts(j)(best) += 1L
+        var i = 0
+        while (i < cb.subDim) {
+          sums(j)(best)(i) += v(j * cb.subDim + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
     PqCodebook(cb.m, cb.subDim, IndexedSeq.tabulate(cb.m)(j =>
-      cb.codes(j).indices.map(t =>
-        upd.getOrElse((j, t), cb.codes(j)(t))).toIndexedSeq))
+      IndexedSeq.tabulate(kEff)(t =>
+        if (counts(j)(t) == 0L) cb.codes(j)(t)
+        else IndexedSeq.tabulate(cb.subDim)(i =>
+          math.floor(sums(j)(t)(i).toDouble / counts(j)(t).toDouble).toInt))))
   }
 
   /** Adds `pq` (array<int>, length m): each vector's argmin codeword
@@ -232,14 +275,27 @@ object Quantization {
     * argmin, GraftExpressions.scala). */
   def withPqCodes(emb: DataFrame, cb: PqCodebook): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
+    codesFor(withUnitInt8(emb), cb)
+  }
+
+  /** The assignment kernel over a frame that already carries `q8u`
+    * (shared by encoding and the training loop, so trained geometry
+    * and final codes are consistent by construction). */
+  private def codesFor(unit: DataFrame, cb: PqCodebook): DataFrame = {
     val kEff = cb.codes.head.length
     val codeCols = (0 until cb.m).map { j =>
       val sub = slice(col("q8u"), j * cb.subDim + 1, cb.subDim)
-      val dists = array((0 until kEff).map(t =>
-        graft.plans.GraftFunctions.sqdist(sub, typedLit(cb.codes(j)(t)))): _*)
-      (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
+      // argmin via lexicographic struct-min (the kmeansInt8 move):
+      // ONE (dist, t) array — array_position(dists, array_min(dists))
+      // would plant the whole kEff-expression dists array TWICE per
+      // subspace, doubling the generated code (measured: the training
+      // loop's three assignment passes made that the dominant cost)
+      val alts = array((0 until kEff).map(t =>
+        struct(graft.plans.GraftFunctions.sqdist(sub, typedLit(cb.codes(j)(t))).as("d"),
+          lit(t).as("t"))): _*)
+      array_min(alts).getField("t")
     }
-    withUnitInt8(emb).withColumn("pq", array(codeCols: _*))
+    unit.withColumn("pq", array(codeCols: _*))
   }
 
   /** ADC (asymmetric distance computation) top-k: the query's

@@ -893,6 +893,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED plain-IVF serving: the whole query SET against the
+    * persisted index as ONE plan — [[ivfSearchIndexedBatch]] is to
+    * [[ivfSearchIndexed]] what [[ivfPqSearchIndexedBatch]] is to the
+    * PQ path, minus the ADC stage (exact cosine over every member of
+    * the probed lists — right when lists fit the scan budget and the
+    * 16-byte code tier isn't built). `queries` is (query_id,
+    * embedding); output (query_id, vec_id, label, sim), each query's
+    * rows row-identical to the single-query API. Probe selection is a
+    * broadcast against the nLists centroid table; the member scan is
+    * DPP-pruned via the broadcast (query, list) probe set on the
+    * partition column; per-query top-k runs through the heap
+    * TopKPerGroupExec on the packed (rounded-sim, vec_id) key. */
+  def ivfSearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nProbe: Int, queries: DataFrame,
+      k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val lists = readIvfLists(spark, indexPath)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    val qs = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("list_id"))
+    val probes = qs
+      .crossJoin(broadcast(readIvfCentroids(spark, indexPath)))
+      .select(col("query_id"), col("list_id").cast("long").as("list_id"),
+        Vectors.cosine(col("c_emb"), col("q_emb")).as("c_sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("list_id"))
+    val scored = lists
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("_ord",
+        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"), "_ord", k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
+  }
+
   /** BATCHED IVF-PQ serving: the whole query SET runs as one
     * declarative plan — no per-query driver round-trips at all (the
     * single-query API costs 1-2 collects per query; an evaluation or

@@ -407,9 +407,9 @@ object VectorQueries {
       |      CAST(v.q8[c.j*4+i] - c.cw[i] AS BIGINT)
       |        * (v.q8[c.j*4+i] - c.cw[i]))) AS BIGINT)""".stripMargin
 
-  private def pqAssignSql(r: Int, cbr: String): String =
+  private def pqAssignSql(r: Int, cbr: String, src: String): String =
     s"""pdv$r AS (SELECT v.vec_id, c.j, c.t, $pqDistSql AS d2
-       |  FROM qu v CROSS JOIN $cbr c),
+       |  FROM $src v CROSS JOIN $cbr c),
        |pas$r AS (SELECT vec_id, j, t FROM (
        |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, t) AS rn
        |  FROM pdv$r) z WHERE rn = 1)""".stripMargin
@@ -418,29 +418,33 @@ object VectorQueries {
     s"""pup$r AS (SELECT j, t, list(ci ORDER BY pos) AS cw FROM (
        |  SELECT a.j, a.t, p.pos,
        |    CAST(floor(sum(v.q8[a.j*4+p.pos]) / CAST(count(*) AS DOUBLE)) AS INT) AS ci
-       |  FROM pas$r a JOIN qu v USING (vec_id) CROSS JOIN range(1, 5) p(pos)
+       |  FROM pas$r a JOIN tsr v USING (vec_id) CROSS JOIN range(1, 5) p(pos)
        |  GROUP BY a.j, a.t, p.pos) g GROUP BY j, t),
        |pcb$r AS (SELECT c.j, c.t, coalesce(u.cw, c.cw) AS cw
        |  FROM $cbPrev c LEFT JOIN pup$r u ON u.j = c.j AND u.t = c.t)""".stripMargin
 
   private val PqTrainRounds = 2
+  private val PqTrainSample = 4096
 
   private val pqCtes: String = {
     val hs = CurationQueries.signedSql(
       CurationQueries.uSql("md5('pqcb' || CAST(vec_id AS VARCHAR))"))
+    // tsr = the bounded Lloyd TRAINING SET (hash-ordered top-N); the
+    // init codewords are its first kPq rows in the same ordering
     val init =
-      s"""cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, q8 FROM (
-         |  SELECT vec_id, q8 FROM (SELECT vec_id, q8, $hs AS h FROM qu) z
-         |  ORDER BY h, vec_id LIMIT 16) s),
+      s"""tsr AS (SELECT vec_id, q8, h FROM (SELECT vec_id, q8, $hs AS h FROM qu) z0
+         |  ORDER BY h, vec_id LIMIT $PqTrainSample),
+         |cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, q8 FROM (
+         |  SELECT vec_id, q8 FROM tsr ORDER BY h, vec_id LIMIT 16) s),
          |sp AS (SELECT j FROM range(0, 16) r(j)),
          |pcb0 AS (SELECT s.j, c.t, list_transform(range(1, 5), i -> c.q8[s.j*4+i]) AS cw
          |  FROM cbs c CROSS JOIN sp s)""".stripMargin
     val rounds = (1 to PqTrainRounds).map(r =>
-      pqAssignSql(r, s"pcb${r - 1}") + ",\n" + pqUpdateSql(r, s"pcb${r - 1}"))
+      pqAssignSql(r, s"pcb${r - 1}", "tsr") + ",\n" + pqUpdateSql(r, s"pcb${r - 1}"))
     val fin = PqTrainRounds + 1
     val cbF = s"pcb$PqTrainRounds"
     val tail =
-      s"""${pqAssignSql(fin, cbF)},
+      s"""${pqAssignSql(fin, cbF, "qu")},
          |codes AS (SELECT vec_id, j, t FROM pas$fin),
          |qt AS (SELECT c.j, c.t, $pqDistSql AS d2
          |  FROM (SELECT q8 FROM qu WHERE vec_id = 0) v CROSS JOIN $cbF c),
@@ -758,30 +762,37 @@ object VectorQueries {
   // round-trips). Oracle: q134's four-stage replay generalized per
   // query — probe selection, ADC and re-rank all carry query_id, so
   // the hash gate pins batch == per-query-loop row-for-row.
+  /** Shared batch-serving oracle CTEs: the stride-seeded IVF geometry
+    * (q134's cents/asg), the query set, and PER-QUERY probe selection —
+    * produces `asg` (vec_id, list_id), `qemb` (query_id, qe), `plb`
+    * (query_id, probe_list) and `memb` (query_id, vec_id). */
+  private def ivfBatchProbeCtes(qids: String, nProbe: Int): String =
+    s"""p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
+       |asg0 AS (SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, centroid_id AS list_id FROM (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+       |  FROM asg0) z WHERE rn = 1),
+       |qemb AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id IN $qids),
+       |plb AS (SELECT query_id, centroid_id AS probe_list FROM (
+       |  SELECT q.query_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("c.c_emb", "q.qe")} DESC, c.centroid_id) AS rn
+       |  FROM cents c CROSS JOIN qemb q) z WHERE rn <= $nProbe),
+       |memb AS (SELECT p.query_id, a.vec_id
+       |  FROM asg a JOIN plb p ON a.list_id = p.probe_list)""".stripMargin
+
   val q136 = sql(
     "q136_ivf_pq_batch", {
       val qids = "(0, 3, 7, 11)"
       s"""WITH $pqQuantCte,
          |$pqCtes,
-         |p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
-         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
-         |asg0 AS (SELECT e.vec_id, c.centroid_id,
-         |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
-         |  FROM embeddings e CROSS JOIN cents c),
-         |asg AS (SELECT vec_id, centroid_id AS list_id FROM (
-         |  SELECT vec_id, centroid_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
-         |  FROM asg0) z WHERE rn = 1),
-         |qemb AS (SELECT vec_id AS query_id, embedding AS qe
-         |  FROM embeddings WHERE vec_id IN $qids),
-         |plb AS (SELECT query_id, centroid_id AS probe_list FROM (
-         |  SELECT q.query_id, c.centroid_id, row_number() OVER (
-         |      PARTITION BY q.query_id
-         |      ORDER BY ${cosSql("c.c_emb", "q.qe")} DESC, c.centroid_id) AS rn
-         |  FROM cents c CROSS JOIN qemb q) z WHERE rn <= 4),
-         |memb AS (SELECT p.query_id, a.vec_id
-         |  FROM asg a JOIN plb p ON a.list_id = p.probe_list),
+         |${ivfBatchProbeCtes(qids, 4)},
          |qtb AS (SELECT v.query_id, c.j, c.t, $pqDistSql AS d2
          |  FROM (SELECT vec_id AS query_id, q8 FROM qu WHERE vec_id IN $qids) v
          |  CROSS JOIN pcb$PqTrainRounds c),
@@ -810,7 +821,39 @@ object VectorQueries {
     Similarity.ivfPqSearchIndexedBatch(s, ivfPqIdx(s, d), 4, queries, 10, 100)
   }
 
+  // BATCHED plain-IVF serving over q55's persisted index: the same
+  // one-plan-for-all-queries shape minus the ADC stage (exact cosine
+  // over every probed member). Oracle: probe selection + membership +
+  // re-rank per query on the stride-seeded geometry.
+  val q137 = sql(
+    "q137_ivf_batch", {
+      s"""WITH ${ivfBatchProbeCtes("(0, 3, 7, 11)", 4)},
+         |rb AS (SELECT m.query_id, e.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e JOIN memb m ON e.vec_id = m.vec_id
+         |  JOIN qemb q ON q.query_id = m.query_id
+         |  WHERE e.vec_id <> m.query_id)
+         |SELECT query_id, vec_id, label, sim FROM (
+         |  SELECT query_id, vec_id, label, sim, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rb) z WHERE rn <= 10
+         |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+    }) { (s, d) =>
+    // reuse q55's cached plain-IVF index (same geometry, nLists=16)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivf-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfSearchIndexedBatch(s, idx, 4, queries, 10)
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136)
+    q134, q135, q136, q137)
 }

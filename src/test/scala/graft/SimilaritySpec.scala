@@ -133,6 +133,25 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfSearchIndexedBatch: row-identical to the per-query plain-IVF loop") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfbatch").toString + "/index"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    val qids = Seq(0L, 7L, 42L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfSearchIndexedBatch(spark, idx, 4, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).sortBy(t => (-t._3, t._1)).toSeq }
+    for (q <- qids) {
+      val single = Similarity.ivfSearchIndexed(spark, idx, 4, q, 5)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} != loop $single")
+    }
+  }
+
   test("knn graph blocked: every edge stays inside its block") {
     val withLabelBlock = Similarity.knnGraph(emb.limit(100), 2, Some(col("label")))
     val labels = emb.limit(100).select(col("vec_id"), col("label"))
