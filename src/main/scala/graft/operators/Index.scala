@@ -48,6 +48,9 @@ object Index {
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
+    /** Codebook-staleness signal (quantization-error EWMA vs build). */
+    def codebookStats(retrainRatio: Double = 1.5): Similarity.PqDriftStats =
+      Similarity.pqCodebookStats(spark, path, retrainRatio)
     /** Re-centers lists AND retrains the codebook (the drift policy). */
     def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path, nLists)
   }

@@ -411,6 +411,18 @@ object Similarity {
       // assignment against pinned centroids); re-training is a rebuild
       val pqCb = if (pqMf.nonEmpty || pqCbMf.nonEmpty)
         Some(readPqCodebook(spark, path)) else None
+      // codebook-staleness EWMA: fold this batch's mean quantization
+      // error into pqErrRecent (integer ⌊(4·prev + batch)/5⌋, α=0.2) —
+      // O(batch), no index scan; pqCodebookStats turns it into the
+      // needsRetrain signal
+      val pqErrParams = pqCb.flatMap { cb =>
+        pqMeanErr(assignedNew.select(col("vec_id"), col("embedding")), cb)
+          .map { be =>
+            val prev = params.get("pqErrRecent").map(_.toLong)
+              .orElse(params.get("pqErrBuild").map(_.toLong)).getOrElse(be)
+            "pqErrRecent" -> ((4L * prev + be) / 5L).toString
+          }
+      }.toMap
       // chain length if we carried: prior owners (any table) + new
       val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet ++
         pqMf.values.toSet
@@ -427,7 +439,7 @@ object Similarity {
           Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path),
             "list_sizes" -> sizesDf(spark, newSizes)) ++
             pqCb.map(cb => "pq_codebook" -> codebookDf(spark, cb)).toSeq,
-          statsParams,
+          statsParams ++ pqErrParams,
           partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
             "pq" -> Seq("list_id")),
           derive = Seq("vec_map" -> deriveVecMap(spark, buckets) _) ++
@@ -479,7 +491,7 @@ object Similarity {
         VersionedIndex.commit(spark, path,
           Seq("lists" -> rewritten,
             "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
-          statsParams,
+          statsParams ++ pqErrParams,
           partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
             "pq" -> Seq("list_id")),
           derive = pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq,
@@ -782,6 +794,45 @@ object Similarity {
   private def pqParams(cb: Quantization.PqCodebook): Map[String, String] =
     Map("pqM" -> cb.m.toString, "pqSubDim" -> cb.subDim.toString)
 
+  /** Mean integer quantization error of `rows` under `cb`: the
+    * per-vector ADC self-distance ‖q8u − codeword(pq)‖² (a BIGINT),
+    * floor-averaged — the statistic behind codebook-staleness
+    * detection. One aggregation job over `rows`; exact (sums <
+    * 2⁵³). */
+  private def pqMeanErr(rows: DataFrame,
+      cb: Quantization.PqCodebook): Option[Long] = {
+    val r = Quantization.withPqCodes(rows, cb)
+      .agg(count(lit(1)).as("n"),
+        floor(sum(Quantization.adcDistVsQuery(cb, col("q8u"))) /
+          count(lit(1))).as("e"))
+      .head()
+    if (r.getLong(0) == 0L) None else Some(r.getLong(1))
+  }
+
+  /** Codebook health of a persisted IVF-PQ index. The codebook is
+    * pinned at build time like the centroid geometry, but it can go
+    * stale WITHOUT skewing the list histogram (drift WITHIN lists) —
+    * so staleness gets its own signal: `buildErr` is the corpus mean
+    * quantization error at build time, `recentErr` an integer EWMA
+    * (α=0.2: err' = ⌊(4·err + batchErr)/5⌋) over the mean errors of
+    * upserted batches, both maintained in params with no index scan.
+    * `needsRetrain` fires when recentErr ≥ ratio × buildErr — newly
+    * ingested vectors no longer fit the codewords — and the answer is
+    * [[rebuildIvfIndex]], which retrains. */
+  final case class PqDriftStats(buildErr: Long, recentErr: Long,
+      ratio: Double, needsRetrain: Boolean)
+
+  def pqCodebookStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      retrainRatio: Double = 1.5): PqDriftStats = {
+    val params = VersionedIndex.currentDir(spark, path)
+      .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
+    val build = params.getOrElse("pqErrBuild",
+      sys.error(s"index at $path has no codebook error baseline")).toLong
+    val recent = params.get("pqErrRecent").map(_.toLong).getOrElse(build)
+    val ratio = recent.toDouble / math.max(build, 1L)
+    PqDriftStats(build, recent, ratio, ratio >= retrainRatio)
+  }
+
   /** Build the PERSISTED IVF-PQ index: [[buildIvfIndex]]'s layout plus
     * two member tables committed in the same transaction —
     *  - `pq` (vec_id, pq, list_id), the 16-byte-per-vector code table
@@ -801,6 +852,11 @@ object Similarity {
     val spark = embeddings.sparkSession
     val cb = Quantization.pqCodebook(embeddings, m = pqM, kPq = pqK)
     val seeds = ivfSeeds(embeddings, nLists)
+    // the corpus quantization error under the fresh codebook — the
+    // staleness baseline (one build-time aggregation; mutations keep
+    // an EWMA against it, pqCodebookStats reads it)
+    val errBuild = pqMeanErr(
+      embeddings.select(col("vec_id"), col("embedding")), cb).getOrElse(0L)
     VersionedIndex.commit(spark, path,
       Seq("lists" -> assignSeeded(embeddings, seeds),
         "centroids" -> seeds.select(
@@ -808,7 +864,9 @@ object Similarity {
         "pq_codebook" -> codebookDf(spark, cb)),
       Map("nLists" -> nLists.toString,
         "vecMapBuckets" -> vecMapBuckets.toString,
-        "pqK" -> pqK.toString) ++ pqParams(cb),
+        "pqK" -> pqK.toString,
+        "pqErrBuild" -> errBuild.toString,
+        "pqErrRecent" -> errBuild.toString) ++ pqParams(cb),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
         "pq" -> Seq("list_id")),
       derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),

@@ -670,9 +670,13 @@ object Pipelines {
     * between rebuilds, after which search parity and balanced probes
     * are restored. For an IVF-PQ index the rebuild also retrains the
     * PQ codebook from the current corpus (pinned codewords drift
-    * exactly like pinned centroids). */
+    * exactly like pinned centroids) — and since codewords can go
+    * stale WITHOUT skewing the list histogram, `retrainErrRatio`
+    * arms the second trigger: `Similarity.pqCodebookStats`'s
+    * quantization-error EWMA vs the build-time baseline. */
   def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
       nLists: Int = 16, rebuildSkewThreshold: Option[Double] = None,
+      retrainErrRatio: Option[Double] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = vectors.sparkSession
     vectors.writeStream
@@ -685,13 +689,22 @@ object Pipelines {
           Similarity.buildIvfIndex(batch, nLists, indexPath)
         else {
           Similarity.upsertIvfIndex(batch, indexPath)
-          rebuildSkewThreshold.foreach { thr =>
-            // layout-aware: an IVF-PQ index also RETRAINS its codebook
-            // from the current corpus (drift skews codewords exactly
-            // like it skews centroids)
-            if (Similarity.ivfIndexStats(spark, indexPath, thr).needsRebuild)
-              Similarity.rebuildIvfIndex(spark, indexPath, nLists)
+          // two independent drift triggers, one O(params) check each:
+          //  - list-histogram skew (geometry no longer balances lists)
+          //  - codebook staleness (IVF-PQ only: new vectors no longer
+          //    fit the pinned codewords — pqErrRecent EWMA vs build)
+          // both answered by rebuildIvfIndex, which re-centers AND
+          // retrains the codebook for IVF-PQ layouts
+          val skewed = rebuildSkewThreshold.exists(thr =>
+            Similarity.ivfIndexStats(spark, indexPath, thr).needsRebuild)
+          val stale = retrainErrRatio.exists { r =>
+            VersionedIndex.currentDir(spark, indexPath)
+              .map(VersionedIndex.readParams(spark, _))
+              .exists(_.contains("pqErrBuild")) &&
+            Similarity.pqCodebookStats(spark, indexPath, r).needsRetrain
           }
+          if (skewed || stale)
+            Similarity.rebuildIvfIndex(spark, indexPath, nLists)
         }
       }
       .start()

@@ -569,6 +569,45 @@ class LayoutSpec extends SparkSuite {
     assert(params("pqM") == "16" && params("pqK") == "16")
   }
 
+  test("IVF-PQ codebook staleness: off-distribution ingest raises the error EWMA and flips needsRetrain; rebuild resets it") {
+    import graft.operators.Similarity
+    val idx = Files.createTempDirectory("ivfpqstale").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    val s0 = Similarity.pqCodebookStats(spark, idx)
+    assert(s0.buildErr > 0 && s0.recentErr == s0.buildErr && !s0.needsRetrain)
+    // IN-distribution ingest: more vectors from the same corpus — the
+    // EWMA must stay inside the retrain envelope
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), idx)
+    val s1 = Similarity.pqCodebookStats(spark, idx)
+    assert(!s1.needsRetrain,
+      s"in-distribution ingest must not flip retrain: $s1 vs build ${s0.buildErr}")
+    // OFF-distribution drift: one-hot spike vectors no codeword fits —
+    // quantization error of each batch is far above the baseline, and
+    // the EWMA crosses ratio 1.5 within a few batches. Crucially this
+    // drift does NOT show in the list histogram the skew trigger
+    // watches — it needs the codebook signal.
+    (0 until 3).foreach { k =>
+      val weird = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L * (k + 1)).as("vec_id"), col("label"),
+          transform(col("embedding"),
+            (_, i) => when(i === k, lit(10.0f)).otherwise(lit(0.0f)))
+            .as("embedding"))
+      Similarity.upsertIvfIndex(weird, idx)
+    }
+    val s2 = Similarity.pqCodebookStats(spark, idx)
+    assert(s2.recentErr > s0.buildErr && s2.needsRetrain,
+      s"off-distribution ingest must flip retrain: $s2")
+    // the drift policy's answer retrains and resets the baseline
+    Similarity.rebuildIvfIndex(spark, idx, 8)
+    val s3 = Similarity.pqCodebookStats(spark, idx)
+    assert(s3.recentErr == s3.buildErr && !s3.needsRetrain,
+      s"rebuild must reset the staleness baseline: $s3")
+    // and the rebuilt index still serves
+    assert(Similarity.ivfPqSearchIndexed(spark, idx, 4, 7L, 5, 25).count() == 5)
+  }
+
   test("LSH upsert chain: bounded version fan-out via compaction") {
     import graft.operators.{Dedup, VersionedIndex}
     import org.apache.spark.sql.functions.col
