@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Unified open/dispatch for the persisted [[VersionedIndex]]
   * layouts — the user-facing entry point a serving layer actually
@@ -44,6 +45,19 @@ object Index {
         shortlist: Int = 100): DataFrame =
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, queries, k,
         shortlist, Some(codebook))
+    /** Query by an ARBITRARY embedding (need not be indexed) — what a
+      * serving layer actually receives (a fresh text/image embedding).
+      * Rides the batch plan with a sentinel query_id (−1, impossible
+      * for corpus vec_ids, so nothing is self-excluded). */
+    def searchVector(embedding: Seq[Float], k: Int, nProbe: Int = 4,
+        shortlist: Int = 100): DataFrame = {
+      import spark.implicits._
+      val q = Seq((-1L, embedding)).toDF("query_id", "embedding")
+      Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, q, k,
+          shortlist, Some(codebook))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }
     def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
@@ -64,6 +78,16 @@ object Index {
       Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k)
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
       Similarity.ivfSearchIndexedBatch(spark, path, nProbe, queries, k)
+    /** Query by an arbitrary (un-indexed) embedding — see
+      * [[IvfPq.searchVector]]. */
+    def searchVector(embedding: Seq[Float], k: Int,
+        nProbe: Int = 4): DataFrame = {
+      import spark.implicits._
+      val q = Seq((-1L, embedding)).toDF("query_id", "embedding")
+      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, q, k)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }
     def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =

@@ -732,7 +732,9 @@ object Similarity {
       val kPq = params.get("pqK").map(_.toInt)
         .getOrElse(cb.codes.head.length)
       buildIvfPqIndex(rows, nLists, path, pqM = cb.m, pqK = kPq,
-        vecMapBuckets = buckets)
+        vecMapBuckets = buckets,
+        trainRounds = params.get("pqTrainRounds").map(_.toInt).getOrElse(2),
+        trainSample = params.get("pqTrainSample").map(_.toInt).getOrElse(4096))
     } else buildIvfIndex(rows, nLists, path, vecMapBuckets = buckets)
   }
 
@@ -848,9 +850,11 @@ object Similarity {
     * touched-partition set, untouched byte-identical). */
   def buildIvfPqIndex(embeddings: DataFrame, nLists: Int, path: String,
       pqM: Int = 16, pqK: Int = 16,
-      vecMapBuckets: Int = DefaultVecMapBuckets): Unit = {
+      vecMapBuckets: Int = DefaultVecMapBuckets,
+      trainRounds: Int = 2, trainSample: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
-    val cb = Quantization.pqCodebook(embeddings, m = pqM, kPq = pqK)
+    val cb = Quantization.pqCodebook(embeddings, m = pqM, kPq = pqK,
+      trainRounds = trainRounds, trainSample = trainSample)
     val seeds = ivfSeeds(embeddings, nLists)
     // the corpus quantization error under the fresh codebook — the
     // staleness baseline (one build-time aggregation; mutations keep
@@ -865,6 +869,8 @@ object Similarity {
       Map("nLists" -> nLists.toString,
         "vecMapBuckets" -> vecMapBuckets.toString,
         "pqK" -> pqK.toString,
+        "pqTrainRounds" -> trainRounds.toString,
+        "pqTrainSample" -> trainSample.toString,
         "pqErrBuild" -> errBuild.toString,
         "pqErrRecent" -> errBuild.toString) ++ pqParams(cb),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),

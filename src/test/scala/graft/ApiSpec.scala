@@ -108,6 +108,21 @@ class ApiSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaHandle == direct)
 
+    // query-by-vector (un-indexed embedding): feeding vector 7's own
+    // embedding must rank vector 7 first at sim 1.0, followed exactly
+    // by the id-based search's results (which self-exclude)
+    val e7 = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val byVec = pq.searchVector(e7, 6, nProbe = 4, shortlist = 26).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(byVec.head._1 == 7L && byVec.head._2 == 1.0,
+      s"own embedding must rank itself first: ${byVec.toSeq}")
+    val byId = Similarity.ivfPqSearchIndexed(spark, s"$root/ivfpq", 4, 7L, 5, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(byVec.tail.toSeq == byId, s"${byVec.tail.toSeq} != $byId")
+    val ivfByVec = ivf.searchVector(e7, 3, nProbe = 8).collect()
+    assert(ivfByVec.head.getLong(0) == 7L)
+
     // mutations route through the same layout: delete shrinks the pq
     // index by exactly the deleted row
     pq.delete(emb.filter(col("vec_id") === 7L).select(col("vec_id")))
