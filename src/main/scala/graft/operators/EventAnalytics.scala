@@ -68,4 +68,30 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-group value percentiles (p50/p95/p99-style SLO metrics) —
+    * EXACT linear-interpolated quantiles (the R-7 definition both
+    * Spark's `percentile` and DuckDB's `quantile_cont` implement, so
+    * the result is oracle-replayable), one column per requested
+    * fraction, rounded to 6.
+    *
+    * Scale: exact Percentile buffers per-group value counts — right
+    * for the gate and for bounded-cardinality values; at 100 TB of
+    * raw doubles switch `spark.graft.approxPercentile=true` and the
+    * [[graft.plans.ApproxPercentileRewrite]] optimizer rule swaps in
+    * ApproximatePercentile (a fixed-size QuantileSummaries sketch
+    * with map-side combine) for the SAME query text — the
+    * exact-in-tests / approximate-in-production deployment choice the
+    * approxDistinct flag already provides for COUNT(DISTINCT). */
+  def valuePercentiles(events: DataFrame, group: Column, value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val agged = events.groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile(value, typedlit(ps)).as("_p"))
+    ps.zipWithIndex.foldLeft(agged) { case (df, (p, i)) =>
+      df.withColumn(s"p${math.round(p * 100)}",
+        round(element_at(col("_p"), i + 1), 6))
+    }.drop("_p")
+  }
 }

@@ -34,12 +34,47 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: rewrite exact `percentile(x, p)` into
+  * `approx_percentile(x, p, accuracy)` when
+  * `spark.graft.approxPercentile=true` — the quantile twin of
+  * [[ApproxDistinctRewrite]].
+  *
+  * Why: exact Percentile accumulates a per-group value-counts map —
+  * memory ∝ distinct values per group, which an unbounded double
+  * column makes O(group size). ApproximatePercentile maintains a
+  * FIXED-SIZE QuantileSummaries sketch (Greenwald-Khanna) with
+  * map-side combine — rank error ≤ 1/accuracy. The flag keeps one
+  * query text exact under the oracle gate and sketch-bounded at
+  * 100 TB.
+  *
+  * Only the default frequency (literal 1) rewrites — a weighted
+  * percentile has no approx counterpart. */
+object ApproxPercentileRewrite extends Rule[LogicalPlan] {
+  val FLAG = "spark.graft.approxPercentile"
+  val ACC_FLAG = "spark.graft.approxPercentile.accuracy"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(FLAG, "false").toBoolean) plan
+    else {
+      val acc = conf.getConfString(ACC_FLAG, "10000").toInt
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+      plan.transformAllExpressions {
+        case ae @ AggregateExpression(
+            p @ Percentile(_, _, Literal(1L, _), _, _, _), _, false, None, _) =>
+          ae.copy(aggregateFunction = new ApproximatePercentile(
+            p.child, p.percentageExpression, Literal(acc)))
+      }
+    }
+}
+
 /** Session extensions entry point:
   * SparkSession.builder().withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.plans.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => ApproxPercentileRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -451,6 +451,26 @@ object TimeSeriesQueries {
       .select(col("key"), col("dist"))
   }
 
+  // Per-type value percentiles (the p50/p95/p99 SLO read): EXACT
+  // R-7 linear-interpolated quantiles, identical definition in
+  // Spark's percentile() and DuckDB's quantile_cont(). The
+  // spark.graft.approxPercentile flag swaps in the fixed-size
+  // GK-sketch rewrite for the same query text (PlansSpec pins both
+  // the rewrite and its accuracy).
+  val q138 = sql(
+    "q138_value_percentiles",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.valuePercentiles(
+        Tables.events(s, d), col("event_type"), col("value"), Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("group", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109, q115)
+    q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109, q115,
+    q138)
 }

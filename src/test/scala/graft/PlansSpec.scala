@@ -205,6 +205,41 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("approx-percentile rewrite fires only under the flag; sketch answer tracks exact") {
+    import graft.plans.ApproxPercentileRewrite
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val df = events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.95)).as("p95"))
+    val analyzed = df.queryExecution.analyzed
+    def hasApprox(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile]))
+
+    spark.conf.set(ApproxPercentileRewrite.FLAG, "false")
+    assert(!hasApprox(ApproxPercentileRewrite(analyzed)))
+    spark.conf.set(ApproxPercentileRewrite.FLAG, "true")
+    try {
+      assert(hasApprox(ApproxPercentileRewrite(analyzed)))
+      // end-to-end: GK sketch at default accuracy vs the exact value
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxPercentileRewrite
+      try {
+        val approx = events.groupBy(col("event_type"))
+          .agg(percentile(col("value"), lit(0.95)).as("p95"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        spark.conf.set(ApproxPercentileRewrite.FLAG, "false")
+        val exact = events.groupBy(col("event_type"))
+          .agg(percentile(col("value"), lit(0.95)).as("p95"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        exact.foreach { case (k, e) =>
+          assert(math.abs(approx(k) - e) <= math.max(1.0, e * 0.05),
+            s"$k: approx ${approx(k)} too far from exact $e")
+        }
+      } finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ApproxPercentileRewrite)
+    } finally spark.conf.set(ApproxPercentileRewrite.FLAG, "false")
+  }
+
   test("graft_qdot / graft_sqdist: identical to the HOF folds on int8 codes, null parity") {
     import spark.implicits._
     GraftFunctions.register(spark)
