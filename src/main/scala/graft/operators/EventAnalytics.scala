@@ -84,11 +84,29 @@ object EventAnalytics {
     * exact-in-tests / approximate-in-production deployment choice the
     * approxDistinct flag already provides for COUNT(DISTINCT). */
   def valuePercentiles(events: DataFrame, group: Column, value: Column,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double]): DataFrame =
+    spreadPercentiles(events.groupBy(group.as("group")), value, ps)
+
+  /** The windowed (SLO-dashboard) form: per (tumbling window, group)
+    * percentiles. Batch/stream polymorphic — the same plan runs under
+    * Structured Streaming (complete mode; the Percentile buffer lives
+    * in the state store and re-emits per trigger), and the
+    * MemoryStream replay spec pins stream == batch. The approx
+    * rewrite flag applies identically: a GK sketch state is what a
+    * production SLO stream would carry. */
+  def windowedValuePercentiles(events: DataFrame, ts: Column, group: Column,
+      value: Column, ps: Seq[Double], windowDur: String = "1 hour"): DataFrame =
+    spreadPercentiles(
+      events.groupBy(window(ts, windowDur).as("w"), group.as("group")),
+      value, ps)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  private def spreadPercentiles(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      value: Column, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    val agged = events.groupBy(group.as("group"))
-      .agg(count(lit(1)).as("n_events"),
-        percentile(value, typedlit(ps)).as("_p"))
+    val agged = grouped.agg(count(lit(1)).as("n_events"),
+      percentile(value, typedlit(ps)).as("_p"))
     ps.zipWithIndex.foldLeft(agged) { case (df, (p, i)) =>
       df.withColumn(s"p${math.round(p * 100)}",
         round(element_at(col("_p"), i + 1), 6))

@@ -44,6 +44,30 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("windowed value percentiles match batch (exact Percentile state across triggers)") {
+    implicit val sqlCtx = spark.sqlContext
+    def dag(df: DataFrame) = graft.operators.EventAnalytics
+      .windowedValuePercentiles(df, col("ts"), col("event_type"),
+        col("value"), Seq(0.5, 0.95), "6 hours")
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = dag(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("wpct").start()
+    val rows = Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.size / 2)
+    // two chunks: the second trigger must UPDATE existing windows'
+    // percentile buffers, not just append new windows
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    val streamed = spark.table("wpct")
+    val batch = dag(Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value")))
+    assert(streamed.count() > 0)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    q.stop()
+  }
+
   test("session windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     def dag(df: org.apache.spark.sql.DataFrame) = df
