@@ -35,6 +35,33 @@ object Vectors {
   def hyperplane(j: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(i => (((j.toLong * dim + i) * 2654435761L) % 1000L) / 499.5 - 1.0)
 
+  /** Deterministic Johnson-Lindenstrauss random projection: `outDim`
+    * dot products against the SAME integer-deterministic hyperplanes
+    * the sign-bit LSH uses (so any engine reproduces the projection
+    * exactly — the oracle replays it), scaled by 1/√outDim (the JL
+    * normalization that preserves pairwise distances in expectation)
+    * and rounded to 6 for cross-engine parity.
+    *
+    * The 100 TB use: shrink WIDE embeddings (≥512-dim, where JL's
+    * (1±ε) distance bound has room — ε ~ √(ln n / outDim)) to a
+    * cheaper sketch before clustering / blocking / k-NN passes;
+    * per-row cost is outDim fused dot products, no shuffle, and
+    * downstream pair work scales with the reduced width.
+    *
+    * HONEST LIMITS (measured on the 64-dim near-isotropic testdata,
+    * which has no width to spare): projecting 64→16/32 destroys fine
+    * neighbor structure — projected-space top-10 overlap with the
+    * exact top-10 is 0-2/10, and even a 100-candidate projected
+    * shortlist recovers only ~60% of the true top-10, where PQ at the
+    * SAME byte budget recovers 9-10/10 (q132 ladder). For retrieval
+    * over narrow embeddings use the PQ tier; reach for this only when
+    * input width is large relative to intrinsic dimension. */
+  def randomProject(emb: Column, inDim: Int, outDim: Int): Column =
+    array((0 until outDim).map { j =>
+      round(dot(emb, typedlit(hyperplane(j, inDim).toSeq)) /
+        math.sqrt(outDim.toDouble), 6)
+    }: _*)
+
   /** Sign-bit LSH bucket id from `nBits` deterministic hyperplanes.
     * At scale this is the shuffle key for bucketed ANN: vectors
     * co-partition by bucket and candidate search stays local. */

@@ -853,7 +853,42 @@ object VectorQueries {
     Similarity.ivfSearchIndexedBatch(s, idx, 4, queries, 10)
   }
 
+  // Johnson-Lindenstrauss projected-space retrieval: embeddings
+  // shrink 64→16 dims through the deterministic hyperplane projection
+  // (the sign-bit LSH planes WITH magnitudes, JL-normalized), then
+  // cosine top-10 runs in the projected space. Oracle replays the
+  // integer hyperplane formula, the projection, and the search — the
+  // pattern every 100 TB-wide-embedding pipeline uses before
+  // clustering/blocking passes.
+  val q139 = sql(
+    "q139_jl_projection_topk", {
+      val proj =
+        """list_transform(range(0, 16), j ->
+          |      round(list_sum(list_transform(range(1, 65), i ->
+          |        CAST(embedding[i] AS DOUBLE) *
+          |          ((((j*64 + (i-1)) * 2654435761) % 1000) / 499.5 - 1.0)))
+          |        / sqrt(16.0), 6))""".stripMargin
+      s"""WITH pr AS (SELECT vec_id, label, $proj AS p FROM embeddings),
+         |qv AS (SELECT p AS qp FROM pr WHERE vec_id = 0),
+         |s AS (SELECT vec_id, label, round(${cosSql("p", "qp")}, 6) AS sim
+         |  FROM pr, qv WHERE vec_id <> 0)
+         |SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Vectors
+    graft.plans.GraftFunctions.register(s)
+    val pr = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Vectors.randomProject(col("embedding"), 64, 16).as("p"))
+    val qv = pr.filter(col("vec_id") === 0L).select(col("p").as("qp"))
+    pr.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("p"), col("qp")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137)
+    q134, q135, q136, q137, q139)
 }
