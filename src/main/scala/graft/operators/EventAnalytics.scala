@@ -101,15 +101,26 @@ object EventAnalytics {
       value, ps)
       .withColumn("window_start", col("w.start")).drop("w")
 
+  /** Column name for fraction p: p50, p95, p99, p99_5, p99_9 — the
+    * full fraction, NOT a rounded integer (rounding would collide
+    * 0.995 and 0.999 onto "p100" and the later withColumn would
+    * silently overwrite the earlier percentile). */
+  private def pName(p: Double): String =
+    // shortest-decimal rendering (Double.toString), NOT BigDecimal(d)
+    // which would expand the raw binary value to 34 digits
+    "p" + BigDecimal(java.lang.Double.toString(p * 100)).underlying
+      .stripTrailingZeros.toPlainString.replace(".", "_")
+
   private def spreadPercentiles(
       grouped: org.apache.spark.sql.RelationalGroupedDataset,
       value: Column, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val names = ps.map(pName)
+    require(names.distinct == names, s"duplicate percentile columns: $names")
     val agged = grouped.agg(count(lit(1)).as("n_events"),
       percentile(value, typedlit(ps)).as("_p"))
     ps.zipWithIndex.foldLeft(agged) { case (df, (p, i)) =>
-      df.withColumn(s"p${math.round(p * 100)}",
-        round(element_at(col("_p"), i + 1), 6))
+      df.withColumn(pName(p), round(element_at(col("_p"), i + 1), 6))
     }.drop("_p")
   }
 }

@@ -33,18 +33,24 @@ object Index {
 
   /** Persisted IVF-PQ index handle: the codebook is read once at open
     * and every search reuses it (1 driver job per single query, one
-    * plan for a whole query batch). */
+    * plan for a whole query batch). [[rebuild]] RETRAINS the
+    * persisted codebook, so it also refreshes this handle's preloaded
+    * copy in place — a post-rebuild search through a stale copy would
+    * score the new code table against the old codewords, every code
+    * still in range, silently wrong (no guard can catch it). */
   final class IvfPq private[Index] (spark: SparkSession, val path: String,
-      val codebook: Quantization.PqCodebook, val nLists: Int) extends Opened {
+      initialCodebook: Quantization.PqCodebook, val nLists: Int) extends Opened {
     val kind = "ivf-pq"
+    @volatile private var cb: Quantization.PqCodebook = initialCodebook
+    def codebook: Quantization.PqCodebook = cb
     def search(queryId: Long, k: Int, nProbe: Int = 4,
         shortlist: Int = 100): DataFrame =
       Similarity.ivfPqSearchIndexed(spark, path, nProbe, queryId, k,
-        shortlist, Some(codebook))
+        shortlist, Some(cb))
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4,
         shortlist: Int = 100): DataFrame =
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, queries, k,
-        shortlist, Some(codebook))
+        shortlist, Some(cb))
     /** Query by an ARBITRARY embedding (need not be indexed) — what a
       * serving layer actually receives (a fresh text/image embedding).
       * Rides the batch plan with a sentinel query_id (−1, impossible
@@ -65,8 +71,13 @@ object Index {
     /** Codebook-staleness signal (quantization-error EWMA vs build). */
     def codebookStats(retrainRatio: Double = 1.5): Similarity.PqDriftStats =
       Similarity.pqCodebookStats(spark, path, retrainRatio)
-    /** Re-centers lists AND retrains the codebook (the drift policy). */
-    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path, nLists)
+    /** Re-centers lists AND retrains the codebook (the drift policy);
+      * refreshes this handle's preloaded codebook so subsequent
+      * searches score against the retrained geometry. */
+    def rebuild(): Unit = {
+      Similarity.rebuildIvfIndex(spark, path)
+      cb = Similarity.readPqCodebook(spark, path)
+    }
   }
 
   /** Persisted plain-IVF index handle (exact cosine within probed
@@ -92,7 +103,7 @@ object Index {
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
-    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path, nLists)
+    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path)
   }
 
   /** Persisted text-LSH near-dup index handle. Banding/shingling

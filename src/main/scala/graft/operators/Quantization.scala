@@ -199,7 +199,6 @@ object Quantization {
     val sample = rows.map(_.getSeq[Int](1).toIndexedSeq).toIndexedSeq
     val samples = rows.take(kPq).sortBy(_.getLong(0))
       .map(_.getSeq[Int](1).toIndexedSeq).toIndexedSeq
-    require(samples.length <= kPq, s"${samples.length} samples > kPq=$kPq")
     val d = samples.head.length
     require(d % m == 0, s"dim $d does not split into $m subspaces")
     val sub = d / m

@@ -719,23 +719,31 @@ object Similarity {
     * silently. Deterministic end to end (hash-ordered sampling,
     * integer Lloyd training, seeded assignment): the rebuilt index
     * answers queries identically to a fresh build over the same rows
-    * (LayoutSpec pins ADC parity). */
+    * (LayoutSpec pins ADC parity).
+    *
+    * `nLists = None` (the default) keeps the index's PERSISTED list
+    * count — the safe choice for drift triggers, where a caller-side
+    * constant would silently resize the geometry of an index built
+    * elsewhere (and with it the rewrite-unit sizing). Pass Some(n) to
+    * deliberately re-shard. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, nLists: Int): Unit = {
+      path: String, nLists: Option[Int] = None): Unit = {
     val rows = readIvfIndexRows(spark, path)
     val params = VersionedIndex.currentDir(spark, path)
       .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
     val buckets = params.get("vecMapBuckets").map(_.toInt)
       .getOrElse(DefaultVecMapBuckets)
+    val lists = nLists.orElse(params.get("nLists").map(_.toInt)).getOrElse(
+      sys.error(s"index at $path has no persisted nLists; pass nLists explicitly"))
     if (params.contains("pqM")) {
       val cb = readPqCodebook(spark, path)
       val kPq = params.get("pqK").map(_.toInt)
         .getOrElse(cb.codes.head.length)
-      buildIvfPqIndex(rows, nLists, path, pqM = cb.m, pqK = kPq,
+      buildIvfPqIndex(rows, lists, path, pqM = cb.m, pqK = kPq,
         vecMapBuckets = buckets,
         trainRounds = params.get("pqTrainRounds").map(_.toInt).getOrElse(2),
         trainSample = params.get("pqTrainSample").map(_.toInt).getOrElse(4096))
-    } else buildIvfIndex(rows, nLists, path, vecMapBuckets = buckets)
+    } else buildIvfIndex(rows, lists, path, vecMapBuckets = buckets)
   }
 
   /** Search the persisted index. Centroid ranking (the rows where
@@ -957,6 +965,18 @@ object Similarity {
       .limit(k)
   }
 
+  /** Guard for the heap-packed (primary, vec_id) order keys the batch
+    * searches use: outside [0, 2³³) the id would bleed into the
+    * primary field and SILENTLY reorder the shortlist/top-k (the
+    * knnGraph id contract, enforced loudly here because batch results
+    * must stay row-identical to the single-query APIs, which use real
+    * multi-column ordering with no id bound). */
+  private def packedOrdGuard(ord: Column): Column =
+    when(col("vec_id") >= 0L && col("vec_id") < lit(1L << 33), ord)
+      .otherwise(raise_error(concat(
+        lit("vec_id outside packed-order range [0, 2^33): "),
+        col("vec_id").cast("string"))))
+
   /** BATCHED plain-IVF serving: the whole query SET against the
     * persisted index as ONE plan — [[ivfSearchIndexedBatch]] is to
     * [[ivfSearchIndexed]] what [[ivfPqSearchIndexedBatch]] is to the
@@ -993,8 +1013,8 @@ object Similarity {
       .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-      .withColumn("_ord",
-        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id"))
+      .withColumn("_ord", packedOrdGuard(
+        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id")))
     graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"), "_ord", k)
       .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
   }
@@ -1059,8 +1079,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qs.select(col("query_id"), col("q8u"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("list_id"),
-        (-(Quantization.adcDistVsQuery(cb, col("q8u")) * lit(1L << 33)) -
-          col("vec_id")).as("_ord"))
+        packedOrdGuard(
+          -(Quantization.adcDistVsQuery(cb, col("q8u")) * lit(1L << 33)) -
+            col("vec_id")).as("_ord"))
     val sl = graft.plans.GraftOps.topKPerGroup(
         cand, Seq("query_id"), "_ord", shortlist)
       .select(col("query_id"), col("vec_id"), col("list_id"))
@@ -1071,8 +1092,8 @@ object Similarity {
       .join(broadcast(qs.select(col("query_id"), col("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-      .withColumn("_ord",
-        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id"))
+      .withColumn("_ord", packedOrdGuard(
+        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id")))
     graft.plans.GraftOps.topKPerGroup(reranked, Seq("query_id"), "_ord", k)
       .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
   }

@@ -47,8 +47,14 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   * query text exact under the oracle gate and sketch-bounded at
   * 100 TB.
   *
-  * Only the default frequency (literal 1) rewrites — a weighted
-  * percentile has no approx counterpart. */
+  * Only the default shape rewrites — frequency = literal 1 (a
+  * weighted percentile has no approx counterpart) and reverse = false
+  * (a descending percentile rewritten ascending would silently return
+  * ≈ the mirrored quantile). The child is CAST TO DOUBLE inside the
+  * sketch: exact Percentile always RETURNS double, while
+  * ApproximatePercentile returns its child's type — rewriting a
+  * long column without the cast would re-type the aggregate slot
+  * POST-ANALYSIS and upstream projections would read garbage. */
 object ApproxPercentileRewrite extends Rule[LogicalPlan] {
   val FLAG = "spark.graft.approxPercentile"
   val ACC_FLAG = "spark.graft.approxPercentile.accuracy"
@@ -57,13 +63,14 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString(FLAG, "false").toBoolean) plan
     else {
       val acc = conf.getConfString(ACC_FLAG, "10000").toInt
-      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
       import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+      import org.apache.spark.sql.types.DoubleType
       plan.transformAllExpressions {
         case ae @ AggregateExpression(
-            p @ Percentile(_, _, Literal(1L, _), _, _, _), _, false, None, _) =>
+            p @ Percentile(_, _, Literal(1L, _), _, _, false), _, false, None, _) =>
           ae.copy(aggregateFunction = new ApproximatePercentile(
-            p.child, p.percentageExpression, Literal(acc)))
+            Cast(p.child, DoubleType), p.percentageExpression, Literal(acc)))
       }
     }
 }

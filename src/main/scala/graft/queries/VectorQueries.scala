@@ -190,18 +190,23 @@ object VectorQueries {
     f.delete(); ()
   }
 
-  val q55 = QueryDef("q55_ivf_full_probe", (s, d) => {
+  /** Build-once plain-IVF index cache shared by q55/q137. Build into
+    * a private temp dir, then publish with an atomic rename: a
+    * concurrent run can never observe a half-built index, and
+    * whichever builder loses the rename race discards its copy. */
+  private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivf-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
-      // Build into a private temp dir, then publish with an atomic
-      // rename: a concurrent run can never observe a half-built index,
-      // and whichever builder loses the rename race discards its copy.
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
       if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
     }
-    Similarity.ivfSearchIndexed(s, idx, 16, 0L, 10)
+    idx
+  }
+
+  val q55 = QueryDef("q55_ivf_full_probe", (s, d) => {
+    Similarity.ivfSearchIndexed(s, ivfIdx(s, d), 16, 0L, 10)
       .select(col("vec_id"), col("label"), col("sim"))
   }, q37.oracle)
 
@@ -839,14 +844,7 @@ object VectorQueries {
          |  FROM rb) z WHERE rn <= 10
          |ORDER BY query_id, sim DESC, vec_id""".stripMargin
     }) { (s, d) =>
-    // reuse q55's cached plain-IVF index (same geometry, nLists=16)
-    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf-" + sourceFingerprint(d)).getPath
-    if (!new java.io.File(idx).exists()) {
-      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
-      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
-    }
+    val idx = ivfIdx(s, d) // q55's cached index (same geometry, nLists=16)
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
       .select(col("vec_id").as("query_id"), col("embedding"))

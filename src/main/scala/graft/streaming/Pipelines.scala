@@ -703,8 +703,10 @@ object Pipelines {
               .exists(_.contains("pqErrBuild")) &&
             Similarity.pqCodebookStats(spark, indexPath, r).needsRetrain
           }
+          // rebuild keeps the index's PERSISTED nLists — the sink's
+          // nLists only sizes the bootstrap build
           if (skewed || stale)
-            Similarity.rebuildIvfIndex(spark, indexPath, nLists)
+            Similarity.rebuildIvfIndex(spark, indexPath)
         }
       }
       .start()

@@ -552,7 +552,7 @@ class LayoutSpec extends SparkSuite {
     // the drift policy's answer: rebuild re-centers lists AND retrains
     // the codebook from the current corpus — the result must equal a
     // fresh build over the same rows (deterministic end to end)
-    Similarity.rebuildIvfIndex(spark, idx, 8)
+    Similarity.rebuildIvfIndex(spark, idx)
     Similarity.buildIvfPqIndex(all, 8, fresh)
     val cbR = Similarity.readPqCodebook(spark, idx)
     assert(cbR == Similarity.readPqCodebook(spark, fresh),
@@ -600,7 +600,7 @@ class LayoutSpec extends SparkSuite {
     assert(s2.recentErr > s0.buildErr && s2.needsRetrain,
       s"off-distribution ingest must flip retrain: $s2")
     // the drift policy's answer retrains and resets the baseline
-    Similarity.rebuildIvfIndex(spark, idx, 8)
+    Similarity.rebuildIvfIndex(spark, idx)
     val s3 = Similarity.pqCodebookStats(spark, idx)
     assert(s3.recentErr == s3.buildErr && !s3.needsRetrain,
       s"rebuild must reset the staleness baseline: $s3")
