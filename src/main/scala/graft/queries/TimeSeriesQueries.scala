@@ -470,7 +470,27 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"))
   }
 
+  // The windowed (SLO-dashboard) percentile form under the hash gate:
+  // per (6-hour tumbling window, event_type) p50/p95 — the same exact
+  // R-7 quantiles as q138 bucketed by the q19 epoch-window recipe.
+  // (The STREAMING form of this exact plan is pinned stream==batch by
+  // StreamingConsistencySpec.)
+  val q140 = sql(
+    "q140_windowed_percentiles",
+    """SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.windowedValuePercentiles(
+        ev(s, d), col("ts"), col("event_type"), col("value"),
+        Seq(0.5, 0.95), "6 hours")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("group").as("event_type"), col("n_events"), col("p50"), col("p95"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28s, q63, q66, q99, q100, q101, q109, q115,
-    q138)
+    q138, q140)
 }
