@@ -130,12 +130,29 @@ object Similarity {
     * scan. At 100 TB the list id becomes the partition key, so a query
     * touches only nprobe partitions.
     */
-  /** Deterministic seed-centroid sample — (centroid_id, c_emb). */
+  /** Deterministic seed-centroid sample — (centroid_id, c_emb).
+    *
+    * Dense 0-based id corpora take every `stride`-th vector (the
+    * replayable geometry every persisted-index oracle pins). Corpora
+    * whose ids are NOT dense from 0 — 64-bit hash / snowflake ids, the
+    * normal case at 100 TB — would match zero stride rows, so when the
+    * stride sample comes up short the seeds fall back to the nLists
+    * vectors with the smallest xxhash64(vec_id): layout-independent,
+    * deterministic in any engine, and one bounded
+    * TakeOrderedAndProject job (the same move the PQ codebook sampler
+    * makes, Quantization.scala). Seed CHOICE is a recall knob, not a
+    * correctness contract — assignment, probe and search semantics are
+    * identical under either seed set. */
   private def ivfSeeds(embeddings: DataFrame, nLists: Int): DataFrame = {
     val n = embeddings.count()
     val stride = math.max(1L, n / nLists)
-    embeddings
+    val strided = embeddings
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    if (strided.count() >= math.min(nLists.toLong, n)) strided
+    else embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
   }
 
@@ -965,18 +982,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Guard for the heap-packed (primary, vec_id) order keys the batch
-    * searches use: outside [0, 2³³) the id would bleed into the
-    * primary field and SILENTLY reorder the shortlist/top-k (the
-    * knnGraph id contract, enforced loudly here because batch results
-    * must stay row-identical to the single-query APIs, which use real
-    * multi-column ordering with no id bound). */
-  private def packedOrdGuard(ord: Column): Column =
-    when(col("vec_id") >= 0L && col("vec_id") < lit(1L << 33), ord)
-      .otherwise(raise_error(concat(
-        lit("vec_id outside packed-order range [0, 2^33): "),
-        col("vec_id").cast("string"))))
-
   /** BATCHED plain-IVF serving: the whole query SET against the
     * persisted index as ONE plan — [[ivfSearchIndexedBatch]] is to
     * [[ivfSearchIndexed]] what [[ivfPqSearchIndexedBatch]] is to the
@@ -988,7 +993,8 @@ object Similarity {
     * broadcast against the nLists centroid table; the member scan is
     * DPP-pruned via the broadcast (query, list) probe set on the
     * partition column; per-query top-k runs through the heap
-    * TopKPerGroupExec on the packed (rounded-sim, vec_id) key. */
+    * TopKPerGroupExec on the native (sim DESC, vec_id ASC) composite
+    * ordering — ids are full 64-bit, no packing contract. */
   def ivfSearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nProbe: Int, queries: DataFrame,
       k: Int): DataFrame = {
@@ -1013,9 +1019,8 @@ object Similarity {
       .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-      .withColumn("_ord", packedOrdGuard(
-        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id")))
-    graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"), "_ord", k)
+    graft.plans.GraftOps.topKPerGroupOrdered(scored, Seq("query_id"),
+        Seq("sim" -> false, "vec_id" -> true), k)
       .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
   }
 
@@ -1039,14 +1044,13 @@ object Similarity {
     *     broadcast query codes; distances via [[Quantization
     *     .adcDistVsQuery]] (literal codebook, fused integer kernels);
     *  3. per-query shortlist — heap-based TopKPerGroupExec on the
-    *     packed key −(adc_dist·2³³ + vec_id): exact (adc_dist <
-    *     2²³ for int8 codes, vec_id < 2³³ — the knnGraph id bound)
-    *     and equivalent to (adc_dist asc, vec_id asc);
+    *     native (adc_dist ASC, vec_id ASC) composite ordering (any
+    *     64-bit id, any distance magnitude — no packing contract);
     *  4. exact re-rank — `lists` joined to the broadcast shortlist on
     *     (vec_id, list_id) (DPP again), cosine against the broadcast
-    *     query embeddings, per-query top-k on round(sim·1e6)·2³³ −
-    *     vec_id (ties on the ROUNDED sim resolve to the lowest
-    *     vec_id, exactly the single-query ordering).
+    *     query embeddings, per-query top-k on (sim DESC, vec_id ASC)
+    *     (ties on the 6-dp ROUNDED sim resolve to the lowest vec_id,
+    *     exactly the single-query ordering).
     * Broadcast sizes: nLists centroids, |queries| codes/embeddings,
     * |queries|·shortlist shortlist rows — serving-batch-bounded,
     * independent of corpus size. Cost per ADDITIONAL query is the
@@ -1079,11 +1083,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qs.select(col("query_id"), col("q8u"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("list_id"),
-        packedOrdGuard(
-          -(Quantization.adcDistVsQuery(cb, col("q8u")) * lit(1L << 33)) -
-            col("vec_id")).as("_ord"))
-    val sl = graft.plans.GraftOps.topKPerGroup(
-        cand, Seq("query_id"), "_ord", shortlist)
+        Quantization.adcDistVsQuery(cb, col("q8u")).as("adc_dist"))
+    val sl = graft.plans.GraftOps.topKPerGroupOrdered(
+        cand, Seq("query_id"), Seq("adc_dist" -> true, "vec_id" -> true), shortlist)
       .select(col("query_id"), col("vec_id"), col("list_id"))
     val reranked = lists
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -1092,9 +1094,8 @@ object Similarity {
       .join(broadcast(qs.select(col("query_id"), col("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-      .withColumn("_ord", packedOrdGuard(
-        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("vec_id")))
-    graft.plans.GraftOps.topKPerGroup(reranked, Seq("query_id"), "_ord", k)
+    graft.plans.GraftOps.topKPerGroupOrdered(reranked, Seq("query_id"),
+        Seq("sim" -> false, "vec_id" -> true), k)
       .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
   }
 
@@ -1153,15 +1154,14 @@ object Similarity {
     * shuffle key, exactly the entity-resolution blocking move the
     * dedup operators use.
     *
-    * Per-node top-k runs through the heap-based TopKPerGroupExec — the
-    * n·(block−1) pair stream is never globally sorted. The heap orders
-    * by ONE numeric key, so (sim desc, nbr asc) is packed into a single
-    * long: round(sim·1e6)·2³³ − nbr. Exact while |sim| ≤ 1 and
-    * nbr < 2³³ (~8.6e9 ids) — both safe margins for an embedding
-    * corpus; ties on the rounded sim resolve to the lowest neighbor id
-    * in any engine, which is what makes the result oracle-comparable.
-    * Norms are computed once per vector ahead of the join, so each
-    * pair costs one fused dot product. */
+    * Per-node top-k runs through the heap-based TopKPerGroupExec on
+    * the native (sim DESC, nbr ASC) composite ordering — the
+    * n·(block−1) pair stream is never globally sorted, and ids are
+    * full 64-bit (no packing contract). Ties on the 6-dp rounded sim
+    * resolve to the lowest neighbor id in any engine, which is what
+    * makes the result oracle-comparable. Norms are computed once per
+    * vector ahead of the join, so each pair costs one fused dot
+    * product. */
   def knnGraph(emb: DataFrame, k: Int, block: Option[Column] = None): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col("vec_id") +: col("embedding") +:
@@ -1183,9 +1183,8 @@ object Similarity {
         struct(col("va").as("vec_id"), col("vb").as("nbr"), col("sim")),
         struct(col("vb").as("vec_id"), col("va").as("nbr"), col("sim")))).as("e"))
       .select(col("e.vec_id"), col("e.nbr"), col("e.sim"))
-      .withColumn("_ord",
-        round(col("sim") * 1e6, 0).cast("long") * lit(1L << 33) - col("nbr"))
-    graft.plans.GraftOps.topKPerGroup(pairs, Seq("vec_id"), "_ord", k)
+    graft.plans.GraftOps.topKPerGroupOrdered(pairs, Seq("vec_id"),
+        Seq("sim" -> false, "nbr" -> true), k)
       .select(col("vec_id"), col("nbr"), col("sim"))
   }
 }

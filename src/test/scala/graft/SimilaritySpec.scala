@@ -152,6 +152,45 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("batched serving on vec_ids >= 2^33 (64-bit id space, no packing contract)") {
+    // Every id sits far past the old 2^33 packed-order ceiling (the
+    // pre-r11 exec RAISED here); the contract is batch == per-query
+    // loop row-for-row — the single-query path always used true
+    // multi-column ordering with no id bound, so it is the ground
+    // truth for the 64-bit id space.
+    val off = 1L << 40
+    val big = emb.filter(col("vec_id") < 300)
+      .withColumn("vec_id", col("vec_id") + lit(off))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqbigid").toString + "/index"
+    Similarity.buildIvfPqIndex(big, 8, idx)
+    val qids = Seq(0L, 7L, 42L).map(_ + off)
+    val queries = big.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfPqSearchIndexedBatch(spark, idx, 4, queries, 5, 25)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).sortBy(t => (-t._2, t._1)).toSeq }
+    assert(batch.keySet == qids.toSet)
+    for (q <- qids) {
+      assert(batch(q).forall(_._1 >= (1L << 33)), "corpus ids must exceed 2^33")
+      val single = Similarity.ivfPqSearchIndexed(spark, idx, 4, q, 5, 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} != loop $single")
+    }
+  }
+
+  test("knn graph on vec_ids >= 2^33") {
+    val off = 1L << 40
+    val shifted = Similarity.knnGraph(
+        emb.limit(50).withColumn("vec_id", col("vec_id") + lit(off)), 3)
+      .collect()
+      .map(r => (r.getLong(0) - off, r.getLong(1) - off, r.getDouble(2))).toSet
+    val plain = Similarity.knnGraph(emb.limit(50), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shifted == plain)
+  }
+
   test("knn graph blocked: every edge stays inside its block") {
     val withLabelBlock = Similarity.knnGraph(emb.limit(100), 2, Some(col("label")))
     val labels = emb.limit(100).select(col("vec_id"), col("label"))

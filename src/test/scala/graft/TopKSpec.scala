@@ -51,4 +51,29 @@ class TopKSpec extends SparkSuite {
     val out = GraftOps.topKPerGroup(one, Seq("user_id"), "value", 100000)
     assert(out.count() == one.count())
   }
+
+  test("composite ordering (value desc, event_id asc) matches the window formulation") {
+    // event_type has few distinct values → heavy value ties are
+    // impossible, so force ties by bucketing value to 1 decimal
+    val bucketed = ev.withColumn("vb", round(col("value"), 0))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("vb").desc, col("event_id"))
+    val expect = bucketed.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = GraftOps.topKPerGroupOrdered(bucketed, Seq("user_id"),
+        Seq("vb" -> false, "event_id" -> true), 4)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("long order keys beyond 2^53 compare exactly (no Double cast)") {
+    import spark.implicits._
+    val base = 1L << 53 // Double can no longer represent base+1 or base+3
+    val df = Seq(
+      ("g", base + 1L), ("g", base + 2L), ("g", base + 3L), ("g", base),
+      ("h", base + 3L), ("h", base + 1L)).toDF("grp", "v")
+    val top2 = GraftOps.topKPerGroupOrdered(df, Seq("grp"), Seq("v" -> false), 2)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(top2("g") == Seq(base + 3L, base + 2L), top2("g").toString)
+    assert(top2("h") == Seq(base + 3L, base + 1L), top2("h").toString)
+  }
 }
