@@ -93,11 +93,39 @@ object EventAnalytics {
     * in the state store and re-emits per trigger), and the
     * MemoryStream replay spec pins stream == batch. The approx
     * rewrite flag applies identically: a GK sketch state is what a
-    * production SLO stream would carry. */
+    * production SLO stream would carry.
+    *
+    * Complete mode re-emits EVERY window ever opened on each trigger
+    * and never expires state — right for replay/backfill and the
+    * batch gate (q140), wrong for an unbounded production stream. The
+    * long-running SLO deployment is [[windowedValuePercentilesAppend]],
+    * whose state and output stay watermark-bounded. */
   def windowedValuePercentiles(events: DataFrame, ts: Column, group: Column,
       value: Column, ps: Seq[Double], windowDur: String = "1 hour"): DataFrame =
     spreadPercentiles(
       events.groupBy(window(ts, windowDur).as("w"), group.as("group")),
+      value, ps)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  /** Watermarked APPEND-mode windowed percentiles — the production SLO
+    * stream (the q19 epoch-window recipe applied to the percentile
+    * agg): each (window, group) row is emitted EXACTLY ONCE, when the
+    * event-time watermark passes the window end, and its Percentile /
+    * GK-sketch state is evicted from the store at that point — both
+    * per-trigger output and state-store size are bounded by the open
+    * window count, not by stream lifetime (the complete-mode form
+    * grows with every window ever seen).
+    *
+    * `tsCol` is a column NAME (withWatermark's contract). On batch
+    * input the watermark is a no-op and the result equals
+    * [[windowedValuePercentiles]]; under streaming the replay spec
+    * pins stream == batch over closed windows and asserts eviction. */
+  def windowedValuePercentilesAppend(events: DataFrame, tsCol: String,
+      group: Column, value: Column, ps: Seq[Double],
+      windowDur: String = "1 hour", watermark: String = "0 seconds"): DataFrame =
+    spreadPercentiles(
+      events.withWatermark(tsCol, watermark)
+        .groupBy(window(col(tsCol), windowDur).as("w"), group.as("group")),
       value, ps)
       .withColumn("window_start", col("w.start")).drop("w")
 

@@ -68,6 +68,49 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("append-mode windowed percentiles: closed windows match batch, state evicted past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def dag(df: DataFrame) = graft.operators.EventAnalytics
+      .windowedValuePercentilesAppend(df, "ts", col("event_type"),
+        col("value"), Seq(0.5, 0.95), "6 hours")
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = dag(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("wpcta").start()
+    val rows = Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    // flush: one event far past the data's max ts advances the
+    // watermark beyond every real window, closing (emitting) them all;
+    // only the flush event's own window stays open
+    val maxTs = rows.map(_._1.getTime).max
+    stream.addData((new Timestamp(maxTs + 30L * 24 * 3600 * 1000), "flush", 0.0))
+    q.processAllAvailable()
+    // same-window second flush: forces the trigger that applies the
+    // advanced watermark (emitting every real window) without ever
+    // closing the flush window itself
+    stream.addData((new Timestamp(maxTs + 30L * 24 * 3600 * 1000 + 1), "flush", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("wpcta")
+    val batch = dag(Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value")))
+    assert(streamed.count() > 0)
+    // every real-data window is closed → streamed == the full batch face
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // eviction: closed-window state left the store — rows were removed,
+    // and what remains is only the open flush window's single group,
+    // not one buffer per window ever seen
+    val prog = q.recentProgress
+    assert(prog.flatMap(_.stateOperators).map(_.numRowsRemoved).sum > 0,
+      "no state rows were ever evicted")
+    val finalState = prog.last.stateOperators.head.numRowsTotal
+    assert(finalState <= 2,
+      s"state must hold only open windows, found $finalState rows")
+    q.stop()
+  }
+
   test("session windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     def dag(df: org.apache.spark.sql.DataFrame) = df
