@@ -886,7 +886,62 @@ object VectorQueries {
       .limit(10)
   }
 
+  // Un-indexed-query serving: the shape a real serving layer calls —
+  // a FRESH embedding that is NOT a corpus vec_id, against the
+  // persisted IVF-PQ index through Index.open + searchVector (the
+  // sentinel query_id −1 rides the batch plan; no corpus row
+  // self-excludes). The query vector is the exact float NEGATION of
+  // corpus vector 0 — bit-identical in any engine, guaranteed absent
+  // from the corpus. Oracle replays all four serving stages for the
+  // literal vector: its unit-int8 quantization (half-up rounding is
+  // sign-sensitive, so the formula runs on the negated values), probe
+  // selection against the stride-seeded geometry, ADC over the probed
+  // members with NO self-exclusion, and the exact-cosine re-rank.
+  val q141 = sql(
+    "q141_search_vector", {
+      s"""WITH $pqQuantCte,
+         |$pqCtes,
+         |qv AS (SELECT list_transform(embedding, x -> -x) AS qe
+         |  FROM embeddings WHERE vec_id = 0),
+         |qq8 AS (SELECT CASE WHEN nrm = 0 THEN list_transform(qe, x -> 0)
+         |    ELSE list_transform(qe, x ->
+         |      CAST(least(greatest(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5), -127.0), 127.0) AS INT))
+         |    END AS q8
+         |  FROM (SELECT qe, sqrt(list_sum(list_transform(qe, x ->
+         |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM qv) n0),
+         |p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
+         |asg0 AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, centroid_id AS list_id FROM (
+         |  SELECT vec_id, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+         |  FROM asg0) z WHERE rn = 1),
+         |pl AS (SELECT centroid_id AS probe_list FROM (
+         |    SELECT c.centroid_id, ${cosSql("c.c_emb", "qe")} AS cs FROM cents c, qv) t
+         |  ORDER BY cs DESC, centroid_id LIMIT 4),
+         |memb AS (SELECT a.vec_id FROM asg a JOIN pl ON a.list_id = pl.probe_list),
+         |qt2 AS (SELECT c.j, c.t, $pqDistSql AS d2
+         |  FROM (SELECT q8 FROM qq8) v CROSS JOIN pcb$PqTrainRounds c),
+         |adc2 AS (SELECT cv.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc_dist
+         |  FROM codes cv JOIN memb USING (vec_id)
+         |  JOIN qt2 q ON q.j = cv.j AND q.t = cv.t
+         |  GROUP BY cv.vec_id),
+         |sl AS (SELECT vec_id FROM adc2 ORDER BY adc_dist, vec_id LIMIT 100),
+         |r AS (SELECT e.vec_id, e.label, round(${cosSql("e.embedding", "qe")}, 6) AS sim
+         |  FROM embeddings e JOIN sl USING (vec_id), qv)
+         |SELECT vec_id, label, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val h = graft.operators.Index.open(s, ivfPqIdx(s, d))
+      .asInstanceOf[graft.operators.Index.IvfPq]
+    val e0 = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    h.searchVector(e0.map(x => -x), 10, 4, 100)
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139)
+    q134, q135, q136, q137, q139, q141)
 }
