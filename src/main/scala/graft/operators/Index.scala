@@ -136,9 +136,11 @@ object Index {
     else if (mf.contains("lists"))
       new Ivf(spark, path,
         params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
-    else if (mf.contains("shingles") || mf.contains("bands"))
-      new Lsh(spark, path, params("n").toInt, params("numHashes").toInt,
-        params("bands").toInt)
+    else if (mf.contains("shingles") || mf.contains("bands")) {
+      def p(key: String): Int = params.getOrElse(key,
+        sys.error(s"index at $path missing $key")).toInt
+      new Lsh(spark, path, p("n"), p("numHashes"), p("bands"))
+    }
     else sys.error(s"unrecognized index layout at $path: " +
       s"tables=${mf.keys.toSeq.sorted.mkString(",")}")
   }

@@ -673,40 +673,67 @@ object Pipelines {
     * exactly like pinned centroids) — and since codewords can go
     * stale WITHOUT skewing the list histogram, `retrainErrRatio`
     * arms the second trigger: `Similarity.pqCodebookStats`'s
-    * quantization-error EWMA vs the build-time baseline. */
+    * quantization-error EWMA vs the build-time baseline.
+    *
+    * Index access goes through ONE [[graft.operators.Index]] handle,
+    * opened lazily after bootstrap and reused for every later trigger
+    * (kind dispatch + params + the PQ codebook resolved once, not
+    * per batch; a handle-initiated rebuild refreshes the preloaded
+    * codebook in place). `pq = true` makes the BOOTSTRAP build an
+    * IVF-PQ index — without it a sink pointed at a deleted/new path
+    * that was meant to serve PQ would silently bootstrap plain IVF
+    * and `retrainErrRatio` would never fire; setting `retrainErrRatio`
+    * against a committed plain-IVF layout logs one WARN instead of
+    * staying a silent no-op. */
   def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
       nLists: Int = 16, rebuildSkewThreshold: Option[Double] = None,
-      retrainErrRatio: Option[Double] = None,
+      retrainErrRatio: Option[Double] = None, pq: Boolean = false,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = vectors.sparkSession
+    import graft.operators.{Index, Similarity, VersionedIndex}
+    var handle: Option[Index.Opened] = None // driver-side, one foreachBatch loop
+    var warnedNoCodebook = false
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.operators.{Similarity, VersionedIndex}
-        if (VersionedIndex.currentDir(spark, indexPath).isEmpty)
-          Similarity.buildIvfIndex(batch, nLists, indexPath)
-        else {
-          Similarity.upsertIvfIndex(batch, indexPath)
+        if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
+          if (pq) Similarity.buildIvfPqIndex(batch, nLists, indexPath)
+          else Similarity.buildIvfIndex(batch, nLists, indexPath)
+        } else {
+          val h = handle.getOrElse {
+            val o = Index.open(spark, indexPath); handle = Some(o); o
+          }
           // two independent drift triggers, one O(params) check each:
           //  - list-histogram skew (geometry no longer balances lists)
           //  - codebook staleness (IVF-PQ only: new vectors no longer
           //    fit the pinned codewords — pqErrRecent EWMA vs build)
-          // both answered by rebuildIvfIndex, which re-centers AND
-          // retrains the codebook for IVF-PQ layouts
-          val skewed = rebuildSkewThreshold.exists(thr =>
-            Similarity.ivfIndexStats(spark, indexPath, thr).needsRebuild)
-          val stale = retrainErrRatio.exists { r =>
-            VersionedIndex.currentDir(spark, indexPath)
-              .map(VersionedIndex.readParams(spark, _))
-              .exists(_.contains("pqErrBuild")) &&
-            Similarity.pqCodebookStats(spark, indexPath, r).needsRetrain
+          // both answered by rebuild(), which re-centers, keeps the
+          // PERSISTED nLists (the sink's nLists only sizes bootstrap)
+          // and for IVF-PQ retrains + hot-swaps the handle's codebook
+          h match {
+            case i: Index.IvfPq =>
+              i.upsert(batch)
+              val skewed = rebuildSkewThreshold.exists(t => i.stats(t).needsRebuild)
+              val stale = retrainErrRatio.exists(r => i.codebookStats(r).needsRetrain)
+              if (skewed || stale) i.rebuild()
+            case i: Index.Ivf =>
+              if (retrainErrRatio.isDefined && !warnedNoCodebook) {
+                warnedNoCodebook = true
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"vectorIngestSink: retrainErrRatio is set but the index " +
+                    s"at $indexPath is plain IVF (no PQ codebook) — the " +
+                    "staleness trigger can never fire; bootstrap with " +
+                    "pq = true if PQ serving is expected")
+              }
+              i.upsert(batch)
+              if (rebuildSkewThreshold.exists(t => i.stats(t).needsRebuild))
+                i.rebuild()
+            case other => sys.error(
+              s"vectorIngestSink: cannot ingest vectors into a " +
+                s"${other.kind} index at $indexPath")
           }
-          // rebuild keeps the index's PERSISTED nLists — the sink's
-          // nLists only sizes the bootstrap build
-          if (skewed || stale)
-            Similarity.rebuildIvfIndex(spark, indexPath)
         }
       }
       .start()
@@ -734,17 +761,27 @@ object Pipelines {
   def vectorDeleteSink(deletes: DataFrame, indexPath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = deletes.sparkSession
+    import graft.operators.{Index, VersionedIndex}
     val skipped = spark.sparkContext
       .longAccumulator("graft.vectorDeleteSink.skippedBatches")
+    var handle: Option[Index.Opened] = None // opened once, after the index exists
     deletes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Similarity, VersionedIndex}
-        if (VersionedIndex.currentDir(spark, indexPath).isDefined)
-          Similarity.deleteFromIvfIndex(batch, indexPath)
-        else {
+        if (VersionedIndex.currentDir(spark, indexPath).isDefined) {
+          val h = handle.getOrElse {
+            val o = Index.open(spark, indexPath); handle = Some(o); o
+          }
+          // handle dispatch makes the takedown stream kind-agnostic:
+          // the same sink serves IVF, IVF-PQ and LSH indexes
+          h match {
+            case i: Index.IvfPq => i.delete(batch)
+            case i: Index.Ivf => i.delete(batch)
+            case i: Index.Lsh => i.delete(batch)
+          }
+        } else {
           skipped.add(1L)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"vectorDeleteSink: batch $batchId arrived before index " +

@@ -666,6 +666,37 @@ class LayoutSpec extends SparkSuite {
     assert(res.count() == rows.length - 1, "full probe sees every ingested vector")
   }
 
+  test("vector ingest sink pq=true bootstraps an IVF-PQ layout; handle reused across triggers") {
+    import graft.operators.{Index, Similarity, VersionedIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("vecingpq").toString
+    val idx = s"$base/index"
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Seq[Float])]
+    val sdf = stream.toDF().toDF("vec_id", "label", "embedding")
+    val q = graft.streaming.Pipelines.vectorIngestSink(sdf, idx, s"$base/ckpt",
+      nLists = 8, retrainErrRatio = Some(100.0), pq = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    // bootstrap committed a PQ layout, not plain IVF — the staleness
+    // trigger is armed from the first version
+    assert(Index.open(spark, idx).kind == "ivf-pq")
+    assert(VersionedIndex.currentDir(spark, idx)
+      .map(VersionedIndex.readParams(spark, _))
+      .exists(_.contains("pqErrBuild")))
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable() // upsert + codebookStats through the cached handle
+    q.stop()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+    // PQ serving works against the streamed index end to end
+    assert(Similarity.ivfPqSearchIndexed(spark, idx, 8, 0L, 5, 25).count() == 5)
+  }
+
   test("streaming vector takedown: batches delete atomically; replayed deletes commit nothing") {
     import graft.operators.{Similarity, VersionedIndex}
     import org.apache.spark.sql.functions.col
