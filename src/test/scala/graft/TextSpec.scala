@@ -85,8 +85,8 @@ class TextSpec extends SparkSuite {
       .collect()
     assert(joined.nonEmpty)
     joined.foreach(r => assert(r.getLong(0) == r.getLong(1)))
-    // stub decoder emits a fixed-width feature vector
-    assert(feats.select("features").as[Seq[Double]].collect().forall(_.length == 2))
+    // HeaderDecoder emits [len, 0, 0] for non-media payloads — fixed width
+    assert(feats.select("features").as[Seq[Double]].collect().forall(_.length == 3))
   }
 
   test("frame sampling: chunk count follows byte length") {
