@@ -428,18 +428,26 @@ object Similarity {
       // assignment against pinned centroids); re-training is a rebuild
       val pqCb = if (pqMf.nonEmpty || pqCbMf.nonEmpty)
         Some(readPqCodebook(spark, path)) else None
-      // codebook-staleness EWMA: fold this batch's mean quantization
-      // error into pqErrRecent (integer ⌊(4·prev + batch)/5⌋, α=0.2) —
-      // O(batch), no index scan; pqCodebookStats turns it into the
-      // needsRetrain signal
+      // codebook-staleness EWMA, weighted by BATCH SIZE: the recent
+      // error represents a ~PqErrWindowCap-row sliding memory, so the
+      // fold weight is n/(W+n) — a 10-row batch moves the signal 100×
+      // less than a 1000-row batch (a fixed α would let many tiny
+      // well-fitting batches wash out one huge drifted batch, and one
+      // tiny outlier sway the signal as much as a large one). Integer
+      // arithmetic throughout — O(batch), no index scan;
+      // pqCodebookStats turns it into the needsRetrain signal
       val pqErrParams = pqCb.flatMap { cb =>
         pqMeanErr(assignedNew.select(col("vec_id"), col("embedding")), cb)
-          .map { be =>
+          .map { case (n, be) =>
             val prev = params.get("pqErrRecent").map(_.toLong)
               .orElse(params.get("pqErrBuild").map(_.toLong)).getOrElse(be)
-            "pqErrRecent" -> ((4L * prev + be) / 5L).toString
+            val w = params.get("pqErrWindow").map(_.toLong)
+              .getOrElse(PqErrWindowCap)
+            Map(
+              "pqErrRecent" -> ((w * prev + n * be) / (w + n)).toString,
+              "pqErrWindow" -> math.min(w + n, PqErrWindowCap).toString)
           }
-      }.toMap
+      }.getOrElse(Map.empty)
       // chain length if we carried: prior owners (any table) + new
       val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet ++
         pqMf.values.toSet
@@ -821,31 +829,45 @@ object Similarity {
   private def pqParams(cb: Quantization.PqCodebook): Map[String, String] =
     Map("pqM" -> cb.m.toString, "pqSubDim" -> cb.subDim.toString)
 
-  /** Mean integer quantization error of `rows` under `cb`: the
-    * per-vector ADC self-distance ‖q8u − codeword(pq)‖² (a BIGINT),
-    * floor-averaged — the statistic behind codebook-staleness
+  /** Rows the staleness EWMA remembers at steady state. "Recent"
+    * means the last ~256 ingested vectors: batch MEANS are already
+    * low-variance, so a short memory stays stable while flipping
+    * within a few hundred drifted rows; any batch larger than the
+    * window rightly dominates it (weight n/(W+n) → 1), and a
+    * single-row outlier moves the signal by at most 1/257 of its
+    * excess. */
+  private val PqErrWindowCap = 256L
+
+  /** Mean integer quantization error of `rows` under `cb`: (row
+    * count, per-vector ADC self-distance ‖q8u − codeword(pq)‖²
+    * floor-averaged) — the statistic behind codebook-staleness
     * detection. One aggregation job over `rows`; exact (sums <
-    * 2⁵³). */
+    * 2⁵³). None for an empty batch. */
   private def pqMeanErr(rows: DataFrame,
-      cb: Quantization.PqCodebook): Option[Long] = {
+      cb: Quantization.PqCodebook): Option[(Long, Long)] = {
     val r = Quantization.withPqCodes(rows, cb)
       .agg(count(lit(1)).as("n"),
         floor(sum(Quantization.adcDistVsQuery(cb, col("q8u"))) /
           count(lit(1))).as("e"))
       .head()
-    if (r.getLong(0) == 0L) None else Some(r.getLong(1))
+    if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
   }
 
   /** Codebook health of a persisted IVF-PQ index. The codebook is
     * pinned at build time like the centroid geometry, but it can go
     * stale WITHOUT skewing the list histogram (drift WITHIN lists) —
     * so staleness gets its own signal: `buildErr` is the corpus mean
-    * quantization error at build time, `recentErr` an integer EWMA
-    * (α=0.2: err' = ⌊(4·err + batchErr)/5⌋) over the mean errors of
-    * upserted batches, both maintained in params with no index scan.
-    * `needsRetrain` fires when recentErr ≥ ratio × buildErr — newly
-    * ingested vectors no longer fit the codewords — and the answer is
-    * [[rebuildIvfIndex]], which retrains. */
+    * quantization error at build time, `recentErr` a BATCH-SIZE-
+    * weighted integer EWMA over upserted batches — err' =
+    * ⌊(W·err + n·batchErr)/(W + n)⌋ with memory W capped at
+    * ~PqErrWindowCap rows — both maintained in params with no index
+    * scan. `needsRetrain` fires when recentErr ≥ ratio × buildErr —
+    * newly ingested vectors no longer fit the codewords — and the
+    * answer is [[rebuildIvfIndex]], which retrains. DELETES leave the
+    * signal untouched by design: it measures how recent INGEST fits
+    * the pinned codewords, and removing rows changes neither the
+    * codewords nor the incoming distribution (post-takedown fit of
+    * the remaining corpus is the rebuild's own errBuild baseline). */
   final case class PqDriftStats(buildErr: Long, recentErr: Long,
       ratio: Double, needsRetrain: Boolean)
 
@@ -885,7 +907,8 @@ object Similarity {
     // staleness baseline (one build-time aggregation; mutations keep
     // an EWMA against it, pqCodebookStats reads it)
     val errBuild = pqMeanErr(
-      embeddings.select(col("vec_id"), col("embedding")), cb).getOrElse(0L)
+      embeddings.select(col("vec_id"), col("embedding")), cb)
+      .map(_._2).getOrElse(0L)
     VersionedIndex.commit(spark, path,
       Seq("lists" -> assignSeeded(embeddings, seeds),
         "centroids" -> seeds.select(
@@ -897,7 +920,9 @@ object Similarity {
         "pqTrainRounds" -> trainRounds.toString,
         "pqTrainSample" -> trainSample.toString,
         "pqErrBuild" -> errBuild.toString,
-        "pqErrRecent" -> errBuild.toString) ++ pqParams(cb),
+        "pqErrRecent" -> errBuild.toString,
+        // full-corpus baseline → the EWMA starts at full memory
+        "pqErrWindow" -> PqErrWindowCap.toString) ++ pqParams(cb),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
         "pq" -> Seq("list_id")),
       derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),

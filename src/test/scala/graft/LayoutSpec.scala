@@ -583,6 +583,18 @@ class LayoutSpec extends SparkSuite {
     val s1 = Similarity.pqCodebookStats(spark, idx)
     assert(!s1.needsRetrain,
       s"in-distribution ingest must not flip retrain: $s1 vs build ${s0.buildErr}")
+    // batch-size weighting: ONE drifted outlier row carries 1/(W+1)
+    // of the fold — it must barely move the signal (a fixed per-batch
+    // alpha would let a single bad row sway it like a whole batch)
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") === 0)
+        .select(lit(99999L).as("vec_id"), col("label"),
+          transform(col("embedding"),
+            (_, i) => when(i === 0, lit(10.0f)).otherwise(lit(0.0f)))
+            .as("embedding")), idx)
+    val sOut = Similarity.pqCodebookStats(spark, idx)
+    assert(!sOut.needsRetrain && sOut.ratio < 1.1,
+      s"one outlier row must not sway the batch-weighted EWMA: $sOut")
     // OFF-distribution drift: one-hot spike vectors no codeword fits —
     // quantization error of each batch is far above the baseline, and
     // the EWMA crosses ratio 1.5 within a few batches. Crucially this
