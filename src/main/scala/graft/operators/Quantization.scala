@@ -156,15 +156,32 @@ object Quantization {
     * driver Lloyd loop over ≤ trainSample rows (doc below).
     *
     * Accuracy/size knob (measured over queries {0,7,42} × sf0.001/
-    * sf0.01, exact top-10; full ladder in SCALE.md): m=16 SAMPLED
-    * (trainRounds=0) averages 7.0/10 recall at a 5×k shortlist and
-    * 8.8/10 at 10×k; m=16 TRAINED (trainRounds=2, the shipped
-    * default) averages 8.7/10 at 5×k — per-cell ≥ the sampled
-    * codebook in all six (query, sf) cells — and 9.5/10 at 10×k. The
-    * training makes a 5×k shortlist as good as the sampled 10×k one,
-    * halving the exact re-rank set; a third round adds ≤ 0.2.
-    * `trainRounds = 0` reproduces the round-9 sampled behavior
-    * (modulo the layout-independent init sample). */
+    * sf0.01, exact top-10; full ladder in SCALE.md, reproducible via
+    * `runMain graft.RecallLadder`): m=16 SAMPLED (trainRounds=0)
+    * averages 7.0/10 recall at a 5×k shortlist and 8.8/10 at 10×k;
+    * m=16 TRAINED (trainRounds=2, the shipped default) averages
+    * 8.7/10 at 5×k — per-cell ≥ the sampled codebook in all six
+    * (query, sf) cells — and 9.5/10 at 10×k. The training makes a
+    * 5×k shortlist as good as the sampled 10×k one, halving the
+    * exact re-rank set; a third round adds ≤ 0.2. `trainRounds = 0`
+    * reproduces the round-9 sampled behavior (modulo the
+    * layout-independent init sample).
+    *
+    * SHORTLIST SCALING (measured at sf0.1, 10× the corpus): at a
+    * FIXED shortlist multiple recall decays with corpus size —
+    * trained-2 at 5×k drops 9.3→6.3 from sf0.01 to sf0.1 — because
+    * the ADC error envelope is constant while the competitor pool
+    * grows; what stays invariant is recall at a fixed
+    * shortlist/corpus RATIO (trained-2: 9.3/10 at 20% of corpus in
+    * both SFs; 9.0/10 at 4% — 20×k — at sf0.1). Training keeps its
+    * edge at every pre-saturation cell (sf0.1 trained-2 vs sampled:
+    * 4.3/3.0 at 2×k, 6.3/4.7 at 5×k, 8.3/7.3 at 10×k, 9.0/8.7 at
+    * 20×k). So size `shortlist` as a fraction of the CANDIDATE SET,
+    * not a multiple of k — in the indexed serving path ADC ranks only
+    * the probed lists (nProbe/nLists of the corpus), which buys back
+    * nLists/nProbe of the ratio for free; this is NOT a trainSample
+    * effect (the 4096-row sample still covers sf0.1 at 82%, and the
+    * trained codebook's per-cell wins persist). */
   /** `trainSample` bounds the LLOYD TRAINING SET: the training rounds
     * run over the `trainSample` lowest rows of the same
     * (saltedHash("pqcb", vec_id), vec_id) ordering the init sample
