@@ -48,6 +48,31 @@ class MultimodalSpec extends SparkSuite {
       Some(ImageMeta("jpeg", 65535, 65535, 1)))
   }
 
+  test("jpeg walker: fill bytes before a marker, and SOF directly after SOI") {
+    // FF-padding before the SOF marker (legal filler between segments)
+    val padded = Array(0xff, 0xd8, 0xff, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x10, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(Multimodal.parseImageHeader(padded) ==
+      Some(ImageMeta("jpeg", 32, 16, 1)))
+    // no COM/APP segments at all: SOI then straight to SOF0
+    val direct = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x01, 0x00, 0x02, 0x00, 0x03, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(Multimodal.parseImageHeader(direct) ==
+      Some(ImageMeta("jpeg", 512, 256, 3)))
+    // progressive JPEG (SOF2) is a frame header too
+    val sof2 = Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 0x08,
+      0x00, 0x08, 0x00, 0x09, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(Multimodal.parseImageHeader(sof2) ==
+      Some(ImageMeta("jpeg", 9, 8, 1)))
+    // DHT (C4) is NOT a frame header: it must be skipped by length,
+    // and the SOF0 behind it still parses
+    val dhtFirst = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x05, 0x00, 0x06, 0x02,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x00).map(_.toByte)
+    assert(Multimodal.parseImageHeader(dhtFirst) ==
+      Some(ImageMeta("jpeg", 6, 5, 2)))
+  }
+
   test("garbage, text and truncated payloads parse to None, never throw") {
     assert(Multimodal.parseImageHeader("plain text payload".getBytes).isEmpty)
     assert(Multimodal.parseImageHeader(Array.empty[Byte]).isEmpty)

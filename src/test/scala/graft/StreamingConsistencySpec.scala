@@ -111,6 +111,39 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("approx-percentile rewrite runs on the append-mode percentile stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // the production combination: GK sketch state (flag on) inside the
+    // watermark-bounded append stream — under the sketch's accuracy
+    // bound the GK summary is exact, so the streamed rows must still
+    // equal the exact batch face
+    spark.conf.set(graft.plans.ApproxPercentileRewrite.FLAG, "true")
+    try {
+      def dag(df: DataFrame) = graft.operators.EventAnalytics
+        .windowedValuePercentilesAppend(df, "ts", col("event_type"),
+          col("value"), Seq(0.5, 0.95), "6 hours")
+      val stream = MemoryStream[(Timestamp, String, Double)]
+      val q = dag(stream.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.outputMode("append").format("memory").queryName("wpctapx").start()
+      val rows = Tables.events(spark, sf0001)
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(Timestamp, String, Double)].collect().toSeq
+      stream.addData(rows)
+      q.processAllAvailable()
+      val maxTs = rows.map(_._1.getTime).max
+      stream.addData((new Timestamp(maxTs + 30L * 24 * 3600 * 1000), "flush", 0.0))
+      q.processAllAvailable()
+      stream.addData((new Timestamp(maxTs + 30L * 24 * 3600 * 1000 + 1), "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("wpctapx")
+      assert(streamed.count() > 0)
+      val batch = dag(Tables.events(spark, sf0001)
+        .select(col("ts"), col("event_type"), col("value")))
+      assert(sortedRows(streamed) == sortedRows(batch))
+      q.stop()
+    } finally spark.conf.unset(graft.plans.ApproxPercentileRewrite.FLAG)
+  }
+
   test("session windows match batch") {
     implicit val sqlCtx = spark.sqlContext
     def dag(df: org.apache.spark.sql.DataFrame) = df
