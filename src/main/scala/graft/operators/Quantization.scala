@@ -279,16 +279,18 @@ object Quantization {
     * per subspace — pure column algebra against the literal codebook
     * (no shuffle, no join; the same broadcast-free literal trick as
     * dsirScore / bpeTokenCount). Ties resolve to the LOWEST codeword
-    * index via array_position's first-match semantics — unambiguous
-    * because the distances are exact integers.
+    * index (exact integer distances make this unambiguous).
     *
-    * The m×kPq argmin tree is UNROLLED STATICALLY over the native
-    * graft_sqdist kernel (m, kPq and the codewords are driver
-    * constants) instead of nested transform/aggregate lambdas — HOF
-    * nodes are CodegenFallback, and an m×kPq×subDim interpreted
-    * lambda nest measured ~20 s for the sf0.1 corpus where this form
-    * runs in ~1 s (the same LongDot/SqDistLong lesson as the k-means
-    * argmin, GraftExpressions.scala). */
+    * The argmin runs in ONE native looped kernel
+    * ([[graft.plans.PqEncode]]) over the flattened literal codebook.
+    * History of this hot path: nested transform/aggregate lambdas
+    * (HOF nodes are CodegenFallback) measured ~20 s at sf0.1; a
+    * statically-unrolled m×kPq tree of graft_sqdist kernels brought
+    * that to ~1 s but generated a projection past Janino's 64 KB
+    * method limit, so the whole projection silently fell back to
+    * INTERPRETED eval; the looped kernel generates ~30 lines
+    * regardless of codebook size and keeps the projection inside
+    * whole-stage codegen. */
   def withPqCodes(emb: DataFrame, cb: PqCodebook): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     codesFor(withUnitInt8(emb), cb)
@@ -299,19 +301,13 @@ object Quantization {
     * and final codes are consistent by construction). */
   private def codesFor(unit: DataFrame, cb: PqCodebook): DataFrame = {
     val kEff = cb.codes.head.length
-    val codeCols = (0 until cb.m).map { j =>
-      val sub = slice(col("q8u"), j * cb.subDim + 1, cb.subDim)
-      // argmin via lexicographic struct-min (the kmeansInt8 move):
-      // ONE (dist, t) array — array_position(dists, array_min(dists))
-      // would plant the whole kEff-expression dists array TWICE per
-      // subspace, doubling the generated code (measured: the training
-      // loop's three assignment passes made that the dominant cost)
-      val alts = array((0 until kEff).map(t =>
-        struct(graft.plans.GraftFunctions.sqdist(sub, typedLit(cb.codes(j)(t))).as("d"),
-          lit(t).as("t"))): _*)
-      array_min(alts).getField("t")
-    }
-    unit.withColumn("pq", array(codeCols: _*))
+    val flat = for {
+      j <- 0 until cb.m
+      t <- 0 until kEff
+      i <- 0 until cb.subDim
+    } yield cb.codes(j)(t)(i)
+    unit.withColumn("pq",
+      graft.plans.GraftFunctions.pqEncode(col("q8u"), cb.m, cb.subDim, flat))
   }
 
   /** ADC (asymmetric distance computation) top-k: the query's

@@ -486,6 +486,112 @@ case class SqDistLong(left: Expression, right: Expression) extends IntArrayPairR
       newRight: Expression): SqDistLong = copy(left = newLeft, right = newRight)
 }
 
+/** Full PQ encode — the m-subspace argmin against a literal codebook
+  * as ONE native looped kernel. The previous formulation unrolled
+  * m × kPq graft_sqdist calls into the expression tree (256 fused
+  * kernels for the default 16×16 codebook): values were right, but
+  * the generated projection method crossed Janino's 64 KB limit and
+  * the WHOLE projection silently fell back to interpreted eval
+  * ("Code grows beyond 64 KB" in the logs). A loop over a referenced
+  * int[] generates ~30 lines regardless of m/kPq and stays inside
+  * whole-stage codegen.
+  *
+  * `child` = the unit-int8 vector (array<int>, length m·subDim);
+  * `codes` = the flattened codebook, codeword dim i of (subspace j,
+  * codeword t) at [(j·kPq + t)·subDim + i]. Output: array<int>,
+  * length m — per subspace the 0-based nearest codeword by exact
+  * integer squared-L2, ties to the LOWEST index (strict `<` keeps
+  * the first minimum — identical to the lexicographic struct-min of
+  * the unrolled form and to the DuckDB oracle's `ORDER BY d2, t`).
+  * A wrong-length input raises: it can only mean a corrupt persisted
+  * row or a codebook/corpus dimension mismatch, and an argmin over
+  * garbage would be silently wrong. */
+case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
+    codes: IndexedSeq[Int]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.catalogString}")
+  }
+
+  private def checkLen(n: Int): Unit =
+    if (n != m * subDim) throw new IllegalStateException(
+      s"$prettyName: vector has $n dims, codebook expects ${m * subDim}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    checkLen(v.numElements())
+    val res = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var t = 0
+      while (t < kEff) {
+        val base = (j * kEff + t) * subDim
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val dv = (v.getInt(j * subDim + i) - codes(base + i)).toLong
+          d += dv * dv
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = t }
+        t += 1
+      }
+      res(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodes", codes.toArray, "int[]")
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val res = ctx.freshName("res")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val dv = ctx.freshName("dv")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |$self.checkLenJava($a.numElements());
+         |int[] $res = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; long $bestD = Long.MAX_VALUE;
+         |  for (int $t = 0; $t < $kEff; $t++) {
+         |    int $base = ($j * $kEff + $t) * $subDim;
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      long $dv = (long) $a.getInt($j * $subDim + $i) - (long) $cbRef[$base + $i];
+         |      $d += $dv * $dv;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $t; }
+         |  }
+         |  $res[$j] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry for the length guard (kept on the instance so the
+    * generated code stays tiny and the error message central). */
+  def checkLenJava(n: Int): Unit = checkLen(n)
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -507,6 +613,25 @@ object GraftFunctions {
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sqdist", exprs => SqDistLong(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode", exprs => {
+        // (q8u, flatCodes literal, m literal, subDim literal) — the
+        // codebook rides in as a foldable array literal and is
+        // extracted ONCE at resolution into the expression's constant
+        def intOf(e: Expression): Int = {
+          require(e.foldable, s"graft_pq_encode: argument $e must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        val flatE = exprs(1)
+        require(flatE.foldable, "graft_pq_encode: codebook must be a literal")
+        val flat = flatE.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toIndexedSeq
+        val (m, sub) = (intOf(exprs(2)), intOf(exprs(3)))
+        require(m > 0 && sub > 0 && flat.length % (m * sub) == 0,
+          s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
+        PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
+      }, "built-in")
   }
 
   /** Column-level access; requires register(spark) once per session. */
@@ -526,4 +651,10 @@ object GraftFunctions {
   def nfc(c: Column): Column = call_function("graft_nfc", c)
 
   def sqdist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+
+  def pqEncode(q8u: Column, m: Int, subDim: Int, flatCodes: Seq[Int]): Column =
+    call_function("graft_pq_encode", q8u,
+      org.apache.spark.sql.functions.typedlit(flatCodes),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(subDim))
 }
