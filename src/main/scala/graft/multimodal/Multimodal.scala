@@ -117,6 +117,11 @@ object Multimodal {
   def jpegBytes(width: Int, height: Int, channels: Int, comLen: Int,
       payload: Array[Byte]): Array[Byte] = {
     require(comLen >= 2 && comLen <= 0xffff, s"bad COM length $comLen")
+    // SOF dimensions are 16-bit fields — reject instead of silently
+    // truncating (the parse would then byte-exactly invert a LIE)
+    require(width >= 1 && width <= 0xffff, s"JPEG width $width outside [1, 65535]")
+    require(height >= 1 && height <= 0xffff, s"JPEG height $height outside [1, 65535]")
+    require(channels >= 1 && channels <= 255, s"bad channel count $channels")
     val out = new java.io.ByteArrayOutputStream(16 + comLen + payload.length)
     def w16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     w16(0xffd8) // SOI

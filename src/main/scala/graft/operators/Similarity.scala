@@ -144,12 +144,19 @@ object Similarity {
     * correctness contract — assignment, probe and search semantics are
     * identical under either seed set. */
   private def ivfSeeds(embeddings: DataFrame, nLists: Int): DataFrame = {
-    val n = embeddings.count()
+    // ONE aggregation job: count + id range. min==0 && max==n-1 with
+    // unique ids PROVES the corpus is dense from 0, i.e. the stride
+    // sample is complete — the common case pays no second scan; only
+    // genuinely sparse/shifted id spaces run the membership count.
+    val r = embeddings.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+    val n = r.getLong(0)
+    val dense = n > 0 && !r.isNullAt(1) &&
+      r.getLong(1) == 0L && r.getLong(2) == n - 1
     val stride = math.max(1L, n / nLists)
     val strided = embeddings
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    if (strided.count() >= math.min(nLists.toLong, n)) strided
+    if (dense || strided.count() >= math.min(nLists.toLong, n)) strided
     else embeddings
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nLists)

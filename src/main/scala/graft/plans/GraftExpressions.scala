@@ -510,6 +510,10 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     codes: IndexedSeq[Int]) extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
+  require(m > 0 && subDim > 0 && kEff > 0 && codes.length == m * kEff * subDim,
+    s"PqEncode: ${codes.length} codebook ints do not tile m=$m kEff=$kEff subDim=$subDim" +
+      " (an empty or mis-shaped codebook would emit all-zero codes silently)")
+
   override def prettyName: String = "graft_pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -537,7 +541,9 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
         var d = 0L
         var i = 0
         while (i < subDim) {
-          val dv = (v.getInt(j * subDim + i) - codes(base + i)).toLong
+          // widen BEFORE subtracting — the generated code subtracts in
+          // long, and the two eval paths must agree on any int input
+          val dv = v.getInt(j * subDim + i).toLong - codes(base + i)
           d += dv * dv
           i += 1
         }
@@ -628,7 +634,7 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toIntArray().toIndexedSeq
         val (m, sub) = (intOf(exprs(2)), intOf(exprs(3)))
-        require(m > 0 && sub > 0 && flat.length % (m * sub) == 0,
+        require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
           s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
         PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")

@@ -74,6 +74,9 @@ object MultimodalQueries {
         (id, Multimodal.jpegBytes(tb.length % 60000 + 1, (id % 480 + 1).toInt,
           (id % 3 + 1).toInt, (id % 30 + 2).toInt, tb))
       }).toDF("doc_id", "payload")
+      // both join branches consume the synthesized blobs — cache so
+      // the encode pass runs once (plan-keyed: reruns reuse the entry)
+      .cache()
     val meta = Multimodal.imageMeta(s, blobs)
     val frames = Multimodal.sampleFrames(s, blobs, 64, 2)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))

@@ -716,7 +716,24 @@ object Pipelines {
             case i: Index.IvfPq =>
               i.upsert(batch)
               val skewed = rebuildSkewThreshold.exists(t => i.stats(t).needsRebuild)
-              val stale = retrainErrRatio.exists(r => i.codebookStats(r).needsRetrain)
+              // an IVF-PQ layout committed before the staleness signal
+              // existed has no pqErrBuild baseline — skip (and warn
+              // once) instead of sys.error-ing the stream; the first
+              // rebuild writes the baseline and arms the trigger
+              val stale = retrainErrRatio.exists { r =>
+                val armed = VersionedIndex.currentDir(spark, indexPath)
+                  .map(VersionedIndex.readParams(spark, _))
+                  .exists(_.contains("pqErrBuild"))
+                if (!armed && !warnedNoCodebook) {
+                  warnedNoCodebook = true
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"vectorIngestSink: retrainErrRatio is set but the " +
+                      s"IVF-PQ index at $indexPath predates the " +
+                      "codebook-error baseline (no pqErrBuild param) — " +
+                      "staleness is unmonitored until the next rebuild")
+                }
+                armed && i.codebookStats(r).needsRetrain
+              }
               if (skewed || stale) i.rebuild()
             case i: Index.Ivf =>
               if (retrainErrRatio.isDefined && !warnedNoCodebook) {
@@ -775,11 +792,17 @@ object Pipelines {
             val o = Index.open(spark, indexPath); handle = Some(o); o
           }
           // handle dispatch makes the takedown stream kind-agnostic:
-          // the same sink serves IVF, IVF-PQ and LSH indexes
+          // the same sink serves IVF, IVF-PQ and LSH indexes. The
+          // sink's batch contract is a vec_id column; LSH tables key
+          // on doc_id, so that arm renames positionally (any
+          // single-id-column batch works)
           h match {
             case i: Index.IvfPq => i.delete(batch)
             case i: Index.Ivf => i.delete(batch)
-            case i: Index.Lsh => i.delete(batch)
+            case i: Index.Lsh =>
+              val ids = if (batch.columns.contains("doc_id")) batch
+                else batch.withColumnRenamed(batch.columns.head, "doc_id")
+              i.delete(ids)
           }
         } else {
           skipped.add(1L)

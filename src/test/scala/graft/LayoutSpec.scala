@@ -749,6 +749,66 @@ class LayoutSpec extends SparkSuite {
     assert(got == want, s"takedown survivors: $got vs $want")
   }
 
+  test("vector delete sink serves an LSH index (doc_id rename) via handle dispatch") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("lshsinkdel").toString
+    val idx = s"$base/index"
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), idx)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // the sink's contract column is vec_id; the LSH arm renames it
+    val q = graft.streaming.Pipelines.vectorDeleteSink(
+      stream.toDF().toDF("vec_id"), idx, s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    stream.addData(2L)
+    q.processAllAvailable()
+    q.stop()
+    val ids = Dedup.readLshTable(spark, idx, "shingles").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"takedown through the sink left $ids")
+  }
+
+  test("ingest sink survives a legacy IVF-PQ index without the pqErrBuild baseline") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("vecinglegacy").toString
+    val idx = s"$base/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 200), 8, idx)
+    // simulate a pre-staleness-round index: strip the error baseline
+    val vdir = VersionedIndex.currentDir(spark, idx).get
+    val pfile = java.nio.file.Paths.get(
+      vdir.stripPrefix("file:"), VersionedIndex.ParamsFile)
+    val kept = java.nio.file.Files.readAllLines(pfile).toArray.map(_.toString)
+      .filterNot(_.startsWith("pqErr"))
+    java.nio.file.Files.write(pfile, String.join("\n", kept: _*).getBytes)
+    // the local FS keeps a .params.crc sidecar — drop it so the
+    // hand-edited file reads cleanly
+    java.nio.file.Files.deleteIfExists(
+      pfile.getParent.resolve("." + VersionedIndex.ParamsFile + ".crc"))
+    assert(!VersionedIndex.readParams(spark, vdir).contains("pqErrBuild"))
+    val rows = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+      .select("vec_id", "label", "embedding").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Seq[Float])]
+    val q = graft.streaming.Pipelines.vectorIngestSink(
+      stream.toDF().toDF("vec_id", "label", "embedding"), idx, s"$base/ckpt",
+      nLists = 8, retrainErrRatio = Some(1.5),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    stream.addData(rows.toIndexedSeq)
+    q.processAllAvailable() // must NOT die on the missing baseline
+    assert(q.exception.isEmpty,
+      s"legacy index killed the stream: ${q.exception}")
+    q.stop()
+    assert(Similarity.ivfPqSearchIndexed(spark, idx, 4, 210L, 5, 25).count() == 5)
+  }
+
   test("streaming dedup by natural key drops duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)](11, spark, None)
