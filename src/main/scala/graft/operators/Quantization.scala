@@ -21,18 +21,18 @@ object Quantization {
   /** Adds `scale` (double) and `q8` (array<int>, each in [-127,127]),
     * overwriting columns of those names if present; a null embedding
     * yields null scale/codes (rows pass through, not dropped).
-    * Two-step on purpose: `scale` is materialized as a column first so
-    * the per-element lambda references it — Catalyst does not CSE
-    * inside higher-order-function lambdas, and inlining the array_max
-    * would recompute it per element (O(d²) per row). */
-  def withInt8(emb: DataFrame, v: String = "embedding"): DataFrame =
-    emb.withColumn("scale",
-        array_max(transform(col(v), x => abs(x.cast("double")))) / 127.0)
-      .withColumn("q8",
-        when(col("scale") === 0.0, transform(col(v), _ => lit(0)))
-          .otherwise(transform(col(v), x =>
-            least(greatest(floor(x.cast("double") / col("scale") + 0.5), lit(-127.0)),
-              lit(127.0)).cast("int"))))
+    * ONE native kernel ([[graft.plans.MaxAbsInt8Encode]], a
+    * struct-returning codegen'd loop) — the earlier two-step HOF form
+    * (array_max column + per-element transform lambdas) was
+    * CodegenFallback per element; the kernel's arithmetic is
+    * bit-identical (double max-abs, half-up floor, clamp). */
+  def withInt8(emb: DataFrame, v: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("_q8s", graft.plans.GraftFunctions.maxAbsInt8(col(v)))
+      .withColumn("scale", col("_q8s").getField("scale"))
+      .withColumn("q8", col("_q8s").getField("q8"))
+      .drop("_q8s")
+  }
 
   /** Exact integer dot product of two int8 code arrays (no overflow:
     * d·127² needs only ~24+log₂(d) bits). Multiply by scaleA·scaleB to
@@ -119,16 +119,10 @@ object Quantization {
     * space plateaus at 6/10 however wide the shortlist; over this
     * space a 5×k shortlist recovers the exact top-k.) Same half-up
     * floor as withInt8: codes are bit-reproducible in any engine. */
-  def withUnitInt8(emb: DataFrame, v: String = "embedding"): DataFrame =
-    emb.withColumn("_nrm", sqrt(aggregate(
-        transform(col(v), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, x) => a + x)))
-      .withColumn("q8u",
-        when(col("_nrm") === 0.0, transform(col(v), _ => lit(0)))
-          .otherwise(transform(col(v), x =>
-            least(greatest(floor(x.cast("double") / col("_nrm") * 127.0 + 0.5),
-              lit(-127.0)), lit(127.0)).cast("int"))))
-      .drop("_nrm")
+  def withUnitInt8(emb: DataFrame, v: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("q8u", graft.plans.GraftFunctions.unitInt8(col(v)))
+  }
 
   /** Product-quantization codebook over the INT8 CODE SPACE: each q8
     * vector splits into `m` subvectors; each subspace's `kPq`

@@ -598,6 +598,184 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     copy(child = c)
 }
 
+/** Shared shape of the int8 quantization kernels: one looped pass
+  * over a float/double array, bit-identical to the HOF formulas they
+  * replace (double accumulation in element order, half-up `floor(x +
+  * 0.5)`, clamp to ±127) — but inside whole-stage codegen, where the
+  * transform/aggregate HOF nodes are CodegenFallback (interpreted
+  * lambda dispatch per element; the LongDot lesson applied to the
+  * encode side). Null array OR any null element → null result (the
+  * arrays are machine-generated; a null element means corrupt data,
+  * and per-element null-passthrough would let garbage flow into
+  * integer distances downstream). */
+sealed trait FloatArrayQuantize extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def nullable: Boolean = true
+
+  protected def isFloatElem: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  protected def elemD(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int): Double =
+    if (isFloatElem) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def getterJava(arr: String, i: String): String =
+    if (isFloatElem) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** Unit-normalize then quantize with the FIXED ×127 scale — the PQ
+  * code space (`Quantization.withUnitInt8`'s column): q8u_i =
+  * clamp(⌊x_i/‖x‖·127 + 0.5⌋, ±127), zero-norm vectors code to
+  * zeros. Output array<int> length d. */
+case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def prettyName: String = "graft_unit_int8"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = elemD(v, i)
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val res = new Array[Int](n)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) {
+        res(i) = math.min(math.max(
+          math.floor(elemD(v, i) / nrm * 127.0 + 0.5), -127.0), 127.0).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss")
+      val nrm = ctx.freshName("nrm")
+      val res = ctx.freshName("res")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $ss = 0.0;
+         |boolean ${ev.isNull}_sawNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
+         |  double $x = ${getterJava(a, i)};
+         |  $ss += $x * $x;
+         |}
+         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
+         |  double $nrm = Math.sqrt($ss);
+         |  int[] $res = new int[$n];
+         |  if ($nrm != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $res[$i] = (int) Math.min(Math.max(
+         |        Math.floor(${getterJava(a, i)} / $nrm * 127.0 + 0.5), -127.0), 127.0);
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): UnitInt8Encode =
+    copy(child = c)
+}
+
+/** Per-vector max-abs symmetric quantization (the FAISS/ONNX SQ8
+  * shape, `Quantization.withInt8`'s columns) as ONE kernel returning
+  * struct(scale double, q8 array<int>): scale = max|x|/127, q8_i =
+  * clamp(⌊x_i/scale + 0.5⌋, ±127), zero-scale vectors code to
+  * zeros. */
+case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+  override def prettyName: String = "graft_maxabs_int8"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q8", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = math.abs(elemD(v, i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = mx / 127.0
+    val res = new Array[Int](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        res(i) = math.min(math.max(
+          math.floor(elemD(v, i) / scale + 0.5), -127.0), 127.0).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val scale = ctx.freshName("scale")
+      val res = ctx.freshName("res")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |boolean ${ev.isNull}_sawNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
+         |  double $x = Math.abs(${getterJava(a, i)});
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
+         |  double $scale = $mx / 127.0;
+         |  int[] $res = new int[$n];
+         |  if ($scale != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $res[$i] = (int) Math.min(Math.max(
+         |        Math.floor(${getterJava(a, i)} / $scale + 0.5), -127.0), 127.0);
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $scale, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxAbsInt8Encode =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -638,6 +816,10 @@ object GraftFunctions {
           s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
         PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unit_int8", exprs => UnitInt8Encode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_maxabs_int8", exprs => MaxAbsInt8Encode(exprs.head), "built-in")
   }
 
   /** Column-level access; requires register(spark) once per session. */
@@ -663,4 +845,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(flatCodes),
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(subDim))
+
+  def unitInt8(v: Column): Column = call_function("graft_unit_int8", v)
+
+  def maxAbsInt8(v: Column): Column = call_function("graft_maxabs_int8", v)
 }

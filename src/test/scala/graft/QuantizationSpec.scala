@@ -23,6 +23,43 @@ class QuantizationSpec extends SparkSuite {
     assert(hit == 0, "max-abs element must map to ±127")
   }
 
+  test("native quantize kernels are bit-identical to the HOF formulas they replaced") {
+    // the reference formulas ARE the pre-r11 column algebra — the
+    // kernels must reproduce them exactly (double accumulation order,
+    // half-up floor, clamp) on real embeddings AND adversarial rows
+    val edge = Seq(
+      (9001L, Array(0.0f, 0.0f, 0.0f)), // zero norm → zero codes
+      (9002L, Array(1e-30f, -1e-30f, 1e-30f)), // denormal-ish
+      (9003L, Array(3.4e38f, -3.4e38f, 1.0f)), // float max magnitudes
+      (9004L, Array(-1.5f, 1.5f, 1.5f))).toDF("vec_id", "embedding")
+    for (df <- Seq(emb.select(col("vec_id"), col("embedding")), edge)) {
+      val hofUnit = df.withColumn("_nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)))
+        .withColumn("ref",
+          when(col("_nrm") === 0.0, transform(col("embedding"), _ => lit(0)))
+            .otherwise(transform(col("embedding"), x =>
+              least(greatest(floor(x.cast("double") / col("_nrm") * 127.0 + 0.5),
+                lit(-127.0)), lit(127.0)).cast("int"))))
+      val unitDiff = Quantization.withUnitInt8(df)
+        .join(hofUnit.select(col("vec_id"), col("ref")), "vec_id")
+        .filter(col("q8u") =!= col("ref")).count()
+      assert(unitDiff == 0, "unit-int8 kernel diverged from the HOF formula")
+
+      val hofMax = df.withColumn("rscale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+        .withColumn("rq8",
+          when(col("rscale") === 0.0, transform(col("embedding"), _ => lit(0)))
+            .otherwise(transform(col("embedding"), x =>
+              least(greatest(floor(x.cast("double") / col("rscale") + 0.5), lit(-127.0)),
+                lit(127.0)).cast("int"))))
+      val maxDiff = Quantization.withInt8(df)
+        .join(hofMax.select(col("vec_id"), col("rscale"), col("rq8")), "vec_id")
+        .filter(col("q8") =!= col("rq8") || col("scale") =!= col("rscale")).count()
+      assert(maxDiff == 0, "max-abs kernel diverged from the HOF formula")
+    }
+  }
+
   test("reconstruction error small on float32 embeddings (< 1% of norm)") {
     val worst = Quantization.withInt8(emb)
       .select(Quantization.reconErrPpm(col("embedding"), col("q8"), col("scale")).as("e"))
