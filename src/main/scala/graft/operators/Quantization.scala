@@ -290,19 +290,38 @@ object Quantization {
     codesFor(withUnitInt8(emb), cb)
   }
 
-  /** The assignment kernel over a frame that already carries `q8u`
-    * (shared by encoding and the training loop, so trained geometry
-    * and final codes are consistent by construction). */
-  private def codesFor(unit: DataFrame, cb: PqCodebook): DataFrame = {
+  /** The codebook flattened for the native kernels:
+    * codeword dim i of (subspace j, codeword t) at
+    * [(j·kEff + t)·subDim + i]. */
+  private def flatCodes(cb: PqCodebook): IndexedSeq[Int] = {
     val kEff = cb.codes.head.length
-    val flat = for {
+    for {
       j <- 0 until cb.m
       t <- 0 until kEff
       i <- 0 until cb.subDim
     } yield cb.codes(j)(t)(i)
-    unit.withColumn("pq",
-      graft.plans.GraftFunctions.pqEncode(col("q8u"), cb.m, cb.subDim, flat))
   }
+
+  /** The assignment kernel over a frame that already carries `q8u`
+    * (shared by encoding and the training loop, so trained geometry
+    * and final codes are consistent by construction). */
+  private def codesFor(unit: DataFrame, cb: PqCodebook): DataFrame =
+    unit.withColumn("pq",
+      graft.plans.GraftFunctions.pqEncode(col("q8u"), cb.m, cb.subDim, flatCodes(cb)))
+
+  /** Per-query ADC distance TABLE column (m·kEff longs) over a `q8u`
+    * column — the query half of factored ADC ([[graft.plans.PqLut]]).
+    * Compute it ON THE QUERY SIDE of a serving join (once per query),
+    * then score candidates with [[pqAdcCol]] — m lookups per
+    * candidate instead of m·subDim multiply-adds. */
+  def pqLutCol(cb: PqCodebook, q8u: Column): Column =
+    graft.plans.GraftFunctions.pqLut(q8u, cb.m, cb.subDim, flatCodes(cb))
+
+  /** Candidate-side ADC fold over a joined [[pqLutCol]] column —
+    * bit-identical to [[adcDistVsQuery]] for the same (query,
+    * candidate), same loud corrupt-code contract. */
+  def pqAdcCol(cb: PqCodebook, lut: Column, pq: Column): Column =
+    graft.plans.GraftFunctions.pqAdc(lut, pq, cb.codes.head.length)
 
   /** ADC (asymmetric distance computation) top-k: the query's
     * m × kPq integer distance table is computed ON THE DRIVER from its

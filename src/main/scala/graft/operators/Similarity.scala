@@ -1110,12 +1110,17 @@ object Similarity {
       .select(col("query_id"), col("list_id"))
     val codesTable = VersionedIndex.readTable(spark, indexPath, "pq")
       .select(col("vec_id"), col("pq"), col("list_id").cast("long").as("list_id"))
+    // factored ADC: the m×kPq distance TABLE is computed once per
+    // query on the broadcast side (PqLut), and each candidate pays m
+    // array lookups (PqAdcLookup) instead of m·subDim multiply-adds —
+    // the per-candidate term is the one that scales with corpus size
     val cand = codesTable
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(qs.select(col("query_id"), col("q8u"))), Seq("query_id"))
+      .join(broadcast(qs.select(col("query_id"),
+        Quantization.pqLutCol(cb, col("q8u")).as("_lut"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("list_id"),
-        Quantization.adcDistVsQuery(cb, col("q8u")).as("adc_dist"))
+        Quantization.pqAdcCol(cb, col("_lut"), col("pq")).as("adc_dist"))
     val sl = graft.plans.GraftOps.topKPerGroupOrdered(
         cand, Seq("query_id"), Seq("adc_dist" -> true, "vec_id" -> true), shortlist)
       .select(col("query_id"), col("vec_id"), col("list_id"))

@@ -598,6 +598,166 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     copy(child = c)
 }
 
+/** The query half of factored ADC: the m×kEff integer distance TABLE
+  * of one query's unit-int8 vector against every codeword —
+  * lut[(j·kEff)+t] = ‖sub_j(q8u) − cw(j,t)‖². Computed ONCE per query
+  * row (a serving batch has few queries), so the per-candidate cost
+  * drops from m·subDim multiply-adds ([[graft.operators.Quantization
+  * .adcDistVsQuery]]'s per-pair form) to the m lookups of
+  * [[PqAdcLookup]] — the classic ADC factoring (Jégou et al.), and
+  * the arithmetic the single-query path's driver-side table already
+  * uses. Same flattened-codebook layout and construction contract as
+  * [[PqEncode]]. */
+case class PqLut(child: Expression, m: Int, subDim: Int, kEff: Int,
+    codes: IndexedSeq[Int]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  require(m > 0 && subDim > 0 && kEff > 0 && codes.length == m * kEff * subDim,
+    s"PqLut: ${codes.length} codebook ints do not tile m=$m kEff=$kEff subDim=$subDim")
+
+  override def prettyName: String = "graft_pq_lut"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.catalogString}")
+  }
+
+  private def checkLen(n: Int): Unit =
+    if (n != m * subDim) throw new IllegalStateException(
+      s"$prettyName: vector has $n dims, codebook expects ${m * subDim}")
+  def checkLenJava(n: Int): Unit = checkLen(n)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    checkLen(v.numElements())
+    val res = new Array[Long](m * kEff)
+    var j = 0
+    while (j < m) {
+      var t = 0
+      while (t < kEff) {
+        val base = (j * kEff + t) * subDim
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val dv = v.getInt(j * subDim + i).toLong - codes(base + i)
+          d += dv * dv
+          i += 1
+        }
+        res(j * kEff + t) = d
+        t += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqLutCodes", codes.toArray, "int[]")
+    val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val res = ctx.freshName("res")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val dv = ctx.freshName("dv")
+      val base = ctx.freshName("base")
+      s"""
+         |$self.checkLenJava($a.numElements());
+         |long[] $res = new long[${m * kEff}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $t = 0; $t < $kEff; $t++) {
+         |    int $base = ($j * $kEff + $t) * $subDim;
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      long $dv = (long) $a.getInt($j * $subDim + $i) - (long) $cbRef[$base + $i];
+         |      $d += $dv * $dv;
+         |    }
+         |    $res[$j * $kEff + $t] = $d;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** The candidate half of factored ADC: Σ_j lut[j·kEff + pq_j] — m
+  * array lookups per candidate against the joined per-query
+  * [[PqLut]] column. Bit-identical to summing the per-pair sqdist
+  * terms (same longs, same j-ascending order). A code outside
+  * [0, kEff) raises loudly (the adcDist corrupt-code contract: NULLs
+  * or wrapped indexes would silently dominate an ascending-distance
+  * shortlist). */
+case class PqAdcLookup(left: Expression, right: Expression, kEff: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType => LT}
+
+  require(kEff > 0, s"PqAdcLookup: kEff=$kEff")
+
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LT, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<int>), got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  private def corrupt(code: Int): Nothing = throw new IllegalStateException(
+    s"$prettyName: corrupt pq code $code outside [0,$kEff)")
+  def corruptJava(code: Int): Unit = corrupt(code)
+  def sizeMismatchJava(lutLen: Int, m: Int): Unit =
+    throw new IllegalStateException(
+      s"$prettyName: lut has $lutLen entries, codes expect ${m * kEff}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val pq = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = pq.numElements()
+    if (lut.numElements() != m * kEff) sizeMismatchJava(lut.numElements(), m)
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val code = pq.getInt(j)
+      if (code < 0 || code >= kEff) corrupt(code)
+      acc += lut.getLong(j * kEff + code)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcLookup].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mName = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      s"""
+         |int $mName = $b.numElements();
+         |if ($a.numElements() != $mName * $kEff) { $self.sizeMismatchJava($a.numElements(), $mName); }
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $mName; $j++) {
+         |  int $code = $b.getInt($j);
+         |  if ($code < 0 || $code >= $kEff) { $self.corruptJava($code); }
+         |  $acc += $a.getLong($j * $kEff + $code);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcLookup = copy(left = newLeft, right = newRight)
+}
+
 /** Shared shape of the int8 quantization kernels: one looped pass
   * over a float/double array, bit-identical to the HOF formulas they
   * replace (double accumulation in element order, half-up `floor(x +
@@ -817,6 +977,28 @@ object GraftFunctions {
         PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_lut", exprs => {
+        def intOf(e: Expression): Int = {
+          require(e.foldable, s"graft_pq_lut: argument $e must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        val flatE = exprs(1)
+        require(flatE.foldable, "graft_pq_lut: codebook must be a literal")
+        val flat = flatE.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toIndexedSeq
+        val (m, sub) = (intOf(exprs(2)), intOf(exprs(3)))
+        require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
+          s"graft_pq_lut: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
+        PqLut(exprs.head, m, sub, flat.length / (m * sub), flat)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc", exprs => {
+        val kE = exprs(2)
+        require(kE.foldable, "graft_pq_adc: kEff must be a literal")
+        PqAdcLookup(exprs.head, exprs(1), kE.eval().asInstanceOf[Number].intValue())
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unit_int8", exprs => UnitInt8Encode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_maxabs_int8", exprs => MaxAbsInt8Encode(exprs.head), "built-in")
@@ -845,6 +1027,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(flatCodes),
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(subDim))
+
+  def pqLut(q8u: Column, m: Int, subDim: Int, flatCodes: Seq[Int]): Column =
+    call_function("graft_pq_lut", q8u,
+      org.apache.spark.sql.functions.typedlit(flatCodes),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(subDim))
+
+  def pqAdc(lut: Column, pq: Column, kEff: Int): Column =
+    call_function("graft_pq_adc", lut, pq,
+      org.apache.spark.sql.functions.lit(kEff))
 
   def unitInt8(v: Column): Column = call_function("graft_unit_int8", v)
 
