@@ -58,12 +58,13 @@ object Dedup {
   /** Per-row MinHash signature — the same values as the aggregation
     * form (`minhashSignatures`) but as a pure column expression over
     * the shingle ARRAY, so it can run in a streaming stage ahead of
-    * keyed state. `sh` must be a materialized column reference (not an
-    * inline expression: Catalyst does not CSE inside HOF lambdas, and
-    * this evaluates it numHashes times). */
+    * keyed state. ONE native pass ([[graft.plans.MinHashSig]]): the
+    * earlier HOF form walked the array numHashes times through
+    * CodegenFallback lambdas; the kernel reads each shingle once and
+    * folds all numHashes mins (bit-identical xxhash64 values — the
+    * per-seed prefix is precomputed). */
   def sigArray(sh: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map(s =>
-      array_min(transform(sh, x => xxhash64(lit(s), x)))): _*)
+    graft.plans.GraftFunctions.minhashSig(sh, numHashes)
 
   /** LSH band hashes from a materialized signature column — identical
     * construction to the batch banding inside minhashLshPairs. */

@@ -598,6 +598,98 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     copy(child = c)
 }
 
+/** Per-row MinHash signature — numHashes mins over one pass of the
+  * shingle array, replacing the HOF form `array((0 until
+  * numHashes).map(s => array_min(transform(sh, xxhash64(lit(s),
+  * x)))))`, which walked the array numHashes times through
+  * CodegenFallback lambda dispatch and allocated numHashes
+  * intermediate arrays per row. Bit-identical values: Spark's
+  * `xxhash64(lit(s), x)` folds seed 42 → hashInt(s) → string bytes,
+  * so the per-seed prefix `hashInt(s, 42)` is a CONSTANT — it is
+  * precomputed once at construction, and each (shingle, seed) pays
+  * exactly the same `XXH64.hashUnsafeBytes` call the Catalyst
+  * expression made. Output array<long> length numHashes; a null or
+  * EMPTY shingle array (array_min of nothing has no integer value)
+  * and null elements → null result. */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType => ST}
+
+  require(numHashes > 0, s"MinHashSig: numHashes=$numHashes")
+
+  override def prettyName: String = "graft_minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ST, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  // xxhash64(lit(s), x) = hashBytes(x, hashInt(s, 42)) — the seed
+  // prefixes are constants of the expression
+  @transient private lazy val seedHashes: Array[Long] =
+    Array.tabulate(numHashes)(s =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, 42L))
+  def seedHashesJava(): Array[Long] = seedHashes
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = sh.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (sh.isNullAt(i)) return null
+      val u = sh.getUTF8String(i)
+      var s = 0
+      while (s < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, seedHashes(s))
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    val seeds = ctx.freshName("seeds")
+    ctx.addImmutableStateIfNotExists("long[]", seeds, v => s"$v = $self.seedHashesJava();")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val u = ctx.freshName("u")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |boolean ${ev.isNull}_sawNull = $n == 0;
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
+         |  org.apache.spark.unsafe.types.UTF8String $u = $a.getUTF8String($i);
+         |  for (int $s = 0; $s < $numHashes; $s++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $u.getBaseObject(), $u.getBaseOffset(), $u.numBytes(), $seeds[$s]);
+         |    if ($h < $mins[$s]) $mins[$s] = $h;
+         |  }
+         |}
+         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
 /** The query half of factored ADC: the m×kEff integer distance TABLE
   * of one query's unit-int8 vector against every codeword —
   * lut[(j·kEff)+t] = ‖sub_j(q8u) − cw(j,t)‖². Computed ONCE per query
@@ -977,6 +1069,12 @@ object GraftFunctions {
         PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => {
+        val nE = exprs(1)
+        require(nE.foldable, "graft_minhash_sig: numHashes must be a literal")
+        MinHashSig(exprs.head, nE.eval().asInstanceOf[Number].intValue())
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_lut", exprs => {
         def intOf(e: Expression): Int = {
           require(e.foldable, s"graft_pq_lut: argument $e must be a literal")
@@ -1027,6 +1125,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(flatCodes),
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(subDim))
+
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", sh,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   def pqLut(q8u: Column, m: Int, subDim: Int, flatCodes: Seq[Int]): Column =
     call_function("graft_pq_lut", q8u,

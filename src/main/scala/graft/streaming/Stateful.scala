@@ -214,6 +214,7 @@ object Stateful {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
     val streaming = docs.isStreaming
     val withBands = docs.select(
       col(idCol).cast("long").as("docId"),

@@ -69,6 +69,28 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.exact(doubled, Seq("text")).count() == docs.count())
   }
 
+  test("native minhash signature kernel is bit-identical to the HOF formula and the agg form") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"), Dedup.shingleArray(col("text")).as("_sh"))
+    // the pre-r11 per-row HOF formula IS the reference
+    val ref = docs.withColumn("refsig",
+      array((0 until 64).map(s =>
+        array_min(transform(col("_sh"), x => xxhash64(lit(s), x)))): _*))
+    val diff = docs.withColumn("sig", Dedup.sigArray(col("_sh")))
+      .join(ref.select(col("doc_id"), col("refsig")), "doc_id")
+      .filter(col("sig") =!= col("refsig")).count()
+    assert(diff == 0, "kernel diverged from the xxhash64 HOF formula")
+    // and from the batch aggregation form (explode + min-per-seed)
+    val agg = Dedup.minhashSignatures(
+      Tables.documents(spark, sf0001).limit(50)
+        .select(col("doc_id"), explode(Dedup.shingleArray(col("text"))).as("shingle")), 64)
+    val diff2 = docs.withColumn("sig", Dedup.sigArray(col("_sh")))
+      .join(agg.withColumnRenamed("sig", "aggsig"), "doc_id")
+      .filter(col("sig") =!= col("aggsig")).count()
+    assert(diff2 == 0, "kernel diverged from the aggregation form")
+  }
+
   test("shingle sets are distinct per doc") {
     val sh = Dedup.shingleSet(docs, col("doc_id"), col("text"))
     assert(sh.count() == sh.distinct().count())
