@@ -62,9 +62,14 @@ object Dedup {
     * earlier HOF form walked the array numHashes times through
     * CodegenFallback lambdas; the kernel reads each shingle once and
     * folds all numHashes mins (bit-identical xxhash64 values — the
-    * per-seed prefix is precomputed). */
+    * per-seed prefix is precomputed). Built through the expression
+    * bridge, NOT the function registry, so it stays a self-contained
+    * column expression (works on any session with no register()
+    * call). */
   def sigArray(sh: Column, numHashes: Int = 64): Column =
-    graft.plans.GraftFunctions.minhashSig(sh, numHashes)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MinHashSig(org.apache.spark.sql.GraftBridge.expression(sh),
+        numHashes))
 
   /** LSH band hashes from a materialized signature column — identical
     * construction to the batch banding inside minhashLshPairs. */

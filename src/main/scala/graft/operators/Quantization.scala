@@ -25,13 +25,18 @@ object Quantization {
     * struct-returning codegen'd loop) — the earlier two-step HOF form
     * (array_max column + per-element transform lambdas) was
     * CodegenFallback per element; the kernel's arithmetic is
-    * bit-identical (double max-abs, half-up floor, clamp). */
+    * bit-identical on finite float/double inputs (double max-abs,
+    * half-up floor, clamp; NaN/Infinity elements raise — corrupt
+    * input — and integer-typed arrays fail analysis). */
   def withInt8(emb: DataFrame, v: String = "embedding"): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    emb.withColumn("_q8s", graft.plans.GraftFunctions.maxAbsInt8(col(v)))
-      .withColumn("scale", col("_q8s").getField("scale"))
-      .withColumn("q8", col("_q8s").getField("q8"))
-      .drop("_q8s")
+    // collision-safe temp: only `scale`/`q8` may be overwritten
+    val tmp = Iterator.from(0).map(i => s"_q8s$i")
+      .find(n => !emb.columns.contains(n)).get
+    emb.withColumn(tmp, graft.plans.GraftFunctions.maxAbsInt8(col(v)))
+      .withColumn("scale", col(tmp).getField("scale"))
+      .withColumn("q8", col(tmp).getField("q8"))
+      .drop(tmp)
   }
 
   /** Exact integer dot product of two int8 code arrays (no overflow:
@@ -319,7 +324,11 @@ object Quantization {
 
   /** Candidate-side ADC fold over a joined [[pqLutCol]] column —
     * bit-identical to [[adcDistVsQuery]] for the same (query,
-    * candidate), same loud corrupt-code contract. */
+    * candidate). Corruption contract: out-of-range codes AND null
+    * code rows/elements raise loudly (a NULL distance would sort
+    * first under the ascending shortlist and silently displace real
+    * candidates); a null lut (null query vector) propagates null,
+    * like the old form. */
   def pqAdcCol(cb: PqCodebook, lut: Column, pq: Column): Column =
     graft.plans.GraftFunctions.pqAdc(lut, pq, cb.codes.head.length)
 

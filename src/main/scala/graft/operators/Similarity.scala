@@ -1073,8 +1073,9 @@ object Similarity {
     *  2. ADC — the code table joined to the broadcast probe set on
     *     `list_id` (the partition column, so dynamic partition
     *     pruning limits the scan to probed partitions) and to the
-    *     broadcast query codes; distances via [[Quantization
-    *     .adcDistVsQuery]] (literal codebook, fused integer kernels);
+    *     broadcast per-query distance TABLES ([[Quantization
+    *     .pqLutCol]], computed once per query); each candidate pays
+    *     m lookups ([[Quantization.pqAdcCol]]) — factored ADC;
     *  3. per-query shortlist — heap-based TopKPerGroupExec on the
     *     native (adc_dist ASC, vec_id ASC) composite ordering (any
     *     64-bit id, any distance magnitude — no packing contract);

@@ -782,10 +782,16 @@ case class PqLut(child: Expression, m: Int, subDim: Int, kEff: Int,
 /** The candidate half of factored ADC: Σ_j lut[j·kEff + pq_j] — m
   * array lookups per candidate against the joined per-query
   * [[PqLut]] column. Bit-identical to summing the per-pair sqdist
-  * terms (same longs, same j-ascending order). A code outside
-  * [0, kEff) raises loudly (the adcDist corrupt-code contract: NULLs
-  * or wrapped indexes would silently dominate an ascending-distance
-  * shortlist). */
+  * terms (same longs, same j-ascending order).
+  *
+  * Null/corruption contract (matches the replaced
+  * `adcDistVsQuery`'s loud raise): a NULL `pq` ROW or a NULL `pq`
+  * ELEMENT raises — default null-propagation would make the corrupt
+  * row's adc_dist NULL, which sorts FIRST under the ascending
+  * shortlist ordering and silently crowds out genuine candidates; a
+  * code outside [0, kEff) raises for the same reason. A NULL `lut`
+  * (a null query vector, which nulled the distance in the old form
+  * too) propagates NULL. */
 case class PqAdcLookup(left: Expression, right: Expression, kEff: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType => LT}
@@ -805,18 +811,23 @@ case class PqAdcLookup(left: Expression, right: Expression, kEff: Int)
   private def corrupt(code: Int): Nothing = throw new IllegalStateException(
     s"$prettyName: corrupt pq code $code outside [0,$kEff)")
   def corruptJava(code: Int): Unit = corrupt(code)
+  def nullCodesJava(): Unit = throw new IllegalStateException(
+    s"$prettyName: NULL pq codes — corrupt code table (a NULL distance " +
+      "would silently dominate the ascending shortlist)")
   def sizeMismatchJava(lutLen: Int, m: Int): Unit =
     throw new IllegalStateException(
       s"$prettyName: lut has $lutLen entries, codes expect ${m * kEff}")
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val lut = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val pq = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Shared scoring loop — the single definition both eval paths
+    * call, so interpreted and codegen rows cannot diverge. */
+  def score(lut: org.apache.spark.sql.catalyst.util.ArrayData,
+      pq: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val m = pq.numElements()
     if (lut.numElements() != m * kEff) sizeMismatchJava(lut.numElements(), m)
     var acc = 0L
     var j = 0
     while (j < m) {
+      if (pq.isNullAt(j)) nullCodesJava()
       val code = pq.getInt(j)
       if (code < 0 || code >= kEff) corrupt(code)
       acc += lut.getLong(j * kEff + code)
@@ -825,25 +836,31 @@ case class PqAdcLookup(left: Expression, right: Expression, kEff: Int)
     acc
   }
 
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val pqv = right.eval(input)
+    if (pqv == null) nullCodesJava()
+    val lutv = left.eval(input)
+    if (lutv == null) null
+    else score(lutv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      pqv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcLookup].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val mName = ctx.freshName("m")
-      val j = ctx.freshName("j")
-      val acc = ctx.freshName("acc")
-      val code = ctx.freshName("code")
-      s"""
-         |int $mName = $b.numElements();
-         |if ($a.numElements() != $mName * $kEff) { $self.sizeMismatchJava($a.numElements(), $mName); }
-         |long $acc = 0L;
-         |for (int $j = 0; $j < $mName; $j++) {
-         |  int $code = $b.getInt($j);
-         |  if ($code < 0 || $code >= $kEff) { $self.corruptJava($code); }
-         |  $acc += $a.getLong($j * $kEff + $code);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    val lutCode = left.genCode(ctx)
+    val pqCode = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${pqCode.code}
+        ${lutCode.code}
+        if (${pqCode.isNull}) { $self.nullCodesJava(); }
+        boolean ${ev.isNull} = ${lutCode.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $self.score(${lutCode.value}, ${pqCode.value});
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -859,11 +876,23 @@ case class PqAdcLookup(left: Expression, right: Expression, kEff: Int)
   * encode side). Null array OR any null element → null result (the
   * arrays are machine-generated; a null element means corrupt data,
   * and per-element null-passthrough would let garbage flow into
-  * integer distances downstream). */
+  * integer distances downstream). A NaN/Infinity element RAISES:
+  * the HOF formulas' NaN behavior rode Spark's NaN-largest ordering
+  * (quietly producing degenerate codes), Java's comparisons treat
+  * NaN differently, and either way a non-finite embedding is corrupt
+  * input whose codes would silently poison integer distances — so
+  * the kernels define the case loudly instead of matching either
+  * silent variant. Inputs are array<float|double> (the old formulas
+  * cast any numeric element; integer-typed arrays now fail analysis
+  * — quantizing int arrays was never meaningful). */
 sealed trait FloatArrayQuantize extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
   override def nullable: Boolean = true
+
+  def nonFiniteJava(x: Double): Unit = throw new IllegalStateException(
+    s"$prettyName: non-finite embedding element $x — corrupt input " +
+      "(codes from NaN/Infinity would silently poison integer distances)")
 
   protected def isFloatElem: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -902,6 +931,7 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
     while (i < n) {
       if (v.isNullAt(i)) return null
       val x = elemD(v, i)
+      if (!java.lang.Double.isFinite(x)) nonFiniteJava(x)
       ss += x * x
       i += 1
     }
@@ -918,7 +948,8 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unitInt8", this, classOf[UnitInt8Encode].getName)
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -933,6 +964,7 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
          |  double $x = ${getterJava(a, i)};
+         |  if (!java.lang.Double.isFinite($x)) { $self.nonFiniteJava($x); }
          |  $ss += $x * $x;
          |}
          |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
@@ -948,6 +980,7 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(c: Expression): UnitInt8Encode =
     copy(child = c)
@@ -957,7 +990,10 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
   * shape, `Quantization.withInt8`'s columns) as ONE kernel returning
   * struct(scale double, q8 array<int>): scale = max|x|/127, q8_i =
   * clamp(⌊x_i/scale + 0.5⌋, ±127), zero-scale vectors code to
-  * zeros. */
+  * zeros. An EMPTY array → null result (the HOF form's array_max
+  * returned a NULL scale there; a whole-null row is the nearest
+  * defined equivalent and keeps downstream scaled products
+  * null-propagating instead of silently zero). */
 case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
@@ -969,11 +1005,13 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = v.numElements()
+    if (n == 0) return null
     var mx = 0.0
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
       val x = math.abs(elemD(v, i))
+      if (!java.lang.Double.isFinite(x)) nonFiniteJava(x)
       if (x > mx) mx = x
       i += 1
     }
@@ -992,7 +1030,8 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
         org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("maxAbsInt8", this, classOf[MaxAbsInt8Encode].getName)
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -1003,10 +1042,11 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
       s"""
          |int $n = $a.numElements();
          |double $mx = 0.0;
-         |boolean ${ev.isNull}_sawNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean ${ev.isNull}_sawNull = $n == 0;
+         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
          |  double $x = Math.abs(${getterJava(a, i)});
+         |  if (!java.lang.Double.isFinite($x)) { $self.nonFiniteJava($x); }
          |  if ($x > $mx) $mx = $x;
          |}
          |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
@@ -1023,6 +1063,7 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(c: Expression): MaxAbsInt8Encode =
     copy(child = c)

@@ -89,6 +89,19 @@ class DedupSpec extends SparkSuite {
       .join(agg.withColumnRenamed("sig", "aggsig"), "doc_id")
       .filter(col("sig") =!= col("aggsig")).count()
     assert(diff2 == 0, "kernel diverged from the aggregation form")
+    // sigArray is a SELF-CONTAINED column expression: it must resolve
+    // on a session that never called GraftFunctions.register (temp
+    // functions don't propagate to cloned sessions)
+    val fresh = spark.newSession()
+    val out = fresh.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(Seq("a b c", "b c d"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_sh",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+      .select(Dedup.sigArray(col("_sh"), 8).as("sig"))
+      .head().getSeq[Long](0)
+    assert(out.length == 8)
   }
 
   test("shingle sets are distinct per doc") {

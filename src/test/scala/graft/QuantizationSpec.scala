@@ -60,6 +60,31 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
+  test("quantize kernels raise on non-finite input; ADC lookup raises on NULL codes") {
+    graft.plans.GraftFunctions.register(spark)
+    // NaN/Inf embeddings are corrupt input — loud, not silently-coded
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val df = Seq((1L, Array(bad, 1.0f))).toDF("vec_id", "embedding")
+      val e1 = intercept[Exception](Quantization.withUnitInt8(df).collect())
+      assert(e1.toString.contains("non-finite") ||
+        Option(e1.getCause).exists(_.toString.contains("non-finite")), e1.toString)
+      val e2 = intercept[Exception](Quantization.withInt8(df).collect())
+      assert(e2.toString.contains("non-finite") ||
+        Option(e2.getCause).exists(_.toString.contains("non-finite")), e2.toString)
+    }
+    // NULL pq codes raise (a NULL adc_dist would sort FIRST in the
+    // ascending shortlist and silently displace real candidates)...
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT graft_pq_adc(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), CAST(NULL AS ARRAY<INT>), 2)")
+      .collect())
+    assert(eNull.toString.contains("NULL pq codes") ||
+      Option(eNull.getCause).exists(_.toString.contains("NULL pq codes")), eNull.toString)
+    // ...while a NULL lut (null query vector) propagates null
+    val r = spark.sql(
+      "SELECT graft_pq_adc(CAST(NULL AS ARRAY<BIGINT>), array(0), 1)").head()
+    assert(r.isNullAt(0))
+  }
+
   test("reconstruction error small on float32 embeddings (< 1% of norm)") {
     val worst = Quantization.withInt8(emb)
       .select(Quantization.reconErrPpm(col("embedding"), col("q8"), col("scale")).as("e"))
