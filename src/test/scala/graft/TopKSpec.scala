@@ -65,6 +65,24 @@ class TopKSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("null ordering follows Spark defaults: DESC nulls last, ASC nulls first") {
+    import spark.implicits._
+    val df = Seq(("g", Some(5L), 1L), ("g", None, 2L), ("g", Some(9L), 3L),
+      ("g", Some(1L), 4L)).toDF("grp", "v", "id")
+    // DESC: nulls sort last → the null row is picked only when k
+    // exceeds the non-null count
+    val d2 = GraftOps.topKPerGroupOrdered(df, Seq("grp"), Seq("v" -> false), 2)
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long])).toSeq
+    assert(d2 == Seq(Some(9L), Some(5L)), d2.toString)
+    val d4 = GraftOps.topKPerGroupOrdered(df, Seq("grp"), Seq("v" -> false), 4)
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long])).toSeq
+    assert(d4 == Seq(Some(9L), Some(5L), Some(1L), None), d4.toString)
+    // ASC: nulls sort first → rank 1 is the null row
+    val a2 = GraftOps.topKPerGroupOrdered(df, Seq("grp"), Seq("v" -> true), 2)
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long])).toSeq
+    assert(a2 == Seq(None, Some(1L)), a2.toString)
+  }
+
   test("long order keys beyond 2^53 compare exactly (no Double cast)") {
     import spark.implicits._
     val base = 1L << 53 // Double can no longer represent base+1 or base+3
