@@ -1074,6 +1074,16 @@ object GraftFunctions {
     * is ColumnNode-based and its Expression bridge is private[sql],
     * so the Column surface goes through the function registry.) */
   def register(spark: SparkSession): Unit = {
+    // registration is idempotent per session: skip when the marker
+    // resolves (createOrReplaceTempFunction logs a "replaced
+    // previously registered" WARN per function per call, and
+    // operators call register() defensively on every API entry).
+    // MARKER CONTRACT: the marker must be the function registered
+    // LAST below — when adding a function, add it at the END and
+    // point the marker at it, or long-lived sessions registered by
+    // older calls would skip the new function.
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_maxabs_int8"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
