@@ -527,8 +527,13 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     if (n != m * subDim) throw new IllegalStateException(
       s"$prettyName: vector has $n dims, codebook expects ${m * subDim}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  @transient private lazy val flat: Array[Int] = codes.toArray
+
+  /** The ONE scoring loop, called from both eval paths (the
+    * PqAdcLookup.score pattern — a duplicated generated-Java copy of
+    * the loop is exactly how interpreted/codegen rows drift apart;
+    * the JIT compiles this monomorphic call site identically). */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
     checkLen(v.numElements())
     val res = new Array[Int](m)
     var j = 0
@@ -541,9 +546,7 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
         var d = 0L
         var i = 0
         while (i < subDim) {
-          // widen BEFORE subtracting — the generated code subtracts in
-          // long, and the two eval paths must agree on any int input
-          val dv = v.getInt(j * subDim + i).toLong - codes(base + i)
+          val dv = v.getInt(j * subDim + i).toLong - flat(base + i)
           d += dv * dv
           i += 1
         }
@@ -556,43 +559,14 @@ case class PqEncode(child: Expression, m: Int, subDim: Int, kEff: Int,
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodes", codes.toArray, "int[]")
-    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
-    nullSafeCodeGen(ctx, ev, a => {
-      val res = ctx.freshName("res")
-      val j = ctx.freshName("j")
-      val t = ctx.freshName("t")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
-      val dv = ctx.freshName("dv")
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      val base = ctx.freshName("base")
-      s"""
-         |$self.checkLenJava($a.numElements());
-         |int[] $res = new int[$m];
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $best = 0; long $bestD = Long.MAX_VALUE;
-         |  for (int $t = 0; $t < $kEff; $t++) {
-         |    int $base = ($j * $kEff + $t) * $subDim;
-         |    long $d = 0L;
-         |    for (int $i = 0; $i < $subDim; $i++) {
-         |      long $dv = (long) $a.getInt($j * $subDim + $i) - (long) $cbRef[$base + $i];
-         |      $d += $dv * $dv;
-         |    }
-         |    if ($d < $bestD) { $bestD = $d; $best = $t; }
-         |  }
-         |  $res[$j] = $best;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
-       """.stripMargin
-    })
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  /** Codegen entry for the length guard (kept on the instance so the
-    * generated code stays tiny and the error message central). */
-  def checkLenJava(n: Int): Unit = checkLen(n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.encode($a);")
+  }
 
   override protected def withNewChildInternal(c: Expression): PqEncode =
     copy(child = c)
@@ -631,10 +605,11 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   @transient private lazy val seedHashes: Array[Long] =
     Array.tabulate(numHashes)(s =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, 42L))
-  def seedHashesJava(): Array[Long] = seedHashes
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** The one signature loop, shared by both eval paths (the
+    * PqAdcLookup.score pattern). Null for empty input / null
+    * elements. */
+  def sig(sh: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
     val n = sh.numElements()
     if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -654,34 +629,17 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
-    val seeds = ctx.freshName("seeds")
-    ctx.addImmutableStateIfNotExists("long[]", seeds, v => s"$v = $self.seedHashesJava();")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      val u = ctx.freshName("u")
-      val h = ctx.freshName("h")
-      val mins = ctx.freshName("mins")
+      val tmp = ctx.freshName("sig")
       s"""
-         |int $n = $a.numElements();
-         |boolean ${ev.isNull}_sawNull = $n == 0;
-         |long[] $mins = new long[$numHashes];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
-         |  org.apache.spark.unsafe.types.UTF8String $u = $a.getUTF8String($i);
-         |  for (int $s = 0; $s < $numHashes; $s++) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $u.getBaseObject(), $u.getBaseOffset(), $u.numBytes(), $seeds[$s]);
-         |    if ($h < $mins[$s]) $mins[$s] = $h;
-         |  }
-         |}
-         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
-         |}
+         |Object $tmp = $self.sig($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
        """.stripMargin
     })
   }
@@ -719,10 +677,12 @@ case class PqLut(child: Expression, m: Int, subDim: Int, kEff: Int,
   private def checkLen(n: Int): Unit =
     if (n != m * subDim) throw new IllegalStateException(
       s"$prettyName: vector has $n dims, codebook expects ${m * subDim}")
-  def checkLenJava(n: Int): Unit = checkLen(n)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  @transient private lazy val flat: Array[Int] = codes.toArray
+
+  /** The one table loop, shared by both eval paths (the
+    * PqAdcLookup.score pattern). */
+  def lut(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
     checkLen(v.numElements())
     val res = new Array[Long](m * kEff)
     var j = 0
@@ -733,7 +693,7 @@ case class PqLut(child: Expression, m: Int, subDim: Int, kEff: Int,
         var d = 0L
         var i = 0
         while (i < subDim) {
-          val dv = v.getInt(j * subDim + i).toLong - codes(base + i)
+          val dv = v.getInt(j * subDim + i).toLong - flat(base + i)
           d += dv * dv
           i += 1
         }
@@ -745,34 +705,13 @@ case class PqLut(child: Expression, m: Int, subDim: Int, kEff: Int,
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    lut(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqLutCodes", codes.toArray, "int[]")
     val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
-    nullSafeCodeGen(ctx, ev, a => {
-      val res = ctx.freshName("res")
-      val j = ctx.freshName("j")
-      val t = ctx.freshName("t")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
-      val dv = ctx.freshName("dv")
-      val base = ctx.freshName("base")
-      s"""
-         |$self.checkLenJava($a.numElements());
-         |long[] $res = new long[${m * kEff}];
-         |for (int $j = 0; $j < $m; $j++) {
-         |  for (int $t = 0; $t < $kEff; $t++) {
-         |    int $base = ($j * $kEff + $t) * $subDim;
-         |    long $d = 0L;
-         |    for (int $i = 0; $i < $subDim; $i++) {
-         |      long $dv = (long) $a.getInt($j * $subDim + $i) - (long) $cbRef[$base + $i];
-         |      $d += $dv * $dv;
-         |    }
-         |    $res[$j * $kEff + $t] = $d;
-         |  }
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.lut($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): PqLut =
@@ -908,9 +847,6 @@ sealed trait FloatArrayQuantize extends UnaryExpression {
   protected def elemD(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       i: Int): Double =
     if (isFloatElem) arr.getFloat(i).toDouble else arr.getDouble(i)
-
-  protected def getterJava(arr: String, i: String): String =
-    if (isFloatElem) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
 /** Unit-normalize then quantize with the FIXED ×127 scale — the PQ
@@ -923,8 +859,9 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
   override def prettyName: String = "graft_unit_int8"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** The one quantize loop, shared by both eval paths (the
+    * PqAdcLookup.score pattern). Null for null elements. */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
     val n = v.numElements()
     var ss = 0.0
     var i = 0
@@ -948,36 +885,17 @@ case class UnitInt8Encode(child: Expression) extends FloatArrayQuantize {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("unitInt8", this, classOf[UnitInt8Encode].getName)
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val ss = ctx.freshName("ss")
-      val nrm = ctx.freshName("nrm")
-      val res = ctx.freshName("res")
-      val x = ctx.freshName("x")
+      val tmp = ctx.freshName("q8u")
       s"""
-         |int $n = $a.numElements();
-         |double $ss = 0.0;
-         |boolean ${ev.isNull}_sawNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
-         |  double $x = ${getterJava(a, i)};
-         |  if (!java.lang.Double.isFinite($x)) { $self.nonFiniteJava($x); }
-         |  $ss += $x * $x;
-         |}
-         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
-         |  double $nrm = Math.sqrt($ss);
-         |  int[] $res = new int[$n];
-         |  if ($nrm != 0.0) {
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $res[$i] = (int) Math.min(Math.max(
-         |        Math.floor(${getterJava(a, i)} / $nrm * 127.0 + 0.5), -127.0), 127.0);
-         |    }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
-         |}
+         |Object $tmp = $self.encode($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
        """.stripMargin
     })
   }
@@ -1002,8 +920,10 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
     StructField("scale", DoubleType, nullable = false),
     StructField("q8", ArrayType(IntegerType, containsNull = false), nullable = false)))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** The one quantize loop, shared by both eval paths (the
+    * PqAdcLookup.score pattern). Null for empty input / null
+    * elements. */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
     val n = v.numElements()
     if (n == 0) return null
     var mx = 0.0
@@ -1030,37 +950,17 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
         org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)))
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("maxAbsInt8", this, classOf[MaxAbsInt8Encode].getName)
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val mx = ctx.freshName("mx")
-      val scale = ctx.freshName("scale")
-      val res = ctx.freshName("res")
-      val x = ctx.freshName("x")
+      val tmp = ctx.freshName("q8s")
       s"""
-         |int $n = $a.numElements();
-         |double $mx = 0.0;
-         |boolean ${ev.isNull}_sawNull = $n == 0;
-         |for (int $i = 0; !${ev.isNull}_sawNull && $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull}_sawNull = true; break; }
-         |  double $x = Math.abs(${getterJava(a, i)});
-         |  if (!java.lang.Double.isFinite($x)) { $self.nonFiniteJava($x); }
-         |  if ($x > $mx) $mx = $x;
-         |}
-         |if (${ev.isNull}_sawNull) { ${ev.isNull} = true; } else {
-         |  double $scale = $mx / 127.0;
-         |  int[] $res = new int[$n];
-         |  if ($scale != 0.0) {
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $res[$i] = (int) Math.min(Math.max(
-         |        Math.floor(${getterJava(a, i)} / $scale + 0.5), -127.0), 127.0);
-         |    }
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |    new Object[]{ $scale, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res) });
-         |}
+         |Object $tmp = $self.encode($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
        """.stripMargin
     })
   }
@@ -1070,6 +970,19 @@ case class MaxAbsInt8Encode(child: Expression) extends FloatArrayQuantize {
 }
 
 object GraftFunctions {
+  /** Literal-argument extraction for registry builders (the codebook
+    * and size arguments of the PQ/minhash functions must fold at
+    * resolution so they become expression constants). */
+  private def litInt(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: argument $e must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def litIntArray(fn: String, e: Expression): IndexedSeq[Int] = {
+    require(e.foldable, s"$fn: codebook must be a literal")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toIndexedSeq
+  }
+
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
     * so the Column surface goes through the function registry.) */
@@ -1105,48 +1018,26 @@ object GraftFunctions {
         // (q8u, flatCodes literal, m literal, subDim literal) — the
         // codebook rides in as a foldable array literal and is
         // extracted ONCE at resolution into the expression's constant
-        def intOf(e: Expression): Int = {
-          require(e.foldable, s"graft_pq_encode: argument $e must be a literal")
-          e.eval().asInstanceOf[Number].intValue()
-        }
-        val flatE = exprs(1)
-        require(flatE.foldable, "graft_pq_encode: codebook must be a literal")
-        val flat = flatE.eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toIntArray().toIndexedSeq
-        val (m, sub) = (intOf(exprs(2)), intOf(exprs(3)))
+        val flat = litIntArray("graft_pq_encode", exprs(1))
+        val (m, sub) = (litInt("graft_pq_encode", exprs(2)), litInt("graft_pq_encode", exprs(3)))
         require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
           s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
         PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => {
-        val nE = exprs(1)
-        require(nE.foldable, "graft_minhash_sig: numHashes must be a literal")
-        MinHashSig(exprs.head, nE.eval().asInstanceOf[Number].intValue())
-      }, "built-in")
+      "graft_minhash_sig", exprs =>
+        MinHashSig(exprs.head, litInt("graft_minhash_sig", exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_lut", exprs => {
-        def intOf(e: Expression): Int = {
-          require(e.foldable, s"graft_pq_lut: argument $e must be a literal")
-          e.eval().asInstanceOf[Number].intValue()
-        }
-        val flatE = exprs(1)
-        require(flatE.foldable, "graft_pq_lut: codebook must be a literal")
-        val flat = flatE.eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toIntArray().toIndexedSeq
-        val (m, sub) = (intOf(exprs(2)), intOf(exprs(3)))
+        val flat = litIntArray("graft_pq_lut", exprs(1))
+        val (m, sub) = (litInt("graft_pq_lut", exprs(2)), litInt("graft_pq_lut", exprs(3)))
         require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
           s"graft_pq_lut: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
         PqLut(exprs.head, m, sub, flat.length / (m * sub), flat)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_adc", exprs => {
-        val kE = exprs(2)
-        require(kE.foldable, "graft_pq_adc: kEff must be a literal")
-        PqAdcLookup(exprs.head, exprs(1), kE.eval().asInstanceOf[Number].intValue())
-      }, "built-in")
+      "graft_pq_adc", exprs =>
+        PqAdcLookup(exprs.head, exprs(1), litInt("graft_pq_adc", exprs(2))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unit_int8", exprs => UnitInt8Encode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
