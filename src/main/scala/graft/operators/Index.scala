@@ -123,6 +123,28 @@ object Index {
     def delete(ids: DataFrame): Unit = Dedup.deleteFromLshIndex(ids, path)
   }
 
+  /** Build-side counterparts of [[open]] — one front door for index
+    * CREATION too, so a user never hunts across operators for the
+    * three builders. Each commits the full VersionedIndex layout and
+    * returns the opened handle, ready to serve. */
+  def buildIvf(embeddings: DataFrame, nLists: Int, path: String): Ivf = {
+    Similarity.buildIvfIndex(embeddings, nLists, path)
+    open(embeddings.sparkSession, path).asInstanceOf[Ivf]
+  }
+
+  def buildIvfPq(embeddings: DataFrame, nLists: Int, path: String,
+      pqM: Int = 16, pqK: Int = 16, trainRounds: Int = 2): IvfPq = {
+    Similarity.buildIvfPqIndex(embeddings, nLists, path, pqM = pqM,
+      pqK = pqK, trainRounds = trainRounds)
+    open(embeddings.sparkSession, path).asInstanceOf[IvfPq]
+  }
+
+  def buildLsh(docs: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Lsh = {
+    Dedup.writeLshIndex(docs, id, text, path, n, numHashes, bands)
+    open(docs.sparkSession, path).asInstanceOf[Lsh]
+  }
+
   /** Open whatever index lives at `path`; throws with a layout dump if
     * nothing recognizable is committed there. */
   def open(spark: SparkSession, path: String): Opened = {

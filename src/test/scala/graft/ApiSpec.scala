@@ -61,6 +61,22 @@ class ApiSpec extends SparkSuite {
     assert(api.pipelineStats.collect().head.getAs[Long]("n_types") == 5L)
   }
 
+  test("Index.build* commits the layout and returns a serving handle") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Index
+    val root = java.nio.file.Files.createTempDirectory("idxbuild").toString
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 200)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val pq = Index.buildIvfPq(emb, 8, s"$root/ivfpq")
+    assert(pq.kind == "ivf-pq" && pq.search(7L, 5).count() == 5)
+    val ivf = Index.buildIvf(emb, 8, s"$root/ivf")
+    assert(ivf.kind == "ivf" && ivf.search(7L, 5).count() == 5)
+    val lsh = Index.buildLsh(docs, col("doc_id"), col("text"), s"$root/lsh")
+    assert(lsh.kind == "lsh")
+    // the returned handle and a fresh open agree on kind + params
+    assert(Index.open(spark, s"$root/ivfpq").kind == "ivf-pq")
+  }
+
   test("Index.open dispatches on the manifest: ivf-pq, ivf and lsh handles all serve") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Index, Similarity}
