@@ -85,6 +85,37 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.parseImageHeader(sosFirst).isEmpty)
   }
 
+  test("fuzz: parseImageHeader never throws on arbitrary bytes (valid-prefix mutations included)") {
+    // deterministic pseudo-random byte soup, plus mutations of VALID
+    // headers (bit flips, truncations) — a byte parser's failure mode
+    // is an uncaught index/era error on adversarial input, and this
+    // corpus walks both magic branches into every guard
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val valid = Seq(
+      realPng,
+      Multimodal.pngBytes(640, 480, 2, Array[Byte](1, 2, 3)),
+      Multimodal.jpegBytes(1920, 1080, 3, 17, Array[Byte](9, 8)))
+    val cases =
+      (0 until 500).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)) ++
+      // random payloads behind real magics (forces deep walking)
+      (0 until 300).map { _ =>
+        val magic = if (rnd.nextBoolean()) PngPrefix else JpegPrefix
+        magic ++ Array.fill(rnd.nextInt(48))(rnd.nextInt.toByte)
+      } ++
+      // every truncation of each valid header
+      valid.flatMap(v => (0 to v.length).map(v.take)) ++
+      // single-bit flips of each valid header
+      valid.flatMap(v => (0 until v.length).map { i =>
+        val c = v.clone(); c(i) = (c(i) ^ (1 << (i % 8))).toByte; c
+      })
+    cases.foreach(b => Multimodal.parseImageHeader(b)) // must not throw
+    assert(cases.nonEmpty)
+  }
+
+  private val PngPrefix =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val JpegPrefix = Array(0xff, 0xd8).map(_.toByte)
+
   test("imageMeta: media rows parse, non-media rows are null-typed") {
     val blobs = Seq(
       (1L, Multimodal.pngBytes(32, 8, 6, Array[Byte](5))),
