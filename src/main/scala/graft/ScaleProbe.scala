@@ -229,8 +229,16 @@ object ScaleProbe {
     }
     spark.range(1).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY (same contract as Verify/Bench): probe only the
+    // named queries — the per-change ratio loop instead of the ~30 min
+    // full tier. A filtered run also skips the mutation tier unless
+    // "mutation" is named.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val rows =
-      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries).map { name =>
+      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries)
+        .filter(n => only.forall(_.contains(n)))
+        .map { name =>
         val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
         val big = (1 to runs).map(_ => time(spark, name, workDir)).min
         val ratio = big / small
@@ -240,15 +248,18 @@ object ScaleProbe {
     // streaming-mutation tier: nLists scales with the corpus so the
     // rewrite unit (per-list bytes) stays constant — the sizing rule a
     // growing deployment follows
-    val (inS, delS) = mutationTier(spark, srcDir, 64, runs)
-    val (inB, delB) = mutationTier(spark, workDir, 64 * factor, runs)
-    System.err.println(f"[probe] mutation ingest/trigger     $inS%8.2f s -> $inB%8.2f s  (${inB / inS}%.1f×)")
-    System.err.println(f"[probe] mutation delete/trigger     $delS%8.2f s -> $delB%8.2f s  (${delB / delS}%.1f×)")
-    val mutation =
-      f""""mutation":{"batch":50,"ingest":{"sf01":$inS%.3f,"sf1":$inB%.3f,"ratio":${inB / inS}%.2f},""" +
-        f""""delete":{"sf01":$delS%.3f,"sf1":$delB%.3f,"ratio":${delB / delS}%.2f}}"""
+    val mutation = if (only.forall(_.contains("mutation"))) {
+      val (inS, delS) = mutationTier(spark, srcDir, 64, runs)
+      val (inB, delB) = mutationTier(spark, workDir, 64 * factor, runs)
+      System.err.println(f"[probe] mutation ingest/trigger     $inS%8.2f s -> $inB%8.2f s  (${inB / inS}%.1f×)")
+      System.err.println(f"[probe] mutation delete/trigger     $delS%8.2f s -> $delB%8.2f s  (${delB / delS}%.1f×)")
+      Some(
+        f""""mutation":{"batch":50,"ingest":{"sf01":$inS%.3f,"sf1":$inB%.3f,"ratio":${inB / inS}%.2f},""" +
+          f""""delete":{"sf01":$delS%.3f,"sf1":$delB%.3f,"ratio":${delB / delS}%.2f}}""")
+    } else None
     println(s"""{"metric":"scaleprobe","factor":$factor,"runs":$runs,""" +
-      s"""$mutation,"queries":{${rows.mkString(",")}}}""")
+      (mutation.map(_ + ",").getOrElse("")) +
+      s""""queries":{${rows.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -72,12 +72,17 @@ object Dedup {
         numHashes))
 
   /** LSH band hashes from a materialized signature column — identical
-    * construction to the batch banding inside minhashLshPairs. */
+    * construction to the batch banding inside minhashLshPairs. NULL
+    * signatures (sigArray's contract for empty/null shingle arrays)
+    * yield NULL bands: without the guard, Spark's null-tolerant hash()
+    * would give every null-sig doc the SAME per-band constants — one
+    * shared phantom bucket pairing all degenerate docs with each
+    * other. */
   def bandsFromSig(sig: Column, numHashes: Int = 64, bands: Int = 16): Column = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    array((0 until bands).map(b =>
-      hash(slice(sig, b * rows + 1, rows).cast("string"), lit(b))): _*)
+    when(sig.isNull, lit(null)).otherwise(array((0 until bands).map(b =>
+      hash(slice(sig, b * rows + 1, rows).cast("string"), lit(b))): _*))
   }
 
   /** Exact Jaccard for an explicit candidate-pair set. Candidate-driven:
@@ -143,12 +148,55 @@ object Dedup {
     } finally sh.unpersist()
   }
 
-  /** MinHash signatures: for each seed s, min over shingles of
-    * xxhash64(s, shingle). One pass, one shuffle on doc_id. */
+  /** MinHash signatures from EXPLODED (doc_id, shingle) rows: for each
+    * seed s, min over shingles of xxhash64(s, shingle) — one shuffle on
+    * doc_id. Kept as the aggregation-form REFERENCE (DedupSpec pins the
+    * native kernel bit-identical to it); the operator paths all compute
+    * the same signature shuffle-free from the per-doc shingle ARRAY via
+    * [[sigArray]] (`docShingles` → one native map pass — no explode, no
+    * 64-way min aggregation; at corpus scale the (doc, shingle) shuffle
+    * this form pays is the dominant cost of signature building). */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
     shingles.groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle")))): _*)
         .as("sig"))
+
+  /** (doc_id, sh) — one row per document with its distinct shingle
+    * ARRAY: the base every LSH path derives from. The exploded
+    * (doc_id, shingle) form for Jaccard verification is
+    * `explode(col("sh"))` (identical to [[shingleSet]] by
+    * construction); the banded signature form is
+    * [[bandedFromDocShingles]] (native kernel, shuffle-free). Doc ids
+    * are expected UNIQUE (the same contract the index upsert's
+    * replace-by-doc_id semantics rely on): duplicate id rows would
+    * band per ROW rather than per merged shingle set. */
+  private def docShingles(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    docs.select(id.as("doc_id"), shingleArray(text, n).as("sh"))
+
+  /** (doc_id, bands, band, band_hash) rows for the banded join, from
+    * the per-doc shingle array — signature via the one-pass native
+    * kernel ([[sigArray]]), NO shuffle; bit-identical values to the
+    * [[minhashSignatures]] aggregation form (DedupSpec parity pin), so
+    * indexes written by either construction interoperate. */
+  private def bandedFromDocShingles(ds: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    // The signature is MATERIALIZED (localCheckpoint — docs × numHashes
+    // longs, ~0.5 KB/doc) before banding+explode, for a reason that is
+    // easy to re-break: InferFiltersFromGenerate plants a
+    // `size(bands) > 0 AND isnotnull(bands)` filter under the
+    // posexplode, and predicate pushdown then INLINES the whole bands
+    // expression — 17 copies of the signature kernel — into that
+    // filter, re-hashing every shingle ~18× per row (measured 10× on
+    // the q39 corpus). With sig a materialized column the inferred
+    // filter costs 16 int hashes, and the kernel runs exactly once per
+    // doc.
+    ds.select(col("doc_id"), sigArray(col("sh"), numHashes).as("sig"))
+      .localCheckpoint()
+      .select(col("doc_id"),
+        bandsFromSig(col("sig"), numHashes, bands).as("bands"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
 
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     * numHashes=64, bands=16 (rows/band=4): P(miss | j=0.9) ≈ 4e-8 —
@@ -156,14 +204,20 @@ object Dedup {
     * ground truth, at a fraction of the join cost. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSet(docs, id, text, n).cache()
+    // ONE tokenize+shingle pass cached as the per-doc ARRAY: signatures
+    // come out of it with the native kernel (no (doc, shingle) shuffle),
+    // and the exploded form for Jaccard verification is a cheap explode
+    // of the same cached rows.
+    val ds = docShingles(docs, id, text, n).cache()
     try {
-    val candidates = lshCandidatesFromShingles(sh, numHashes, bands)
+    val sh = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val candidates = lshCandidatesFromBanded(
+      bandedFromDocShingles(ds, numHashes, bands))
     jaccardOnPairs(sh, candidates)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint() // near-dup pairs ≪ corpus; materialized pre-unpersist
-    } finally sh.unpersist()
+    } finally ds.unpersist()
   }
 
   /** The candidate stage of minhashLshPairs — banded signature join,
@@ -173,7 +227,8 @@ object Dedup {
     * replay-tested against the identical batch construction. */
   def lshCandidatePairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame =
-    lshCandidatesFromShingles(shingleSet(docs, id, text, n), numHashes, bands)
+    lshCandidatesFromBanded(
+      bandedFromDocShingles(docShingles(docs, id, text, n), numHashes, bands))
 
   /** INCREMENTAL MinHash+LSH near-dup pairs: every verified pair with
     * at least one member in `newDocs` — new×old and new×new, never
@@ -191,9 +246,10 @@ object Dedup {
   def incrementalLshPairs(newDocs: DataFrame, oldDocs: DataFrame,
       id: Column, text: Column, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val shOld = shingleSet(oldDocs, id, text, n)
+    val dsOld = docShingles(oldDocs, id, text, n)
     incrementalAgainst(newDocs, id, text,
-      shOld, bandedSignatures(shOld, numHashes, bands),
+      dsOld.select(col("doc_id"), explode(col("sh")).as("shingle")),
+      bandedFromDocShingles(dsOld, numHashes, bands),
       n, numHashes, bands, threshold)
   }
 
@@ -286,13 +342,14 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       idxBuckets: Int = 64): Unit = {
-    val sh = shingleSet(docs, id, text, n).cache()
+    val ds = docShingles(docs, id, text, n).cache()
     try commitLshVersion(docs.sparkSession, path,
-      sh.withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
-      bandedSignatures(sh, numHashes, bands)
+      ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
+      bandedFromDocShingles(ds, numHashes, bands)
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
       n, numHashes, bands, idxBuckets)
-    finally sh.unpersist()
+    finally ds.unpersist()
   }
 
   /** UPSERT a batch into a persisted LSH index: the batch's rows
@@ -324,10 +381,11 @@ object Dedup {
       .get("idxBuckets").map(_.toInt)
     val nBuckets = storedBuckets.getOrElse(idxBuckets)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
-    val sh = shingleSet(newDocs, id, text, n).cache()
+    val ds = docShingles(newDocs, id, text, n).cache()
     try {
-      val shNew = sh.withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-      val bandsNew = bandedSignatures(sh, numHashes, bands)
+      val shNew = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+      val bandsNew = bandedFromDocShingles(ds, numHashes, bands)
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
       val prevMf = VersionedIndex.manifest(spark, path)
       val shMf = prevMf.getOrElse("shingles", Map.empty)
@@ -369,7 +427,7 @@ object Dedup {
             "shingles" -> shMf.filter { case (d, _) => !touchedDirs.contains(d) },
             "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
       }
-    } finally sh.unpersist()
+    } finally ds.unpersist()
   }
 
   /** DELETE documents from a persisted LSH index — the takedown/
@@ -448,7 +506,8 @@ object Dedup {
   private def incrementalAgainst(newDocs: DataFrame, id: Column, text: Column,
       shOld: DataFrame, bandedOldRaw: DataFrame, n: Int, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
-    val shNew = shingleSet(newDocs, id, text, n)
+    val dsNew = docShingles(newDocs, id, text, n)
+    val shNew = dsNew.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // A doc id on BOTH sides is a CHANGED doc (snapshotDiff's "changed"
     // rows land in the batch while the superseded version sits in the
     // old corpus/index). The new version must fully replace the old:
@@ -461,7 +520,7 @@ object Dedup {
     val shAll = shNew
       .union(shOld.join(newIds, Seq("doc_id"), "left_anti")).cache()
     try {
-      val bandedNew = bandedSignatures(shNew, numHashes, bands)
+      val bandedNew = bandedFromDocShingles(dsNew, numHashes, bands)
         .withColumn("is_new", lit(true))
       val bandedAll = bandedNew.unionByName(
         bandedOldRaw.join(newIds, Seq("doc_id"), "left_anti")
@@ -485,28 +544,13 @@ object Dedup {
     } finally shAll.unpersist()
   }
 
-  /** (doc_id, bands, band, band_hash) rows for the banded join —
-    * shared by the batch and incremental pair paths. */
-  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val sig = minhashSignatures(sh, numHashes)
-    val withBands = sig.select(col("doc_id"),
-      bandsFromSig(col("sig"), numHashes, bands).as("bands"))
-    withBands.select(col("doc_id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
-  }
-
-  private def lshCandidatesFromShingles(sh: DataFrame,
-      numHashes: Int, bands: Int): DataFrame = {
-    val sig = minhashSignatures(sh, numHashes)
-    // Dedup-free emission (same trick as simhashPairs): near-dup pairs
-    // agree on MANY of the 16 bands, so the banded join yields each
-    // pair up to 16×; carrying the full band-hash array through the
-    // join lets "this is the first band we share" run as a join
-    // predicate, and the candidate distinct() shuffle disappears.
-    val withBands = sig.select(col("doc_id"),
-      bandsFromSig(col("sig"), numHashes, bands).as("bands"))
-    val banded = withBands.select(col("doc_id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
+  /** The banded self-join over (doc_id, bands, band, band_hash) rows.
+    * Dedup-free emission (same trick as simhashPairs): near-dup pairs
+    * agree on MANY of the 16 bands, so the banded join yields each
+    * pair up to 16×; carrying the full band-hash array through the
+    * join lets "this is the first band we share" run as a join
+    * predicate, and the candidate distinct() shuffle disappears. */
+  private def lshCandidatesFromBanded(banded: DataFrame): DataFrame = {
     val firstSharedBand = array_position(
       zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
     banded.as("l")

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSuite {
     assert(out.length == 8)
   }
 
+  test("sigArray edge contract: empty array and null element yield a NULL signature") {
+    // The kernel's deliberate contract (differs from the pre-r11 HOF
+    // form, which emitted per-seed nulls/partial mins): an EMPTY
+    // shingle array or any NULL element yields a NULL signature —
+    // loud downstream (bandsFromSig of NULL is NULL, never a bucket)
+    // instead of a signature that silently represents no shingles.
+    // In-repo paths never hit it (shingleArray emits ≥1 non-null
+    // element for any text); this pin keeps the change deliberate for
+    // external callers.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_sh",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(Seq.empty[String]),          // empty array
+      org.apache.spark.sql.Row(Seq("a b c", null, "c d e")), // null element
+      org.apache.spark.sql.Row(null),                        // null array
+      org.apache.spark.sql.Row(Seq("a b c")))                // control
+    val out = spark.createDataFrame(rows, schema)
+      .select(Dedup.sigArray(col("_sh"), 8).as("sig"),
+        Dedup.bandsFromSig(Dedup.sigArray(col("_sh"), 8), 8, 4).as("bands"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).isNullAt(0),
+      "empty array / null element / null array must all yield NULL sig")
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1) && out(2).isNullAt(1),
+      "NULL sig must propagate to NULL bands (no bucket), never a bucket row")
+    assert(!out(3).isNullAt(0) && out(3).getSeq[Long](0).length == 8)
+  }
+
   test("shingle sets are distinct per doc") {
     val sh = Dedup.shingleSet(docs, col("doc_id"), col("text"))
     assert(sh.count() == sh.distinct().count())
