@@ -37,35 +37,60 @@ object Index {
     * persisted codebook, so it also refreshes this handle's preloaded
     * copy in place — a post-rebuild search through a stale copy would
     * score the new code table against the old codewords, every code
-    * still in range, silently wrong (no guard can catch it). */
+    * still in range, silently wrong (no guard can catch it).
+    *
+    * The default `shortlist` is DERIVED from the corpus
+    * ([[Similarity.autoShortlist]]): the measured recall curve tracks
+    * the shortlist/candidate-set RATIO, so an absolute default that
+    * was tuned at build scale silently loses recall as the index
+    * grows 100×. The handle reads the corpus size from the maintained
+    * `list_sizes` histogram at open (≤ nLists rows) and refreshes it
+    * on every mutation through this handle; pass an explicit
+    * `shortlist` to override. */
   final class IvfPq private[Index] (spark: SparkSession, val path: String,
-      initialCodebook: Quantization.PqCodebook, val nLists: Int) extends Opened {
+      initialCodebook: Quantization.PqCodebook, val nLists: Int,
+      initialNVectors: Long) extends Opened {
     val kind = "ivf-pq"
     @volatile private var cb: Quantization.PqCodebook = initialCodebook
+    @volatile private var nVec: Long = initialNVectors
     def codebook: Quantization.PqCodebook = cb
+    /** Indexed corpus size as of open / the last mutation or rebuild
+      * through THIS handle (mutations by other writers are seen at
+      * their next open). */
+    def nVectors: Long = nVec
+    private def resolve(shortlist: Int, nProbe: Int, k: Int): Int =
+      if (shortlist == Similarity.AutoShortlist)
+        Similarity.autoShortlist(nVec, nLists, nProbe, k)
+      else shortlist
+    private def refreshSize(): Unit =
+      nVec = Similarity.ivfListSizes(spark, path).values.sum
     def search(queryId: Long, k: Int, nProbe: Int = 4,
-        shortlist: Int = 100): DataFrame =
+        shortlist: Int = Similarity.AutoShortlist): DataFrame =
       Similarity.ivfPqSearchIndexed(spark, path, nProbe, queryId, k,
-        shortlist, Some(cb))
+        resolve(shortlist, nProbe, k), Some(cb))
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4,
-        shortlist: Int = 100): DataFrame =
+        shortlist: Int = Similarity.AutoShortlist): DataFrame =
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, queries, k,
-        shortlist, Some(cb))
+        resolve(shortlist, nProbe, k), Some(cb))
     /** Query by an ARBITRARY embedding (need not be indexed) — what a
       * serving layer actually receives (a fresh text/image embedding).
       * Rides the batch plan with a sentinel query_id (−1, impossible
       * for corpus vec_ids, so nothing is self-excluded). */
     def searchVector(embedding: Seq[Float], k: Int, nProbe: Int = 4,
-        shortlist: Int = 100): DataFrame = {
+        shortlist: Int = Similarity.AutoShortlist): DataFrame = {
       import spark.implicits._
       val q = Seq((-1L, embedding)).toDF("query_id", "embedding")
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, q, k,
-          shortlist, Some(codebook))
+          resolve(shortlist, nProbe, k), Some(codebook))
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }
-    def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
-    def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
+    def upsert(vectors: DataFrame): Unit = {
+      Similarity.upsertIvfIndex(vectors, path); refreshSize()
+    }
+    def delete(ids: DataFrame): Unit = {
+      Similarity.deleteFromIvfIndex(ids, path); refreshSize()
+    }
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
     /** Codebook-staleness signal (quantization-error EWMA vs build). */
@@ -77,6 +102,7 @@ object Index {
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
       cb = Similarity.readPqCodebook(spark, path)
+      refreshSize()
     }
   }
 
@@ -154,7 +180,10 @@ object Index {
     val params = VersionedIndex.readParams(spark, cur)
     if (mf.contains("pq") || mf.contains("pq_codebook") || params.contains("pqM"))
       new IvfPq(spark, path, Similarity.readPqCodebook(spark, path),
-        params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
+        params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt,
+        // corpus size from the maintained histogram (≤ nLists rows) —
+        // feeds the ratio-derived shortlist default
+        Similarity.ivfListSizes(spark, path).values.sum)
     else if (mf.contains("lists"))
       new Ivf(spark, path,
         params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)

@@ -954,6 +954,46 @@ object Similarity {
     Quantization.PqCodebook(m, subDim, codes)
   }
 
+  /** Sentinel for "derive the ADC shortlist from the corpus" — the
+    * [[Index.IvfPq]] handle's default. */
+  val AutoShortlist: Int = -1
+
+  /** The measured shortlist policy (SCALE.md recall ladders, r10-r11):
+    * two-stage recall is a function of the shortlist/CANDIDATE-SET
+    * ratio, not of the shortlist/k multiple — a fixed `shortlist=100`
+    * that recovers 9.5/10 at sf0.01 silently decays as the corpus
+    * grows (6.3/10 at 5×k by sf0.1). Target ratio: 1/8 of the probed
+    * candidates (12.5%, inside the measured 8-20% band where trained-2
+    * recall holds 9.0-9.3/10 across both measured SFs). */
+  val ShortlistRatioDen = 8L
+
+  /** Absolute floor — the pre-r12 fixed default, so corpora small
+    * enough that 100 already exceeds the target ratio behave exactly
+    * as before. */
+  val ShortlistFloor = 100
+
+  /** Absolute cap: the shortlist rides a per-query broadcast
+    * (|queries| × shortlist rows in the batched plan), so the derived
+    * default stops growing at 10⁴ — a 10⁹-vector deployment that
+    * genuinely wants a 10⁷-row rerank passes it explicitly and owns
+    * the broadcast budget. */
+  val ShortlistCap = 10000
+
+  /** ADC shortlist for a corpus of `nVectors` searched with
+    * `nProbe`-of-`nLists` probing: 1/[[ShortlistRatioDen]] of the
+    * expected probed candidate count (nVectors·nProbe/nLists),
+    * clamped to [[ShortlistFloor]]/[[ShortlistCap]] and never below
+    * k. Derived at the [[Index]] handle from the maintained
+    * `list_sizes` histogram — the index knows its corpus size, the
+    * caller doesn't have to. */
+  def autoShortlist(nVectors: Long, nLists: Int, nProbe: Int, k: Int): Int = {
+    val probed = nVectors.toDouble *
+      math.min(math.max(nProbe, 1), math.max(nLists, 1)) / math.max(nLists, 1)
+    val target = math.ceil(probed / ShortlistRatioDen).toLong
+    math.max(k,
+      math.min(math.max(target, ShortlistFloor.toLong), ShortlistCap.toLong)).toInt
+  }
+
   /** Search the persisted IVF-PQ index: probe selection from the
     * nLists-row centroids table (as [[ivfSearchIndexed]]), then ADC
     * over ONLY the probed partitions of the `pq` CODE table — a scan

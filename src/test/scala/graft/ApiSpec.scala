@@ -77,6 +77,31 @@ class ApiSpec extends SparkSuite {
     assert(Index.open(spark, s"$root/ivfpq").kind == "ivf-pq")
   }
 
+  test("IvfPq handle: auto shortlist derives from corpus size and tracks mutations") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Index, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("idxauto").toString
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 300)
+    val pq = Index.buildIvfPq(emb, 8, s"$root/ivfpq")
+    // the handle knows its corpus from the list_sizes histogram
+    assert(pq.nVectors == 300)
+    // at this size the auto default IS the floor (pre-r12 behavior):
+    // the default-shortlist search equals the explicit-floor search
+    assert(Similarity.autoShortlist(300, 8, 4, 5) == Similarity.ShortlistFloor)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows(pq.search(7L, 5)) ==
+      rows(pq.search(7L, 5, shortlist = Similarity.ShortlistFloor)))
+    // mutations refresh the derived size through the handle
+    pq.delete(emb.filter(col("vec_id") < 5).select(col("vec_id")))
+    assert(pq.nVectors == 295)
+    pq.upsert(emb.filter(col("vec_id") < 2))
+    assert(pq.nVectors == 297)
+    // rebuild (retrain) refreshes too and serving still works
+    pq.rebuild()
+    assert(pq.nVectors == 297 && pq.search(7L, 5).count() == 5)
+  }
+
   test("Index.open dispatches on the manifest: ivf-pq, ivf and lsh handles all serve") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Index, Similarity}

@@ -195,6 +195,57 @@ class QuantizationSpec extends SparkSuite {
     assert(cb2 == cb, "codebook must not depend on physical layout")
   }
 
+  test("autoShortlist: ratio-derived with floor, cap and k lower bound") {
+    import Similarity._
+    // floor: a corpus small enough that 1/8 of the probed candidates
+    // is under 100 behaves exactly like the pre-r12 fixed default
+    assert(autoShortlist(500, 1, 1, 10) == ShortlistFloor)
+    assert(autoShortlist(300, 8, 4, 5) == ShortlistFloor)
+    // ratio: 1/8 of the probed candidate count once past the floor
+    assert(autoShortlist(5000, 1, 1, 10) == 625)    // whole corpus probed
+    assert(autoShortlist(5000, 16, 4, 10) == 157)   // ceil(5000·4/16 / 8)
+    // probing fraction scales the target (more probes → more candidates)
+    assert(autoShortlist(100000, 64, 4, 10) <=
+      autoShortlist(100000, 64, 16, 10))
+    // cap bounds the |queries|×shortlist broadcast; explicit overrides
+    // only past 10⁴
+    assert(autoShortlist(10000000L, 1, 1, 10) == ShortlistCap)
+    // never below k, even above the cap
+    assert(autoShortlist(100, 1, 1, 500) == 500)
+    // degenerate geometry doesn't divide by zero
+    assert(autoShortlist(0, 0, 0, 10) == ShortlistFloor)
+  }
+
+  test("auto shortlist reproduces the measured ladder recall at sf0.01 AND sf0.1") {
+    // SCALE.md r11 ladder: recall tracks the shortlist/corpus RATIO —
+    // trained-2 two-stage scores 9.3-9.5/10 at a 20% ratio (both SFs)
+    // and 9.0/10 at 4% at sf0.1. The auto default targets 12.5%, so
+    // the whole-corpus two-stage search (the ladder's own setup:
+    // nLists = nProbe = 1) must hold the ladder's ≥9/10 band at BOTH
+    // scale factors — the property the absolute default broke (a
+    // fixed 100 is 2% of sf0.1's corpus → 6-8/10).
+    val k = 10
+    for ((dir, minMean) <- Seq("/root/testdata/sf0.01" -> 9.0,
+        "/root/testdata/sf0.1" -> 9.0)) {
+      val emb = graft.sources.Tables.embeddings(spark, dir).cache()
+      try {
+        val n = emb.count()
+        val sl = Similarity.autoShortlist(n, 1, 1, k)
+        val cb = Quantization.pqCodebook(emb) // trained-2 default
+        val recalls = Seq(0L, 7L, 42L).map { q =>
+          val truth = Similarity.bruteForceTopK(emb, q, k)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val got = Quantization.pqTwoStageTopK(emb, cb, q, k, sl)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (got & truth).size
+        }
+        val mean = recalls.sum.toDouble / recalls.size
+        assert(mean >= minMean,
+          s"$dir: auto shortlist $sl (n=$n) mean recall $mean < $minMean")
+      } finally emb.unpersist()
+    }
+  }
+
   test("zero vector quantizes to zero codes with zero error") {
     val df = Seq((1L, Seq.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label")
     val q = Quantization.withInt8(df)
