@@ -983,65 +983,58 @@ object GraftFunctions {
       .toIntArray().toIndexedSeq
   }
 
+  /** The full native-function set, name → builder. Additions go
+    * anywhere in this list — [[register]] checks EVERY name, so no
+    * positional/marker contract exists to violate (PlansSpec asserts
+    * registry completeness against this list). */
+  private[graft] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_rolling_hash64" -> (exprs => RollingHash64(exprs.head)),
+    "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "graft_simhash_agg" ->
+      (exprs => SimHashAgg(exprs.head, exprs(1)).toAggregateExpression()),
+    "graft_bloom_agg" ->
+      (exprs => BloomBitmapAgg(exprs.head, exprs(1)).toAggregateExpression()),
+    "graft_qdot" -> (exprs => LongDot(exprs.head, exprs(1))),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_sqdist" -> (exprs => SqDistLong(exprs.head, exprs(1))),
+    "graft_pq_encode" -> (exprs => {
+      // (q8u, flatCodes literal, m literal, subDim literal) — the
+      // codebook rides in as a foldable array literal and is
+      // extracted ONCE at resolution into the expression's constant
+      val flat = litIntArray("graft_pq_encode", exprs(1))
+      val (m, sub) = (litInt("graft_pq_encode", exprs(2)), litInt("graft_pq_encode", exprs(3)))
+      require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
+        s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
+      PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
+    }),
+    "graft_minhash_sig" -> (exprs =>
+      MinHashSig(exprs.head, litInt("graft_minhash_sig", exprs(1)))),
+    "graft_pq_lut" -> (exprs => {
+      val flat = litIntArray("graft_pq_lut", exprs(1))
+      val (m, sub) = (litInt("graft_pq_lut", exprs(2)), litInt("graft_pq_lut", exprs(3)))
+      require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
+        s"graft_pq_lut: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
+      PqLut(exprs.head, m, sub, flat.length / (m * sub), flat)
+    }),
+    "graft_pq_adc" -> (exprs =>
+      PqAdcLookup(exprs.head, exprs(1), litInt("graft_pq_adc", exprs(2)))),
+    "graft_unit_int8" -> (exprs => UnitInt8Encode(exprs.head)),
+    "graft_maxabs_int8" -> (exprs => MaxAbsInt8Encode(exprs.head)))
+
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
-    * so the Column surface goes through the function registry.) */
+    * so the Column surface goes through the function registry.)
+    * The skip test checks EVERY name, not a sentinel: a long-lived
+    * session registered by an older build that lacked a
+    * newly-appended function re-registers the full set instead of
+    * silently missing it (the former last-registered-marker contract
+    * was one forgotten move away from unresolved-function errors). */
   def register(spark: SparkSession): Unit = {
-    // registration is idempotent per session: skip when the marker
-    // resolves (createOrReplaceTempFunction logs a "replaced
-    // previously registered" WARN per function per call, and
-    // operators call register() defensively on every API entry).
-    // MARKER CONTRACT: the marker must be the function registered
-    // LAST below — when adding a function, add it at the END and
-    // point the marker at it, or long-lived sessions registered by
-    // older calls would skip the new function.
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_maxabs_int8"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash_agg",
-      exprs => SimHashAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => BloomBitmapAgg(exprs.head, exprs(1)).toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_qdot", exprs => LongDot(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sqdist", exprs => SqDistLong(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_encode", exprs => {
-        // (q8u, flatCodes literal, m literal, subDim literal) — the
-        // codebook rides in as a foldable array literal and is
-        // extracted ONCE at resolution into the expression's constant
-        val flat = litIntArray("graft_pq_encode", exprs(1))
-        val (m, sub) = (litInt("graft_pq_encode", exprs(2)), litInt("graft_pq_encode", exprs(3)))
-        require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
-          s"graft_pq_encode: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
-        PqEncode(exprs.head, m, sub, flat.length / (m * sub), flat)
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs =>
-        MinHashSig(exprs.head, litInt("graft_minhash_sig", exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_lut", exprs => {
-        val flat = litIntArray("graft_pq_lut", exprs(1))
-        val (m, sub) = (litInt("graft_pq_lut", exprs(2)), litInt("graft_pq_lut", exprs(3)))
-        require(m > 0 && sub > 0 && flat.nonEmpty && flat.length % (m * sub) == 0,
-          s"graft_pq_lut: ${flat.length} codebook ints do not tile m=$m subDim=$sub")
-        PqLut(exprs.head, m, sub, flat.length / (m * sub), flat)
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_adc", exprs =>
-        PqAdcLookup(exprs.head, exprs(1), litInt("graft_pq_adc", exprs(2))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_unit_int8", exprs => UnitInt8Encode(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_maxabs_int8", exprs => MaxAbsInt8Encode(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (registrations.forall { case (name, _) => reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)) }) return
+    registrations.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in") }
   }
 
   /** Column-level access; requires register(spark) once per session. */

@@ -620,6 +620,42 @@ class LayoutSpec extends SparkSuite {
     assert(Similarity.ivfPqSearchIndexed(spark, idx, 4, 7L, 5, 25).count() == 5)
   }
 
+  test("IVF-PQ codebook staleness: deletes leave the ingest-fit signal untouched (documented design)") {
+    // The EWMA measures how recent INGEST fits the pinned codewords; a
+    // takedown changes neither the codewords nor the incoming
+    // distribution, so delete-only mutation streams keep the signal
+    // byte-identical. The DELIBERATE limitation this pins: a mass
+    // takedown that shifts the RESIDENT distribution is invisible to
+    // needsRetrain until new ingest arrives — the resident fit is the
+    // rebuild's own errBuild baseline, and the histogram-side
+    // skew/needsRebuild trigger owns that axis (asserted below to
+    // actually see the takedown).
+    import graft.operators.Similarity
+    val idx = Files.createTempDirectory("ivfpqdeldrift").toString + "/index"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), 8, idx)
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), idx)
+    val s1 = Similarity.pqCodebookStats(spark, idx)
+    val sizeBefore = Similarity.ivfListSizes(spark, idx).values.sum
+    // mass takedown: 60% of the corpus, including whole hot lists
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") < 240).select(col("vec_id")), idx)
+    val s2 = Similarity.pqCodebookStats(spark, idx)
+    assert(s2.buildErr == s1.buildErr && s2.recentErr == s1.recentErr &&
+      s2.needsRetrain == s1.needsRetrain,
+      s"delete-only mutations must not move the codebook signal: $s1 -> $s2")
+    // the takedown is NOT silent overall: the histogram signal sees it
+    val sizesAfter = Similarity.ivfListSizes(spark, idx)
+    assert(sizesAfter.values.sum == sizeBefore - 240)
+    // and the next INGEST re-engages the signal (window re-weighted by
+    // the batch, not by the vanished rows)
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), idx)
+    val s3 = Similarity.pqCodebookStats(spark, idx)
+    assert(s3.buildErr == s1.buildErr, "baseline pinned until rebuild")
+  }
+
   test("LSH upsert chain: bounded version fan-out via compaction") {
     import graft.operators.{Dedup, VersionedIndex}
     import org.apache.spark.sql.functions.col

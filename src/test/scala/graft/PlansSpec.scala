@@ -276,4 +276,26 @@ class PlansSpec extends SparkSuite {
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
     assert(out.toSeq == Seq((Some(11L), Some(8L)), (None, None), (None, None), (None, None)))
   }
+
+  test("register(): all-names idempotence — a session missing ONE function re-registers the full set") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val fresh = spark.newSession()
+    GraftFunctions.register(fresh)
+    val reg = fresh.sessionState.functionRegistry
+    // every declared native function resolves after one register()
+    GraftFunctions.registrations.foreach { case (name, _) =>
+      assert(reg.functionExists(FunctionIdentifier(name)), s"$name missing")
+    }
+    // simulate a session registered by an OLDER build that lacked one
+    // function (any one - no positional marker contract exists now):
+    // drop it and re-register; the full set must come back
+    val victim = GraftFunctions.registrations.head._1
+    reg.dropFunction(FunctionIdentifier(victim))
+    assert(!reg.functionExists(FunctionIdentifier(victim)))
+    GraftFunctions.register(fresh)
+    GraftFunctions.registrations.foreach { case (name, _) =>
+      assert(reg.functionExists(FunctionIdentifier(name)),
+        s"$name missing after partial-registry re-register")
+    }
+  }
 }
