@@ -51,6 +51,7 @@ object ScaleProbe {
     "q64_dup_clusters",
     "q82_neardup_removal",
     "q96_knn_graph_bucketed",
+    "q142_knn_graph_capped",
     "q106_duplicate_spans",
     "q123_bpe_merges",
     "q125_bpe_token_counts")

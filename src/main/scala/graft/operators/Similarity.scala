@@ -1259,6 +1259,120 @@ object Similarity {
     * makes the result oracle-comparable. Norms are computed once per
     * vector ahead of the join, so each pair costs one fused dot
     * product. */
+  /** Size-capped LSH-bucketed k-NN graph — [[knnGraph]]'s blocked form
+    * with the hot-bucket quadratic tamed. Plain blocking is Σ block²:
+    * one hot bucket dominates, and measured at ×10 data the pair
+    * volume grew 100× for q96's shape (SCALE.md r12). This variant
+    * REFINES any bucket above `maxBlock` rows with additional
+    * deterministic sign bits — the same hyperplane family, planes
+    * nBits, nBits+1, … — so the split is SIMILARITY-AWARE (near
+    * vectors keep landing together, unlike a random secondary hash),
+    * and recovers boundary recall with Hamming-1 multi-probe over the
+    * refinement bits (each vector also probes every single-bit flip
+    * of its refinement code — the q62 move, margin-free so any engine
+    * replays it).
+    *
+    * Exactness ladder, pinned in SimilaritySpec:
+    *  - buckets ≤ maxBlock: e = 0 refinement bits — plain in-bucket
+    *    all-pairs, IDENTICAL to `knnGraph(emb, k, Some(lshBucket))`;
+    *  - buckets ≤ 2·maxBlock: e = 1 — Hamming-1 probing over one bit
+    *    covers every sub-block pair, output still IDENTICAL (the cap
+    *    engages with zero recall cost until a bucket doubles it);
+    *  - larger buckets: e = ⌈log₂(size/maxBlock)⌉ (≤ maxExtraBits) —
+    *    neighbors missing in ≥2 refinement bits are dropped; for
+    *    near-duplicate similarity each refinement-bit disagreement
+    *    costs ~θ/π, so the dropped pairs are O((θ/π)²) of the near
+    *    pairs — the measured recall floor is pinned in SimilaritySpec.
+    *
+    * Per-bucket join volume falls from b² toward (e+1)·b²∕2^e — but
+    * ONLY as far as the data's intrinsic cluster structure allows: a
+    * hot bucket that is a genuine dense cluster keeps landing on the
+    * same side of the refinement planes too (measured on the ×10
+    * probe corpus: a 646-row bucket's hottest e=4 sub-block still
+    * holds 343 rows, so the total pair-volume cut saturates at ~1.3×
+    * where a uniform split would give 2.9× — SCALE.md r12). That
+    * saturation is a FEATURE of similarity-aware splitting, not a
+    * bug: the un-splittable residue is precisely the mutual-near-
+    * neighbor set the k-NN graph exists to find, and shattering it
+    * with a random secondary hash would trade exactly those edges
+    * away. Use this operator when hot buckets are hash-collision
+    * noise (near-uniform sub-codes → real linear win); when they are
+    * intrinsic clusters, the quadratic core is the answer itself and
+    * plain [[knnGraph]] blocking is cheaper by the capped plan's
+    * fixed overhead — which is why the fall-through below returns
+    * the plain plan untouched whenever no bucket exceeds 2·maxBlock.
+    *
+    * Matching is exact-once by construction: a candidate pair differs
+    * in ≤1 refinement bit, so exactly one probe row of the lower-id
+    * side hits the higher-id side's residence (its own code when
+    * equal, the single flipped bit otherwise) — no distinct() after
+    * the join, and each pair is scored once then mirrored, exactly
+    * like [[knnGraph]]. */
+  def knnGraphBucketedCapped(emb: DataFrame, k: Int, dim: Int, nBits: Int,
+      maxBlock: Int = 32, maxExtraBits: Int = 6): DataFrame = {
+    require(maxBlock > 0 && maxExtraBits >= 1 && nBits + maxExtraBits <= 62)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val bucketCol = Vectors.lshBucket(col("embedding"), dim, nBits)
+    // ONE bounded aggregation (≤ 2^nBits rows) decides the plan: with
+    // every bucket ≤ 2·maxBlock the capped construction is
+    // output-identical to plain blocking (e ≤ 1, Hamming-1 covers all
+    // pairs) but pays real plan overhead — so it short-circuits to
+    // the plain blocked graph and the cap costs nothing until a
+    // bucket actually doubles it.
+    val maxBucket = emb.select(bucketCol.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+      .agg(max(col("_bn"))).head().getLong(0)
+    if (maxBucket <= 2L * maxBlock)
+      return knnGraph(emb, k, Some(bucketCol))
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    // ≤ 2^nBits rows; broadcast back. e = smallest e ≤ maxExtraBits
+    // with size ≤ maxBlock·2^e — an exact integer ladder (a float
+    // log₂ would be off-by-one on exact powers).
+    val sizes = base.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+    val eExpr = (maxExtraBits - 1 to 0 by -1).foldLeft(lit(maxExtraBits): Column) {
+      (acc, i) => when(col("_bn") <= lit(maxBlock.toLong << i), lit(i)).otherwise(acc)
+    }
+    val withE = base.join(broadcast(sizes.select(col("bucket"), eExpr.as("_e"))),
+      "bucket")
+    // refinement code: sign bits of planes nBits … nBits+e−1, masked
+    // to this bucket's e (e is a pure function of the bucket, so both
+    // join sides agree on the mask)
+    val subExpr = (0 until maxExtraBits).map { j =>
+      val plane = typedlit(Vectors.hyperplane(nBits + j, dim).toSeq)
+      when(lit(j) < col("_e") &&
+        graft.plans.GraftFunctions.dot(col("embedding"), plane) >= 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // materialize ONCE: the bucketed+refined corpus view feeds BOTH
+    // sides of the candidate self-join (and the sizes aggregation
+    // inside each side would otherwise re-scan the corpus twice more)
+    val subbed = withE.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("bucket"), col("_e"), subExpr.as("_sub")).localCheckpoint()
+    // probe set: own code + each single-bit flip within e bits
+    val probesExpr = filter(array((0 to maxExtraBits).map {
+      case 0 => col("_sub")
+      case i => when(lit(i) <= col("_e"),
+        col("_sub").bitwiseXOR(lit(1L << (i - 1)))).otherwise(lit(null))
+    }: _*), p => p.isNotNull)
+    val probing = subbed.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("bucket"), explode(probesExpr).as("_probe"))
+    val scored = probing.as("a").join(subbed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a._probe") === col("b._sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+    val pairs = scored.select(explode(array(
+        struct(col("va").as("vec_id"), col("vb").as("nbr"), col("sim")),
+        struct(col("vb").as("vec_id"), col("va").as("nbr"), col("sim")))).as("e"))
+      .select(col("e.vec_id"), col("e.nbr"), col("e.sim"))
+    graft.plans.GraftOps.topKPerGroupOrdered(pairs, Seq("vec_id"),
+        Seq("sim" -> false, "nbr" -> true), k)
+      .select(col("vec_id"), col("nbr"), col("sim"))
+  }
+
   def knnGraph(emb: DataFrame, k: Int, block: Option[Column] = None): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col("vec_id") +: col("embedding") +:

@@ -549,7 +549,16 @@ object VectorQueries {
 
   // Blocked k-NN graph: neighbors only within the vector's own LSH
   // bucket — the Σ block² scale path; the oracle replays the bucket
-  // assignment and restricts the pair join to equal buckets.
+  // assignment and restricts the pair join to equal buckets. The
+  // quadratic tail here is INTRINSIC-CLUSTER-bound, not fixable by
+  // finer blocking: measured at ×10 (SCALE.md r12), the hot buckets
+  // are genuine dense clusters that land on the same side of further
+  // refinement hyperplanes too (a 646-row bucket's hottest refined
+  // sub-block keeps 343 rows), so the size-capped variant cuts pair
+  // volume only 1.3× while adding fixed plan overhead — plain
+  // blocking stays the right plan for THIS corpus, and
+  // knnGraphBucketedCapped (gated by q142) is the tool for corpora
+  // whose hot buckets are hash-collision noise instead.
   val q96 = sql(
     "q96_knn_graph_bucketed", {
       val a = bucketSql.replace("embedding", "a.embedding")
@@ -941,7 +950,52 @@ object VectorQueries {
     h.searchVector(e0.map(x => -x), 10, 4, 100)
   }
 
+  // Size-capped blocked k-NN with the cap LOW enough (maxBlock=4,
+  // maxExtraBits=3) that refinement-bit splitting and Hamming-1
+  // multi-probe genuinely engage on the sf0.01 corpus (buckets up to
+  // 18 rows → e up to 3) — the capping semantics themselves under the
+  // hash gate, complementing q96 where the production-sized cap is
+  // output-transparent. The oracle replays the whole construction:
+  // bucket sizes → the exact integer e-ladder → refinement sign bits
+  // masked to e → the pair predicate "refinement codes differ in at
+  // most one bit", expressed engine-portably as
+  // xor(sub_a, sub_b) & (xor − 1) = 0 (zero or a power of two).
+  val q142 = sql(
+    "q142_knn_graph_capped", {
+      def planeDot(j: Int, emb: String) =
+        s"list_sum(list_transform(range(1, len($emb)+1), i -> CAST($emb[i] AS DOUBLE)" +
+          s" * ((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5 - 1.0)))"
+      def subSql(emb: String) =
+        "CAST(" + (0 until 3).map(j =>
+          s"(CASE WHEN $j < e AND ${planeDot(8 + j, emb)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") + " AS BIGINT)"
+      s"""WITH n AS (SELECT vec_id, embedding, $bucketSql AS bucket,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |sz AS (SELECT bucket, count(*) AS bn FROM n GROUP BY bucket),
+         |ez AS (SELECT bucket, CASE WHEN bn <= 4 THEN 0 WHEN bn <= 8 THEN 1
+         |    WHEN bn <= 16 THEN 2 ELSE 3 END AS e FROM sz),
+         |v AS (SELECT n.vec_id, n.embedding, n.nrm, n.bucket, ez.e,
+         |    ${subSql("embedding")} AS sub
+         |  FROM n JOIN ez USING (bucket)),
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr, round(
+         |    list_sum(list_transform(range(1, len(a.embedding)+1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |    / (a.nrm * b.nrm), 6) AS sim
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |    AND (xor(a.sub, b.sub) & (xor(a.sub, b.sub) - 1)) = 0),
+         |r AS (SELECT vec_id, nbr, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rn FROM p)
+         |SELECT vec_id, nbr, sim FROM r WHERE rn <= 5
+         |ORDER BY vec_id, sim DESC, nbr""".stripMargin
+    }) { (s, d) =>
+    Similarity.knnGraphBucketedCapped(Tables.embeddings(s, d), 5, 64, 8,
+        maxBlock = 4, maxExtraBits = 3)
+      .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141)
+    q134, q135, q136, q137, q139, q141, q142)
 }

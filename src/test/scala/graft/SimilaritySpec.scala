@@ -200,4 +200,62 @@ class SimilaritySpec extends SparkSuite {
       .filter(col("la") =!= col("lb"))
     assert(crossBlock.count() == 0)
   }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("capped knn graph: fall-through and e<=1 buckets are output-IDENTICAL to plain blocking") {
+    import graft.functions.Vectors
+    val bucketCol = Vectors.lshBucket(col("embedding"), 64, 8)
+    val uncapped = edgeSet(Similarity.knnGraph(emb, 5, Some(bucketCol)))
+    // sf0.001 buckets top out at 24 rows. cap=12: 2·cap covers every
+    // bucket, so the operator SHORT-CIRCUITS to the plain blocked
+    // plan (the capped construction would be output-identical there
+    // but pays fixed plan overhead for nothing — measured r12)
+    assert(edgeSet(Similarity.knnGraphBucketedCapped(emb, 5, 64, 8,
+      maxBlock = 12)) == uncapped, "fall-through must be a no-op")
+    // cap=8 ENGAGES the capped plan (max bucket 24 > 16) — and inside
+    // it, vectors whose buckets hold ≤ 2·cap rows get e ≤ 1
+    // refinement bits, where Hamming-1 probing over one bit reaches
+    // every sub-block pair: their edges must be IDENTICAL to plain
+    // blocking (the zero-recall-cost band of the cap)
+    val capped8 = Similarity.knnGraphBucketedCapped(emb, 5, 64, 8,
+      maxBlock = 8, maxExtraBits = 3)
+    val bSizes = emb.select(col("vec_id"), bucketCol.as("bkt"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))))
+    val smallBucketIds = bSizes.filter(col("bn") <= 16)
+      .select(col("vec_id")).as[Long].collect().toSet
+    def restrict(s: Set[(Long, Long, Double)]) = s.filter(e => smallBucketIds(e._1))
+    assert(restrict(edgeSet(capped8)) == restrict(uncapped),
+      "e<=1 buckets inside an engaged capped plan must match plain blocking")
+  }
+
+  test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
+    import graft.functions.Vectors
+    val uncapped = Similarity.knnGraph(emb, 5,
+      Some(Vectors.lshBucket(col("embedding"), 64, 8)))
+    val capped = Similarity.knnGraphBucketedCapped(emb, 5, 64, 8,
+      maxBlock = 4, maxExtraBits = 3)
+    // structural: capped edges are a subset of in-bucket pairs
+    val buckets = emb.select(col("vec_id"),
+      Vectors.lshBucket(col("embedding"), 64, 8).as("bkt"))
+    val crossBucket = capped
+      .join(buckets.withColumnRenamed("bkt", "ba"), "vec_id")
+      .join(buckets.select(col("vec_id").as("nbr"), col("bkt").as("bb")), "nbr")
+      .filter(col("ba") =!= col("bb")).count()
+    assert(crossBucket == 0)
+    // recall vs the uncapped blocked graph, at the deliberately-harsh
+    // q142 setting (cap=4 splits buckets of 5+ rows; similarity-aware
+    // refinement + Hamming-1 probing keeps most true neighbors):
+    // measured 1567/1643 directed top-5 edges retained = 95.4% (the
+    // independent DuckDB replay agrees); pinned at 93% — a regression
+    // below that means the splitting or probe logic broke, not noise
+    // (everything here is deterministic)
+    val kept = capped.as("c").join(uncapped.as("u"),
+      col("c.vec_id") === col("u.vec_id") && col("c.nbr") === col("u.nbr")).count()
+    val total = uncapped.count()
+    assert(kept.toDouble / total >= 0.93,
+      s"capped recall $kept/$total fell below the pinned floor")
+  }
 }
