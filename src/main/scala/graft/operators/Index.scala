@@ -53,6 +53,19 @@ object Index {
     val kind = "ivf-pq"
     @volatile private var cb: Quantization.PqCodebook = initialCodebook
     @volatile private var nVec: Long = initialNVectors
+    // the list GEOMETRY preloaded like the codebook: nLists rows
+    // collected once at open, served back as a LocalRelation — every
+    // search skips the per-call manifest resolution + parquet read of
+    // the centroids table (ServingBench measured the probe stage as
+    // the serving-latency floor, and this read is most of it).
+    // Geometry is pinned across upsert/delete; rebuild refreshes it.
+    @volatile private var cents: DataFrame = loadCentroids()
+    private def loadCentroids(): DataFrame = {
+      val src = Similarity.readIvfCentroids(spark, path)
+      val rows = src.collect() // ≤ nLists rows, loud cap
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
+    }
+    private[graft] def centroidsFrame: DataFrame = cents
     def codebook: Quantization.PqCodebook = cb
     /** Indexed corpus size as of open / the last mutation or rebuild
       * through THIS handle (mutations by other writers are seen at
@@ -67,11 +80,11 @@ object Index {
     def search(queryId: Long, k: Int, nProbe: Int = 4,
         shortlist: Int = Similarity.AutoShortlist): DataFrame =
       Similarity.ivfPqSearchIndexed(spark, path, nProbe, queryId, k,
-        resolve(shortlist, nProbe, k), Some(cb))
+        resolve(shortlist, nProbe, k), Some(cb), Some(cents))
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4,
         shortlist: Int = Similarity.AutoShortlist): DataFrame =
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, queries, k,
-        resolve(shortlist, nProbe, k), Some(cb))
+        resolve(shortlist, nProbe, k), Some(cb), Some(cents))
     /** Query by an ARBITRARY embedding (need not be indexed) — what a
       * serving layer actually receives (a fresh text/image embedding).
       * Rides the batch plan with a sentinel query_id (−1, impossible
@@ -81,7 +94,7 @@ object Index {
       import spark.implicits._
       val q = Seq((-1L, embedding)).toDF("query_id", "embedding")
       Similarity.ivfPqSearchIndexedBatch(spark, path, nProbe, q, k,
-          resolve(shortlist, nProbe, k), Some(codebook))
+          resolve(shortlist, nProbe, k), Some(codebook), Some(cents))
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }
@@ -102,6 +115,7 @@ object Index {
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
       cb = Similarity.readPqCodebook(spark, path)
+      cents = loadCentroids() // re-centering moved the geometry
       refreshSize()
     }
   }

@@ -1030,7 +1030,8 @@ object Similarity {
   def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nProbe: Int, queryId: Long, k: Int,
       shortlist: Int,
-      codebook: Option[Quantization.PqCodebook] = None): DataFrame = {
+      codebook: Option[Quantization.PqCodebook] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cb = codebook.getOrElse(readPqCodebook(spark, indexPath))
     val lists = readIvfLists(spark, indexPath)
@@ -1039,7 +1040,7 @@ object Similarity {
     // ONE bounded plan job: centroid ranking picks the nProbe lists
     // AND carries the query's q8u codes on every ranked row (the
     // cross join is 1 × nLists)
-    val planRows = readIvfCentroids(spark, indexPath)
+    val planRows = centroids.getOrElse(readIvfCentroids(spark, indexPath))
       .crossJoin(broadcast(Quantization.withUnitInt8(
           lists.filter(col("vec_id") === queryId).select(col("embedding")))
         .select(col("embedding").as("q_emb"), col("q8u"))))
@@ -1148,10 +1149,28 @@ object Similarity {
     * independent of corpus size. Cost per ADDITIONAL query is the
     * marginal rows it adds to stages 2-4, not a new plan + 2 jobs —
     * measured sub-linear vs the per-query loop (SCALE.md). */
+  /** The three staged frames of the batched IVF-PQ serving plan —
+    * exposed for ServingBench's per-stage cost attribution (collecting
+    * `probes`, then `shortlistFrame`, then `result` yields cumulative
+    * stage timings over the IDENTICAL plan objects the serving call
+    * executes, so the measurement cannot drift from the product
+    * path). */
+  private[graft] final case class PqBatchStages(probes: DataFrame,
+      shortlistFrame: DataFrame, result: DataFrame)
+
   def ivfPqSearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nProbe: Int, queries: DataFrame, k: Int,
       shortlist: Int,
-      codebook: Option[Quantization.PqCodebook] = None): DataFrame = {
+      codebook: Option[Quantization.PqCodebook] = None,
+      centroids: Option[DataFrame] = None): DataFrame =
+    ivfPqBatchStages(spark, indexPath, nProbe, queries, k, shortlist,
+      codebook, centroids).result
+
+  private[graft] def ivfPqBatchStages(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nProbe: Int, queries: DataFrame, k: Int,
+      shortlist: Int,
+      codebook: Option[Quantization.PqCodebook] = None,
+      centroids: Option[DataFrame] = None): PqBatchStages = {
     graft.plans.GraftFunctions.register(spark)
     val cb = codebook.getOrElse(readPqCodebook(spark, indexPath))
     val lists = readIvfLists(spark, indexPath)
@@ -1162,7 +1181,7 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("list_id"))
     val probes = qs.select(col("query_id"), col("q_emb"))
-      .crossJoin(broadcast(readIvfCentroids(spark, indexPath)))
+      .crossJoin(broadcast(centroids.getOrElse(readIvfCentroids(spark, indexPath))))
       .select(col("query_id"), col("list_id").cast("long").as("list_id"),
         Vectors.cosine(col("c_emb"), col("q_emb")).as("c_sim"))
       .withColumn("_rn", row_number().over(w))
@@ -1191,9 +1210,10 @@ object Similarity {
       .join(broadcast(qs.select(col("query_id"), col("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-    graft.plans.GraftOps.topKPerGroupOrdered(reranked, Seq("query_id"),
+    val result = graft.plans.GraftOps.topKPerGroupOrdered(reranked, Seq("query_id"),
         Seq("sim" -> false, "vec_id" -> true), k)
       .select(col("query_id"), col("vec_id"), col("label"), col("sim"))
+    PqBatchStages(probes, sl, result)
   }
 
   /** IVF-PQ: the full ANN serving composition — the coarse quantizer
