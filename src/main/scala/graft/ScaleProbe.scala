@@ -230,15 +230,16 @@ object ScaleProbe {
     }
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    // SPARK_GRAFT_ONLY (same contract as Verify/Bench): probe only the
-    // named queries — the per-change ratio loop instead of the ~30 min
-    // full tier. A filtered run also skips the mutation tier unless
-    // "mutation" is named.
+    // SPARK_GRAFT_ONLY (same contract as Verify/Bench: comma-separated
+    // PREFIXES): probe only the matching queries — the per-change
+    // ratio loop instead of the ~30 min full tier. A filtered run
+    // also skips the mutation tier unless a "mutation" prefix is
+    // named.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val rows =
       (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries)
-        .filter(n => only.forall(_.contains(n)))
+        .filter(n => only.forall(_.exists(n.startsWith)))
         .map { name =>
         val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
         val big = (1 to runs).map(_ => time(spark, name, workDir)).min
@@ -249,7 +250,7 @@ object ScaleProbe {
     // streaming-mutation tier: nLists scales with the corpus so the
     // rewrite unit (per-list bytes) stays constant — the sizing rule a
     // growing deployment follows
-    val mutation = if (only.forall(_.contains("mutation"))) {
+    val mutation = if (only.forall(_.exists("mutation".startsWith))) {
       val (inS, delS) = mutationTier(spark, srcDir, 64, runs)
       val (inB, delB) = mutationTier(spark, workDir, 64 * factor, runs)
       System.err.println(f"[probe] mutation ingest/trigger     $inS%8.2f s -> $inB%8.2f s  (${inB / inS}%.1f×)")

@@ -63,7 +63,8 @@ object ServingBench {
     // scan + factored ADC + heap shortlist); `result` runs 1-3
     // (+ rerank against the lists partitions). Marginal columns are
     // the differences. min of `runs` (default 3) per cell.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // same env var and clamp as Bench.scala — runs=0 would empty.min
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // the handle's own ratio-derived default, so the breakdown prices
     // exactly what a default `searchBatch` call runs
     val sl = Similarity.autoShortlist(n, 16, 4, 10)

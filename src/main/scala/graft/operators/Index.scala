@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions.col
   *    serving, mutations, drift stats, re-centering rebuild;
   *  - `shingles`/`bands` member tables → [[Index.Lsh]] — incremental
   *    near-dup pairs against the corpus, upsert, takedown.
-  * Opening reads only the manifest, params and (for IVF-PQ) the
-  * ≤ m·kPq codebook rows — never index data.
+  * Opening reads only the manifest, params and — for IVF-PQ — the
+  * bounded driver-side serving state it pins: the ≤ m·kPq codebook
+  * rows, the ≤ nLists centroid-geometry rows and the ≤ nLists
+  * list-size histogram (the ratio-derived shortlist default). It
+  * never reads VECTOR data — except on a legacy IVF-PQ index written
+  * before the `centroids` member table existed, where the geometry
+  * falls back to a seed-row scan of the lists table (migrated away at
+  * that index's next full rewrite).
   */
 object Index {
 

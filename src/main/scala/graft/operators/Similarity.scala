@@ -1333,24 +1333,28 @@ object Similarity {
     require(maxBlock > 0 && maxExtraBits >= 1 && nBits + maxExtraBits <= 62)
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val bucketCol = Vectors.lshBucket(col("embedding"), dim, nBits)
-    // ONE bounded aggregation (≤ 2^nBits rows) decides the plan: with
-    // every bucket ≤ 2·maxBlock the capped construction is
-    // output-identical to plain blocking (e ≤ 1, Hamming-1 covers all
-    // pairs) but pays real plan overhead — so it short-circuits to
-    // the plain blocked graph and the cap costs nothing until a
-    // bucket actually doubles it.
-    val maxBucket = emb.select(bucketCol.as("bucket"))
+    // ONE bounded aggregation (≤ 2^nBits rows, materialized — it also
+    // feeds the e-ladder join below, so the corpus is bucket-scanned
+    // once, not twice) decides the plan: with every bucket ≤
+    // 2·maxBlock the capped construction is output-identical to plain
+    // blocking (e ≤ 1, Hamming-1 covers all pairs) but pays real plan
+    // overhead — so it short-circuits to the plain blocked graph and
+    // the cap costs nothing until a bucket actually doubles it.
+    val sizes = emb.select(bucketCol.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
-      .agg(max(col("_bn"))).head().getLong(0)
+      .localCheckpoint()
+    val maxRow = sizes.agg(max(col("_bn"))).head()
+    // null on an EMPTY corpus (max of no rows): degrade like knnGraph
+    // (empty result), never an NPE
+    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxBucket <= 2L * maxBlock)
       return knnGraph(emb, k, Some(bucketCol))
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", bucketCol)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
-    // ≤ 2^nBits rows; broadcast back. e = smallest e ≤ maxExtraBits
-    // with size ≤ maxBlock·2^e — an exact integer ladder (a float
-    // log₂ would be off-by-one on exact powers).
-    val sizes = base.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+    // e = smallest e ≤ maxExtraBits with size ≤ maxBlock·2^e — an
+    // exact integer ladder (a float log₂ would be off-by-one on exact
+    // powers).
     val eExpr = (maxExtraBits - 1 to 0 by -1).foldLeft(lit(maxExtraBits): Column) {
       (acc, i) => when(col("_bn") <= lit(maxBlock.toLong << i), lit(i)).otherwise(acc)
     }
@@ -1384,6 +1388,17 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+    mirrorTopK(scored, k)
+  }
+
+  /** Mirror each once-scored (va, vb, sim) pair into both directed
+    * orientations and take the per-node top-k on the native
+    * (sim DESC, nbr ASC) composite ordering — the SHARED tail of
+    * every k-NN graph variant (the capped operator's e≤1 exactness
+    * pin in SimilaritySpec relies on both variants rounding,
+    * tie-breaking and mirroring identically, so there is exactly one
+    * definition). */
+  private def mirrorTopK(scored: DataFrame, k: Int): DataFrame = {
     val pairs = scored.select(explode(array(
         struct(col("va").as("vec_id"), col("vb").as("nbr"), col("sim")),
         struct(col("vb").as("vec_id"), col("va").as("nbr"), col("sim")))).as("e"))
@@ -1410,12 +1425,6 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-    val pairs = scored.select(explode(array(
-        struct(col("va").as("vec_id"), col("vb").as("nbr"), col("sim")),
-        struct(col("vb").as("vec_id"), col("va").as("nbr"), col("sim")))).as("e"))
-      .select(col("e.vec_id"), col("e.nbr"), col("e.sim"))
-    graft.plans.GraftOps.topKPerGroupOrdered(pairs, Seq("vec_id"),
-        Seq("sim" -> false, "nbr" -> true), k)
-      .select(col("vec_id"), col("nbr"), col("sim"))
+    mirrorTopK(scored, k)
   }
 }

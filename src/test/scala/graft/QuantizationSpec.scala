@@ -227,6 +227,11 @@ class QuantizationSpec extends SparkSuite {
     val k = 10
     for ((dir, minMean) <- Seq("/root/testdata/sf0.01" -> 9.0,
         "/root/testdata/sf0.1" -> 9.0)) {
+      // benchmark-scale fixtures (the ladder is DEFINED on them —
+      // sf0.001 has no corpus-growth axis to exercise); cancel rather
+      // than fail where the driver fixtures aren't mounted
+      assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+        s"driver fixture $dir not present")
       val emb = graft.sources.Tables.embeddings(spark, dir).cache()
       try {
         val n = emb.count()

@@ -231,6 +231,13 @@ class SimilaritySpec extends SparkSuite {
       "e<=1 buckets inside an engaged capped plan must match plain blocking")
   }
 
+  test("capped knn graph: empty corpus yields an empty graph, not an NPE") {
+    // max(_bn) over zero buckets is NULL; the plan decision must read
+    // it null-safely and degrade exactly like plain knnGraph
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.knnGraphBucketedCapped(empty, 5, 64, 8).count() == 0)
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
