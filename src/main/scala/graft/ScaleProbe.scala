@@ -69,6 +69,18 @@ object ScaleProbe {
     "q46_cdc_deletes",
     "q120_mirror_delete_policy")
 
+  /** The one table a probe query reads — drives filtered-run
+    * replication (documents for the text/dedup/BPE tier, embeddings
+    * for the vector tier, events for the CDC tier). */
+  private def tableFor(name: String): String = name match {
+    case n if CdcProbeQueries.contains(n) => "events"
+    case "q34_exact_dedup_stats" | "q39_minhash_lsh_pairs" |
+         "q64_dup_clusters" | "q82_neardup_removal" |
+         "q106_duplicate_spans" | "q123_bpe_merges" |
+         "q125_bpe_token_counts" => "documents"
+    case _ => "embeddings"
+  }
+
   /** Replicate documents+embeddings+events ×factor into `outDir`
     * (each table skipped if already present). */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
@@ -219,9 +231,22 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 
-    val tables =
-      if (mutationOnly) Set("embeddings")
-      else Set("documents", "embeddings", "events")
+    // SPARK_GRAFT_ONLY (same contract as Verify/Bench: comma-separated
+    // PREFIXES): probe only the matching queries — the per-change
+    // ratio loop instead of the ~30 min full tier. A filtered run
+    // also skips the mutation tier unless a "mutation" prefix is
+    // named, and replicates/warms ONLY the tables the selected
+    // queries read (a fresh workDir otherwise pays minutes of ×factor
+    // replication for tables the run never touches).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected =
+      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries)
+        .filter(n => only.forall(_.exists(n.startsWith)))
+    val mutationSelected = mutationOnly ||
+      only.forall(_.exists("mutation".startsWith))
+    val tables = (selected.map(tableFor).toSet ++
+      (if (mutationSelected) Set("embeddings") else Set.empty))
     materialize(spark, srcDir, workDir, factor, tables)
 
     // footer/JVM warm-up at both scales, then the noop sink
@@ -230,16 +255,7 @@ object ScaleProbe {
     }
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    // SPARK_GRAFT_ONLY (same contract as Verify/Bench: comma-separated
-    // PREFIXES): probe only the matching queries — the per-change
-    // ratio loop instead of the ~30 min full tier. A filtered run
-    // also skips the mutation tier unless a "mutation" prefix is
-    // named.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val rows =
-      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries)
-        .filter(n => only.forall(_.exists(n.startsWith)))
+    val rows = selected
         .map { name =>
         val small = (1 to runs).map(_ => time(spark, name, srcDir)).min
         val big = (1 to runs).map(_ => time(spark, name, workDir)).min
@@ -250,7 +266,7 @@ object ScaleProbe {
     // streaming-mutation tier: nLists scales with the corpus so the
     // rewrite unit (per-list bytes) stays constant — the sizing rule a
     // growing deployment follows
-    val mutation = if (only.forall(_.exists("mutation".startsWith))) {
+    val mutation = if (mutationSelected) {
       val (inS, delS) = mutationTier(spark, srcDir, 64, runs)
       val (inB, delB) = mutationTier(spark, workDir, 64 * factor, runs)
       System.err.println(f"[probe] mutation ingest/trigger     $inS%8.2f s -> $inB%8.2f s  (${inB / inS}%.1f×)")

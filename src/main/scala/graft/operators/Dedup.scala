@@ -169,7 +169,10 @@ object Dedup {
     * [[bandedFromDocShingles]] (native kernel, shuffle-free). Doc ids
     * are expected UNIQUE (the same contract the index upsert's
     * replace-by-doc_id semantics rely on): duplicate id rows would
-    * band per ROW rather than per merged shingle set. */
+    * band per ROW rather than per merged shingle set, while Jaccard
+    * verification still merges per id — the persisted-index writers
+    * validate the contract loudly ([[requireUniqueDocIds]]); the
+    * transient pair paths document it here. */
   private def docShingles(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
     docs.select(id.as("doc_id"), shingleArray(text, n).as("sh"))
@@ -181,18 +184,20 @@ object Dedup {
     * indexes written by either construction interoperate. */
   private def bandedFromDocShingles(ds: DataFrame, numHashes: Int,
       bands: Int): DataFrame =
-    // The signature is MATERIALIZED (localCheckpoint — docs × numHashes
-    // longs, ~0.5 KB/doc) before banding+explode, for a reason that is
-    // easy to re-break: InferFiltersFromGenerate plants a
+    // The signature is CHECKPOINTED (docs × numHashes longs,
+    // ~0.5 KB/doc) before banding+explode, for a reason that is easy
+    // to re-break: InferFiltersFromGenerate plants a
     // `size(bands) > 0 AND isnotnull(bands)` filter under the
     // posexplode, and predicate pushdown then INLINES the whole bands
     // expression — 17 copies of the signature kernel — into that
     // filter, re-hashing every shingle ~18× per row (measured 10× on
-    // the q39 corpus). With sig a materialized column the inferred
-    // filter costs 16 int hashes, and the kernel runs exactly once per
-    // doc.
+    // the q39 corpus). The checkpoint's LogicalRDD is the plan
+    // barrier that stops the inlining (and lets the self-join sides
+    // share one kernel pass); it is LAZY so these plan-BUILDING APIs
+    // stay lazy — the signature job runs at the caller's first
+    // action, not at call time.
     ds.select(col("doc_id"), sigArray(col("sh"), numHashes).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .select(col("doc_id"),
         bandsFromSig(col("sig"), numHashes, bands).as("bands"))
       .select(col("doc_id"), col("bands"),
@@ -278,6 +283,22 @@ object Dedup {
   private def idxBucketCol(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
 
+  /** The PERSISTED-index boundary validates the unique-doc_id
+    * contract loudly (one aggregation over the already-cached per-doc
+    * rows — it doubles as the cache materialization, so it is ~free):
+    * duplicate-id rows would band per ROW while Jaccard verification
+    * merges shingles per id, so candidates and verification silently
+    * disagree, and the index would accumulate conflicting band rows
+    * for one id. Transient pair-mining paths document the same
+    * contract ([[docShingles]]) without paying a per-call check — the
+    * ivfSeeds precedent: validate where state commits. */
+  private def requireUniqueDocIds(ds: DataFrame, where: String): Unit = {
+    val r = ds.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$where: ${r.getLong(0) - r.getLong(1)} duplicate doc_id rows — " +
+        "doc ids must be unique (one row per document)")
+  }
+
   /** Directory of the current committed index version (the generic
     * [[VersionedIndex]] layout). Falls back to the legacy unversioned
     * layout (`<path>/shingles`) for indexes written before versioning
@@ -343,13 +364,15 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       idxBuckets: Int = 64): Unit = {
     val ds = docShingles(docs, id, text, n).cache()
-    try commitLshVersion(docs.sparkSession, path,
-      ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
-      bandedFromDocShingles(ds, numHashes, bands)
-        .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
-      n, numHashes, bands, idxBuckets)
-    finally ds.unpersist()
+    try {
+      requireUniqueDocIds(ds, "writeLshIndex")
+      commitLshVersion(docs.sparkSession, path,
+        ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
+        bandedFromDocShingles(ds, numHashes, bands)
+          .withColumn("idx_bucket", idxBucketCol(col("doc_id"), idxBuckets)),
+        n, numHashes, bands, idxBuckets)
+    } finally ds.unpersist()
   }
 
   /** UPSERT a batch into a persisted LSH index: the batch's rows
@@ -383,6 +406,7 @@ object Dedup {
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val ds = docShingles(newDocs, id, text, n).cache()
     try {
+      requireUniqueDocIds(ds, "upsertLshIndex")
       val shNew = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
       val bandsNew = bandedFromDocShingles(ds, numHashes, bands)

@@ -144,42 +144,36 @@ object Similarity {
     * correctness contract — assignment, probe and search semantics are
     * identical under either seed set. */
   private def ivfSeeds(embeddings: DataFrame, nLists: Int): DataFrame = {
-    // ONE aggregation job: count + id range. min==0 && max==n-1 with
-    // unique ids PROVES the corpus is dense from 0, i.e. the stride
-    // sample is complete — the common case pays no second corpus scan;
-    // only genuinely sparse/shifted id spaces run the membership count.
-    val r = embeddings.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+    // ONE aggregation job: count + id range + distinct ids. The
+    // distinct count makes vec_id uniqueness a VALIDATED hard corpus
+    // contract in the scan the build already pays (no second corpus
+    // pass): a corpus like {0,1,1,3} passes the count/min/max density
+    // proof while the stride sample silently emits duplicate and
+    // missing centroid_ids — and duplicate ids break far more than
+    // seeding (windowed-argmin assignment, vec_map mutation
+    // discovery, serving self-exclusion), so the build raises loudly
+    // instead of committing broken geometry. With uniqueness proven,
+    // min==0 && max==n-1 PROVES the corpus dense from 0, i.e. the
+    // stride sample complete; only genuinely sparse/shifted id spaces
+    // run the membership count.
+    val r = embeddings.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
+      count_distinct(col("vec_id"))).head()
     val n = r.getLong(0)
+    require(r.getLong(3) == n,
+      s"corpus has ${n - r.getLong(3)} duplicate vec_id rows — vec_ids " +
+        "must be unique (duplicates corrupt list geometry, mutation " +
+        "discovery and serving)")
     val dense = n > 0 && !r.isNullAt(1) &&
       r.getLong(1) == 0L && r.getLong(2) == n - 1
     val stride = math.max(1L, n / nLists)
-    val expected = math.min(nLists.toLong, n)
-    // Seed VALIDATION (one agg over the ≤nLists-row seed scan, a
-    // build-time-only cost): the density proof above assumes unique
-    // vec_ids — a corpus like {0,1,1,3} passes it while the stride
-    // sample silently emits duplicate and missing centroid_ids.
-    // Duplicate ids break far more than seeding (windowed-argmin
-    // assignment, vec_map mutation discovery, serving self-exclusion),
-    // so they are a HARD corpus contract here: validate the committed
-    // geometry and raise loudly instead of building a broken index.
-    def validated(seeds: DataFrame, how: String): DataFrame = {
-      val sc = seeds.agg(count(lit(1)), count_distinct(col("centroid_id"))).head()
-      require(sc.getLong(0) == expected && sc.getLong(1) == expected,
-        s"IVF $how seed sample invalid: ${sc.getLong(0)} rows / " +
-          s"${sc.getLong(1)} distinct ids, expected $expected — corpus " +
-          "vec_ids must be unique (duplicates corrupt list geometry, " +
-          "mutation discovery and serving)")
-      seeds
-    }
     val strided = embeddings
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    if (dense || strided.count() >= expected) validated(strided, "stride")
-    else validated(embeddings
+    if (dense || strided.count() >= math.min(nLists.toLong, n)) strided
+    else embeddings
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nLists)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")),
-      "hash-ordered")
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
   }
 
   /** Nearest-centroid assignment: one broadcast cross-join + windowed

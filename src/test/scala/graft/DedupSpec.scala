@@ -133,6 +133,24 @@ class DedupSpec extends SparkSuite {
     assert(!out(3).isNullAt(0) && out(3).getSeq[Long](0).length == 8)
   }
 
+  test("LSH index writers reject duplicate doc_id rows loudly") {
+    // duplicate-id rows band per ROW while Jaccard verification
+    // merges shingles per id — the persisted-index boundary raises
+    // instead of committing conflicting band rows
+    val dir = java.nio.file.Files.createTempDirectory("lshdup").toString + "/i"
+    val dup = docs.union(docs.filter(col("doc_id") < 2))
+    val e = intercept[IllegalArgumentException](
+      Dedup.writeLshIndex(dup, col("doc_id"), col("text"), dir))
+    assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
+    // a clean write then rejects a duplicate-carrying UPSERT too
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), dir)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.upsertLshIndex(
+        docs.filter(col("doc_id") < 4).union(docs.filter(col("doc_id") < 2)),
+        col("doc_id"), col("text"), dir))
+    assert(e2.getMessage.contains("duplicate doc_id"), e2.getMessage)
+  }
+
   test("shingle sets are distinct per doc") {
     val sh = Dedup.shingleSet(docs, col("doc_id"), col("text"))
     assert(sh.count() == sh.distinct().count())

@@ -231,6 +231,18 @@ class SimilaritySpec extends SparkSuite {
       "e<=1 buckets inside an engaged capped plan must match plain blocking")
   }
 
+  test("index build rejects duplicate vec_ids loudly (validated in the seeding scan)") {
+    // {0,1,1,3}-style corpora pass the count/min/max density proof
+    // while the stride sample silently emits duplicate/missing
+    // centroids — uniqueness is a hard corpus contract, checked in
+    // the aggregation the build already pays
+    val dup = emb.limit(10).union(emb.limit(3))
+    val dir = java.nio.file.Files.createTempDirectory("ivfdup").toString + "/i"
+    val e = intercept[IllegalArgumentException](
+      Similarity.buildIvfIndex(dup, 4, dir))
+    assert(e.getMessage.contains("duplicate vec_id"), e.getMessage)
+  }
+
   test("capped knn graph: empty corpus yields an empty graph, not an NPE") {
     // max(_bn) over zero buckets is NULL; the plan decision must read
     // it null-safely and degrade exactly like plain knnGraph
