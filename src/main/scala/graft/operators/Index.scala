@@ -127,21 +127,30 @@ object Index {
   }
 
   /** Persisted plain-IVF index handle (exact cosine within probed
-    * lists). */
+    * lists). Preloads the centroid geometry exactly like [[IvfPq]] —
+    * the probe stage is the serving-latency floor, and the per-call
+    * centroids read is most of it. */
   final class Ivf private[Index] (spark: SparkSession, val path: String,
       val nLists: Int) extends Opened {
     val kind = "ivf"
+    @volatile private var cents: DataFrame = loadCentroids()
+    private def loadCentroids(): DataFrame = {
+      val src = Similarity.readIvfCentroids(spark, path)
+      val rows = src.collect() // ≤ nLists rows, loud cap
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
+    }
     def search(queryId: Long, k: Int, nProbe: Int = 4): DataFrame =
-      Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k)
+      Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k, Some(cents))
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
-      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, queries, k)
+      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, queries, k,
+        Some(cents))
     /** Query by an arbitrary (un-indexed) embedding — see
       * [[IvfPq.searchVector]]. */
     def searchVector(embedding: Seq[Float], k: Int,
         nProbe: Int = 4): DataFrame = {
       import spark.implicits._
       val q = Seq((-1L, embedding)).toDF("query_id", "embedding")
-      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, q, k)
+      Similarity.ivfSearchIndexedBatch(spark, path, nProbe, q, k, Some(cents))
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }
@@ -149,7 +158,10 @@ object Index {
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
-    def rebuild(): Unit = Similarity.rebuildIvfIndex(spark, path)
+    def rebuild(): Unit = {
+      Similarity.rebuildIvfIndex(spark, path)
+      cents = loadCentroids() // re-centering moved the geometry
+    }
   }
 
   /** Persisted text-LSH near-dup index handle. Banding/shingling

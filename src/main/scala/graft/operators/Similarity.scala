@@ -798,13 +798,15 @@ object Similarity {
     * corpus scan carries a literal partition filter — static partition
     * pruning, only the probed list partitions are read. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      nProbe: Int, queryId: Long, k: Int): DataFrame = {
+      nProbe: Int, queryId: Long, k: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val index = readIvfLists(spark, indexPath)
     val q = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     // probe selection reads the nLists-row centroids table, never the
-    // lists data (pre-centroids indexes fall back to the seed-row scan)
-    val probes = readIvfCentroids(spark, indexPath)
+    // lists data (pre-centroids indexes fall back to the seed-row
+    // scan); a handle passes its preloaded geometry instead
+    val probes = centroids.getOrElse(readIvfCentroids(spark, indexPath))
       .crossJoin(broadcast(q))
       .withColumn("c_sim", Vectors.cosine(col("c_emb"), col("q_emb")))
       .orderBy(col("c_sim").desc, col("list_id"))
@@ -1083,7 +1085,7 @@ object Similarity {
     * ordering — ids are full 64-bit, no packing contract. */
   def ivfSearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nProbe: Int, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, centroids: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val lists = readIvfLists(spark, indexPath)
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -1093,7 +1095,7 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("list_id"))
     val probes = qs
-      .crossJoin(broadcast(readIvfCentroids(spark, indexPath)))
+      .crossJoin(broadcast(centroids.getOrElse(readIvfCentroids(spark, indexPath))))
       .select(col("query_id"), col("list_id").cast("long").as("list_id"),
         Vectors.cosine(col("c_emb"), col("q_emb")).as("c_sim"))
       .withColumn("_rn", row_number().over(w))
