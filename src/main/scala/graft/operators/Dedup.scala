@@ -511,6 +511,55 @@ object Dedup {
     }
   }
 
+  /** Health of a persisted LSH index under perpetual ingest — the
+    * [[graft.operators.Similarity.IvfStats]] twin for the text-dedup
+    * tier. The quantity that decays silently here is not recall but
+    * COST: the incremental join's volume is Σ bucket² over (band,
+    * band_hash) buckets, and boilerplate text concentrates signatures
+    * into a few hot buckets (hot buckets are near-identical border
+    * text by construction). `pairVolume` = Σ n·(n−1)/2 — the exact
+    * candidate-pair count the next FULL banded self-join would score;
+    * `skew` = max/median bucket size; `hotBuckets` counts buckets
+    * above `hotThreshold` rows. The operational answers when this
+    * gets loud: dedup + reingest the hot buckets' members (they are
+    * near-identical by construction), or tighten banding (more
+    * bands → narrower buckets) at the next full rewrite. */
+  final case class LshStats(nDocs: Long, nBuckets: Long, maxBucket: Long,
+      medianBucket: Long, skew: Double, hotBuckets: Long, pairVolume: Long)
+
+  /** One aggregation pass over the persisted `bands` member table
+    * (never the shingles), plus a ≤1-row stats reduce. */
+  def lshIndexStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      hotThreshold: Long = 64): LshStats = {
+    val curDir = currentLshIndexDir(spark, path)
+    val bandCount = VersionedIndex.readParams(spark, curDir)
+      .getOrElse("bands", "16").toLong
+    val sizes = readLshTable(spark, path, "bands")
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+    val r = sizes.agg(
+      count(lit(1)).as("nb"),
+      max(col("n")).as("mx"),
+      // exact median is a sort over ≤nBuckets narrow rows; the approx
+      // form keeps the stat one cheap pass at any index size
+      percentile_approx(col("n"), lit(0.5), lit(1000)).cast("long").as("med"),
+      sum(when(col("n") > hotThreshold, 1L).otherwise(0L)).as("hot"),
+      // n·(n−1) is even, so the /2 happens exactly in Scala (a SQL `/`
+      // would silently switch the sum to double)
+      sum(col("n") * (col("n") - 1)).as("pairs2"),
+      sum(col("n")).as("rows")).head()
+    if (r.getLong(0) == 0L)
+      return LshStats(0L, 0L, 0L, 0L, 1.0, 0L, 0L)
+    val med = math.max(r.getLong(2), 1L)
+    LshStats(
+      nDocs = r.getLong(5) / bandCount, // bands rows = docs × bands
+      nBuckets = r.getLong(0),
+      maxBucket = r.getLong(1),
+      medianBucket = r.getLong(2),
+      skew = r.getLong(1).toDouble / med,
+      hotBuckets = r.getLong(3),
+      pairVolume = r.getLong(4) / 2)
+  }
+
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):
     * identical semantics, but the old side is two parquet reads —
     * the scaling claim made concrete. Rejects parameter mismatches

@@ -179,6 +179,11 @@ object Index {
     def upsert(newDocs: DataFrame, id: Column, text: Column): Unit =
       Dedup.upsertLshIndex(newDocs, id, text, path, n, numHashes, bands)
     def delete(ids: DataFrame): Unit = Dedup.deleteFromLshIndex(ids, path)
+    /** Band-bucket health — `pairVolume` is the exact candidate count
+      * the next full banded join would score (the Σ bucket² cost
+      * driver); hot buckets are boilerplate concentrations. */
+    def stats(hotThreshold: Long = 64): Dedup.LshStats =
+      Dedup.lshIndexStats(spark, path, hotThreshold)
   }
 
   /** Build-side counterparts of [[open]] — one front door for index

@@ -133,6 +133,28 @@ class DedupSpec extends SparkSuite {
     assert(!out(3).isNullAt(0) && out(3).getSeq[Long](0).length == 8)
   }
 
+  test("lshIndexStats: bucket histogram matches an independent Scala fold; pairVolume exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lshstats").toString + "/i"
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), dir)
+    val st = Dedup.lshIndexStats(spark, dir, hotThreshold = 3)
+    // ground truth from the raw persisted band rows, folded in Scala
+    val buckets = Dedup.readLshTable(spark, dir, "bands")
+      .select(col("band"), col("band_hash")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    assert(st.nDocs == docs.count())
+    assert(st.nBuckets == buckets.length)
+    assert(st.maxBucket == buckets.max)
+    assert(st.hotBuckets == buckets.count(_ > 3))
+    assert(st.pairVolume == buckets.map(n => n * (n - 1) / 2).sum,
+      "pairVolume must be the exact candidate count of a full banded join")
+    assert(st.skew >= 1.0 && st.medianBucket >= 1)
+    // an opened handle serves the same stats
+    val h = graft.operators.Index.open(spark, dir)
+      .asInstanceOf[graft.operators.Index.Lsh]
+    assert(h.stats(3) == st)
+  }
+
   test("LSH index writers reject duplicate doc_id rows loudly") {
     // duplicate-id rows band per ROW while Jaccard verification
     // merges shingles per id — the persisted-index boundary raises
