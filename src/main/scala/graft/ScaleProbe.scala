@@ -71,14 +71,21 @@ object ScaleProbe {
 
   /** The one table a probe query reads — drives filtered-run
     * replication (documents for the text/dedup/BPE tier, embeddings
-    * for the vector tier, events for the CDC tier). */
+    * for the vector tier, events for the CDC tier). EXHAUSTIVE over
+    * the probe sets: an unmapped name fails HERE at startup, not
+    * minutes later on a missing replica table mid-probe. */
   private def tableFor(name: String): String = name match {
     case n if CdcProbeQueries.contains(n) => "events"
     case "q34_exact_dedup_stats" | "q39_minhash_lsh_pairs" |
          "q64_dup_clusters" | "q82_neardup_removal" |
          "q106_duplicate_spans" | "q123_bpe_merges" |
          "q125_bpe_token_counts" => "documents"
-    case _ => "embeddings"
+    case "q41_lsh_bucket_histogram" | "q42_bucketed_ann" |
+         "q55_ivf_full_probe" | "q57_embedding_neardup" |
+         "q132_pq_adc_ann" | "q135_ivf_pq_indexed" |
+         "q96_knn_graph_bucketed" | "q142_knn_graph_capped" => "embeddings"
+    case other => sys.error(
+      s"tableFor: probe query $other has no table mapping — add it here")
   }
 
   /** Replicate documents+embeddings+events ×factor into `outDir`

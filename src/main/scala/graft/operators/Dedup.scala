@@ -517,8 +517,12 @@ object Dedup {
     * COST: the incremental join's volume is Σ bucket² over (band,
     * band_hash) buckets, and boilerplate text concentrates signatures
     * into a few hot buckets (hot buckets are near-identical border
-    * text by construction). `pairVolume` = Σ n·(n−1)/2 — the exact
-    * candidate-pair count the next FULL banded self-join would score;
+    * text by construction). `pairVolume` = Σ n·(n−1)/2 over buckets —
+    * the exact JOIN-MATCH volume of the next full banded self-join
+    * (every bucket-pair match the join must evaluate; a pair sharing
+    * k buckets matches k times before the first-shared-band predicate
+    * dedups emission, so this is the cost driver and an UPPER BOUND
+    * on distinct scored candidates, not their count);
     * `skew` = max/median bucket size; `hotBuckets` counts buckets
     * above `hotThreshold` rows. The operational answers when this
     * gets loud: dedup + reingest the hot buckets' members (they are

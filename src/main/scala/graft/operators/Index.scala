@@ -37,6 +37,15 @@ object Index {
     def kind: String
   }
 
+  /** Geometry preload shared by both IVF handle kinds: ≤ nLists
+    * centroid rows collected once, served back as a LocalRelation so
+    * searches skip the per-call manifest resolution + parquet read. */
+  private def loadCentroids(spark: SparkSession, path: String): DataFrame = {
+    val src = Similarity.readIvfCentroids(spark, path)
+    val rows = src.collect() // ≤ nLists rows, loud cap
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
+  }
+
   /** Persisted IVF-PQ index handle: the codebook is read once at open
     * and every search reuses it (1 driver job per single query, one
     * plan for a whole query batch). [[rebuild]] RETRAINS the
@@ -59,18 +68,13 @@ object Index {
     val kind = "ivf-pq"
     @volatile private var cb: Quantization.PqCodebook = initialCodebook
     @volatile private var nVec: Long = initialNVectors
-    // the list GEOMETRY preloaded like the codebook: nLists rows
-    // collected once at open, served back as a LocalRelation — every
-    // search skips the per-call manifest resolution + parquet read of
-    // the centroids table (ServingBench measured the probe stage as
-    // the serving-latency floor, and this read is most of it).
-    // Geometry is pinned across upsert/delete; rebuild refreshes it.
-    @volatile private var cents: DataFrame = loadCentroids()
-    private def loadCentroids(): DataFrame = {
-      val src = Similarity.readIvfCentroids(spark, path)
-      val rows = src.collect() // ≤ nLists rows, loud cap
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
-    }
+    // the list GEOMETRY preloaded like the codebook: pinned at open
+    // (ServingBench measured the probe stage as the serving-latency
+    // floor, and the per-call centroids read is most of it). Geometry
+    // is pinned across upsert/delete; rebuild() through THIS handle
+    // refreshes it — a rebuild by ANOTHER writer requires re-opening,
+    // exactly the codebook's documented coherence contract.
+    @volatile private var cents: DataFrame = Index.loadCentroids(spark, path)
     private[graft] def centroidsFrame: DataFrame = cents
     def codebook: Quantization.PqCodebook = cb
     /** Indexed corpus size as of open / the last mutation or rebuild
@@ -121,7 +125,7 @@ object Index {
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
       cb = Similarity.readPqCodebook(spark, path)
-      cents = loadCentroids() // re-centering moved the geometry
+      cents = Index.loadCentroids(spark, path) // re-centering moved the geometry
       refreshSize()
     }
   }
@@ -129,16 +133,13 @@ object Index {
   /** Persisted plain-IVF index handle (exact cosine within probed
     * lists). Preloads the centroid geometry exactly like [[IvfPq]] —
     * the probe stage is the serving-latency floor, and the per-call
-    * centroids read is most of it. */
+    * centroids read is most of it. Same coherence contract: pinned at
+    * open, refreshed by rebuild() through THIS handle; a rebuild by
+    * another writer requires re-opening. */
   final class Ivf private[Index] (spark: SparkSession, val path: String,
       val nLists: Int) extends Opened {
     val kind = "ivf"
-    @volatile private var cents: DataFrame = loadCentroids()
-    private def loadCentroids(): DataFrame = {
-      val src = Similarity.readIvfCentroids(spark, path)
-      val rows = src.collect() // ≤ nLists rows, loud cap
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
-    }
+    @volatile private var cents: DataFrame = Index.loadCentroids(spark, path)
     def search(queryId: Long, k: Int, nProbe: Int = 4): DataFrame =
       Similarity.ivfSearchIndexed(spark, path, nProbe, queryId, k, Some(cents))
     def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
@@ -160,7 +161,7 @@ object Index {
       Similarity.ivfIndexStats(spark, path, skewThreshold)
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
-      cents = loadCentroids() // re-centering moved the geometry
+      cents = Index.loadCentroids(spark, path) // re-centering moved the geometry
     }
   }
 
@@ -179,9 +180,10 @@ object Index {
     def upsert(newDocs: DataFrame, id: Column, text: Column): Unit =
       Dedup.upsertLshIndex(newDocs, id, text, path, n, numHashes, bands)
     def delete(ids: DataFrame): Unit = Dedup.deleteFromLshIndex(ids, path)
-    /** Band-bucket health — `pairVolume` is the exact candidate count
-      * the next full banded join would score (the Σ bucket² cost
-      * driver); hot buckets are boilerplate concentrations. */
+    /** Band-bucket health — `pairVolume` is the next full banded
+      * join's exact match volume (the Σ bucket² cost driver; an upper
+      * bound on distinct candidates, which dedup to the first shared
+      * band); hot buckets are boilerplate concentrations. */
     def stats(hotThreshold: Long = 64): Dedup.LshStats =
       Dedup.lshIndexStats(spark, path, hotThreshold)
   }

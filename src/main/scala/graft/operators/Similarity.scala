@@ -169,7 +169,14 @@ object Similarity {
     val strided = embeddings
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    if (dense || strided.count() >= math.min(nLists.toLong, n)) strided
+    // stride acceptance is EXACT count == expected, not >=: NEGATIVE
+    // ids satisfy the stride predicate too (Spark's % keeps the
+    // dividend's sign and any negative id is < stride·nLists), so a
+    // negative-id corpus can over-collect — those take the
+    // hash-ordered sample, whose limit() is exact by construction.
+    // (Dense corpora are non-negative by the min==0 proof and skip
+    // the membership count entirely.)
+    if (dense || strided.count() == math.min(nLists.toLong, n)) strided
     else embeddings
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nLists)

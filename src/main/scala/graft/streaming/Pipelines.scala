@@ -591,6 +591,12 @@ object Pipelines {
     }
     val curated = admitted
       .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"))
+      // at-least-once sources redeliver: collapse duplicate doc_id
+      // rows WITHIN the trigger (keep one arbitrary delivery — same-id
+      // rows are the same document under redelivery) before the index
+      // boundary, which validates unique ids loudly and would
+      // otherwise turn a redelivered doc into a stream-killing raise
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint()
     val hasIndex =
       scala.util.Try(Dedup.currentLshIndexDir(spark, indexPath)).isSuccess

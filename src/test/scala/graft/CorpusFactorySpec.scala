@@ -130,6 +130,20 @@ class CorpusFactorySpec extends SparkSuite {
       "streaming literal-map gate must equal the batch recompute")
   }
 
+  test("corpus factory batch: at-least-once redelivery of a doc_id within one trigger commits once") {
+    val base = java.nio.file.Files.createTempDirectory("cfactory3").toString
+    // the same doc delivered twice in one trigger (the at-least-once
+    // norm) must collapse to one committed row — the index boundary's
+    // unique-id guard would otherwise kill the stream on a redelivery
+    val b = Seq((1L, docA), (1L, docA), (2L, docB))
+      .toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, b, 0L, s"$base/idx", s"$base/land")
+    assert(landedIds(s"$base/land/batch=0") == Set(1L, 2L))
+    assert(indexIds(s"$base/idx") == Set(1L, 2L))
+    // one row per doc in the landing output, not one per delivery
+    assert(spark.read.parquet(s"$base/land/batch=0").count() == 2)
+  }
+
   test("corpus factory batch: curation gates attribute before dedup (batch mode)") {
     val base = java.nio.file.Files.createTempDirectory("cfactory2").toString
     // a near-dup PAIR where the lower id fails a gate: the higher id

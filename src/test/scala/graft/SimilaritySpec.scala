@@ -243,6 +243,25 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("duplicate vec_id"), e.getMessage)
   }
 
+  test("index build on NEGATIVE vec_ids: exactly nLists centroids via the hash-ordered sample") {
+    // negative ids satisfy the stride predicate too (Spark's % keeps
+    // the dividend's sign), so the stride sample can over-collect
+    // there — the exact-count acceptance must route such corpora to
+    // the hash-ordered fallback, which is exact by construction
+    val neg = emb.limit(100).withColumn("vec_id", col("vec_id") - lit(50L))
+    val dir = java.nio.file.Files.createTempDirectory("ivfneg").toString + "/i"
+    Similarity.buildIvfIndex(neg, 8, dir)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    assert(cents.count() == 8, "exactly nLists centroid rows")
+    assert(cents.select("list_id").distinct().count() == 8)
+    // and the index serves (full probe == brute force on this corpus)
+    val got = Similarity.ivfSearchIndexed(spark, dir, 8, -43L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = Similarity.bruteForceTopK(neg, -43L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
   test("capped knn graph: empty corpus yields an empty graph, not an NPE") {
     // max(_bn) over zero buckets is NULL; the plan decision must read
     // it null-safely and degrade exactly like plain knnGraph
