@@ -96,7 +96,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{$head,"runs_detail":$detail}""")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
-    println(s"{$head}")
+    // stdout line rounded to ms: the driver tail-captures output, and a
+    // full-precision 141-entry map has been observed to truncate
+    // mid-line there ("parsed": null) — full precision lives in the file
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val stdoutHead = s""""metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,""" +
+      s""""run_totals":${runTotals},"queries":${qjson(medians.map { case (k, v) => k -> r3(v) })},""" +
+      s""""errors":$errs,"sf":"$sfDir""""
+    println(s"{$stdoutHead}")
     spark.stop()
   }
 }

@@ -40,4 +40,24 @@ object Bucketing {
     * first (e.g. pmod of a hash, or epoch DIV width). */
   def zorder16(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Cluster-write: range-partition on the layout keys, sort within
+    * partitions, and cap rows per file, so every parquet row group's
+    * per-column min/max stats are TIGHT along the sort order. A pushed
+    * predicate on a clustered dimension then skips whole row groups at
+    * the reader — the scan materializes ~|selected| rows instead of
+    * |table| — while the same data written unsorted skips nothing
+    * (every row group spans the full value range). With a `zorder16`
+    * key BOTH interleaved dimensions get tight stats, so 2-D box
+    * predicates prune without any partition column. Two stock Spark
+    * primitives; no custom reader. SkewSpec pins the row-group-skip
+    * behavior with scan metrics; `graft.LayoutProbe` measures it at
+    * scale (SCALE.md). */
+  def writeClustered(df: DataFrame, keys: Seq[Column], path: String,
+      files: Int, maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(files, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }
