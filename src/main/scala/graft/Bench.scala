@@ -88,22 +88,22 @@ object Bench {
     val total = medians.map(_._2).filter(_ >= 0).sum
     val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
       .mkString("[", ",", "]")
-    val head = s""""metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
-      s""""run_totals":$runTotals,"queries":${qjson(medians)},"errors":$errs,"sf":"$sfDir""""
+    // one record template for both sinks, differing only in the value
+    // formatter — keeps the file and stdout records from diverging
+    def mkHead(fmt: Double => Double): String =
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,""" +
+        s""""run_totals":$runTotals,"queries":${qjson(medians.map { case (k, v) => k -> fmt(v) })},""" +
+        s""""errors":$errs,"sf":"$sfDir""""
     // Full record (per-run matrix) to a file the driver can't truncate.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     val detail = runs.map(qjson).mkString("[", ",", "]")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{$head,"runs_detail":$detail}""")
+      s"""{${mkHead(identity)},"runs_detail":$detail}""")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     // stdout line rounded to ms: the driver tail-captures output, and a
     // full-precision 141-entry map has been observed to truncate
     // mid-line there ("parsed": null) — full precision lives in the file
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val stdoutHead = s""""metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,""" +
-      s""""run_totals":${runTotals},"queries":${qjson(medians.map { case (k, v) => k -> r3(v) })},""" +
-      s""""errors":$errs,"sf":"$sfDir""""
-    println(s"{$stdoutHead}")
+    println(s"{${mkHead(v => math.rint(v * 1000) / 1000)}}")
     spark.stop()
   }
 }

@@ -22,8 +22,10 @@ import graft.sources.Tables
   * `replicate` (default 1) unions k event_id-shifted copies of the
   * table before the layout writes — the sf1-style projection: row
   * groups stay at ~1/128 of the table, so rows-per-group grows with
-  * the data while the box still covers the same FRACTION of groups,
-  * and the skip factor grows with scale.
+  * the data while the box still covers the same FRACTION of groups —
+  * the scan fraction (and so the skip factor) holds ~constant as the
+  * table grows, while the unsorted baseline stays at 100% (measured:
+  * 3.5% at sf0.1 → 4.3% at ×10, SCALE.md).
   */
 object LayoutProbe {
   def main(args: Array[String]): Unit = {
@@ -54,10 +56,13 @@ object LayoutProbe {
       }
     val ub = pmod(col("user_id"), lit(256L))
     val hb = (expr("unix_timestamp(ts) DIV 3600") % 1024).cast("long")
+    // persisted: consumed five times (count, range-sampling pass +
+    // clustered write, shuffled write, box-bounds agg) — without the
+    // cache a replicate=k run re-unions the source table per consumer
     val base = ev.select(
       col("event_id"), col("user_id"), col("value"),
       ub.as("ub"), hb.as("hb"),
-      Bucketing.zorder16(ub, hb).as("z"))
+      Bucketing.zorder16(ub, hb).as("z")).persist()
     val n = base.count()
     // ~128 row groups either way: enough granularity for skipping to
     // show, few enough that footer/stat overhead stays negligible
