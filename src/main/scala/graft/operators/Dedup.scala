@@ -757,10 +757,30 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc from token-count-weighted hash bits. The
-    * token hash is the native RollingHash64 (not xxhash64): its
+    * token hash is the RollingHash64 formula (not xxhash64): its
     * definition is plain 64-bit modular arithmetic, so an external
-    * engine can reproduce the full signature for oracle checks. */
+    * engine can reproduce the full signature for oracle checks.
+    *
+    * One map pass over the per-doc token array (plans.SimHashSig):
+    * summing ±1 per token instance equals summing ±count per distinct
+    * token, so the former explode → (doc, token)-count shuffle →
+    * signature aggregation collapses to a per-row kernel with NO
+    * shuffle at all — the same unification the MinHash tier got in
+    * r12. Docs with no tokens drop out (the aggregation form produced
+    * no rows for them; the kernel yields NULL, filtered here).
+    * DedupSpec pins kernel == aggregation form bit-for-bit. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+        graft.plans.GraftFunctions.simhashSig(Text.tokens(text)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The pre-kernel aggregation formulation of [[simhash]] — kept as
+    * the parity oracle for DedupSpec (kernel == aggregation,
+    * bit-for-bit) and as the form a grouped/streaming caller with
+    * pre-exploded (hash, weight) rows would use. */
+  private[graft] def simhashViaAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
@@ -781,7 +801,11 @@ object Dedup {
     * SimHash output into exact-Jaccard verification for precision. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 7): DataFrame = {
-    val sigs = simhash(docs, id, text)
+    // materialized (docs × 16 bytes): both sides of the banded
+    // self-join consume sigs, and the scan + tokenize + signature
+    // kernel re-executes per side otherwise (a self-join reuses no
+    // subtree unless it ends in an identical exchange)
+    val sigs = simhash(docs, id, text).localCheckpoint(eager = false)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xffL)): _*)).as(Seq("chunk", "ck")))
@@ -825,7 +849,12 @@ object Dedup {
     * the gram. Hot grams (boilerplate by definition) make that join
     * skewed — AQE skew-join splitting handles the reduce side, and the
     * df table carries only (gram, df_docs ≥ 2) flags, never posting
-    * lists. */
+    * lists. The per-doc gram ARRAY is materialized (localCheckpoint,
+    * docs × array bytes) before the explode: the nested zip_with chain
+    * otherwise re-evaluates once per join branch (`wins` feeds both
+    * sides of the gram join) AND once more inside the size()>0 filter
+    * InferFiltersFromGenerate plants under the Generate — the same
+    * barrier the MinHash banding path uses (r12). */
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
       k: Int = 8): DataFrame = {
     require(k >= 2)
@@ -835,7 +864,10 @@ object Dedup {
       zip_with(acc, shifted, (a, b) =>
         when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
     }
-    val wins = docs.select(id.as("doc_id"), explode(filter(grams, _.isNotNull)).as("gram"))
+    val gramRows = docs
+      .select(id.as("doc_id"), filter(grams, _.isNotNull).as("grams"))
+      .localCheckpoint(eager = false)
+    val wins = gramRows.select(col("doc_id"), explode(col("grams")).as("gram"))
     val df = wins.groupBy(col("gram"))
       .agg((count_distinct(col("doc_id")) >= 2).as("is_dup"))
     wins.join(df, "gram")

@@ -288,6 +288,81 @@ case class SimHashAgg(
     copy(hash = newChildren(0), weight = newChildren(1))
 }
 
+/** One-pass 64-bit SimHash of a token ARRAY — the per-row form of
+  * [[SimHashAgg]]. Summing ±1 per token INSTANCE is arithmetically
+  * identical to summing ±count per distinct token, so the signature
+  * needs no (doc, token)-count aggregation at all: one map pass, no
+  * explode, no shuffle (the same move `MinHashSig` made for the
+  * MinHash tier). Token hash is the RollingHash64 formula inline
+  * (bit-identical to [[RollingHash64]]; DedupSpec pins kernel == agg
+  * form). NULL for an empty array (a doc with no tokens has no
+  * signature — matching the aggregation form, where such docs produce
+  * no rows) and for a null element (loud, like [[MinHashSig]]).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType => ST}
+
+  override def prettyName: String = "graft_simhash_sig"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ST, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  /** The one signature loop, shared by both eval paths. */
+  def sig(toks: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    val acc = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val u = toks.getUTF8String(i)
+      val bytes = u.getBytes
+      var h = 0L
+      var b = 0
+      while (b < bytes.length) {
+        h = h * 1000003L + (bytes(b) & 0xffL)
+        b += 1
+      }
+      var j = 0
+      while (j < 64) {
+        acc(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashSig", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |Object $tmp = $self.sig($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig =
+    copy(child = c)
+}
+
 /** Bloom-filter bitmap as a custom aggregate: collects BIGINT bit
   * positions (already reduced mod m by the caller) into a packed
   * long[m/64] bitmap — build the filter from the benchmark/blocklist
@@ -992,6 +1067,7 @@ object GraftFunctions {
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "graft_simhash_agg" ->
       (exprs => SimHashAgg(exprs.head, exprs(1)).toAggregateExpression()),
+    "graft_simhash_sig" -> (exprs => SimHashSig(exprs.head)),
     "graft_bloom_agg" ->
       (exprs => BloomBitmapAgg(exprs.head, exprs(1)).toAggregateExpression()),
     "graft_qdot" -> (exprs => LongDot(exprs.head, exprs(1))),
@@ -1045,6 +1121,9 @@ object GraftFunctions {
 
   def simhash_agg(hash: Column, weight: Column): Column =
     call_function("graft_simhash_agg", hash, weight)
+
+  def simhashSig(toks: Column): Column =
+    call_function("graft_simhash_sig", toks)
 
   def bloom_agg(pos: Column, m: Int): Column =
     call_function("graft_bloom_agg", pos, org.apache.spark.sql.functions.lit(m))

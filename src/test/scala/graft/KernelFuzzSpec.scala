@@ -66,6 +66,37 @@ class KernelFuzzSpec extends SparkSuite {
     assert(diff == 0, "minhash kernel diverged from the HOF formulation")
   }
 
+  // ---- SimHashSig ------------------------------------------------------
+
+  test("fuzz: simhash kernel == aggregation formulation on random token arrays; empty/null → NULL") {
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(16)),
+      Gen.listOfN(6, Gen.choose(0x20.toChar, 0x7e.toChar)).map(_.mkString),
+      Gen.const(""), // empty TOKEN is a legal value (hash of 0 bytes)
+      Gen.const("한국어 토큰"),
+      Gen.const("the")) // repeats exercise the ±count ≡ ±1-per-instance identity
+    // non-empty, null-free arrays: the aggregation form drops empty
+    // docs and SKIPS null hashes, while the kernel's contract for both
+    // is a NULL signature — pinned separately below
+    val arrGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, strGen))
+    val rows = sample(arrGen, 300, 47L).zipWithIndex.map { case (a, i) => Row(i.toLong, a) }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val base = df(rows, schema)
+    val kernel = base.select(col("id"), GraftFunctions.simhashSig(col("toks")).as("ks"))
+    val agg = base.select(col("id"), explode(col("toks")).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("w"))
+      .withColumn("h", GraftFunctions.rolling_hash64(col("token")))
+      .groupBy(col("id")).agg(GraftFunctions.simhash_agg(col("h"), col("w")).as("as"))
+    val diff = kernel.join(agg, Seq("id"), "full_outer")
+      .filter(!(col("ks") <=> col("as"))).count()
+    assert(diff == 0, "simhash kernel diverged from the aggregation formulation")
+    // documented contract: empty array → NULL; any null element → NULL
+    val edge = df(Seq(Row(0L, Seq.empty[String]), Row(1L, Seq("a", null))), schema)
+    assert(edge.select(GraftFunctions.simhashSig(col("toks")).as("s"))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   // ---- DotProduct ------------------------------------------------------
 
   test("fuzz: graft_dot == HOF fold on random double arrays incl. mismatched lengths and extremes") {
