@@ -768,7 +768,15 @@ object Dedup {
     * shuffle at all — the same unification the MinHash tier got in
     * r12. Docs with no tokens drop out (the aggregation form produced
     * no rows for them; the kernel yields NULL, filtered here).
-    * DedupSpec pins kernel == aggregation form bit-for-bit. */
+    * DedupSpec pins kernel == aggregation form bit-for-bit on the
+    * real corpus; KernelFuzzSpec on random token arrays.
+    *
+    * CONTRACT: `id` must be unique per input row (the same contract as
+    * `docShingles`). The former aggregation form silently merged
+    * duplicate-id rows into one signature; the per-row kernel emits
+    * one signature PER ROW, so duplicate ids would reach
+    * `simhashPairs`' banded join as distinct rows and re-emit the
+    * same (doc_a, doc_b) pair with conflicting hamming values. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.select(id.as("doc_id"),
@@ -776,10 +784,12 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
-  /** The pre-kernel aggregation formulation of [[simhash]] — kept as
-    * the parity oracle for DedupSpec (kernel == aggregation,
-    * bit-for-bit) and as the form a grouped/streaming caller with
-    * pre-exploded (hash, weight) rows would use. */
+  /** The pre-kernel aggregation formulation of [[simhash]] — the
+    * parity oracle DedupSpec runs against the kernel form on the real
+    * corpus (kernel == aggregation, bit-for-bit), and the form a
+    * grouped/streaming caller with pre-exploded (hash, weight) rows
+    * would use. Unlike [[simhash]] it tolerates duplicate ids (they
+    * merge into one signature). */
   private[graft] def simhashViaAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.select(id.as("doc_id"), explode(Text.tokens(text)).as("token"))
@@ -798,7 +808,9 @@ object Dedup {
     * measured on the testdata, pairs with Jaccard ≥ 0.95 all fall
     * within hamming 7, while a j≈0.89 pair can reach hamming 9 —
     * use MinHash+LSH when the dedup threshold is looser, and feed
-    * SimHash output into exact-Jaccard verification for precision. */
+    * SimHash output into exact-Jaccard verification for precision.
+    * Inherits [[simhash]]'s unique-id contract: the dedup-free
+    * emission below assumes one signature row per doc id. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 7): DataFrame = {
     // materialized (docs × 16 bytes): both sides of the banded

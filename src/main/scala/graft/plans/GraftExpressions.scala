@@ -29,8 +29,25 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      // the companion's static forwarder — same single definition as
+      // the interpreted path and SimHashSig
+      s"${ev.value} = graft.plans.RollingHash64.hash($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  /** THE hash definition — interpreted eval, the codegen template and
+    * [[SimHashSig]] all call this one method, so the three call sites
+    * cannot drift: unsigned 64-bit polynomial fold, base 1000003,
+    * over raw bytes. */
+  def hash(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
@@ -39,24 +56,6 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     }
     h
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      s"""
-         |byte[] $bytes = $c.getBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = $h * 1000003L + ($bytes[$i] & 0xffL);
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
-    copy(child = newChild)
 }
 
 /** Unicode NFC normalization — the canonical-composition pass every
@@ -293,9 +292,11 @@ case class SimHashAgg(
   * identical to summing ±count per distinct token, so the signature
   * needs no (doc, token)-count aggregation at all: one map pass, no
   * explode, no shuffle (the same move `MinHashSig` made for the
-  * MinHash tier). Token hash is the RollingHash64 formula inline
-  * (bit-identical to [[RollingHash64]]; DedupSpec pins kernel == agg
-  * form). NULL for an empty array (a doc with no tokens has no
+  * MinHash tier). Token hash is `RollingHash64.hash` — the shared
+  * static definition, so kernel and hash expression cannot drift
+  * (DedupSpec pins kernel == aggregation form on the real corpus,
+  * KernelFuzzSpec on random arrays). NULL for an empty array (a doc
+  * with no tokens has no
   * signature — matching the aggregation form, where such docs produce
   * no rows) and for a null element (loud, like [[MinHashSig]]).
   */
@@ -320,14 +321,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) return null
-      val u = toks.getUTF8String(i)
-      val bytes = u.getBytes
-      var h = 0L
-      var b = 0
-      while (b < bytes.length) {
-        h = h * 1000003L + (bytes(b) & 0xffL)
-        b += 1
-      }
+      val h = RollingHash64.hash(toks.getUTF8String(i).getBytes)
       var j = 0
       while (j < 64) {
         acc(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)

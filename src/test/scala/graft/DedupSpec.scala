@@ -28,6 +28,15 @@ class DedupSpec extends SparkSuite {
     assert(lsh == truth)
   }
 
+  test("simhash kernel == aggregation formulation bit-for-bit on the corpus") {
+    val kernel = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAgg(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+    assert(kernel.nonEmpty)
+  }
+
   test("simhash candidates have full recall on very-close pairs (j >= 0.95)") {
     val close = pairSet(
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.95))
