@@ -629,6 +629,14 @@ object Pipelines {
       .withColumn("shard", Curation.hashBucket(col("doc_id"), "shard", nShards))
       .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"),
         col("split"), col("shard"))
+      // one sorted file per (split, shard) per batch, not tasks ×
+      // partitions unsorted ones (the mirror sink's file-count
+      // argument): the doc_id sort gives every landed file tight
+      // row-group min/max on the PRIMARY read key, so downstream
+      // id-range scans prune (Bucketing.writeClustered's measured
+      // mechanism, SCALE.md)
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split", "shard")
       .parquet(s"$landingPath/batch=$batchId")
   }

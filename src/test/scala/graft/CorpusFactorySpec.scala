@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -82,6 +84,24 @@ class CorpusFactorySpec extends SparkSuite {
     assert(indexIds(idx) == Set(1L, 3L, 6L, 7L))
     // whole landing zone = the deduped curated corpus
     assert(landedIds(land) == Set(1L, 3L, 6L, 7L))
+
+    // landing layout contract: ONE parquet file per (split, shard)
+    // leaf dir per batch (not tasks × partitions), doc_id-sorted
+    // within each file so landed row groups carry tight min/max on
+    // the primary read key
+    val leaves = java.nio.file.Files.walk(java.nio.file.Paths.get(land))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("shard="))
+      .toSeq
+    assert(leaves.nonEmpty)
+    leaves.foreach { dir =>
+      val parts = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(parts.size == 1, s"$dir has ${parts.size} files")
+      val ids = spark.read.parquet(dir.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"$dir not doc_id-sorted")
+    }
   }
 
   test("corpus factory: optional DSIR admission gate drops off-target docs") {
