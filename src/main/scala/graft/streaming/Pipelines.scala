@@ -629,13 +629,16 @@ object Pipelines {
       .withColumn("shard", Curation.hashBucket(col("doc_id"), "shard", nShards))
       .select(col("doc_id"), col("scrubbed"), col("n_tok"), col("quality"),
         col("split"), col("shard"))
-      // one sorted file per (split, shard) per batch, not tasks ×
-      // partitions unsorted ones (the mirror sink's file-count
-      // argument): the doc_id sort gives every landed file tight
-      // row-group min/max on the PRIMARY read key, so downstream
-      // id-range scans prune (Bucketing.writeClustered's measured
-      // mechanism, SCALE.md)
-      .repartition(col("split"), col("shard"))
+      // bounded, sorted landing files (the mirror sink's file-count
+      // argument + Bucketing.writeClustered's pruning mechanism):
+      // RANGE-partition on (split, shard, doc_id) so write parallelism
+      // scales with the batch (a big leaf splits across tasks into
+      // doc_id-range-DISJOINT files, never funnels through one task
+      // per leaf), then sort within tasks — every landed file is
+      // doc_id-sorted with tight row-group min/max on the primary
+      // read key, and file count is ≤ shuffle partitions per batch,
+      // not tasks × partitions
+      .repartitionByRange(col("split"), col("shard"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split", "shard")
       .parquet(s"$landingPath/batch=$batchId")

@@ -85,23 +85,55 @@ class CorpusFactorySpec extends SparkSuite {
     // whole landing zone = the deduped curated corpus
     assert(landedIds(land) == Set(1L, 3L, 6L, 7L))
 
-    // landing layout contract: ONE parquet file per (split, shard)
-    // leaf dir per batch (not tasks × partitions), doc_id-sorted
-    // within each file so landed row groups carry tight min/max on
-    // the primary read key
-    val leaves = java.nio.file.Files.walk(java.nio.file.Paths.get(land))
-      .iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("shard="))
-      .toSeq
-    assert(leaves.nonEmpty)
-    leaves.foreach { dir =>
-      val parts = java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      assert(parts.size == 1, s"$dir has ${parts.size} files")
-      val ids = spark.read.parquet(dir.toString)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
-      assert(ids == ids.sorted, s"$dir not doc_id-sorted")
+    // landing layout contract (DISCRIMINATING case: without the
+    // range-repartition + sort the assertions below fail — verified
+    // by reverting the product lines): drive a batch of 6 docs that
+    // all hash into ONE (split, shard) leaf; landed files must each
+    // be doc_id-sorted with pairwise-DISJOINT id ranges (a leaf may
+    // legitimately split across range partitions, but never into
+    // hash-interleaved fragments), and the leaf holds ≤
+    // shuffle-partitions files, not one per upstream task
+    val candidates = spark.range(1000, 1500).select(col("id").as("doc_id"))
+    val leafOf = graft.operators.Curation
+      .withSplit(candidates, col("doc_id"))
+      .withColumn("shard",
+        graft.operators.Curation.hashBucket(col("doc_id"), "shard", 8))
+    val targetIds = leafOf.collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard"), r.getAs[Long]("doc_id")))
+      .groupBy(t => (t._1, t._2)).values.find(_.length >= 6).get
+      .map(_._3).take(6).sorted.reverse.toSeq
+    val (tSplit, tShard) = {
+      val r = leafOf.filter(col("doc_id") === targetIds.head).collect()(0)
+      (r.getAs[String]("split"), r.getAs[Long]("shard"))
     }
+    val bulk = targetIds.map(i => (i,
+      // en markers pass the language gate; the unique tail keeps the
+      // docs mutually non-near-dup and the quality score high
+      "the and of to in is " +
+        (0 until 35).map(t => s"tok${i}x$t").mkString(" "))).toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, bulk, 2L, idx, land,
+      minQuality = 0.5)
+    val leaf = java.nio.file.Paths.get(
+      s"$land/batch=2/split=$tSplit/shard=$tShard")
+    val listStream = java.nio.file.Files.list(leaf)
+    val parts = try listStream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally listStream.close()
+    assert(parts.nonEmpty &&
+      parts.size <= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"$leaf has ${parts.size} files")
+    val perFile = parts.map { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"$f not doc_id-sorted: $ids")
+      (ids.min, ids.max)
+    }
+    perFile.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping id ranges across landed files: $perFile")
+      case _ =>
+    }
+    assert(spark.read.parquet(leaf.toString).count() == 6)
   }
 
   test("corpus factory: optional DSIR admission gate drops off-target docs") {
