@@ -514,7 +514,17 @@ object Pipelines {
     * stateless (the funnel gates, the scrub, the split and shard
     * buckets are pure functions of the key), so the stream/batch
     * results are identical and exactly-once follows from the
-    * checkpointed file sink. */
+    * checkpointed file sink.
+    *
+    * Layout caveat: the native file sink appends tasks × leaves files
+    * per trigger and cannot sort (Structured Streaming rejects Sort /
+    * range repartition outside Complete-mode aggregation), so a
+    * long-running stream fragments the landing zone. For the
+    * clustered layout (range-partitioned, doc_id-sorted,
+    * bounded-file-count batches — the writeClustered mechanism) use
+    * [[corpusFactorySink]], whose foreachBatch write applies it; this
+    * sink is the lightweight stateless variant for consumers that
+    * compact downstream. */
   def curatedLandingSink(docs: DataFrame, path: String, checkpoint: String,
       nShards: Int = 8,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
