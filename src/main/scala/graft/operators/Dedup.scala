@@ -527,8 +527,15 @@ object Dedup {
     * above `hotThreshold` rows. The operational answers when this
     * gets loud: dedup + reingest the hot buckets' members (they are
     * near-identical by construction), or tighten banding (more
-    * bands → narrower buckets) at the next full rewrite. */
-  final case class LshStats(nDocs: Long, nBuckets: Long, maxBucket: Long,
+    * bands → narrower buckets) at the next full rewrite.
+    *
+    * `nBandedDocs` counts docs that produced band rows — degenerate
+    * docs (empty/null shingle sets → NULL signature under the
+    * bandsFromSig null guard) contribute zero band rows and are NOT
+    * counted; they also contribute nothing to join cost, which is what
+    * this stat exists to bound. Compare against the shingles table's
+    * distinct doc count if the degenerate fraction itself matters. */
+  final case class LshStats(nBandedDocs: Long, nBuckets: Long, maxBucket: Long,
       medianBucket: Long, skew: Double, hotBuckets: Long, pairVolume: Long)
 
   /** One aggregation pass over the persisted `bands` member table
@@ -555,7 +562,8 @@ object Dedup {
       return LshStats(0L, 0L, 0L, 0L, 1.0, 0L, 0L)
     val med = math.max(r.getLong(2), 1L)
     LshStats(
-      nDocs = r.getLong(5) / bandCount, // bands rows = docs × bands
+      // bands rows = banded docs × bands (degenerate docs emit none)
+      nBandedDocs = r.getLong(5) / bandCount,
       nBuckets = r.getLong(0),
       maxBucket = r.getLong(1),
       medianBucket = r.getLong(2),
@@ -810,14 +818,31 @@ object Dedup {
     * use MinHash+LSH when the dedup threshold is looser, and feed
     * SimHash output into exact-Jaccard verification for precision.
     * Inherits [[simhash]]'s unique-id contract: the dedup-free
-    * emission below assumes one signature row per doc id. */
+    * emission below assumes one signature row per doc id — and
+    * VALIDATES it in-plan: a per-id window count guards the signature
+    * column with raise_error, so a duplicate-id corpus fails loudly at
+    * first execution instead of silently emitting conflicting
+    * (doc_a, doc_b, hamming) rows (the same loud contract the MinHash
+    * persisted boundary enforces via requireUniqueDocIds, kept LAZY
+    * here because this is a plan-building API). The guard's shuffle is
+    * over the docs × 16-byte signature frame and is paid once — the
+    * localCheckpoint materializes the validated frame before the
+    * self-join consumes it twice. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 7): DataFrame = {
     // materialized (docs × 16 bytes): both sides of the banded
     // self-join consume sigs, and the scan + tokenize + signature
     // kernel re-executes per side otherwise (a self-join reuses no
     // subtree unless it ends in an identical exchange)
-    val sigs = simhash(docs, id, text).localCheckpoint(eager = false)
+    val perId = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sigs = simhash(docs, id, text)
+      .withColumn("_id_n", count(lit(1)).over(perId))
+      .select(col("doc_id"),
+        when(col("_id_n") > 1, raise_error(concat(
+          lit("simhashPairs: duplicate doc_id "), col("doc_id").cast("string"),
+          lit(" — doc ids must be unique (one signature row per document)"))))
+          .otherwise(col("simhash")).as("simhash"))
+      .localCheckpoint(eager = false)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xffL)): _*)).as(Seq("chunk", "ck")))

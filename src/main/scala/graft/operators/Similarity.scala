@@ -157,8 +157,15 @@ object Similarity {
     // stride sample complete; only genuinely sparse/shifted id spaces
     // run the membership count.
     val r = embeddings.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
-      count_distinct(col("vec_id"))).head()
+      count_distinct(col("vec_id")), count(col("vec_id"))).head()
     val n = r.getLong(0)
+    // count_distinct ignores NULLs, so a NULL-id corpus must be named
+    // as such — folding nulls into the duplicate delta would report a
+    // misleading "duplicate vec_id rows" count
+    require(r.getLong(4) == n,
+      s"corpus has ${n - r.getLong(4)} NULL vec_id rows — vec_ids must " +
+        "be non-null (NULL ids break list geometry, mutation discovery " +
+        "and serving)")
     require(r.getLong(3) == n,
       s"corpus has ${n - r.getLong(3)} duplicate vec_id rows — vec_ids " +
         "must be unique (duplicates corrupt list geometry, mutation " +
@@ -1336,62 +1343,79 @@ object Similarity {
     require(maxBlock > 0 && maxExtraBits >= 1 && nBits + maxExtraBits <= 62)
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val bucketCol = Vectors.lshBucket(col("embedding"), dim, nBits)
-    // ONE bounded aggregation (≤ 2^nBits rows, materialized — it also
+    // ONE bounded aggregation (≤ 2^nBits rows, cached — it also
     // feeds the e-ladder join below, so the corpus is bucket-scanned
     // once, not twice) decides the plan: with every bucket ≤
     // 2·maxBlock the capped construction is output-identical to plain
     // blocking (e ≤ 1, Hamming-1 covers all pairs) but pays real plan
     // overhead — so it short-circuits to the plain blocked graph and
     // the cap costs nothing until a bucket actually doubles it.
+    //
+    // Unlike the lazy [[knnGraph]], this operator EXECUTES at call
+    // time (the size aggregation decides the plan, and the result is
+    // eagerly materialized below so the cached intermediates can be
+    // unpersisted before returning — repeated calls in a long-lived
+    // session leave only the n·k result blocks, which the session
+    // frees when the returned frame is GC'd).
     val sizes = emb.select(bucketCol.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
-      .localCheckpoint()
-    val maxRow = sizes.agg(max(col("_bn"))).head()
-    // null on an EMPTY corpus (max of no rows): degrade like knnGraph
-    // (empty result), never an NPE
-    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxBucket <= 2L * maxBlock)
-      return knnGraph(emb, k, Some(bucketCol))
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", bucketCol)
-      .withColumn("nrm", Vectors.norm2(col("embedding")))
-    // e = smallest e ≤ maxExtraBits with size ≤ maxBlock·2^e — an
-    // exact integer ladder (a float log₂ would be off-by-one on exact
-    // powers).
-    val eExpr = (maxExtraBits - 1 to 0 by -1).foldLeft(lit(maxExtraBits): Column) {
-      (acc, i) => when(col("_bn") <= lit(maxBlock.toLong << i), lit(i)).otherwise(acc)
-    }
-    val withE = base.join(broadcast(sizes.select(col("bucket"), eExpr.as("_e"))),
-      "bucket")
-    // refinement code: sign bits of planes nBits … nBits+e−1, masked
-    // to this bucket's e (e is a pure function of the bucket, so both
-    // join sides agree on the mask)
-    val subExpr = (0 until maxExtraBits).map { j =>
-      val plane = typedlit(Vectors.hyperplane(nBits + j, dim).toSeq)
-      when(lit(j) < col("_e") &&
-        graft.plans.GraftFunctions.dot(col("embedding"), plane) >= 0.0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // materialize ONCE: the bucketed+refined corpus view feeds BOTH
-    // sides of the candidate self-join (and the sizes aggregation
-    // inside each side would otherwise re-scan the corpus twice more)
-    val subbed = withE.select(col("vec_id"), col("embedding"), col("nrm"),
-      col("bucket"), col("_e"), subExpr.as("_sub")).localCheckpoint()
-    // probe set: own code + each single-bit flip within e bits
-    val probesExpr = filter(array((0 to maxExtraBits).map {
-      case 0 => col("_sub")
-      case i => when(lit(i) <= col("_e"),
-        col("_sub").bitwiseXOR(lit(1L << (i - 1)))).otherwise(lit(null))
-    }: _*), p => p.isNotNull)
-    val probing = subbed.select(col("vec_id"), col("embedding"), col("nrm"),
-      col("bucket"), explode(probesExpr).as("_probe"))
-    val scored = probing.as("a").join(subbed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a._probe") === col("b._sub") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-    mirrorTopK(scored, k)
+      .cache()
+    try {
+      val maxRow = sizes.agg(max(col("_bn"))).head()
+      // null on an EMPTY corpus (max of no rows): degrade like knnGraph
+      // (empty result), never an NPE
+      val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      if (maxBucket <= 2L * maxBlock)
+        return knnGraph(emb, k, Some(bucketCol))
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", bucketCol)
+        .withColumn("nrm", Vectors.norm2(col("embedding")))
+      // e = smallest e ≤ maxExtraBits with size ≤ maxBlock·2^e — an
+      // exact integer ladder (a float log₂ would be off-by-one on exact
+      // powers).
+      val eExpr = (maxExtraBits - 1 to 0 by -1).foldLeft(lit(maxExtraBits): Column) {
+        (acc, i) => when(col("_bn") <= lit(maxBlock.toLong << i), lit(i)).otherwise(acc)
+      }
+      val withE = base.join(broadcast(sizes.select(col("bucket"), eExpr.as("_e"))),
+        "bucket")
+      // refinement code: sign bits of planes nBits … nBits+e−1, masked
+      // to this bucket's e (e is a pure function of the bucket, so both
+      // join sides agree on the mask)
+      val subExpr = (0 until maxExtraBits).map { j =>
+        val plane = typedlit(Vectors.hyperplane(nBits + j, dim).toSeq)
+        when(lit(j) < col("_e") &&
+          graft.plans.GraftFunctions.dot(col("embedding"), plane) >= 0.0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // materialize ONCE: the bucketed+refined corpus view feeds BOTH
+      // sides of the candidate self-join (and the sizes aggregation
+      // inside each side would otherwise re-scan the corpus twice
+      // more). cache (not localCheckpoint) so it can be unpersisted
+      // once the result below is materialized; the probe explode is
+      // over the cheap _sub/_e columns the cached projection already
+      // computed, so no expensive chain can be inlined into the
+      // InMemoryTableScan by generate-filter pushdown.
+      val subbed = withE.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bucket"), col("_e"), subExpr.as("_sub")).cache()
+      try {
+        // probe set: own code + each single-bit flip within e bits
+        val probesExpr = filter(array((0 to maxExtraBits).map {
+          case 0 => col("_sub")
+          case i => when(lit(i) <= col("_e"),
+            col("_sub").bitwiseXOR(lit(1L << (i - 1)))).otherwise(lit(null))
+        }: _*), p => p.isNotNull)
+        val probing = subbed.select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bucket"), explode(probesExpr).as("_probe"))
+        val scored = probing.as("a").join(subbed.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a._probe") === col("b._sub") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            round(graft.plans.GraftFunctions.dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+        // n·k rows, materialized before the unpersist below
+        mirrorTopK(scored, k).localCheckpoint()
+      } finally subbed.unpersist()
+    } finally sizes.unpersist()
   }
 
   /** Mirror each once-scored (va, vb, sim) pair into both directed

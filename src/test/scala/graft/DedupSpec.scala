@@ -37,6 +37,19 @@ class DedupSpec extends SparkSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("simhashPairs raises loudly on duplicate doc ids (in-plan guard)") {
+    // the per-row signature kernel emits one row PER INPUT ROW, so a
+    // duplicate-id corpus would silently produce conflicting
+    // (doc_a, doc_b, hamming) rows — the window guard must raise at
+    // first execution instead
+    val dup = docs.limit(5).union(docs.limit(2))
+    val e = intercept[Exception](
+      Dedup.simhashPairs(dup, col("doc_id"), col("text")).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate doc_id")), msgs(e).mkString(" | "))
+  }
+
   test("simhash candidates have full recall on very-close pairs (j >= 0.95)") {
     val close = pairSet(
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.95))
@@ -151,7 +164,7 @@ class DedupSpec extends SparkSuite {
       .select(col("band"), col("band_hash")).collect()
       .map(r => (r.getInt(0), r.getInt(1)))
       .groupBy(identity).map(_._2.length.toLong).toSeq
-    assert(st.nDocs == docs.count())
+    assert(st.nBandedDocs == docs.count())
     assert(st.nBuckets == buckets.length)
     assert(st.maxBucket == buckets.max)
     assert(st.hotBuckets == buckets.count(_ > 3))

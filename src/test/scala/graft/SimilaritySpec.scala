@@ -243,6 +243,18 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("duplicate vec_id"), e.getMessage)
   }
 
+  test("index build rejects NULL vec_ids with a NULL-specific message") {
+    // count_distinct ignores NULLs — without the dedicated non-null
+    // count a NULL-id corpus would fail with a misleading
+    // "duplicate vec_id rows" message
+    val withNull = emb.limit(10)
+      .withColumn("vec_id", when(col("vec_id") === 3L, lit(null)).otherwise(col("vec_id")))
+    val dir = java.nio.file.Files.createTempDirectory("ivfnull").toString + "/i"
+    val e = intercept[IllegalArgumentException](
+      Similarity.buildIvfIndex(withNull, 4, dir))
+    assert(e.getMessage.contains("NULL vec_id"), e.getMessage)
+  }
+
   test("index build on NEGATIVE vec_ids: exactly nLists centroids via the hash-ordered sample") {
     // negative ids satisfy the stride predicate too (Spark's % keeps
     // the dividend's sign), so the stride sample can over-collect
