@@ -1454,4 +1454,123 @@ object Similarity {
           / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
     mirrorTopK(scored, k)
   }
+
+  /** Approximate k-NN graph with NO quadratic term in cluster size —
+    * the sub-quadratic alternative the exact tier (q95/q96/q142)
+    * cannot offer on intrinsically dense corpora, where exact graph
+    * cost is Ω(cluster²) by definition (SCALE.md r12: a 646-row hot
+    * bucket's densest refined sub-block still holds 343 rows, so no
+    * similarity-aware split can cap it).
+    *
+    * Construction — multi-table sorted LSH sketches (the public
+    * sorted-fingerprint principle of Manku/Jain/Das Sarma, WWW'07,
+    * §3, applied to sign-bit codes; Charikar STOC'02 for the codes
+    * themselves): each of `tables` deterministic bit-permutations
+    * re-orders the corpus's `nBits`-bit sign-bit LSH code; sorting by
+    * a permuted code places vectors agreeing on a long permuted
+    * prefix adjacently, and each vector scores only its `window`
+    * sort-successors per table. Near-identical vectors (a dense
+    * cluster) disagree on ~1% of sign bits, so in each table a pair
+    * lands adjacent unless one of its few differing bits permutes
+    * into the high positions — independent permutations drive the
+    * all-tables miss probability down geometrically. Candidates are
+    * deduplicated before the kernel, so the exact-cosine cost is
+    * ≤ tables·n·window scored pairs — linear in n for fixed (T, w) —
+    * and every shuffle key (range of (t, code, id); (t, block);
+    * pair ids) is narrow integer data.
+    *
+    * Semantics: per-node top-k by (sim DESC, nbr ASC) over the
+    * candidate set, mirrored exactly like [[knnGraph]] — with
+    * `window` ≥ n−1 every pair is adjacent in every table and the
+    * output EQUALS the exact graph (SimilaritySpec pins this
+    * degeneracy, plus the dense-regime recall floor on a replicated
+    * corpus). On a corpus with NO neighbor structure (isotropic
+    * random vectors — the raw testdata at small SF), exact-edge
+    * recall necessarily tracks the scanned fraction T·w/n; measured
+    * honestly in SCALE.md r13. The operator's regime is the clustered
+    * corpus, where recall is a function of cluster geometry, not n.
+    *
+    * Determinism: bit permutations and hyperplanes are plan-time
+    * integer arithmetic (the [[Vectors.hyperplane]] family), ranks
+    * are pure functions of (t, code, vec_id), so an external engine
+    * replays the whole construction (q143's DuckDB oracle). */
+  def knnGraphSorted(emb: DataFrame, k: Int, dim: Int, nBits: Int = 32,
+      tables: Int = 4, window: Int = 16): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
+    require(tables >= 1 && window >= 1)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    // ONE evaluation of the nBits plane-dot kernels per row,
+    // materialized narrow (vec_id, canonical code = 16 bytes): every
+    // downstream code/rank/pair step is integer arithmetic, and the
+    // localCheckpoint is the projection-collapse barrier (r12
+    // playbook) keeping the kernel out of the T-way fan-out and the
+    // generate's pushed filter.
+    val canon = emb.select(col("vec_id"),
+        Vectors.lshBucket(col("embedding"), dim, nBits).as("_canon"))
+      .localCheckpoint(eager = false)
+    val codes = (0 until tables).map { t =>
+      bitOrder(t, nBits).zipWithIndex.map { case (j, r) =>
+        shiftright(col("_canon"), j).bitwiseAND(lit(1L)) * lit(1L << (nBits - 1 - r))
+      }.reduce(_ + _)
+    }
+    val stacked = canon.select(col("vec_id"),
+      posexplode(array(codes: _*)).as(Seq("t", "code")))
+    val ranked = globalRankPerTable(stacked)
+    // adjacency pairs (rank difference in [1, window]) as an
+    // equi-join: each left row probes its own rank-block and the next
+    // one — a banded join on integer keys, never a range nested loop.
+    val withBlk = ranked.withColumn("_blk", floor(col("rn") / lit(window.toLong)))
+    val probes = withBlk.select(col("t"), col("vec_id"), col("rn"),
+      explode(array(col("_blk"), col("_blk") + 1)).as("_pblk"))
+    val cand = probes.as("a").join(withBlk.as("b"),
+        col("a.t") === col("b.t") && col("a._pblk") === col("b._blk") &&
+          col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= window)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
+      .distinct() // across tables AND orientations: one kernel eval per pair
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    val scored = cand
+      .join(base.as("ea"), col("va") === col("ea.vec_id"))
+      .join(base.as("eb"), col("vb") === col("eb.vec_id"))
+      .select(col("va"), col("vb"),
+        round(graft.plans.GraftFunctions.dot(col("ea.embedding"), col("eb.embedding"))
+          / (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
+    mirrorTopK(scored, k)
+  }
+
+  /** Bit order of sorted-sketch table `t`: bits ranked by the same
+    * multiplicative-hash family as the hyperplanes (plan-time
+    * constants; ties by bit index, engine-replayable). */
+  private[graft] def bitOrder(t: Int, nBits: Int): Seq[Int] =
+    (0 until nBits).sortBy(j => (((t * 64L + j) * 2654435761L) % 1000003L, j.toLong))
+
+  /** Deterministic 1-based global rank of each (t, code, vec_id) row
+    * within its table `t` by (code, vec_id) — the scalable
+    * zipWithIndex: range-partition on the full sort key, rank within
+    * each partition, add the row count of earlier partitions of the
+    * same table (one tiny aggregation + broadcast join). Never a
+    * single-partition global window. The rank is a pure function of
+    * the (code, vec_id) ordering no matter where the sampled range
+    * boundaries fall, but both consumers (the per-partition counts
+    * and the rank projection) must observe the SAME physical
+    * partitioning — hence the localCheckpoint freezing it. */
+  private def globalRankPerTable(stacked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = stacked
+      .repartitionByRange(col("t"), col("code"), col("vec_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val counts = parted.groupBy(col("_pid"), col("t")).agg(count(lit(1)).as("_n"))
+    val offW = Window.partitionBy(col("t")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("_pid"), col("t"), col("_off"))
+    val rankW = Window.partitionBy(col("_pid"), col("t"))
+      .orderBy(col("code"), col("vec_id"))
+    parted.join(broadcast(offs), Seq("_pid", "t"))
+      .withColumn("rn", row_number().over(rankW).cast("long") + col("_off"))
+      .select(col("t"), col("vec_id"), col("rn"))
+  }
 }
