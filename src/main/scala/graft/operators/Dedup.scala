@@ -591,7 +591,13 @@ object Dedup {
   private def incrementalAgainst(newDocs: DataFrame, id: Column, text: Column,
       shOld: DataFrame, bandedOldRaw: DataFrame, n: Int, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
-    val dsNew = docShingles(newDocs, id, text, n)
+    // ONE tokenize+shingle pass over the batch: the per-doc array
+    // feeds the signature kernel (l side AND the r-side union via the
+    // sig checkpoint), the exploded shingle form for verification, and
+    // the batch-id set — without the cache each branch re-tokenizes
+    // the batch inside the single final job (r13: measured ~15% of
+    // q131's wall at sf0.1).
+    val dsNew = docShingles(newDocs, id, text, n).cache()
     val shNew = dsNew.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // A doc id on BOTH sides is a CHANGED doc (snapshotDiff's "changed"
     // rows land in the batch while the superseded version sits in the
@@ -601,7 +607,10 @@ object Dedup {
     // the stale band rows emit candidates from a signature that no
     // longer exists. Batch ids ≪ corpus, so AQE turns these into
     // broadcast anti-joins — one corpus scan, no shuffle.
-    val newIds = newDocs.select(id.as("doc_id")).distinct()
+    // batch ids from the cached per-doc rows — no extra source scan
+    // (the distinct stays: it is what makes the anti-joins correct if
+    // a caller passes duplicate-id rows)
+    val newIds = dsNew.select(col("doc_id")).distinct()
     val shAll = shNew
       .union(shOld.join(newIds, Seq("doc_id"), "left_anti")).cache()
     try {
@@ -626,7 +635,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .localCheckpoint()
-    } finally shAll.unpersist()
+    } finally { shAll.unpersist(); dsNew.unpersist() }
   }
 
   /** The banded self-join over (doc_id, bands, band, band_hash) rows.
