@@ -995,6 +995,38 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
   }
 
+  // The AUTO-shortlist serving path end-to-end: q136's batched IVF-PQ
+  // serving through `Index.open` with the shortlist DERIVED by the
+  // handle (Similarity.autoShortlist from the maintained list_sizes
+  // histogram) instead of passed explicitly. The oracle is q136's
+  // four-stage replay with the shortlist literal replaced by the
+  // arithmetic itself — ceil(n·nProbe/nLists / 8) clamped to
+  // [100, 10⁴] and ≥ k, computed from count(*) in SQL — so the gate
+  // breaks if the derivation ever drifts from the oracle's integer
+  // formula (at the driver SFs the floor arm is active: n·4/16/8 < 100
+  // for n ≤ 12800; the ratio arm is pinned by QuantizationSpec's
+  // recall ladder at both measured SFs).
+  val q144 = sql(
+    "q144_ivf_pq_auto_shortlist", {
+      val base = q136.oracle.get
+      require(base.startsWith("WITH ") && base.contains("rn <= 100"),
+        "q136 oracle shape changed — revisit the q144 injection")
+      val autoCte =
+        """auto AS (SELECT greatest(10, least(greatest(
+          |    CAST(ceil((CAST(count(*) AS DOUBLE) * 4 / 16) / 8) AS BIGINT),
+          |    100), 10000)) AS sl FROM embeddings),
+          |""".stripMargin
+      "WITH " + autoCte + base.substring("WITH ".length)
+        .replace("rn <= 100", "rn <= (SELECT sl FROM auto)")
+    }) { (s, d) =>
+    val h = graft.operators.Index.open(s, ivfPqIdx(s, d))
+      .asInstanceOf[graft.operators.Index.IvfPq]
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    h.searchBatch(queries, 10, 4) // shortlist: the handle's derived default
+  }
+
   // Approximate k-NN graph via multi-table sorted LSH sketches
   // (knnGraphSorted) — the sub-quadratic graph builder for dense
   // corpora. The oracle replays the WHOLE construction: the 32-bit
@@ -1047,5 +1079,5 @@ object VectorQueries {
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144)
 }
