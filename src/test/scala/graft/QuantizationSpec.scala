@@ -251,6 +251,38 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
+  test("auto shortlist holds ladder recall past the cap boundary (n > 8*cap)") {
+    // The ShortlistCap binds once ceil(n/8) > 10^4, i.e. n > 80k for
+    // whole-corpus serving (n > 80k*nLists/nProbe probed) — no driver
+    // fixture reaches that, so the pin runs on the deterministic
+    // isotropic corpus (RecallLadder.syntheticIsotropic, the r13
+    // cap-boundary probe data). At n=160k the capped shortlist is a
+    // 6.3% ratio — BELOW the r11 ladder's measured 8% band floor —
+    // yet recall measured 10/10 here and out to n=1M at a 1% ratio
+    // (SCALE.md r13): the small-absolute ratio law saturates once the
+    // absolute shortlist reaches the cap's 10^4 scale. Pinned >= 9/10
+    // mean; the capped==ShortlistCap assert proves the cap arm is the
+    // one under test.
+    val k = 10
+    val n = 160000L
+    val emb = graft.RecallLadder.syntheticIsotropic(spark, n).cache()
+    try {
+      val sl = Similarity.autoShortlist(n, 1, 1, k)
+      assert(sl == Similarity.ShortlistCap, s"expected the cap arm, got $sl")
+      val cb = Quantization.pqCodebook(emb)
+      val recalls = Seq(0L, 7L, 42L).map { q =>
+        val truth = Similarity.bruteForceTopK(emb, q, k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = Quantization.pqTwoStageTopK(emb, cb, q, k, sl)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & truth).size
+      }
+      val mean = recalls.sum.toDouble / recalls.size
+      info(f"capped auto shortlist $sl at n=$n: mean recall $mean%.1f/$k")
+      assert(mean >= 9.0, s"capped-shortlist recall $mean < 9.0 at n=$n")
+    } finally emb.unpersist()
+  }
+
   test("zero vector quantizes to zero codes with zero error") {
     val df = Seq((1L, Seq.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label")
     val q = Quantization.withInt8(df)
