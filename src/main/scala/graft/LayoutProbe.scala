@@ -28,9 +28,79 @@ import graft.sources.Tables
   * 3.5% at sf0.1 → 4.3% at ×10, SCALE.md).
   */
 object LayoutProbe {
+
+  /** `--mirror`: probe the ADOPTED clustered layout (r13) — the CDC
+    * mirror staged by `Pipelines.applyCdcBatch`, whose within-bucket
+    * (table, id) sort is the writeClustered mechanism — against an
+    * id-scattered baseline with identical file/row-group geometry,
+    * under q145's serving predicate (one table, one id range). Hash
+    * bucketing spreads every id range across ALL bucket dirs, so the
+    * baseline scan touches everything; the sorted layout's row-group
+    * stats confine it to |range| worth of groups. */
+  private def mirrorProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.streaming.Pipelines
+    val parsed = graft.model.Cdc.parse(
+      graft.queries.CdcQueries.synthesizedKeyed(spark, sfDir), col("value"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-m").toString
+    // FIXED rows-per-file (the row-group emulation): at scale a row
+    // group is a fixed byte budget, so groups-per-bucket grows with
+    // the data while rows-per-group stays put — the quantity a range
+    // read's scan cost is bounded by under the sorted layout
+    // (≤ buckets × (groups overlapping the range) × perFile). Keeping
+    // perFile constant across probe scales makes that bound visible:
+    // the clustered scan stays ~flat as the mirror grows, the
+    // scattered baseline grows linearly. At 100 TB natural
+    // segmentation provides the geometry and the product path passes 0.
+    val perFile = 16L
+    Seq("op =!= d" -> (col("op") =!= "d"), "op === d" -> (col("op") === "d"))
+      .foreach { case (_, pred) =>
+        Pipelines.applyCdcBatch(spark, parsed.filter(pred), s"$dir/clustered",
+          Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+          Pipelines.TablePolicy.SkipTable, maxRecordsPerFile = perFile)
+      }
+    // baseline: same rows, same bucket dirs, row order decorrelated
+    // from (table, id) by a hash sort, and NO file cap — one unsorted
+    // file per bucket, i.e. row groups whose stats span the whole key
+    // space. (Capping the baseline into 16-row files would hand it
+    // accidental stats power a real unsorted row group never has: the
+    // min of 16 uniform ids usually already clears a narrow low
+    // range, which is an artifact of the toy scale, not of layout.)
+    val live = spark.read.parquet(s"$dir/clustered")
+    live.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), md5(col("id").cast("string")))
+      .write.partitionBy("bucket").parquet(s"$dir/scattered")
+    val n = live.count()
+    def serve(path: String): (Long, Long, Double) = {
+      val df = spark.read.parquet(path)
+        .filter(col("table") === "articles" && col("id").between(40L, 120L))
+        .select(col("id"), col("ts_ms"), col("is_deleted"))
+      val t0 = System.nanoTime()
+      val selected = df.collect().length.toLong
+      val wall = (System.nanoTime() - t0) / 1e9
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (selected, scan, wall)
+    }
+    val (selC, scanC, wallC) = serve(s"$dir/clustered")
+    val (selS, scanS, wallS) = serve(s"$dir/scattered")
+    require(selC == selS, s"layouts must agree on the range: $selC vs $selS")
+    println(f"[layout] mirror rows=$n%d  range=(articles, 40..120)  selected=$selC%d")
+    println(f"[layout] clustered: scan materialized $scanC%d rows " +
+      f"(${100.0 * scanC / n}%.1f%% of mirror)  wall=$wallC%.2f s")
+    println(f"[layout] scattered: scan materialized $scanS%d rows " +
+      f"(${100.0 * scanS / n}%.1f%% of mirror)  wall=$wallS%.2f s")
+    println(f"[layout] row-group skip factor: ${scanS.toDouble / math.max(1L, scanC)}%.1fx")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val replicate = args.lift(1).map(_.toInt).getOrElse(1)
+    val mirror = args.contains("--mirror")
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,6 +112,15 @@ object LayoutProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (mirror) {
+      graft.plans.GraftFunctions.register(spark)
+      // scale axis: pass a ScaleProbe-materialized workDir as sfDir
+      // (events replicate there with disjoint id ranges)
+      mirrorProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val ev0 = Tables.events(spark, sfDir)
     val ev =

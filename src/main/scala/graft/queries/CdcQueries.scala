@@ -153,5 +153,91 @@ object CdcQueries {
     out
   }
 
-  val all: Seq[QueryDef] = Seq(q45, q46, q120)
+  /** FNV-1a over events.parquet (name, length, mtime) — the mirror
+    * cache key (the VectorQueries index-cache recipe on this package's
+    * source table). */
+  private def eventsFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "events.parquet")
+    val files = (if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+                 else Seq(root)).filter(_.isFile).sortBy(_.getName)
+    var fp = 0xcbf29ce484222325L
+    files.foreach { f =>
+      s"${f.getName}:${f.length}:${f.lastModified}".foreach { ch =>
+        fp = (fp ^ ch) * 0x100000001b3L
+      }
+    }
+    java.lang.Long.toHexString(fp)
+  }
+
+  /** Build-once mirror cache for q145 (atomic-rename publish, the
+    * VectorQueries index pattern): q120's exact two-batch build —
+    * upserts then deletes under the reference policy — left on disk so
+    * the range-read query pays only the read. */
+  private[queries] def mirrorIdx(s: SparkSession, d: String): String = {
+    import graft.streaming.Pipelines
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-mirror-" + eventsFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmpRoot = new java.io.File(idx + ".build-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val tmp = new java.io.File(tmpRoot, "m")
+      val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
+      Pipelines.applyCdcBatch(s, parsed.filter(col("op") =!= "d"), tmp.getPath,
+        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+        Pipelines.TablePolicy.SkipTable)
+      Pipelines.applyCdcBatch(s, parsed.filter(col("op") === "d"), tmp.getPath,
+        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+        Pipelines.TablePolicy.SkipTable)
+      if (!tmp.renameTo(new java.io.File(idx))) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmpRoot)
+      } else tmpRoot.delete()
+    }
+    idx
+  }
+
+  // The mirror as a SERVING table — the reference's SyncService read
+  // shape (one table, one key range) against the persisted mirror the
+  // CDC sink maintains. This is the read path the r13 clustered mirror
+  // write exists for: hash bucketing spreads every id range across ALL
+  // bucket dirs, so dir-level pruning cannot serve a range read —
+  // within-bucket (table, id) sort order gives the parquet reader
+  // row-group min/max stats to skip instead (`LayoutProbe --mirror`
+  // measures the skip; SCALE.md r13). Oracle: q120's last-writer-wins
+  // + routing replay restricted to the served table and range — ts_ms
+  // and the tombstone flag are deterministic (ties resolve
+  // is_deleted-first), `value` stays excluded exactly as in q120.
+  val q145 = sql(
+    "q145_mirror_range_read",
+    """WITH ev AS (
+      |  SELECT user_id AS id,
+      |    CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'articles' WHEN 1 THEN 'media'
+      |      WHEN 2 THEN 'article_changes' ELSE 'unknown_tbl' END AS tbl,
+      |    CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms,
+      |    (event_type = 'error') AS is_deleted
+      |  FROM events),
+      |routed AS (
+      |  SELECT * FROM ev
+      |  WHERE tbl IN ('articles', 'media')
+      |     OR (tbl = 'article_changes' AND NOT is_deleted)),
+      |last AS (
+      |  SELECT tbl, id, ts_ms, is_deleted FROM (
+      |    SELECT tbl, id, ts_ms, is_deleted,
+      |      row_number() OVER (PARTITION BY tbl, id
+      |        ORDER BY ts_ms DESC, is_deleted DESC) AS rn
+      |    FROM (SELECT DISTINCT tbl, id, ts_ms, is_deleted FROM routed)) r
+      |  WHERE rn = 1)
+      |SELECT id, ts_ms, is_deleted FROM last
+      |WHERE tbl = 'articles' AND id BETWEEN 40 AND 120
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    s.read.parquet(mirrorIdx(s, d))
+      .filter(col("table") === "articles" && col("id").between(40L, 120L))
+      .select(col("id"), col("ts_ms"), col("is_deleted"))
+      .orderBy(col("id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q45, q46, q120, q145)
 }

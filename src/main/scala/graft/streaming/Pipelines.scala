@@ -258,7 +258,8 @@ object Pipelines {
   def applyCdcBatch(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       nBuckets: Int = MirrorBuckets,
       policy: Map[String, TablePolicy] = Map.empty,
-      defaultPolicy: TablePolicy = TablePolicy.SoftDelete): Unit = {
+      defaultPolicy: TablePolicy = TablePolicy.SoftDelete,
+      maxRecordsPerFile: Long = 0L): Unit = {
     // cached: the routed batch is consumed TWICE (touched-bucket
     // collect, then the merge) — without the cache a caller whose
     // `parsed` is itself an expensive lazy chain (JSON parse over a
@@ -318,9 +319,26 @@ object Pipelines {
       // and partitionBy alone would then emit tasks×buckets small files
       // per micro-batch — a file-count explosion at 100 TB. One extra
       // exchange of the touched-buckets subset buys one file per bucket
-      // (AQE coalesces the near-empty partitions).
-      merged.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      // (AQE coalesces the near-empty partitions). The within-partition
+      // sort is the writeClustered mechanism applied to the mirror
+      // (r13): leading with the partition column keeps the writer on
+      // one open file, and (table, id) order gives every row group
+      // tight min/max stats on the SERVING keys — a mirror range read
+      // (q145's `table = x AND id BETWEEN lo AND hi`, the reference's
+      // SyncService point-read shape) prunes row groups instead of
+      // scanning whole buckets (hash bucketing spreads every id range
+      // across ALL buckets, so dir-level pruning can't help there;
+      // measured by `LayoutProbe --mirror`, SCALE.md r13).
+      // `maxRecordsPerFile` 0 = writer default; the layout probe passes
+      // a small value to surface multi-file row-group geometry at toy
+      // scale (at 100 TB natural row-group segmentation provides it).
+      val sorted = merged.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("table"), col("id"))
+        .write.mode("overwrite")
+      (if (maxRecordsPerFile > 0)
+        sorted.option("maxRecordsPerFile", maxRecordsPerFile)
+      else sorted)
+        .partitionBy("bucket").parquet(staging.toString)
       val bak = new Path(root, ".bak")
       fs.mkdirs(bak)
       // HDFS reports rename/delete failure by RETURNING FALSE, not by

@@ -220,6 +220,39 @@ class SyncMirrorSpec extends SparkSuite {
     assert(!rows().contains(("media", 9L)))
   }
 
+  test("staged bucket files are (table, id)-sorted — the clustered serving layout") {
+    // r13: the mirror's staged write sorts within buckets by
+    // (table, id) so range reads (q145) prune row groups via min/max
+    // stats. DISCRIMINATING: ids arrive interleaved across two tables
+    // in reverse order and the batch is forced into multiple files —
+    // reverting the sortWithinPartitions makes the per-file order
+    // assertion fail on the arrival order.
+    val dir = Files.createTempDirectory("mirrorsort").toString + "/m"
+    val rows = (0 until 24).map { i =>
+      val id = 23 - i // reverse arrival
+      val tbl = if (i % 2 == 0) "media" else "articles"
+      s"""{"op":"c","after":{"id":$id,"value":1.0},"source":{"table":"$tbl"},"ts_ms":1000}"""
+    }
+    Pipelines.applyCdcBatch(spark, parse(rows), dir, nBuckets = 2,
+      maxRecordsPerFile = 4L)
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    var multiFile = false
+    buckets.foreach { b =>
+      val files = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      multiFile ||= files.length > 1
+      files.foreach { f =>
+        val keys = spark.read.parquet(f.getPath)
+          .select(col("table"), col("id")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(keys == keys.sorted,
+          s"bucket file ${f.getName} not (table, id)-sorted: $keys")
+      }
+    }
+    assert(multiFile, "cap must split a bucket into multiple sorted files")
+  }
+
   test("out-of-order replay keeps last-writer-wins by ts_ms") {
     val dir = Files.createTempDirectory("mirror2").toString + "/m"
     val newer = parse(Seq(
