@@ -38,10 +38,6 @@ object LayoutProbe {
     * baseline scan touches everything; the sorted layout's row-group
     * stats confine it to |range| worth of groups. */
   private def mirrorProbe(spark: SparkSession, sfDir: String): Unit = {
-    import graft.streaming.Pipelines
-    val parsed = graft.model.Cdc.parse(
-      graft.queries.CdcQueries.synthesizedKeyed(spark, sfDir), col("value"))
-      .localCheckpoint()
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-m").toString
     // FIXED rows-per-file (the row-group emulation): at scale a row
     // group is a fixed byte budget, so groups-per-bucket grows with
@@ -53,12 +49,8 @@ object LayoutProbe {
     // scattered baseline grows linearly. At 100 TB natural
     // segmentation provides the geometry and the product path passes 0.
     val perFile = 16L
-    Seq("op =!= d" -> (col("op") =!= "d"), "op === d" -> (col("op") === "d"))
-      .foreach { case (_, pred) =>
-        Pipelines.applyCdcBatch(spark, parsed.filter(pred), s"$dir/clustered",
-          Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-          Pipelines.TablePolicy.SkipTable, maxRecordsPerFile = perFile)
-      }
+    graft.queries.CdcQueries.buildReferenceMirror(spark, sfDir,
+      s"$dir/clustered", maxRecordsPerFile = perFile)
     // baseline: same rows, same bucket dirs, row order decorrelated
     // from (table, id) by a hash sort, and NO file cap — one unsorted
     // file per bucket, i.e. row groups whose stats span the whole key
@@ -98,6 +90,8 @@ object LayoutProbe {
 
   def main(args: Array[String]): Unit = {
     val mirror = args.contains("--mirror")
+    args.filter(_.startsWith("--")).foreach(f =>
+      require(f == "--mirror", s"unknown flag $f (known: --mirror)"))
     val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)

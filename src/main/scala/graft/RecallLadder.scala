@@ -36,6 +36,8 @@ object RecallLadder {
 
   def main(args: Array[String]): Unit = {
     val auto = args.contains("--auto")
+    args.filter(_.startsWith("--")).foreach(f =>
+      require(f == "--auto", s"unknown flag $f (known: --auto)"))
     val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val k = pos.lift(1).map(_.toInt).getOrElse(10)
@@ -75,8 +77,9 @@ object RecallLadder {
       val uncapped = math.max(Similarity.ShortlistFloor.toLong,
         math.ceil(n.toDouble / Similarity.ShortlistRatioDen).toLong).toInt
       val cb = Quantization.pqCodebook(emb) // trained-2 default
+      // one cell when the cap isn't binding (derived == uncapped)
       for ((name, sl) <- Seq("auto(derived)" -> derived,
-          "uncapped(n/8)" -> uncapped).distinct) {
+          "uncapped(n/8)" -> uncapped).distinctBy(_._2)) {
         val cells = queries.map { q =>
           val got = Quantization.pqTwoStageTopK(emb, cb, q, k, sl)
             .select("vec_id").collect().map(_.getLong(0)).toSet

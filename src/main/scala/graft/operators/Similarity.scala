@@ -1528,8 +1528,12 @@ object Similarity {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
       .distinct() // across tables AND orientations: one kernel eval per pair
+    // materialized: BOTH sides of the scoring join consume it, and the
+    // corpus scan + norm kernel would otherwise execute twice (the
+    // same playbook as canon above)
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .localCheckpoint(eager = false)
     val scored = cand
       .join(base.as("ea"), col("va") === col("ea.vec_id"))
       .join(base.as("eb"), col("vb") === col("eb.vec_id"))

@@ -128,21 +128,12 @@ object CdcQueries {
       |WHERE NOT (tbl = 'media' AND is_deleted)
       |GROUP BY tbl, is_deleted
       |ORDER BY tbl, is_deleted""".stripMargin) { (s, d) =>
-    import graft.streaming.Pipelines
     val dir = java.nio.file.Files.createTempDirectory("graft-q120").toString + "/m"
-    // materialize the synthesize→to_json→from_json chain ONCE — it
-    // feeds two mirror batches (each of which consumes its input
-    // twice); recomputing it per consumer would dominate the query
-    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
     // upserts first, then the delete batch — hard deletes must remove
     // rows that were already live in the mirror, not just filter the
-    // incoming batch.
-    Pipelines.applyCdcBatch(s, parsed.filter(col("op") =!= "d"), dir,
-      Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-      Pipelines.TablePolicy.SkipTable)
-    Pipelines.applyCdcBatch(s, parsed.filter(col("op") === "d"), dir,
-      Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-      Pipelines.TablePolicy.SkipTable)
+    // incoming batch. ONE shared build definition (buildReferenceMirror,
+    // also behind q145's cache and LayoutProbe --mirror).
+    buildReferenceMirror(s, d, dir)
     val out = s.read.parquet(dir)
       .groupBy(col("table").as("tbl"), col("is_deleted"))
       .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
@@ -153,48 +144,40 @@ object CdcQueries {
     out
   }
 
-  /** FNV-1a over events.parquet (name, length, mtime) — the mirror
-    * cache key (the VectorQueries index-cache recipe on this package's
-    * source table). */
-  private def eventsFingerprint(dir: String): String = {
-    val root = new java.io.File(dir, "events.parquet")
-    val files = (if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
-                 else Seq(root)).filter(_.isFile).sortBy(_.getName)
-    var fp = 0xcbf29ce484222325L
-    files.foreach { f =>
-      s"${f.getName}:${f.length}:${f.lastModified}".foreach { ch =>
-        fp = (fp ^ ch) * 0x100000001b3L
-      }
+  /** THE reference-policy mirror build — one definition shared by the
+    * q120 runner, the q145 cache and `LayoutProbe --mirror`, so the
+    * "q145 is gated against exactly q120's build" claim cannot drift:
+    * keyed envelopes parsed once (checkpointed — each mirror batch
+    * consumes its input twice), upserts applied, then the delete
+    * batch, both under the reference routing policy. */
+  private[graft] def buildReferenceMirror(s: SparkSession, d: String,
+      mirrorDir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    import graft.streaming.Pipelines
+    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
+    Seq(col("op") =!= "d", col("op") === "d").foreach { pred =>
+      Pipelines.applyCdcBatch(s, parsed.filter(pred), mirrorDir,
+        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+        Pipelines.TablePolicy.SkipTable, maxRecordsPerFile)
     }
-    java.lang.Long.toHexString(fp)
   }
 
   /** Build-once mirror cache for q145 (atomic-rename publish, the
-    * VectorQueries index pattern): q120's exact two-batch build —
-    * upserts then deletes under the reference policy — left on disk so
-    * the range-read query pays only the read. */
+    * VectorQueries index pattern): [[buildReferenceMirror]] left on
+    * disk so the range-read query pays only the read. The "1" in the
+    * key is the mirror LAYOUT/SEMANTICS version (the graft-ivfpq2
+    * lesson) — bump it with any applyCdcBatch merge/routing/layout
+    * change or a stale cached mirror survives the content
+    * fingerprint. */
   private[queries] def mirrorIdx(s: SparkSession, d: String): String = {
-    import graft.streaming.Pipelines
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-mirror-" + eventsFingerprint(d)).getPath
+      "graft-mirror1-" + QueryDef.sourceFingerprint(d, "events.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmpRoot = new java.io.File(idx + ".build-" +
         java.util.UUID.randomUUID().toString.take(8))
       val tmp = new java.io.File(tmpRoot, "m")
-      val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
-      Pipelines.applyCdcBatch(s, parsed.filter(col("op") =!= "d"), tmp.getPath,
-        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-        Pipelines.TablePolicy.SkipTable)
-      Pipelines.applyCdcBatch(s, parsed.filter(col("op") === "d"), tmp.getPath,
-        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-        Pipelines.TablePolicy.SkipTable)
-      if (!tmp.renameTo(new java.io.File(idx))) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmpRoot)
-      } else tmpRoot.delete()
+      buildReferenceMirror(s, d, tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) QueryDef.deleteRecursively(tmpRoot)
+      else { tmpRoot.delete(); () }
     }
     idx
   }

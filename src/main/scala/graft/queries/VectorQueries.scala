@@ -168,27 +168,15 @@ object VectorQueries {
   // is built once per sf dir (list_id-partitioned parquet) and the
   // search reads only probed partitions — no per-query index build or
   // corpus-wide driver action.
-  /** FNV-1a over (name, length, mtime) of the source parquet files: the
-    * index cache key tracks the table CONTENT, so a regenerated
+  /** Embeddings-table content fingerprint (the shared QueryDef
+    * helper): index cache keys track table CONTENT, so a regenerated
     * testdata dir gets a fresh index instead of silently reusing a
     * stale one. */
-  private def sourceFingerprint(dir: String): String = {
-    val root = new java.io.File(dir, "embeddings.parquet")
-    val files = (if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
-                 else Seq(root)).filter(_.isFile).sortBy(_.getName)
-    var fp = 0xcbf29ce484222325L
-    files.foreach { f =>
-      s"${f.getName}:${f.length}:${f.lastModified}".foreach { ch =>
-        fp = (fp ^ ch) * 0x100000001b3L
-      }
-    }
-    java.lang.Long.toHexString(fp)
-  }
+  private def sourceFingerprint(dir: String): String =
+    QueryDef.sourceFingerprint(dir, "embeddings.parquet")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    QueryDef.deleteRecursively(f)
 
   /** Build-once plain-IVF index cache shared by q55/q137. Build into
     * a private temp dir, then publish with an atomic rename: a
