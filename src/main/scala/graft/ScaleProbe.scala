@@ -53,6 +53,7 @@ object ScaleProbe {
     "q96_knn_graph_bucketed",
     "q142_knn_graph_capped",
     "q143_knn_graph_sorted",
+    "q146_embedding_neardup_sorted",
     "q106_duplicate_spans",
     "q123_bpe_merges",
     "q125_bpe_token_counts")
@@ -85,7 +86,8 @@ object ScaleProbe {
          "q55_ivf_full_probe" | "q57_embedding_neardup" |
          "q132_pq_adc_ann" | "q135_ivf_pq_indexed" |
          "q96_knn_graph_bucketed" | "q142_knn_graph_capped" |
-         "q143_knn_graph_sorted" => "embeddings"
+         "q143_knn_graph_sorted" |
+         "q146_embedding_neardup_sorted" => "embeddings"
     case other => sys.error(
       s"tableFor: probe query $other has no table mapping — add it here")
   }

@@ -676,6 +676,26 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-cosine near-dup WITHOUT a blocking column — the
+    * sub-quadratic alternative to [[embeddingNearDupPairs]] for
+    * corpora with no usable block key (or whose blocks are themselves
+    * dense: Σ block² is quadratic in cluster size, the q96/q142
+    * frontier). Candidates come from the multi-table sorted-sketch
+    * adjacency ([[Similarity.knnGraphSorted]]'s core, Manku-style
+    * sorted fingerprints): ≤ tables·n·window exact-cosine kernels,
+    * linear in n — near-identical pairs (the ones a high `threshold`
+    * targets) disagree on ~1% of sign bits and survive the permuted
+    * sort windows with probability ≥ the SimilaritySpec-pinned recall
+    * floor. APPROXIMATE by design: a pair missed by every table's
+    * window is not scored (q146's oracle replays the construction, so
+    * the gate is exact; the recall-vs-exhaustive floor is pinned on
+    * the replicated corpus). Output (vec_a, vec_b, sim), va < vb. */
+  def embeddingNearDupSorted(emb: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 32, tables: Int = 4, window: Int = 16): DataFrame =
+    Similarity.scoredSortedSketchPairs(emb, dim, nBits, tables, window)
+      .filter(col("sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
+
   /** Near-dup CLUSTERING: connected components over a pair list →
     * (doc_id, cluster, csize), cluster = min doc_id in the component.
     * This is the curation step after pair detection — "keep one doc

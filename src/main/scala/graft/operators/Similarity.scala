@@ -1495,7 +1495,16 @@ object Similarity {
     * are pure functions of (t, code, vec_id), so an external engine
     * replays the whole construction (q143's DuckDB oracle). */
   def knnGraphSorted(emb: DataFrame, k: Int, dim: Int, nBits: Int = 32,
-      tables: Int = 4, window: Int = 16): DataFrame = {
+      tables: Int = 4, window: Int = 16): DataFrame =
+    mirrorTopK(scoredSortedSketchPairs(emb, dim, nBits, tables, window), k)
+
+  /** The sorted-sketch candidate core shared by [[knnGraphSorted]] and
+    * [[Dedup.embeddingNearDupSorted]]: every unordered pair
+    * rank-adjacent (difference ≤ window) in ≥1 permuted-code table,
+    * deduplicated, then scored ONCE with exact cosine — (va, vb, sim)
+    * with va < vb, ≤ tables·n·window kernel evaluations. */
+  private[operators] def scoredSortedSketchPairs(emb: DataFrame, dim: Int,
+      nBits: Int, tables: Int, window: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
     require(tables >= 1 && window >= 1)
     graft.plans.GraftFunctions.register(emb.sparkSession)
@@ -1534,13 +1543,12 @@ object Similarity {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
       .localCheckpoint(eager = false)
-    val scored = cand
+    cand
       .join(base.as("ea"), col("va") === col("ea.vec_id"))
       .join(base.as("eb"), col("vb") === col("eb.vec_id"))
       .select(col("va"), col("vb"),
         round(graft.plans.GraftFunctions.dot(col("ea.embedding"), col("eb.embedding"))
           / (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
-    mirrorTopK(scored, k)
   }
 
   /** Bit order of sorted-sketch table `t`: bits ranked by the same

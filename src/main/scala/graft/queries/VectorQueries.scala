@@ -1015,44 +1015,48 @@ object VectorQueries {
     h.searchBatch(queries, 10, 4) // shortlist: the handle's derived default
   }
 
+  /** Shared sorted-sketch replay CTEs (q143/q146): canonical 32-bit
+    * sign code, each table's bit permutation (generated from the SAME
+    * Scala `Similarity.bitOrder` the operator uses), per-table
+    * (code, vec_id) ranks, window-adjacency pair sets union-deduped,
+    * and the exact-cosine pass — ending with `p` = (va, vb, sim). */
+  private def sortedSketchCtes(nBits: Int, tables: Int, window: Int): String = {
+    def dotSql(j: Int) =
+      s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
+        s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
+    val canonSql = "CAST(" + (0 until nBits)
+      .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+    def codeSql(t: Int) = "(" + Similarity.bitOrder(t, nBits).zipWithIndex
+      .map { case (j, r) => s"((canon >> $j) & 1) * ${1L << (nBits - 1 - r)}" }
+      .mkString(" + ") + ")"
+    val rks = (0 until tables).map(t =>
+      s"""rk$t AS (SELECT vec_id, row_number() OVER (ORDER BY ${codeSql(t)}, vec_id) AS rn FROM n)""")
+      .mkString(",\n")
+    val cands = (0 until tables).map(t =>
+      s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
+         |  FROM rk$t a JOIN rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
+      .mkString("\nUNION\n") // UNION (not ALL): cross-table pair dedup
+    s"""n AS (SELECT vec_id, embedding, $canonSql AS canon,
+       |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |$rks,
+       |cand AS ($cands),
+       |p AS (SELECT c.va, c.vb, round(
+       |    list_sum(list_transform(range(1, len(ea.embedding)+1),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+       |    / (ea.nrm * eb.nrm), 6) AS sim
+       |  FROM cand c JOIN n ea ON ea.vec_id = c.va JOIN n eb ON eb.vec_id = c.vb)""".stripMargin
+  }
+
   // Approximate k-NN graph via multi-table sorted LSH sketches
   // (knnGraphSorted) — the sub-quadratic graph builder for dense
-  // corpora. The oracle replays the WHOLE construction: the 32-bit
-  // canonical sign code, each table's deterministic bit permutation
-  // (generated from the same Scala bitOrder the operator uses), the
-  // per-table (code, vec_id) rank, the window-adjacency pair sets,
-  // their union-dedup, exact cosine on the surviving pairs, and the
+  // corpora. The oracle replays the WHOLE construction, then the
   // mirrored per-node top-5.
   val q143 = sql(
     "q143_knn_graph_sorted", {
-      val nBits = 32; val tables = 4; val window = 16
-      def dotSql(j: Int) =
-        s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
-          s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
-      val canonSql = "CAST(" + (0 until nBits)
-        .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ") + " AS BIGINT)"
-      def codeSql(t: Int) = "(" + Similarity.bitOrder(t, nBits).zipWithIndex
-        .map { case (j, r) => s"((canon >> $j) & 1) * ${1L << (nBits - 1 - r)}" }
-        .mkString(" + ") + ")"
-      val rks = (0 until tables).map(t =>
-        s"""rk$t AS (SELECT vec_id, row_number() OVER (ORDER BY ${codeSql(t)}, vec_id) AS rn FROM n)""")
-        .mkString(",\n")
-      val cands = (0 until tables).map(t =>
-        s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
-           |  FROM rk$t a JOIN rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
-        .mkString("\nUNION\n") // UNION (not ALL): cross-table pair dedup
-      s"""WITH n AS (SELECT vec_id, embedding, $canonSql AS canon,
-         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
-         |$rks,
-         |cand AS ($cands),
-         |p AS (SELECT c.va, c.vb, round(
-         |    list_sum(list_transform(range(1, len(ea.embedding)+1),
-         |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-         |    / (ea.nrm * eb.nrm), 6) AS sim
-         |  FROM cand c JOIN n ea ON ea.vec_id = c.va JOIN n eb ON eb.vec_id = c.vb),
+      s"""WITH ${sortedSketchCtes(32, 4, 16)},
          |m AS (SELECT va AS vec_id, vb AS nbr, sim FROM p
          |      UNION ALL SELECT vb, va, sim FROM p),
          |r AS (SELECT vec_id, nbr, sim,
@@ -1065,7 +1069,22 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("sim").desc, col("nbr"))
   }
 
+  // Block-free embedding near-dup over the same sorted-sketch core
+  // (Dedup.embeddingNearDupSorted) — the sub-quadratic alternative to
+  // q57's label-blocked exact pairs for corpora with no usable block
+  // key. Same replay CTEs, thresholded instead of top-k'd.
+  val q146 = sql(
+    "q146_embedding_neardup_sorted", {
+      s"""WITH ${sortedSketchCtes(32, 4, 16)}
+         |SELECT va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, d) =>
+    Dedup.embeddingNearDupSorted(Tables.embeddings(s, d), 0.35, 64,
+        nBits = 32, tables = 4, window = 16)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146)
 }

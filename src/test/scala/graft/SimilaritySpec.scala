@@ -326,6 +326,39 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.90, s"dense-regime recall $recall below the 0.90 floor")
   }
 
+  test("sorted near-dup: exact precision, recall floor, and window degeneracy") {
+    import graft.operators.Dedup
+    // precision is 1.0 BY CONSTRUCTION (candidates are scored with the
+    // exact kernel, so every emitted pair is a true >= t pair); recall
+    // is the sketch property, pinned on the same replicated corpus as
+    // the graph pin. Exhaustive ground truth via the blocked operator
+    // with a constant block (= all pairs).
+    val dir = java.nio.file.Files.createTempDirectory("sortedndp").toString
+    Tables.embeddings(spark, sf0001).limit(200)
+      .write.mode("overwrite").parquet(s"$dir/base/embeddings.parquet")
+    graft.ScaleProbe.materialize(spark, s"$dir/base", s"$dir/rep", 6,
+      Set("embeddings"))
+    val rep = Tables.embeddings(spark, s"$dir/rep")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupPairs(
+      rep.withColumn("one", lit(1)), "one", 0.9))
+    val approx = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64))
+    assert(exact.nonEmpty, "replicated corpus must contain >=0.9 pairs")
+    assert(approx.subsetOf(exact), "emitted pairs must all be true pairs")
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"sorted near-dup recall = $recall%.4f over ${exact.size} exact pairs")
+    assert(recall >= 0.90, s"near-dup recall $recall below the 0.90 floor")
+    // window >= n-1 in one table covers every pair: output == exact
+    val small = emb.limit(60)
+    val exactSmall = pairs(Dedup.embeddingNearDupPairs(
+      small.withColumn("one", lit(1)), "one", 0.2))
+    val degenerate = pairs(Dedup.embeddingNearDupSorted(small, 0.2, 64,
+      tables = 1, window = 60))
+    assert(degenerate == exactSmall)
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
