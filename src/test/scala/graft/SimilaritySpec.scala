@@ -326,6 +326,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.90, s"dense-regime recall $recall below the 0.90 floor")
   }
 
+  test("sorted knn graph: output invariant to physical partitioning (scalable rank)") {
+    // the global rank is computed as range-partition + per-partition
+    // offset; the claim that it is a PURE function of (t, code,
+    // vec_id) — independent of where sampled range boundaries fall —
+    // is what makes q143/q146 deterministic. Pin it by varying both
+    // the input layout and the shuffle partitioning.
+    val small = emb.limit(120)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = edges(Similarity.knnGraphSorted(small, 4, 64))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = edges(Similarity.knnGraphSorted(small.repartition(11), 4, 64))
+      assert(a == b, "rank must not depend on partition boundaries")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("sorted near-dup: exact precision, recall floor, and window degeneracy") {
     import graft.operators.Dedup
     // precision is 1.0 BY CONSTRUCTION (candidates are scored with the
