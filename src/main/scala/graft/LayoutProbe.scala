@@ -90,9 +90,8 @@ object LayoutProbe {
 
   def main(args: Array[String]): Unit = {
     val mirror = args.contains("--mirror")
-    args.filter(_.startsWith("--")).foreach(f =>
-      require(f == "--mirror", s"unknown flag $f (known: --mirror)"))
-    val pos = args.filterNot(_.startsWith("--"))
+    MainFlags.requireKnown(args, Set("--mirror"))
+    val pos = MainFlags.positional(args)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -36,9 +36,8 @@ object RecallLadder {
 
   def main(args: Array[String]): Unit = {
     val auto = args.contains("--auto")
-    args.filter(_.startsWith("--")).foreach(f =>
-      require(f == "--auto", s"unknown flag $f (known: --auto)"))
-    val pos = args.filterNot(_.startsWith("--"))
+    MainFlags.requireKnown(args, Set("--auto"))
+    val pos = MainFlags.positional(args)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val k = pos.lift(1).map(_.toInt).getOrElse(10)
     val mults = pos.lift(2).map(_.split(",").map(_.toInt).toSeq)

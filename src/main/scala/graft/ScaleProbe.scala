@@ -224,7 +224,8 @@ object ScaleProbe {
     // `--mutation-only` limits the run to the streaming-mutation tier
     // (the query tiers take ~30 min; the mutation tier minutes)
     val mutationOnly = args.contains("--mutation-only")
-    val pos = args.filterNot(_.startsWith("--"))
+    MainFlags.requireKnown(args, Set("--mutation-only"))
+    val pos = MainFlags.positional(args)
     val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
     val factor = pos.lift(2).map(_.toInt).getOrElse(10)

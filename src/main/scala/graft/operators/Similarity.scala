@@ -1537,12 +1537,15 @@ object Similarity {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
       .distinct() // across tables AND orientations: one kernel eval per pair
-    // materialized: BOTH sides of the scoring join consume it, and the
-    // corpus scan + norm kernel would otherwise execute twice (the
-    // same playbook as canon above)
+    // BOTH sides of the scoring join consume this frame, so the
+    // pruned (vec_id, embedding) scan + norm kernel execute twice —
+    // a DELIBERATE trade, unlike canon above: checkpointing here
+    // would pin a full corpus-width copy in executor storage per
+    // call with no unpersist point (this is a lazy plan-building
+    // API), which at scale costs more than the second columnar scan
+    // of exactly two columns; the norm is one fused kernel per row.
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
-      .localCheckpoint(eager = false)
     cand
       .join(base.as("ea"), col("va") === col("ea.vec_id"))
       .join(base.as("eb"), col("vb") === col("eb.vec_id"))
