@@ -54,6 +54,7 @@ object ScaleProbe {
     "q142_knn_graph_capped",
     "q143_knn_graph_sorted",
     "q146_embedding_neardup_sorted",
+    "q147_embedding_neardup_incremental",
     "q106_duplicate_spans",
     "q123_bpe_merges",
     "q125_bpe_token_counts")
@@ -87,7 +88,8 @@ object ScaleProbe {
          "q132_pq_adc_ann" | "q135_ivf_pq_indexed" |
          "q96_knn_graph_bucketed" | "q142_knn_graph_capped" |
          "q143_knn_graph_sorted" |
-         "q146_embedding_neardup_sorted" => "embeddings"
+         "q146_embedding_neardup_sorted" |
+         "q147_embedding_neardup_incremental" => "embeddings"
     case other => sys.error(
       s"tableFor: probe query $other has no table mapping — add it here")
   }

@@ -696,6 +696,46 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
 
+  /** Per-crawl-round embedding near-dup — the vector-tier twin of
+    * [[incrementalLshPairs]]: every ≥ `threshold` pair with at least
+    * one member in the NEW batch, never old×old (those were reported
+    * when the old side was itself new). A batch vec_id also present
+    * in `corpus` is a CHANGED vector: the batch version fully replaces
+    * the corpus row (anti-join), exactly the text path's contract.
+    *
+    * Candidates are the batch-INCIDENT subset of the sorted-sketch
+    * adjacency over corpus ∪ batch, filtered BEFORE the kernel — the
+    * exact-cosine cost is O(batch · tables · window), not
+    * O(corpus · tables · window); the rank pass over the union is
+    * narrow integer data (16 B/row). Output and semantics equal
+    * [[embeddingNearDupSorted]] over the union restricted to
+    * batch-incident pairs (DedupSpec pins the equivalence), so the
+    * q147 oracle replays the full-corpus construction plus the
+    * incident filter. */
+  def embeddingNearDupIncremental(newVecs: DataFrame, corpus: DataFrame,
+      threshold: Double, dim: Int, nBits: Int = 32, tables: Int = 4,
+      window: Int = 16): DataFrame = {
+    val newIds = newVecs.select(col("vec_id")).distinct()
+    val union = corpus.select(col("vec_id"), col("embedding"))
+      .join(newIds, Seq("vec_id"), "left_anti")
+      .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+    val cand = Similarity.sortedSketchCandidates(union, dim, nBits, tables, window)
+    // batch-incident filter BEFORE scoring, in ONE pass over the
+    // candidate stream (a union of two semi-joins would re-execute
+    // the whole candidate subtree per branch): two broadcast marker
+    // joins + an OR filter, no dedup needed
+    val incident = cand
+      .join(newIds.select(col("vec_id").as("va"), lit(true).as("_an")),
+        Seq("va"), "left")
+      .join(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn")),
+        Seq("vb"), "left")
+      .filter(col("_an").isNotNull || col("_bn").isNotNull)
+      .select(col("va"), col("vb"))
+    Similarity.scoreSketchPairs(union, incident)
+      .filter(col("sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
+  }
+
   /** Near-dup CLUSTERING: connected components over a pair list →
     * (doc_id, cluster, csize), cluster = min doc_id in the component.
     * This is the curation step after pair detection — "keep one doc

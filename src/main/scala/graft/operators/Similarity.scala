@@ -1504,6 +1504,36 @@ object Similarity {
     * deduplicated, then scored ONCE with exact cosine — (va, vb, sim)
     * with va < vb, ≤ tables·n·window kernel evaluations. */
   private[operators] def scoredSortedSketchPairs(emb: DataFrame, dim: Int,
+      nBits: Int, tables: Int, window: Int): DataFrame =
+    scoreSketchPairs(emb,
+      sortedSketchCandidates(emb, dim, nBits, tables, window))
+
+  /** Exact-cosine scoring of an unordered candidate pair list against
+    * the corpus — the shared tail of every sorted-sketch operator
+    * (and the reason incremental variants can filter candidates
+    * BEFORE the kernel: this is where the per-pair cost lives). */
+  private[operators] def scoreSketchPairs(emb: DataFrame,
+      cand: DataFrame): DataFrame = {
+    // BOTH sides of the scoring join consume this frame, so the
+    // pruned (vec_id, embedding) scan + norm kernel execute twice —
+    // a DELIBERATE trade, unlike the canon checkpoint: checkpointing
+    // here would pin a full corpus-width copy in executor storage per
+    // call with no unpersist point (this is a lazy plan-building
+    // API), which at scale costs more than the second columnar scan
+    // of exactly two columns; the norm is one fused kernel per row.
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    cand
+      .join(base.as("ea"), col("va") === col("ea.vec_id"))
+      .join(base.as("eb"), col("vb") === col("eb.vec_id"))
+      .select(col("va"), col("vb"),
+        round(graft.plans.GraftFunctions.dot(col("ea.embedding"), col("eb.embedding"))
+          / (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
+  }
+
+  /** Unordered (va < vb) candidate pairs rank-adjacent in ≥1 permuted
+    * sorted-sketch table, deduplicated, UNSCORED. */
+  private[operators] def sortedSketchCandidates(emb: DataFrame, dim: Int,
       nBits: Int, tables: Int, window: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
     require(tables >= 1 && window >= 1)
@@ -1537,21 +1567,7 @@ object Similarity {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
       .distinct() // across tables AND orientations: one kernel eval per pair
-    // BOTH sides of the scoring join consume this frame, so the
-    // pruned (vec_id, embedding) scan + norm kernel execute twice —
-    // a DELIBERATE trade, unlike canon above: checkpointing here
-    // would pin a full corpus-width copy in executor storage per
-    // call with no unpersist point (this is a lazy plan-building
-    // API), which at scale costs more than the second columnar scan
-    // of exactly two columns; the norm is one fused kernel per row.
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Vectors.norm2(col("embedding")))
     cand
-      .join(base.as("ea"), col("va") === col("ea.vec_id"))
-      .join(base.as("eb"), col("vb") === col("eb.vec_id"))
-      .select(col("va"), col("vb"),
-        round(graft.plans.GraftFunctions.dot(col("ea.embedding"), col("eb.embedding"))
-          / (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
   }
 
   /** Bit order of sorted-sketch table `t`: bits ranked by the same

@@ -1084,7 +1084,29 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // Per-crawl-round embedding near-dup (embeddingNearDupIncremental)
+  // — q117's incremental contract on the vector tier: every >= t pair
+  // with >=1 member in the batch (vec_id % 3 = 0 plays the new side),
+  // never old x old. The union equals the whole table, so the oracle
+  // is q146's full construction plus the incident predicate; the
+  // Spark side must produce the identical set while paying kernels
+  // only on batch-incident candidates.
+  val q147 = sql(
+    "q147_embedding_neardup_incremental", {
+      s"""WITH ${sortedSketchCtes(32, 4, 16)}
+         |SELECT va AS vec_a, vb AS vec_b, sim FROM p
+         |WHERE sim >= 0.35 AND (va % 3 = 0 OR vb % 3 = 0)
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Dedup.embeddingNearDupIncremental(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 =!= 0),
+        0.35, 64, nBits = 32, tables = 4, window = 16)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147)
 }

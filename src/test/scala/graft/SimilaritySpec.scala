@@ -377,6 +377,35 @@ class SimilaritySpec extends SparkSuite {
     assert(degenerate == exactSmall)
   }
 
+  test("incremental embedding near-dup == batch-incident subset of the full pairs") {
+    import graft.operators.Dedup
+    // the q117 contract on the vector tier: the incremental form must
+    // produce EXACTLY the batch-incident subset of the full-corpus
+    // sorted-sketch pairs (same union, same ranks), while paying
+    // kernels only on batch-incident candidates
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairs(Dedup.embeddingNearDupIncremental(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 =!= 0), 0.3, 64))
+    val full = pairs(Dedup.embeddingNearDupSorted(emb, 0.3, 64)
+      .filter(col("vec_a") % 3 === 0 || col("vec_b") % 3 === 0))
+    assert(inc.nonEmpty && inc == full)
+  }
+
+  test("incremental embedding near-dup: a changed vector's batch version replaces the corpus row") {
+    import graft.operators.Dedup
+    // vec_id 1 re-ingested with vector 5's embedding: the batch
+    // version must fully supersede the stale corpus row, so the
+    // (1, 5) pair comes out at sim 1.0
+    val changed = emb.filter(col("vec_id") === 5L)
+      .select(lit(1L).as("vec_id"), col("embedding"))
+    val out = Dedup.embeddingNearDupIncremental(changed, emb, 0.999, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((1L, 5L, 1.0)), out.mkString(", "))
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
