@@ -55,6 +55,7 @@ object ScaleProbe {
     "q143_knn_graph_sorted",
     "q146_embedding_neardup_sorted",
     "q147_embedding_neardup_incremental",
+    "q148_sketch_index_lifecycle",
     "q106_duplicate_spans",
     "q123_bpe_merges",
     "q125_bpe_token_counts")
@@ -89,7 +90,8 @@ object ScaleProbe {
          "q96_knn_graph_bucketed" | "q142_knn_graph_capped" |
          "q143_knn_graph_sorted" |
          "q146_embedding_neardup_sorted" |
-         "q147_embedding_neardup_incremental" => "embeddings"
+         "q147_embedding_neardup_incremental" |
+         "q148_sketch_index_lifecycle" => "embeddings"
     case other => sys.error(
       s"tableFor: probe query $other has no table mapping — add it here")
   }

@@ -720,18 +720,54 @@ object Dedup {
       .join(newIds, Seq("vec_id"), "left_anti")
       .unionByName(newVecs.select(col("vec_id"), col("embedding")))
     val cand = Similarity.sortedSketchCandidates(union, dim, nBits, tables, window)
-    // batch-incident filter BEFORE scoring, in ONE pass over the
-    // candidate stream (a union of two semi-joins would re-execute
-    // the whole candidate subtree per branch): two broadcast marker
-    // joins + an OR filter, no dedup needed
-    val incident = cand
+    Similarity.scoreSketchPairs(union, batchIncident(cand, newIds))
+      .filter(col("sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
+  }
+
+  /** Batch-incident filter BEFORE scoring, in ONE pass over the
+    * candidate stream (a union of two semi-joins would re-execute the
+    * whole candidate subtree per branch): two broadcast marker joins
+    * + an OR filter, no dedup needed. */
+  private def batchIncident(cand: DataFrame, newIds: DataFrame): DataFrame =
+    cand
       .join(newIds.select(col("vec_id").as("va"), lit(true).as("_an")),
         Seq("va"), "left")
       .join(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn")),
         Seq("vb"), "left")
       .filter(col("_an").isNotNull || col("_bn").isNotNull)
       .select(col("va"), col("vb"))
-    Similarity.scoreSketchPairs(union, incident)
+
+  /** [[embeddingNearDupIncremental]] against a persisted sketch index
+    * ([[Similarity.writeSketchIndex]]): identical semantics, but the
+    * corpus side's canonical codes AND vectors are parquet reads —
+    * the per-round plane-dot kernel runs ONLY on the batch (the
+    * corpus was hashed once, at build). dim/nBits come from the
+    * index's stored params; (tables, window) stay query-time knobs
+    * because the canonical code serves any permutation set. */
+  def embeddingNearDupIndexed(newVecs: DataFrame, indexPath: String,
+      threshold: Double, tables: Int = 4, window: Int = 16): DataFrame = {
+    val spark = newVecs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val curDir = VersionedIndex.currentDir(spark, indexPath).getOrElse(
+      sys.error(s"no committed sketch index at $indexPath"))
+    val params = VersionedIndex.readParams(spark, curDir)
+    val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
+    val corpus = Similarity.readSketchTable(spark, indexPath)
+    val newIds = newVecs.select(col("vec_id")).distinct()
+    val batch = newVecs.select(col("vec_id"),
+      graft.functions.Vectors.lshBucket(col("embedding"), dim, nBits).as("canon"),
+      col("embedding"))
+    // changed ids: the batch version fully replaces the indexed row
+    val union = corpus.join(newIds, Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    // narrow (16 B/row) code view, checkpointed: the T-way code
+    // fan-out + the generate's pushed filter would otherwise
+    // re-evaluate the batch leg's kernel per consumer
+    val codes = union.select(col("vec_id"), col("canon").as("_canon"))
+      .localCheckpoint(eager = false)
+    val cand = Similarity.candidatesFromCodes(codes, nBits, tables, window)
+    Similarity.scoreSketchPairs(union, batchIncident(cand, newIds))
       .filter(col("sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
   }

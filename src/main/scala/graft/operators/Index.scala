@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions.col
   *  - `lists` member table → [[Index.Ivf]] — exact-cosine probe
   *    serving, mutations, drift stats, re-centering rebuild;
   *  - `shingles`/`bands` member tables → [[Index.Lsh]] — incremental
+  *    near-dup pairs against the corpus, upsert, takedown;
+  *  - `sketch` member table → [[Index.Sketch]] — per-round embedding
   *    near-dup pairs against the corpus, upsert, takedown.
   * Opening reads only the manifest, params and — for IVF-PQ — the
   * bounded driver-side serving state it pins: the ≤ m·kPq codebook
@@ -231,7 +233,38 @@ object Index {
         sys.error(s"index at $path missing $key")).toInt
       new Lsh(spark, path, p("n"), p("numHashes"), p("bands"))
     }
+    else if (mf.contains("sketch")) {
+      def p(key: String): Int = params.getOrElse(key,
+        sys.error(s"index at $path missing $key")).toInt
+      new Sketch(spark, path, p("dim"), p("nBits"))
+    }
     else sys.error(s"unrecognized index layout at $path: " +
       s"tables=${mf.keys.toSeq.sorted.mkString(",")}")
+  }
+
+  /** Persisted sorted-sketch embedding near-dup index handle —
+    * the vector tier's [[Lsh]]: per-round pair detection pays
+    * plane-dot kernels only on the batch; (dim, nBits) come from the
+    * index's own params, while (tables, window) stay query-time knobs
+    * (the canonical code serves any permutation set). */
+  final class Sketch private[Index] (spark: SparkSession, val path: String,
+      val dim: Int, val nBits: Int) extends Opened {
+    val kind = "sketch"
+    /** ≥ `threshold` pairs of `newVecs` vs the indexed corpus + within
+      * the batch — O(batch) kernels per round; changed vec_ids are
+      * fully superseded by their batch version. */
+    def pairs(newVecs: DataFrame, threshold: Double,
+        tables: Int = 4, window: Int = 16): DataFrame =
+      Dedup.embeddingNearDupIndexed(newVecs, path, threshold, tables, window)
+    def upsert(vectors: DataFrame): Unit =
+      Similarity.upsertSketchIndex(vectors, path)
+    def delete(ids: DataFrame): Unit =
+      Similarity.deleteFromSketchIndex(ids, path)
+  }
+
+  def buildSketch(embeddings: DataFrame, path: String, dim: Int,
+      nBits: Int = 32): Sketch = {
+    Similarity.writeSketchIndex(embeddings, path, dim, nBits)
+    open(embeddings.sparkSession, path).asInstanceOf[Sketch]
   }
 }

@@ -1535,8 +1535,6 @@ object Similarity {
     * sorted-sketch table, deduplicated, UNSCORED. */
   private[operators] def sortedSketchCandidates(emb: DataFrame, dim: Int,
       nBits: Int, tables: Int, window: Int): DataFrame = {
-    require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
-    require(tables >= 1 && window >= 1)
     graft.plans.GraftFunctions.register(emb.sparkSession)
     // ONE evaluation of the nBits plane-dot kernels per row,
     // materialized narrow (vec_id, canonical code = 16 bytes): every
@@ -1547,6 +1545,17 @@ object Similarity {
     val canon = emb.select(col("vec_id"),
         Vectors.lshBucket(col("embedding"), dim, nBits).as("_canon"))
       .localCheckpoint(eager = false)
+    candidatesFromCodes(canon, nBits, tables, window)
+  }
+
+  /** The integer half of the sorted-sketch core, from PRECOMPUTED
+    * canonical codes — (vec_id, _canon) rows, e.g. read back from a
+    * persisted [[writeSketchIndex]] table (the kernel pass already
+    * paid at build time). */
+  private[operators] def candidatesFromCodes(canon: DataFrame,
+      nBits: Int, tables: Int, window: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
+    require(tables >= 1 && window >= 1)
     val codes = (0 until tables).map { t =>
       bitOrder(t, nBits).zipWithIndex.map { case (j, r) =>
         shiftright(col("_canon"), j).bitwiseAND(lit(1L)) * lit(1L << (nBits - 1 - r))
@@ -1603,5 +1612,150 @@ object Similarity {
     parted.join(broadcast(offs), Seq("_pid", "t"))
       .withColumn("rn", row_number().over(rankW).cast("long") + col("_off"))
       .select(col("t"), col("vec_id"), col("rn"))
+  }
+
+  // ---- persisted sorted-sketch index --------------------------------
+  // One member table `sketch` (vec_id, canon, embedding), hash-
+  // bucketed by vec_id for O(touched) mutations — the LSH index's
+  // partial-commit layout on a single table. The canonical code is a
+  // pure function of the embedding under the stored (dim, nBits), so
+  // it is computed ONCE at write/upsert and serves ANY
+  // (tables, window) at query time; per-round detection pays the
+  // plane-dot kernel only on the batch
+  // ([[Dedup.embeddingNearDupIndexed]]).
+
+  private def sketchBucketCol(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
+
+  private def sketchRows(emb: DataFrame, dim: Int, nBits: Int,
+      nBuckets: Int): DataFrame =
+    emb.select(col("vec_id"),
+        graft.functions.Vectors.lshBucket(col("embedding"), dim, nBits).as("canon"),
+        col("embedding"))
+      .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
+
+  /** The persisted boundary validates ids loudly (the ivfSeeds
+    * contract: validate where state commits): NULL and duplicate
+    * vec_ids each get their own message. */
+  private def requireUniqueVecIds(emb: DataFrame, where: String): Unit = {
+    val r = emb.agg(count(lit(1)), count_distinct(col("vec_id")),
+      count(col("vec_id"))).head()
+    require(r.getLong(2) == r.getLong(0),
+      s"$where: ${r.getLong(0) - r.getLong(2)} NULL vec_id rows — vec_ids must be non-null")
+    require(r.getLong(1) == r.getLong(0),
+      s"$where: ${r.getLong(0) - r.getLong(1)} duplicate vec_id rows — vec_ids must be unique")
+  }
+
+  private def commitSketchVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, sketch: DataFrame, dim: Int, nBits: Int, idxBuckets: Int,
+      carry: Map[String, Map[String, Int]] = Map.empty): Unit =
+    VersionedIndex.commit(spark, path, Seq("sketch" -> sketch),
+      Map("dim" -> dim.toString, "nBits" -> nBits.toString,
+        "idxBuckets" -> idxBuckets.toString),
+      partitionBy = Map("sketch" -> Seq("idx_bucket")),
+      legacySweep = Seq("sketch"),
+      carry = carry)
+
+  /** Manifest-resolved read of the sketch member table, without the
+    * internal `idx_bucket` partition column. */
+  def readSketchTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    VersionedIndex.readTable(spark, path, "sketch")
+      .select(col("vec_id"), col("canon"), col("embedding"))
+
+  /** Persist the sketch index: the corpus's canonical codes + vectors,
+    * so per-round near-dup detection pays O(batch) kernels — the
+    * corpus is never re-hashed. */
+  def writeSketchIndex(emb: DataFrame, path: String, dim: Int,
+      nBits: Int = 32, idxBuckets: Int = 64): Unit = {
+    require(nBits >= 1 && nBits <= 62)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    requireUniqueVecIds(emb, "writeSketchIndex")
+    commitSketchVersion(emb.sparkSession, path,
+      sketchRows(emb, dim, nBits, idxBuckets), dim, nBits, idxBuckets)
+  }
+
+  /** UPSERT a batch: batch rows REPLACE previously-indexed versions of
+    * the same vec_ids, new ids append — O(touched buckets) via the
+    * partial-commit carry chain, exactly the LSH index's move. */
+  def upsertSketchIndex(newVecs: DataFrame, path: String,
+      maxVersionChain: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val curDir = VersionedIndex.currentDir(spark, path).getOrElse(
+      sys.error(s"no committed sketch index at $path"))
+    val params = VersionedIndex.readParams(spark, curDir)
+    val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
+    val nBuckets = params.get("idxBuckets").map(_.toInt).getOrElse(64)
+    requireUniqueVecIds(newVecs, "upsertSketchIndex")
+    val newIds = newVecs.select(col("vec_id")).distinct()
+    val fresh = sketchRows(newVecs, dim, nBits, nBuckets)
+    val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
+    val chainOk = (mf.values.toSet + -1).size <= maxVersionChain
+    val partialOk = mf.nonEmpty &&
+      !mf.contains(VersionedIndex.WholeTable) && chainOk
+    if (!partialOk) {
+      commitSketchVersion(spark, path,
+        VersionedIndex.readTable(spark, path, "sketch")
+          .join(newIds, Seq("vec_id"), "left_anti")
+          .drop("idx_bucket")
+          .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
+          .unionByName(fresh),
+        dim, nBits, nBuckets)
+    } else {
+      val touched = newIds
+        .select(sketchBucketCol(col("vec_id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      if (touched.isEmpty) return
+      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
+      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      commitSketchVersion(spark, path,
+        VersionedIndex.readTable(spark, path, "sketch")
+          .filter(inTouched)
+          .join(newIds, Seq("vec_id"), "left_anti")
+          .unionByName(fresh),
+        dim, nBits, nBuckets,
+        carry = Map("sketch" ->
+          mf.filter { case (d, _) => !touchedDirs.contains(d) }))
+    }
+  }
+
+  /** DELETE vec_ids (takedown): O(touched buckets) partial rewrite;
+    * params carry forward unchanged. */
+  def deleteFromSketchIndex(deleteIds: DataFrame, path: String,
+      maxVersionChain: Int = 8): Unit = {
+    val spark = deleteIds.sparkSession
+    val curDir = VersionedIndex.currentDir(spark, path).getOrElse(
+      sys.error(s"no committed sketch index at $path"))
+    val params = VersionedIndex.readParams(spark, curDir)
+    val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
+    val nBuckets = params.get("idxBuckets").map(_.toInt).getOrElse(64)
+    val ids = deleteIds.select(col("vec_id")).distinct()
+    val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
+    val chainOk = (mf.values.toSet + -1).size <= maxVersionChain
+    val partialOk = mf.nonEmpty &&
+      !mf.contains(VersionedIndex.WholeTable) && chainOk
+    if (!partialOk) {
+      commitSketchVersion(spark, path,
+        VersionedIndex.readTable(spark, path, "sketch")
+          .join(ids, Seq("vec_id"), "left_anti")
+          .drop("idx_bucket")
+          .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets)),
+        dim, nBits, nBuckets)
+    } else {
+      val touched = ids
+        .select(sketchBucketCol(col("vec_id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      if (touched.isEmpty) return
+      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
+      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      commitSketchVersion(spark, path,
+        VersionedIndex.readTable(spark, path, "sketch")
+          .filter(inTouched)
+          .join(ids, Seq("vec_id"), "left_anti"),
+        dim, nBits, nBuckets,
+        carry = Map("sketch" ->
+          mf.filter { case (d, _) => !touchedDirs.contains(d) }))
+    }
   }
 }

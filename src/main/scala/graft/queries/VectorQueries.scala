@@ -1020,7 +1020,8 @@ object VectorQueries {
     * Scala `Similarity.bitOrder` the operator uses), per-table
     * (code, vec_id) ranks, window-adjacency pair sets union-deduped,
     * and the exact-cosine pass — ending with `p` = (va, vb, sim). */
-  private def sortedSketchCtes(nBits: Int, tables: Int, window: Int): String = {
+  private def sortedSketchCtes(nBits: Int, tables: Int, window: Int,
+      where: String = ""): String = {
     def dotSql(j: Int) =
       s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
         s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
@@ -1037,10 +1038,11 @@ object VectorQueries {
       s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
          |  FROM rk$t a JOIN rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
       .mkString("\nUNION\n") // UNION (not ALL): cross-table pair dedup
+    val src = if (where.isEmpty) "embeddings" else s"embeddings WHERE $where"
     s"""n AS (SELECT vec_id, embedding, $canonSql AS canon,
        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-       |  FROM embeddings),
+       |  FROM $src),
        |$rks,
        |cand AS ($cands),
        |p AS (SELECT c.va, c.vb, round(
@@ -1106,7 +1108,44 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // The full persisted SKETCH-index lifecycle hash-gated — write,
+  // upsert, DELETE (takedown), then per-round detection for a probe
+  // batch (the q131 shape on the vector tier): the pair set must
+  // equal the sorted-sketch construction over exactly (index
+  // survivors ∪ batch) with ≥1 batch endpoint — deleted vectors stop
+  // matching, everything else is undisturbed. Exercises the sketch
+  // index's partial-commit carry chain end-to-end (3 commits deep).
+  // Index = {v : v%3 ∈ {0,1} ∧ v%5 ≠ 2}; batch = {v : v%3 = 2};
+  // union ⇔ (v%3 = 2 OR v%5 ≠ 2) — the oracle computes ranks over
+  // exactly that restriction, as the Spark union does.
+  val q148 = sql(
+    "q148_sketch_index_lifecycle", {
+      s"""WITH ${sortedSketchCtes(32, 4, 16,
+             where = "(vec_id % 3 = 2 OR vec_id % 5 <> 2)")}
+         |SELECT va AS vec_a, vb AS vec_b, sim FROM p
+         |WHERE sim >= 0.35 AND (va % 3 = 2 OR vb % 3 = 2)
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-sketch-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(idx).exists()) {
+      val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      Similarity.writeSketchIndex(
+        emb.filter(col("vec_id") % 3 === 0), tmp.getPath, 64)
+      Similarity.upsertSketchIndex(
+        emb.filter(col("vec_id") % 3 === 1), tmp.getPath)
+      Similarity.deleteFromSketchIndex(
+        emb.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 2)
+          .select(col("vec_id")), tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(idx))) deleteRecursively(tmp)
+    }
+    Dedup.embeddingNearDupIndexed(
+        emb.filter(col("vec_id") % 3 === 2), idx, 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148)
 }

@@ -406,6 +406,36 @@ class SimilaritySpec extends SparkSuite {
     assert(out.contains((1L, 5L, 1.0)), out.mkString(", "))
   }
 
+  test("sketch index lifecycle: indexed == in-memory incremental; Index.open dispatches") {
+    import graft.operators.{Dedup, Index, Similarity}
+    // write %3==0, upsert %3==1, delete (%3!=2 && %5==2) — three
+    // commits deep through the partial-commit carry chain; the indexed
+    // per-round detection must then EQUAL the in-memory incremental
+    // over the surviving corpus (same union, same ranks, same sims)
+    val dir = java.nio.file.Files.createTempDirectory("sketchidx").toString + "/i"
+    val h = Index.buildSketch(emb.filter(col("vec_id") % 3 === 0), dir, 64)
+    assert(h.kind == "sketch" && h.nBits == 32)
+    h.upsert(emb.filter(col("vec_id") % 3 === 1))
+    h.delete(emb.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 2)
+      .select(col("vec_id")))
+    val batch = emb.filter(col("vec_id") % 3 === 2)
+    val survivors = emb.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 =!= 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = pairs(h.pairs(batch, 0.3))
+    val inMem = pairs(Dedup.embeddingNearDupIncremental(batch, survivors, 0.3, 64))
+    assert(viaIndex.nonEmpty && viaIndex == inMem)
+    // upserting a CHANGED vector replaces its indexed row: re-ingest
+    // id 3 (an index member: 3%3==0) with vector 8's embedding — the
+    // next round's (3, 8) pair must score 1.0
+    val changed = emb.filter(col("vec_id") === 8L)
+      .select(lit(3L).as("vec_id"), col("embedding"))
+    h.upsert(changed)
+    val out = h.pairs(emb.filter(col("vec_id") === 8L), 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((3L, 8L, 1.0)), out.mkString(", "))
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
