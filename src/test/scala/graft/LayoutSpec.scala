@@ -684,6 +684,52 @@ class LayoutSpec extends SparkSuite {
     assert(ids == (1L to 7L).toSet)
   }
 
+  test("streaming sketch ingest + takedown: per-trigger commits, detection matches batch state") {
+    import graft.operators.{Dedup, Index, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("sketching").toString
+    val idx = s"$base/index"
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val corpusRows = rows.filter(_._1 % 3 != 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.Pipelines.sketchIngestSink(sdf, idx, s"$base/ckpt",
+      dim = 64,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val (a, b) = corpusRows.splitAt(corpusRows.length / 2)
+    stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")))
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
+    // streaming takedown through the kind-agnostic delete sink
+    val delStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val dq = graft.streaming.Pipelines.vectorDeleteSink(
+      delStream.toDF().toDF("vec_id"), idx, s"$base/ckpt-del",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    delStream.addData(corpusRows.map(_._1).filter(_ % 5 == 2).toIndexedSeq)
+    dq.processAllAvailable()
+    dq.stop()
+    // per-round detection against the streamed index == the in-memory
+    // incremental over the equivalent surviving corpus
+    val batch = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+    val survivors = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 =!= 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = pairs(Index.open(spark, idx)
+      .asInstanceOf[Index.Sketch].pairs(batch, 0.3))
+    val inMem = pairs(Dedup.embeddingNearDupIncremental(batch, survivors, 0.3, 64))
+    assert(viaIndex.nonEmpty && viaIndex == inMem)
+  }
+
   test("streaming vector ingest: batches bootstrap then upsert the IVF index atomically") {
     import graft.operators.{Similarity, VersionedIndex}
     import org.apache.spark.sql.functions.col
