@@ -411,15 +411,15 @@ object Dedup {
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
       val bandsNew = bandedFromDocShingles(ds, numHashes, bands)
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-      val prevMf = VersionedIndex.manifest(spark, path)
-      val shMf = prevMf.getOrElse("shingles", Map.empty)
-      val bandsMf = prevMf.getOrElse("bands", Map.empty)
-      val chainOk = (shMf.values.toSet ++ bandsMf.values.toSet + -1).size <=
-        maxVersionChain // prior owners + the new version (-1 stands in)
-      val partialOk = storedBuckets.isDefined && shMf.nonEmpty &&
-        !shMf.contains(VersionedIndex.WholeTable) &&
-        !bandsMf.contains(VersionedIndex.WholeTable) && chainOk
-      if (!partialOk) {
+      // shared partial-commit planner (VersionedIndex.planPartialRewrite
+      // — one protocol definition across the LSH and sketch kinds);
+      // the extra gate keeps legacy/unbucketed indexes on the
+      // full-rewrite path, which migrates them
+      val plan = VersionedIndex.planPartialRewrite(spark, path,
+        Seq("shingles", "bands"),
+        newIds.select(idxBucketCol(col("doc_id"), nBuckets).as("b")),
+        extraGate = storedBuckets.isDefined, maxVersionChain)
+      if (!plan.ok) {
         // full rewrite: legacy/unbucketed index, or compaction point
         commitLshVersion(spark, path,
           readLshTable(spark, path, "shingles")
@@ -432,13 +432,8 @@ object Dedup {
             .unionByName(bandsNew),
           n, numHashes, bands, nBuckets)
       } else {
-        // touched buckets from the batch alone; ≤ idxBuckets ints
-        val touched = newIds
-          .select(idxBucketCol(col("doc_id"), nBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0))
-        if (touched.isEmpty) return // empty batch — nothing to commit
-        val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
-        val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+        if (plan.touched.isEmpty) return // empty batch — nothing to commit
+        val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
         def rewrite(table: String, fresh: DataFrame): DataFrame =
           VersionedIndex.readTable(spark, path, table)
             .filter(inTouched)
@@ -448,8 +443,8 @@ object Dedup {
           rewrite("shingles", shNew), rewrite("bands", bandsNew),
           n, numHashes, bands, nBuckets,
           carry = Map(
-            "shingles" -> shMf.filter { case (d, _) => !touchedDirs.contains(d) },
-            "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
+            "shingles" -> plan.carryFor("shingles"),
+            "bands" -> plan.carryFor("bands")))
       }
     } finally ds.unpersist()
   }
@@ -475,29 +470,21 @@ object Dedup {
     val storedBuckets = params.get("idxBuckets").map(_.toInt)
     val nBuckets = storedBuckets.getOrElse(64)
     val ids = deleteIds.select(col("doc_id")).distinct()
-    val prevMf = VersionedIndex.manifest(spark, path)
-    val shMf = prevMf.getOrElse("shingles", Map.empty)
-    val bandsMf = prevMf.getOrElse("bands", Map.empty)
-    val chainOk = (shMf.values.toSet ++ bandsMf.values.toSet + -1).size <=
-      maxVersionChain
-    val partialOk = storedBuckets.isDefined && shMf.nonEmpty &&
-      !shMf.contains(VersionedIndex.WholeTable) &&
-      !bandsMf.contains(VersionedIndex.WholeTable) && chainOk
+    val plan = VersionedIndex.planPartialRewrite(spark, path,
+      Seq("shingles", "bands"),
+      ids.select(idxBucketCol(col("doc_id"), nBuckets).as("b")),
+      extraGate = storedBuckets.isDefined, maxVersionChain)
     def bucketed(table: String): DataFrame =
       readLshTable(spark, path, table)
         .join(ids, Seq("doc_id"), "left_anti")
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-    if (!partialOk) {
+    if (!plan.ok) {
       commitLshVersion(spark, path,
         bucketed("shingles"), bucketed("bands"),
         n, numHashes, bandCount, nBuckets)
     } else {
-      val touched = ids
-        .select(idxBucketCol(col("doc_id"), nBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0))
-      if (touched.isEmpty) return // empty id set — nothing to commit
-      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
-      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      if (plan.touched.isEmpty) return // empty id set — nothing to commit
+      val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
       def rewrite(table: String): DataFrame =
         VersionedIndex.readTable(spark, path, table)
           .filter(inTouched)
@@ -506,8 +493,8 @@ object Dedup {
         rewrite("shingles"), rewrite("bands"),
         n, numHashes, bandCount, nBuckets,
         carry = Map(
-          "shingles" -> shMf.filter { case (d, _) => !touchedDirs.contains(d) },
-          "bands" -> bandsMf.filter { case (d, _) => !touchedDirs.contains(d) }))
+          "shingles" -> plan.carryFor("shingles"),
+          "bands" -> plan.carryFor("bands")))
     }
   }
 
@@ -715,14 +702,31 @@ object Dedup {
   def embeddingNearDupIncremental(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double, dim: Int, nBits: Int = 32, tables: Int = 4,
       window: Int = 16): DataFrame = {
-    val newIds = newVecs.select(col("vec_id")).distinct()
+    val batch = requireUniqueBatchVecIds(newVecs, "embeddingNearDupIncremental")
+    val newIds = batch.select(col("vec_id")).distinct()
     val union = corpus.select(col("vec_id"), col("embedding"))
       .join(newIds, Seq("vec_id"), "left_anti")
-      .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+      .unionByName(batch)
     val cand = Similarity.sortedSketchCandidates(union, dim, nBits, tables, window)
     Similarity.scoreSketchPairs(union, batchIncident(cand, newIds))
       .filter(col("sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
+  }
+
+  /** Lazy unique-id guard on a per-round batch (the simhashPairs
+    * move): duplicate vec_id rows would multiply scored pairs through
+    * the scoring join — raise loudly at first execution instead. The
+    * window shuffle is batch-sized. */
+  private def requireUniqueBatchVecIds(newVecs: DataFrame,
+      where: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("_idn", count(lit(1)).over(w))
+      .select(col("vec_id"),
+        when(col("_idn") > 1, raise_error(concat(
+          lit(s"$where: duplicate vec_id "), col("vec_id").cast("string"),
+          lit(" in the batch — vec_ids must be unique per round"))))
+          .otherwise(col("embedding")).as("embedding"))
   }
 
   /** Batch-incident filter BEFORE scoring, in ONE pass over the
@@ -754,8 +758,9 @@ object Dedup {
     val params = VersionedIndex.readParams(spark, curDir)
     val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
     val corpus = Similarity.readSketchTable(spark, indexPath)
-    val newIds = newVecs.select(col("vec_id")).distinct()
-    val batch = newVecs.select(col("vec_id"),
+    val guarded = requireUniqueBatchVecIds(newVecs, "embeddingNearDupIndexed")
+    val newIds = guarded.select(col("vec_id")).distinct()
+    val batch = guarded.select(col("vec_id"),
       graft.functions.Vectors.lshBucket(col("embedding"), dim, nBits).as("canon"),
       col("embedding"))
     // changed ids: the batch version fully replaces the indexed row

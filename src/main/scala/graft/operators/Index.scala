@@ -233,7 +233,12 @@ object Index {
         sys.error(s"index at $path missing $key")).toInt
       new Lsh(spark, path, p("n"), p("numHashes"), p("bands"))
     }
-    else if (mf.contains("sketch")) {
+    // params fallback: a sketch index whose ONLY content was taken
+    // down owns zero partitions and vanishes from the manifest (the
+    // VersionedIndex empty-table contract), but its params persist —
+    // it must still open and serve (empty corpus) / re-ingest
+    else if (mf.contains("sketch") ||
+        (params.contains("dim") && params.contains("nBits"))) {
       def p(key: String): Int = params.getOrElse(key,
         sys.error(s"index at $path missing $key")).toInt
       new Sketch(spark, path, p("dim"), p("nBits"))

@@ -1572,7 +1572,11 @@ object Similarity {
       explode(array(col("_blk"), col("_blk") + 1)).as("_pblk"))
     val cand = probes.as("a").join(withBlk.as("b"),
         col("a.t") === col("b.t") && col("a._pblk") === col("b._blk") &&
-          col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= window)
+          col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= window &&
+          // duplicate-id input rows sort rank-adjacent (identical
+          // (code, vec_id) keys) — without this guard they would emit
+          // a (x, x) self-pair scored at 1.0
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
       .distinct() // across tables AND orientations: one kernel eval per pair
@@ -1652,16 +1656,36 @@ object Similarity {
     VersionedIndex.commit(spark, path, Seq("sketch" -> sketch),
       Map("dim" -> dim.toString, "nBits" -> nBits.toString,
         "idxBuckets" -> idxBuckets.toString),
+      // no legacySweep: the sketch kind postdates versioning, so no
+      // pre-version layout can exist (sweeping would instead delete an
+      // unrelated user dir that happens to be named "sketch")
       partitionBy = Map("sketch" -> Seq("idx_bucket")),
-      legacySweep = Seq("sketch"),
       carry = carry)
 
   /** Manifest-resolved read of the sketch member table, without the
-    * internal `idx_bucket` partition column. */
+    * internal `idx_bucket` partition column. A committed-but-EMPTIED
+    * index (a takedown of every id legitimately records zero owned
+    * partitions — the VersionedIndex empty-table contract) reads as
+    * zero rows, never an error: the index must survive full takedown
+    * followed by re-ingest. */
   def readSketchTable(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    VersionedIndex.readTable(spark, path, "sketch")
+    rawSketchTable(spark, path)
       .select(col("vec_id"), col("canon"), col("embedding"))
+
+  private def rawSketchTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    if (VersionedIndex.manifest(spark, path).contains("sketch"))
+      VersionedIndex.readTable(spark, path, "sketch")
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("canon", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("idx_bucket", IntegerType))))
+    }
 
   /** Persist the sketch index: the corpus's canonical codes + vectors,
     * so per-round near-dup detection pays O(batch) kernels — the
@@ -1677,7 +1701,11 @@ object Similarity {
 
   /** UPSERT a batch: batch rows REPLACE previously-indexed versions of
     * the same vec_ids, new ids append — O(touched buckets) via the
-    * partial-commit carry chain, exactly the LSH index's move. */
+    * shared partial-commit planner
+    * ([[VersionedIndex.planPartialRewrite]]), exactly the LSH index's
+    * move. Survives the committed-but-emptied state (full takedown →
+    * re-ingest bootstraps through the full-rewrite branch over the
+    * empty read). */
   def upsertSketchIndex(newVecs: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = newVecs.sparkSession
@@ -1690,38 +1718,34 @@ object Similarity {
     requireUniqueVecIds(newVecs, "upsertSketchIndex")
     val newIds = newVecs.select(col("vec_id")).distinct()
     val fresh = sketchRows(newVecs, dim, nBits, nBuckets)
-    val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
-    val chainOk = (mf.values.toSet + -1).size <= maxVersionChain
-    val partialOk = mf.nonEmpty &&
-      !mf.contains(VersionedIndex.WholeTable) && chainOk
-    if (!partialOk) {
+    val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
+      newIds.select(sketchBucketCol(col("vec_id"), nBuckets).as("b")),
+      extraGate = true, maxVersionChain)
+    if (!plan.ok) {
       commitSketchVersion(spark, path,
-        VersionedIndex.readTable(spark, path, "sketch")
+        rawSketchTable(spark, path)
           .join(newIds, Seq("vec_id"), "left_anti")
           .drop("idx_bucket")
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
           .unionByName(fresh),
         dim, nBits, nBuckets)
     } else {
-      val touched = newIds
-        .select(sketchBucketCol(col("vec_id"), nBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0))
-      if (touched.isEmpty) return
-      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
-      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      if (plan.touched.isEmpty) return
+      val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
       commitSketchVersion(spark, path,
         VersionedIndex.readTable(spark, path, "sketch")
           .filter(inTouched)
           .join(newIds, Seq("vec_id"), "left_anti")
           .unionByName(fresh),
         dim, nBits, nBuckets,
-        carry = Map("sketch" ->
-          mf.filter { case (d, _) => !touchedDirs.contains(d) }))
+        carry = Map("sketch" -> plan.carryFor("sketch")))
     }
   }
 
   /** DELETE vec_ids (takedown): O(touched buckets) partial rewrite;
-    * params carry forward unchanged. */
+    * params carry forward unchanged. Deleting from an already-emptied
+    * index commits nothing new of substance (empty read → empty
+    * write), never an error. */
   def deleteFromSketchIndex(deleteIds: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = deleteIds.sparkSession
@@ -1731,31 +1755,25 @@ object Similarity {
     val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
     val nBuckets = params.get("idxBuckets").map(_.toInt).getOrElse(64)
     val ids = deleteIds.select(col("vec_id")).distinct()
-    val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
-    val chainOk = (mf.values.toSet + -1).size <= maxVersionChain
-    val partialOk = mf.nonEmpty &&
-      !mf.contains(VersionedIndex.WholeTable) && chainOk
-    if (!partialOk) {
+    val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
+      ids.select(sketchBucketCol(col("vec_id"), nBuckets).as("b")),
+      extraGate = true, maxVersionChain)
+    if (!plan.ok) {
       commitSketchVersion(spark, path,
-        VersionedIndex.readTable(spark, path, "sketch")
+        rawSketchTable(spark, path)
           .join(ids, Seq("vec_id"), "left_anti")
           .drop("idx_bucket")
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets)),
         dim, nBits, nBuckets)
     } else {
-      val touched = ids
-        .select(sketchBucketCol(col("vec_id"), nBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0))
-      if (touched.isEmpty) return
-      val touchedDirs = touched.map(b => s"idx_bucket=$b").toSet
-      val inTouched = col("idx_bucket").isin(touched.toSeq.map(Int.box): _*)
+      if (plan.touched.isEmpty) return
+      val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
       commitSketchVersion(spark, path,
         VersionedIndex.readTable(spark, path, "sketch")
           .filter(inTouched)
           .join(ids, Seq("vec_id"), "left_anti"),
         dim, nBits, nBuckets,
-        carry = Map("sketch" ->
-          mf.filter { case (d, _) => !touchedDirs.contains(d) }))
+        carry = Map("sketch" -> plan.carryFor("sketch")))
     }
   }
 }

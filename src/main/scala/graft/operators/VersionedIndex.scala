@@ -328,4 +328,43 @@ object VersionedIndex {
       if (fs.exists(d)) require(fs.delete(d, true), s"failed to sweep legacy $d")
     }
   }
+
+  /** ONE definition of the partial-commit rewrite decision shared by
+    * every bucketed index kind (LSH upsert/delete, sketch
+    * upsert/delete) — the protocol was previously hand-copied per
+    * call site, so a fix had to land in four places.
+    *
+    * `ok` iff the manifest supports a partial rewrite of `tables`:
+    * every table present, no whole-table owner, and the version chain
+    * (prior owners + the next version) within `maxVersionChain`;
+    * `extraGate` lets callers add kind-specific conditions (the LSH
+    * legacy-layout check). When `ok`, `touched` holds the ≤ nBuckets
+    * bucket ids the mutation's key set maps to (one bounded driver
+    * collect — a pure function of the keys, no index read),
+    * `touchedDirs` their partition-dir names, and `carryFor(table)`
+    * the manifest entries of UNTOUCHED partitions to carry by
+    * reference. */
+  private[operators] final case class PartialRewrite(ok: Boolean,
+      touched: Seq[Int], touchedDirs: Set[String],
+      carryFor: String => Map[String, Int])
+
+  private[operators] def planPartialRewrite(spark: SparkSession, path: String,
+      tables: Seq[String], keyBuckets: DataFrame, extraGate: Boolean,
+      maxVersionChain: Int): PartialRewrite = {
+    val mfAll = manifest(spark, path)
+    val mfs = tables.map(t => t -> mfAll.getOrElse(t, Map.empty[String, Int]))
+    val chainOk =
+      (mfs.flatMap(_._2.values).toSet + -1).size <= maxVersionChain
+    val ok = extraGate && chainOk &&
+      mfs.forall { case (_, m) => m.nonEmpty && !m.contains(WholeTable) }
+    if (!ok) PartialRewrite(ok = false, Nil, Set.empty, _ => Map.empty)
+    else {
+      // bounded driver-side state: ≤ nBuckets ints, never rows
+      val touched = keyBuckets.distinct().collect().map(_.getInt(0)).toSeq
+      val dirs = touched.map(b => s"idx_bucket=$b").toSet
+      PartialRewrite(ok = true, touched, dirs,
+        t => mfAll.getOrElse(t, Map.empty)
+          .filter { case (d, _) => !dirs.contains(d) })
+    }
+  }
 }

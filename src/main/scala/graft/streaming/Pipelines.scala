@@ -820,32 +820,6 @@ object Pipelines {
     * trigger end to end: discovery reads only the batch ids' vec_map
     * vb partitions and the commit rewrites only touched list/vb
     * partitions, everything else carried by manifest reference. */
-  /** Streaming ingest for the persisted SKETCH index
-    * ([[graft.operators.Similarity.writeSketchIndex]]): first batch
-    * bootstraps the index (dim/nBits pinned in its params), every
-    * later trigger upserts — O(touched buckets) commit I/O through
-    * the partial-commit carry chain, changed vec_ids superseded by
-    * their newest batch version. Pair detection between triggers goes
-    * through [[graft.operators.Index.Sketch.pairs]] (kernels on the
-    * probe batch only); takedowns ride the kind-agnostic
-    * [[vectorDeleteSink]], which dispatches the sketch arm. */
-  def sketchIngestSink(vectors: DataFrame, indexPath: String,
-      checkpoint: String, dim: Int, nBits: Int = 32,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
-    val spark = vectors.sparkSession
-    import graft.operators.{Similarity, VersionedIndex}
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (VersionedIndex.currentDir(spark, indexPath).isEmpty)
-          Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
-        else Similarity.upsertSketchIndex(batch, indexPath)
-      }
-      .start()
-  }
-
   def vectorDeleteSink(deletes: DataFrame, indexPath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = deletes.sparkSession
@@ -883,6 +857,34 @@ object Pipelines {
               s"$indexPath exists — takedown ids in it are DROPPED " +
               "(checkpoint advances; see the sink-ordering note)")
         }
+      }
+      .start()
+  }
+
+  /** Streaming ingest for the persisted SKETCH index
+    * ([[graft.operators.Similarity.writeSketchIndex]]): the first
+    * NON-EMPTY batch bootstraps the index (dim/nBits pinned in its
+    * params; an empty first batch is skipped so bootstrap never
+    * commits a row-less layout), every later trigger upserts —
+    * O(touched buckets) commit I/O through the partial-commit carry
+    * chain, changed vec_ids superseded by their newest batch version.
+    * Pair detection between triggers goes through
+    * [[graft.operators.Index.Sketch.pairs]] (kernels on the probe
+    * batch only); takedowns ride the kind-agnostic
+    * [[vectorDeleteSink]] above, which dispatches the sketch arm. */
+  def sketchIngestSink(vectors: DataFrame, indexPath: String,
+      checkpoint: String, dim: Int, nBits: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val spark = vectors.sparkSession
+    import graft.operators.{Similarity, VersionedIndex}
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
+          if (!batch.isEmpty) Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
+        } else Similarity.upsertSketchIndex(batch, indexPath)
       }
       .start()
   }

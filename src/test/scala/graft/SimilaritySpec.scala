@@ -436,6 +436,37 @@ class SimilaritySpec extends SparkSuite {
     assert(out.contains((3L, 8L, 1.0)), out.mkString(", "))
   }
 
+  test("sketch index survives full takedown then re-ingest (empty-manifest recovery)") {
+    import graft.operators.{Index, Similarity}
+    // taking down EVERY indexed id legitimately commits a version that
+    // owns zero partitions (the VersionedIndex empty-table contract);
+    // the index must still open, serve (empty corpus), accept further
+    // deletes, and re-ingest through upsert — the streaming sink's
+    // post-bootstrap path — instead of wedging on a missing manifest
+    // entry
+    val dir = java.nio.file.Files.createTempDirectory("sketchempty").toString + "/i"
+    val h = Index.buildSketch(emb.limit(20), dir, 64)
+    h.delete(emb.limit(20).select(col("vec_id")))
+    val h2 = Index.open(spark, dir).asInstanceOf[Index.Sketch]
+    assert(h2.kind == "sketch")
+    assert(Similarity.readSketchTable(spark, dir).count() == 0)
+    assert(h2.pairs(emb.limit(10), 0.999999).count() >= 0) // plan executes
+    h2.delete(emb.limit(5).select(col("vec_id"))) // delete-on-empty: no error
+    h2.upsert(emb.limit(20))
+    assert(Similarity.readSketchTable(spark, dir).count() == 20)
+  }
+
+  test("incremental near-dup batch with duplicate vec_ids raises loudly") {
+    import graft.operators.Dedup
+    val dup = emb.limit(5).union(emb.limit(2)).select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 100L)
+    val e = intercept[Exception](
+      Dedup.embeddingNearDupIncremental(dup, corpus, 0.0, 64).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate vec_id")), msgs(e).mkString(" | "))
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
