@@ -316,14 +316,37 @@ object Dedup {
 
   /** Manifest-resolved read of an LSH index member table ("shingles"
     * or "bands"), without the internal `idx_bucket` partition column.
-    * Legacy layouts (pre-versioning or pre-bucketing) read as-is. */
+    * Legacy layouts (pre-versioning or pre-bucketing) read as-is.
+    * A committed-but-EMPTIED index (a takedown of every doc
+    * legitimately records zero owned partitions — the VersionedIndex
+    * empty-table contract) reads as zero rows, never an error: the
+    * index must survive full takedown followed by re-ingest (the
+    * sketch index's r13 recovery guarantee, applied here too). */
   def readLshTable(spark: org.apache.spark.sql.SparkSession,
       path: String, table: String): DataFrame = {
     val df =
-      if (VersionedIndex.currentDir(spark, path).isDefined)
-        VersionedIndex.readTable(spark, path, table)
-      else spark.read.parquet(s"${currentLshIndexDir(spark, path)}/$table")
+      if (VersionedIndex.currentDir(spark, path).isDefined) {
+        if (VersionedIndex.manifest(spark, path).contains(table))
+          VersionedIndex.readTable(spark, path, table)
+        else emptyLshTable(spark, table)
+      } else spark.read.parquet(s"${currentLshIndexDir(spark, path)}/$table")
     if (df.columns.contains("idx_bucket")) df.drop("idx_bucket") else df
+  }
+
+  private def emptyLshTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = table match {
+      case "shingles" => StructType(Seq(
+        StructField("doc_id", LongType), StructField("shingle", StringType)))
+      case "bands" => StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("bands", ArrayType(IntegerType)),
+        StructField("band", IntegerType), StructField("band_hash", IntegerType)))
+      case other => sys.error(s"emptyLshTable: unknown member table $other")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Fail fast when the caller's hash parameters disagree with the

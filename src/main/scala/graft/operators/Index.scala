@@ -228,7 +228,10 @@ object Index {
     else if (mf.contains("lists"))
       new Ivf(spark, path,
         params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
-    else if (mf.contains("shingles") || mf.contains("bands")) {
+    // params fallback (see the sketch note below): a fully-taken-down
+    // LSH index owns no partitions but keeps its params
+    else if (mf.contains("shingles") || mf.contains("bands") ||
+        (params.contains("numHashes") && params.contains("bands"))) {
       def p(key: String): Int = params.getOrElse(key,
         sys.error(s"index at $path missing $key")).toInt
       new Lsh(spark, path, p("n"), p("numHashes"), p("bands"))

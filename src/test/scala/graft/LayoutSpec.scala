@@ -656,6 +656,29 @@ class LayoutSpec extends SparkSuite {
     assert(s3.buildErr == s1.buildErr, "baseline pinned until rebuild")
   }
 
+  test("LSH index survives full takedown then re-ingest (empty-manifest recovery)") {
+    import graft.operators.{Dedup, Index}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // taking down EVERY indexed doc commits a version owning zero
+    // partitions; the index must still read (empty), open, and accept
+    // a re-ingest through upsert — the sketch kind's r13 recovery
+    // guarantee, shared via the readLshTable empty-table fallback
+    val dir = Files.createTempDirectory("lshempty").toString
+    def doc(i: Long) = (i, s"document number $i alpha beta gamma delta " +
+      s"epsilon zeta eta theta unique tail token$i")
+    val docs = (1L to 5L).map(doc).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), dir)
+    Dedup.deleteFromLshIndex(docs.select(col("doc_id")), dir)
+    assert(Dedup.readLshTable(spark, dir, "shingles").count() == 0)
+    assert(Dedup.readLshTable(spark, dir, "bands").count() == 0)
+    assert(Index.open(spark, dir).kind == "lsh")
+    Dedup.upsertLshIndex(docs, col("doc_id"), col("text"), dir)
+    val ids = Dedup.readLshTable(spark, dir, "shingles").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 5L).toSet)
+  }
+
   test("LSH upsert chain: bounded version fan-out via compaction") {
     import graft.operators.{Dedup, VersionedIndex}
     import org.apache.spark.sql.functions.col
