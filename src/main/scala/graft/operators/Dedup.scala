@@ -317,36 +317,17 @@ object Dedup {
   /** Manifest-resolved read of an LSH index member table ("shingles"
     * or "bands"), without the internal `idx_bucket` partition column.
     * Legacy layouts (pre-versioning or pre-bucketing) read as-is.
-    * A committed-but-EMPTIED index (a takedown of every doc
-    * legitimately records zero owned partitions — the VersionedIndex
-    * empty-table contract) reads as zero rows, never an error: the
-    * index must survive full takedown followed by re-ingest (the
-    * sketch index's r13 recovery guarantee, applied here too). */
+    * A committed-but-EMPTIED index reads as zero typed rows, never an
+    * error (the VersionedIndex commit stages an emptied partitioned
+    * table as an empty unpartitioned one), so full takedown followed
+    * by re-ingest works — pinned by the LayoutSpec recovery case. */
   def readLshTable(spark: org.apache.spark.sql.SparkSession,
       path: String, table: String): DataFrame = {
     val df =
-      if (VersionedIndex.currentDir(spark, path).isDefined) {
-        if (VersionedIndex.manifest(spark, path).contains(table))
-          VersionedIndex.readTable(spark, path, table)
-        else emptyLshTable(spark, table)
-      } else spark.read.parquet(s"${currentLshIndexDir(spark, path)}/$table")
+      if (VersionedIndex.currentDir(spark, path).isDefined)
+        VersionedIndex.readTable(spark, path, table)
+      else spark.read.parquet(s"${currentLshIndexDir(spark, path)}/$table")
     if (df.columns.contains("idx_bucket")) df.drop("idx_bucket") else df
-  }
-
-  private def emptyLshTable(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = table match {
-      case "shingles" => StructType(Seq(
-        StructField("doc_id", LongType), StructField("shingle", StringType)))
-      case "bands" => StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("bands", ArrayType(IntegerType)),
-        StructField("band", IntegerType), StructField("band_hash", IntegerType)))
-      case other => sys.error(s"emptyLshTable: unknown member table $other")
-    }
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Fail fast when the caller's hash parameters disagree with the
@@ -497,11 +478,17 @@ object Dedup {
       Seq("shingles", "bands"),
       ids.select(idxBucketCol(col("doc_id"), nBuckets).as("b")),
       extraGate = storedBuckets.isDefined, maxVersionChain)
+    // deleting only ABSENT ids commits NOTHING (no new version) — the
+    // streaming takedown sink's documented replay/no-op contract; one
+    // bounded semi-join over partitions the rewrite would read anyway
+    def anyPresent(existing: DataFrame): Boolean =
+      !existing.join(ids, Seq("doc_id"), "left_semi").isEmpty
     def bucketed(table: String): DataFrame =
       readLshTable(spark, path, table)
         .join(ids, Seq("doc_id"), "left_anti")
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
     if (!plan.ok) {
+      if (!anyPresent(readLshTable(spark, path, "shingles"))) return
       commitLshVersion(spark, path,
         bucketed("shingles"), bucketed("bands"),
         n, numHashes, bandCount, nBuckets)
@@ -512,6 +499,8 @@ object Dedup {
         VersionedIndex.readTable(spark, path, table)
           .filter(inTouched)
           .join(ids, Seq("doc_id"), "left_anti")
+      if (!anyPresent(VersionedIndex.readTable(spark, path, "shingles")
+          .filter(inTouched))) return
       commitLshVersion(spark, path,
         rewrite("shingles"), rewrite("bands"),
         n, numHashes, bandCount, nBuckets,
@@ -750,6 +739,10 @@ object Dedup {
           lit(s"$where: duplicate vec_id "), col("vec_id").cast("string"),
           lit(" in the batch — vec_ids must be unique per round"))))
           .otherwise(col("embedding")).as("embedding"))
+      // the guarded frame feeds the candidate leg AND both sides of
+      // the scoring self-join: checkpoint so the guard's window
+      // shuffle is paid once (the simhashPairs move, verbatim)
+      .localCheckpoint(eager = false)
   }
 
   /** Batch-incident filter BEFORE scoring, in ONE pass over the

@@ -228,20 +228,12 @@ object Index {
     else if (mf.contains("lists"))
       new Ivf(spark, path,
         params.getOrElse("nLists", sys.error(s"index at $path missing nLists")).toInt)
-    // params fallback (see the sketch note below): a fully-taken-down
-    // LSH index owns no partitions but keeps its params
-    else if (mf.contains("shingles") || mf.contains("bands") ||
-        (params.contains("numHashes") && params.contains("bands"))) {
+    else if (mf.contains("shingles") || mf.contains("bands")) {
       def p(key: String): Int = params.getOrElse(key,
         sys.error(s"index at $path missing $key")).toInt
       new Lsh(spark, path, p("n"), p("numHashes"), p("bands"))
     }
-    // params fallback: a sketch index whose ONLY content was taken
-    // down owns zero partitions and vanishes from the manifest (the
-    // VersionedIndex empty-table contract), but its params persist —
-    // it must still open and serve (empty corpus) / re-ingest
-    else if (mf.contains("sketch") ||
-        (params.contains("dim") && params.contains("nBits"))) {
+    else if (mf.contains("sketch")) {
       def p(key: String): Int = params.getOrElse(key,
         sys.error(s"index at $path missing $key")).toInt
       new Sketch(spark, path, p("dim"), p("nBits"))

@@ -1664,10 +1664,10 @@ object Similarity {
 
   /** Manifest-resolved read of the sketch member table, without the
     * internal `idx_bucket` partition column. A committed-but-EMPTIED
-    * index (a takedown of every id legitimately records zero owned
-    * partitions — the VersionedIndex empty-table contract) reads as
-    * zero rows, never an error: the index must survive full takedown
-    * followed by re-ingest. */
+    * index reads as zero typed rows, never an error — the
+    * VersionedIndex commit stages an emptied partitioned table as an
+    * empty unpartitioned one precisely so every reader and every
+    * later mutation keeps working (full takedown → re-ingest). */
   def readSketchTable(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     rawSketchTable(spark, path)
@@ -1675,17 +1675,7 @@ object Similarity {
 
   private def rawSketchTable(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    if (VersionedIndex.manifest(spark, path).contains("sketch"))
-      VersionedIndex.readTable(spark, path, "sketch")
-    else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType),
-          StructField("canon", LongType),
-          StructField("embedding", ArrayType(FloatType)),
-          StructField("idx_bucket", IntegerType))))
-    }
+    VersionedIndex.readTable(spark, path, "sketch")
 
   /** Persist the sketch index: the corpus's canonical codes + vectors,
     * so per-round near-dup detection pays O(batch) kernels — the
@@ -1758,9 +1748,17 @@ object Similarity {
     val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
       ids.select(sketchBucketCol(col("vec_id"), nBuckets).as("b")),
       extraGate = true, maxVersionChain)
+    // deleting only ABSENT ids commits NOTHING (no new version) — the
+    // replay/no-op contract the streaming takedown sink documents; the
+    // presence probe is one bounded semi-join over the partitions the
+    // rewrite would read anyway (the IVF delete's discovery move)
+    def anyPresent(existing: DataFrame): Boolean =
+      !existing.join(ids, Seq("vec_id"), "left_semi").isEmpty
     if (!plan.ok) {
+      val existing = rawSketchTable(spark, path)
+      if (!anyPresent(existing)) return
       commitSketchVersion(spark, path,
-        rawSketchTable(spark, path)
+        existing
           .join(ids, Seq("vec_id"), "left_anti")
           .drop("idx_bucket")
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets)),
@@ -1768,10 +1766,11 @@ object Similarity {
     } else {
       if (plan.touched.isEmpty) return
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
+      val touchedRows = VersionedIndex.readTable(spark, path, "sketch")
+        .filter(inTouched)
+      if (!anyPresent(touchedRows)) return
       commitSketchVersion(spark, path,
-        VersionedIndex.readTable(spark, path, "sketch")
-          .filter(inTouched)
-          .join(ids, Seq("vec_id"), "left_anti"),
+        touchedRows.join(ids, Seq("vec_id"), "left_anti"),
         dim, nBits, nBuckets,
         carry = Map("sketch" -> plan.carryFor("sketch")))
     }

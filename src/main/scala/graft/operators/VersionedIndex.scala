@@ -261,19 +261,41 @@ object VersionedIndex {
     }
     derived.foreach { case (name, df) => stage(name, df) }
     // manifest: carried entries + everything staged (staged wins)
-    val staged = tables.map { case (n, _) => n } ++ derived.map(_._1)
-    val owned: Map[String, Map[String, Int]] = staged.map { name =>
-      val tdir = new Path(staging, name)
-      val partDirs = fs.listStatus(tdir).toSeq
-        .filter(c => c.isDirectory && c.getPath.getName.contains("="))
-        .map(_.getPath.getName)
-      // a PARTITIONED table staged with zero rows (e.g. a delete that
-      // emptied every touched partition) owns nothing — recording it
-      // as whole-table-owned would point readers at an empty dir and
-      // mark the manifest unpartitioned, breaking later partial commits
-      name -> (if (partDirs.nonEmpty) partDirs.map(_ -> next).toMap
-               else if (partitionBy.get(name).exists(_.nonEmpty)) Map.empty[String, Int]
-               else Map(WholeTable -> next))
+    val stagedFrames = tables ++ derived
+    val staged = stagedFrames.map(_._1)
+    val owned: Map[String, Map[String, Int]] = stagedFrames.map {
+      case (name, df) =>
+        val tdir = new Path(staging, name)
+        val partDirs = fs.listStatus(tdir).toSeq
+          .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+          .map(_.getPath.getName)
+        // A PARTITIONED table staged with zero rows (e.g. a takedown
+        // that emptied every touched partition) writes no partition
+        // dirs AND no schema. While CARRIED partitions keep the table
+        // alive, owning nothing is correct (recording whole-table
+        // ownership would point readers at an empty dir alongside the
+        // carried legs). But when carry is empty too — a FULL takedown
+        // — dropping the table from the manifest would permanently
+        // wedge the index: readers error on the missing entry, and
+        // mutations can never re-add what they cannot read. Re-stage
+        // that case as an empty UNPARTITIONED parquet table: the
+        // schema survives in the part file's footer, the manifest
+        // keeps the table (whole-owned), readers see zero typed rows,
+        // and the next mutation routes through the full-rewrite branch
+        // exactly like a legacy layout — full takedown followed by
+        // re-ingest works for EVERY index kind (r13; pinned by the
+        // IVF/LSH/sketch takedown-then-reingest specs).
+        val emptiedPartitioned =
+          partDirs.isEmpty && partitionBy.get(name).exists(_.nonEmpty)
+        if (emptiedPartitioned && carry.getOrElse(name, Map.empty).isEmpty) {
+          require(fs.delete(tdir, true), s"failed to clear empty $tdir")
+          df.limit(0).write.parquet(tdir.toString)
+        }
+        name -> (if (partDirs.nonEmpty) partDirs.map(_ -> next).toMap
+                 else if (emptiedPartitioned &&
+                   carry.getOrElse(name, Map.empty).nonEmpty)
+                   Map.empty[String, Int]
+                 else Map(WholeTable -> next))
     }.toMap
     val mf: Map[String, Map[String, Int]] =
       (carry.keySet ++ owned.keySet).map { t =>
@@ -345,8 +367,7 @@ object VersionedIndex {
     * the manifest entries of UNTOUCHED partitions to carry by
     * reference. */
   private[operators] final case class PartialRewrite(ok: Boolean,
-      touched: Seq[Int], touchedDirs: Set[String],
-      carryFor: String => Map[String, Int])
+      touched: Seq[Int], carryFor: String => Map[String, Int])
 
   private[operators] def planPartialRewrite(spark: SparkSession, path: String,
       tables: Seq[String], keyBuckets: DataFrame, extraGate: Boolean,
@@ -357,12 +378,12 @@ object VersionedIndex {
       (mfs.flatMap(_._2.values).toSet + -1).size <= maxVersionChain
     val ok = extraGate && chainOk &&
       mfs.forall { case (_, m) => m.nonEmpty && !m.contains(WholeTable) }
-    if (!ok) PartialRewrite(ok = false, Nil, Set.empty, _ => Map.empty)
+    if (!ok) PartialRewrite(ok = false, Nil, _ => Map.empty)
     else {
       // bounded driver-side state: ≤ nBuckets ints, never rows
       val touched = keyBuckets.distinct().collect().map(_.getInt(0)).toSeq
       val dirs = touched.map(b => s"idx_bucket=$b").toSet
-      PartialRewrite(ok = true, touched, dirs,
+      PartialRewrite(ok = true, touched,
         t => mfAll.getOrElse(t, Map.empty)
           .filter { case (d, _) => !dirs.contains(d) })
     }

@@ -656,6 +656,25 @@ class LayoutSpec extends SparkSuite {
     assert(s3.buildErr == s1.buildErr, "baseline pinned until rebuild")
   }
 
+  test("IVF index survives full takedown then re-ingest (empty-manifest recovery)") {
+    import graft.operators.{Index, Similarity}
+    import org.apache.spark.sql.functions.col
+    // the same zero-owned-partitions state, on the IVF kind: the
+    // VersionedIndex commit's empty-table re-stage keeps `lists` (and
+    // the code tables) in the manifest with a readable schema, so the
+    // index opens, serves empty, and re-ingests — the streaming
+    // takedown sink's restart contract for EVERY kind
+    val base = Files.createTempDirectory("ivfempty").toString
+    val idx = s"$base/index"
+    val emb20 = Tables.embeddings(spark, sf0001).limit(20)
+    Similarity.buildIvfIndex(emb20, 4, idx)
+    Similarity.deleteFromIvfIndex(emb20.select(col("vec_id")), idx)
+    assert(Index.open(spark, idx).kind == "ivf")
+    Similarity.upsertIvfIndex(emb20, idx)
+    val res = Similarity.ivfSearchIndexed(spark, idx, 4, 0L, 500)
+    assert(res.count() == 19, "full probe must see every re-ingested vector")
+  }
+
   test("LSH index survives full takedown then re-ingest (empty-manifest recovery)") {
     import graft.operators.{Dedup, Index}
     import org.apache.spark.sql.functions.col
