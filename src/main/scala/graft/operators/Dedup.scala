@@ -727,17 +727,27 @@ object Dedup {
 
   /** Lazy unique-id guard on a per-round batch (the simhashPairs
     * move): duplicate vec_id rows would multiply scored pairs through
-    * the scoring join — raise loudly at first execution instead. The
-    * window shuffle is batch-sized. */
+    * the scoring join, and a NULL vec_id row would pass the duplicate
+    * check and then silently vanish downstream (the null-propagating
+    * `a.vec_id =!= b.vec_id` join condition discards its candidate
+    * rows) — raise loudly on BOTH at first execution, mirroring the
+    * NULL-specific message the eager boundaries use
+    * ([[Similarity.requireUniqueVecIds]]). The window shuffle is
+    * batch-sized (NULLs all land in one window partition, but a batch
+    * is per-round small by contract). */
   private def requireUniqueBatchVecIds(newVecs: DataFrame,
       where: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
     newVecs.select(col("vec_id"), col("embedding"))
       .withColumn("_idn", count(lit(1)).over(w))
       .select(col("vec_id"),
-        when(col("_idn") > 1, raise_error(concat(
-          lit(s"$where: duplicate vec_id "), col("vec_id").cast("string"),
-          lit(" in the batch — vec_ids must be unique per round"))))
+        when(col("vec_id").isNull, raise_error(
+          lit(s"$where: NULL vec_id row in the batch — vec_ids must " +
+            "be non-null (NULL ids silently drop out of the scoring " +
+            "join)")))
+          .when(col("_idn") > 1, raise_error(concat(
+            lit(s"$where: duplicate vec_id "), col("vec_id").cast("string"),
+            lit(" in the batch — vec_ids must be unique per round"))))
           .otherwise(col("embedding")).as("embedding"))
       // the guarded frame feeds the candidate leg AND both sides of
       // the scoring self-join: checkpoint so the guard's window

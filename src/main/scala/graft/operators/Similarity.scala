@@ -1351,12 +1351,16 @@ object Similarity {
     // overhead — so it short-circuits to the plain blocked graph and
     // the cap costs nothing until a bucket actually doubles it.
     //
-    // Unlike the lazy [[knnGraph]], this operator EXECUTES at call
-    // time (the size aggregation decides the plan, and the result is
-    // eagerly materialized below so the cached intermediates can be
-    // unpersisted before returning — repeated calls in a long-lived
-    // session leave only the n·k result blocks, which the session
-    // frees when the returned frame is GC'd).
+    // Unlike the lazy [[knnGraph]], the size aggregation EXECUTES at
+    // call time to decide the plan. The eager/unpersist contract is
+    // CAPPED-BRANCH ONLY: there the result is materialized below so
+    // the cached intermediates can be unpersisted before returning
+    // (repeated calls in a long-lived session leave only the n·k
+    // result blocks). The short-circuit below returns knnGraph's
+    // LAZY plan untouched — that path caches no intermediates, so
+    // eager materialization would buy nothing and cost the caller
+    // plan composability; its bucket column is recomputed at
+    // execution (one kernel pass, the plain graph's normal cost).
     val sizes = emb.select(bucketCol.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
       .cache()
@@ -1641,13 +1645,16 @@ object Similarity {
   /** The persisted boundary validates ids loudly (the ivfSeeds
     * contract: validate where state commits): NULL and duplicate
     * vec_ids each get their own message. */
-  private def requireUniqueVecIds(emb: DataFrame, where: String): Unit = {
+  /** Returns the batch row count so callers can no-op on empty
+    * batches without a second pass. */
+  private def requireUniqueVecIds(emb: DataFrame, where: String): Long = {
     val r = emb.agg(count(lit(1)), count_distinct(col("vec_id")),
       count(col("vec_id"))).head()
     require(r.getLong(2) == r.getLong(0),
       s"$where: ${r.getLong(0) - r.getLong(2)} NULL vec_id rows — vec_ids must be non-null")
     require(r.getLong(1) == r.getLong(0),
       s"$where: ${r.getLong(0) - r.getLong(1)} duplicate vec_id rows — vec_ids must be unique")
+    r.getLong(0)
   }
 
   private def commitSketchVersion(spark: org.apache.spark.sql.SparkSession,
@@ -1705,7 +1712,13 @@ object Similarity {
     val params = VersionedIndex.readParams(spark, curDir)
     val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
     val nBuckets = params.get("idxBuckets").map(_.toInt).getOrElse(64)
-    requireUniqueVecIds(newVecs, "upsertSketchIndex")
+    // empty batch = no-op on BOTH branches: without this, a post-
+    // takedown upsert (WholeTable manifest → !plan.ok full rewrite)
+    // would commit a content-identical empty version per call — a
+    // streaming ingest sink receiving empty micro-batches would grow
+    // the version chain for nothing (the delete path's anyPresent
+    // contract, mirrored)
+    if (requireUniqueVecIds(newVecs, "upsertSketchIndex") == 0L) return
     val newIds = newVecs.select(col("vec_id")).distinct()
     val fresh = sketchRows(newVecs, dim, nBits, nBuckets)
     val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
@@ -1774,5 +1787,66 @@ object Similarity {
         dim, nBits, nBuckets,
         carry = Map("sketch" -> plan.carryFor("sketch")))
     }
+  }
+
+  /** Operational health of a persisted sketch index — the vector-tier
+    * parity of [[Dedup.lshIndexStats]], answering the three questions
+    * that index's stats answered for the r12 capped-kNN decision:
+    *
+    *  - **vec_id-hash bucket skew**: `maxBucket`/`medianBucket`/`skew`
+    *    over the `idx_bucket` occupancy. Unlike LSH band buckets
+    *    (content-driven, legitimately skewed by boilerplate), these
+    *    buckets are `xxhash64(vec_id) % idxBuckets` — skew here means
+    *    a pathological id population (e.g. mass-upserts of sequential
+    *    synthetic ids colliding) and directly multiplies the
+    *    O(touched-bucket) mutation cost on the hot buckets.
+    *  - **per-commit carry depth**: `carryDepth` = current version −
+    *    oldest version still referenced by the manifest (0 = fully
+    *    self-owned, e.g. a fresh build or post-full-rewrite), and
+    *    `carriedParts` = manifest entries owned by older versions.
+    *    Deep chains mean many small partial commits since the last
+    *    full rewrite — each version dir must survive until
+    *    unreferenced, so depth bounds both sweep debt and the
+    *    worst-case read fan-out (one parquet leg per referenced
+    *    version in [[VersionedIndex.readTable]]).
+    *  - **emptied state**: `emptied` is the committed-but-emptied
+    *    recovery form (a full takedown re-staged as an empty
+    *    unpartitioned table) — readable, mutable, but serving zero
+    *    vectors; a monitoring loop should treat it as "index
+    *    intentionally empty", not "index missing".
+    *
+    * One bounded aggregation over the narrow (idx_bucket) projection —
+    * column pruning keeps the embedding bytes unread. */
+  final case class SketchStats(nVecs: Long, nOccupiedBuckets: Long,
+      idxBuckets: Int, maxBucket: Long, medianBucket: Long, skew: Double,
+      carryDepth: Int, carriedParts: Int, emptied: Boolean)
+
+  def sketchIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): SketchStats = {
+    val curDir = VersionedIndex.currentDir(spark, path).getOrElse(
+      sys.error(s"no committed sketch index at $path"))
+    val idxBuckets = VersionedIndex.readParams(spark, curDir)
+      .get("idxBuckets").map(_.toInt).getOrElse(64)
+    val cur = VersionedIndex.currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed version at $path"))
+    val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
+    val carriedParts = mf.values.count(_ != cur)
+    val carryDepth = if (mf.isEmpty) 0 else cur - mf.values.min
+    val sizes = rawSketchTable(spark, path)
+      .groupBy(col("idx_bucket")).agg(count(lit(1)).as("n"))
+    // exact median would be a sort over ≤idxBuckets narrow rows; the
+    // approx form keeps the stat one cheap pass at any index size
+    // (the lshIndexStats trade, verbatim)
+    val r = sizes.agg(count(lit(1)), max(col("n")),
+      percentile_approx(col("n"), lit(0.5), lit(1000)).cast("long"),
+      sum(col("n"))).head()
+    if (r.getLong(0) == 0L)
+      return SketchStats(0L, 0L, idxBuckets, 0L, 0L, 1.0,
+        carryDepth, carriedParts, emptied = true)
+    val med = math.max(r.getLong(2), 1L)
+    SketchStats(nVecs = r.getLong(3), nOccupiedBuckets = r.getLong(0),
+      idxBuckets = idxBuckets, maxBucket = r.getLong(1),
+      medianBucket = r.getLong(2), skew = r.getLong(1).toDouble / med,
+      carryDepth = carryDepth, carriedParts = carriedParts, emptied = false)
   }
 }

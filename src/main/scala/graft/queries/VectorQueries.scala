@@ -181,10 +181,13 @@ object VectorQueries {
   /** Build-once plain-IVF index cache shared by q55/q137. Build into
     * a private temp dir, then publish with an atomic rename: a
     * concurrent run can never observe a half-built index, and
-    * whichever builder loses the rename race discards its copy. */
+    * whichever builder loses the rename race discards its copy.
+    * The "1" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
+    * lesson): bump it with any IVF build/layout/geometry change —
+    * the fingerprint tracks DATA only. */
   private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf-" + sourceFingerprint(d)).getPath
+      "graft-ivf1-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
@@ -204,8 +207,9 @@ object VectorQueries {
   // the upsert path produces an index indistinguishable from a fresh
   // build for search purposes.
   val q126 = QueryDef("q126_ivf_upsert_full_probe", (s, d) => {
+    // "1" = layout/semantics version; bump with any build/upsert change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfups-" + sourceFingerprint(d)).getPath
+      "graft-ivfups1-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -226,8 +230,9 @@ object VectorQueries {
   // brute force over EXACTLY the surviving vectors: deleted rows are
   // unfindable, everything else is undisturbed.
   val q130 = QueryDef("q130_ivf_delete_probe", (s, d) => {
+    // "1" = layout/semantics version; bump with any build/delete change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfdel-" + sourceFingerprint(d)).getPath
+      "graft-ivfdel1-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -618,8 +623,12 @@ object VectorQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // "1" = layout/semantics version; bump with any LSH index
+    // build/upsert/delete change. Fingerprint tracks documents.parquet
+    // (this index's actual source — the file-local sourceFingerprint
+    // helper tracks embeddings, which this query never reads).
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-lshdel-" + sourceFingerprint(d)).getPath
+      "graft-lshdel1-" + QueryDef.sourceFingerprint(d, "documents.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       graft.operators.Dedup.writeLshIndex(
@@ -1127,8 +1136,10 @@ object VectorQueries {
          |ORDER BY vec_a, vec_b""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    // "1" = sketch layout/canon-semantics version; bump with any
+    // change to sketchRows/canon/bucketing or the commit layout
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-sketch-" + sourceFingerprint(d)).getPath
+      "graft-sketch1-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.writeSketchIndex(

@@ -772,6 +772,36 @@ class LayoutSpec extends SparkSuite {
     assert(viaIndex.nonEmpty && viaIndex == inMem)
   }
 
+  test("sketchIndexStats: occupancy, carry depth, and the emptied state") {
+    import graft.operators.{Similarity, VersionedIndex}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("sketchstats").toString + "/i"
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val n = emb.count()
+    // small upsert batch (50 of 500 ids → ≤50 of 64 buckets touched)
+    // so the partial commit provably CARRIES untouched v1 partitions
+    Similarity.writeSketchIndex(emb.filter(col("vec_id") % 10 =!= 1), dir, 64)
+    // fresh build: fully self-owned (carry depth 0), all rows counted
+    val s1 = Similarity.sketchIndexStats(spark, dir)
+    assert(s1.nVecs == emb.filter(col("vec_id") % 10 =!= 1).count())
+    assert(s1.carryDepth == 0 && s1.carriedParts == 0 && !s1.emptied)
+    assert(s1.nOccupiedBuckets > 0 && s1.nOccupiedBuckets <= s1.idxBuckets)
+    assert(s1.maxBucket >= s1.medianBucket && s1.skew >= 1.0)
+    // partial upsert: the manifest now carries v1 partitions, so the
+    // depth reflects the oldest referenced version
+    Similarity.upsertSketchIndex(emb.filter(col("vec_id") % 10 === 1), dir)
+    val cur = VersionedIndex.currentVersion(spark, dir).get
+    val s2 = Similarity.sketchIndexStats(spark, dir)
+    assert(s2.nVecs == n)
+    assert(cur == 2 && s2.carryDepth == 1 && s2.carriedParts > 0)
+    // full takedown commits the emptied recovery form: readable,
+    // reported as intentionally empty, not an error
+    Similarity.deleteFromSketchIndex(emb.select(col("vec_id")), dir)
+    val s3 = Similarity.sketchIndexStats(spark, dir)
+    assert(s3.emptied && s3.nVecs == 0 && s3.nOccupiedBuckets == 0)
+    assert(s3.carryDepth == 0 && s3.carriedParts == 0)
+  }
+
   test("streaming vector ingest: batches bootstrap then upsert the IVF index atomically") {
     import graft.operators.{Similarity, VersionedIndex}
     import org.apache.spark.sql.functions.col

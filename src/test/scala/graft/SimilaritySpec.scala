@@ -467,6 +467,47 @@ class SimilaritySpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("duplicate vec_id")), msgs(e).mkString(" | "))
   }
 
+  test("incremental near-dup batch with a NULL vec_id raises loudly") {
+    import graft.operators.Dedup
+    // a NULL id would pass a duplicates-only guard and then silently
+    // drop out of the scoring join (null-propagating =!= condition) —
+    // the in-plan guard must name it instead, mirroring the eager
+    // boundaries' NULL-specific message
+    val nulled = emb.limit(5).select(
+      when(col("vec_id") === 2L, lit(null)).otherwise(col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 100L)
+    val e = intercept[Exception](
+      Dedup.embeddingNearDupIncremental(nulled, corpus, 0.0, 64).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL vec_id")), msgs(e).mkString(" | "))
+  }
+
+  test("empty-batch sketch upsert is a no-op on both branches (no new version)") {
+    import graft.operators.{Similarity, VersionedIndex}
+    val dir = java.nio.file.Files.createTempDirectory("sketchemptyb").toString + "/i"
+    val empty = emb.filter(lit(false)).select("vec_id", "embedding")
+    Similarity.writeSketchIndex(emb.limit(20), dir, 64)
+    val v1 = VersionedIndex.currentVersion(spark, dir)
+    // partial branch: healthy index, empty batch → nothing committed
+    Similarity.upsertSketchIndex(empty, dir)
+    assert(VersionedIndex.currentVersion(spark, dir) == v1)
+    // full-rewrite branch: a full takedown leaves a WholeTable
+    // manifest (!plan.ok on the next mutation); an empty upsert there
+    // used to commit a content-identical empty version per call — a
+    // streaming sink's empty micro-batches would grow the chain
+    Similarity.deleteFromSketchIndex(
+      emb.limit(20).select(col("vec_id")), dir)
+    val v2 = VersionedIndex.currentVersion(spark, dir)
+    Similarity.upsertSketchIndex(empty, dir)
+    Similarity.upsertSketchIndex(empty, dir)
+    assert(VersionedIndex.currentVersion(spark, dir) == v2)
+    // and a real re-ingest still works after the no-ops
+    Similarity.upsertSketchIndex(emb.limit(10), dir)
+    assert(Similarity.readSketchTable(spark, dir).count() == 10)
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
