@@ -88,9 +88,79 @@ object LayoutProbe {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** `--state`: probe the ADOPTED clustered state-table layout (r14) —
+    * the StreamingJob windowed-counts table landed through
+    * `Pipelines.applyClusteredStateBatch` (keyword-leading sort,
+    * exactly the sink's code path) — against the native streaming file
+    * sink's layout (per-trigger unsorted task files, identical
+    * file/row-group geometry), under the dashboard serving predicate
+    * (one key × a minute range, the q15/q27/q140 shape). Triggers are
+    * simulated as consecutive event-time slices — what an append-mode
+    * watermark emission actually produces — so BOTH layouts get the
+    * per-trigger time locality for free and the measured difference is
+    * purely the within-trigger key sort. */
+  private def stateProbe(spark: SparkSession, sfDir: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-s").toString
+    val ev = Tables.events(spark, sfDir)
+    // the StreamingJob counts shape on the events table: minute bucket
+    // × event_type (the keyword role)
+    val counts = ev
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .count()
+      .select(col("window.start").as("minute"), col("event_type").as("keyword"),
+        col("count"))
+      .persist()
+    val n = counts.count()
+    val Array(lo, hi) = counts.agg(min("minute"), max("minute")).collect()(0)
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+    val nTriggers = 8
+    val slice = math.max(1L, (hi - lo) / nTriggers + 1)
+    val trig = floor((col("minute").cast("long") * 1000L - lit(lo)) / lit(slice))
+    val perFile = 16L
+    (0 until nTriggers).foreach { k =>
+      graft.streaming.Pipelines.applyClusteredStateBatch(
+        counts.filter(trig === k), s"$dir/clustered", k,
+        Seq("keyword", "minute"), perFile)
+      // native-sink baseline: same trigger rows, unsorted task files
+      // with the same row-group cap (the sink writes tasks × leaves
+      // unsorted files; hash-repartition emulates task spread)
+      counts.filter(trig === k)
+        .repartition(4, md5(concat_ws("|", col("keyword"), col("minute"))))
+        .write.option("maxRecordsPerFile", perFile)
+        .parquet(s"$dir/native/batch=$k")
+    }
+    // serving read: one keyword's timeline over a quarter of the range
+    val qLo = new java.sql.Timestamp(lo)
+    val qHi = new java.sql.Timestamp(lo + (hi - lo) / 4)
+    def serve(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("keyword") === "error" &&
+          col("minute").between(qLo, qHi))
+        .select(col("minute"), col("count"))
+      val selected = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (selected, scan)
+    }
+    val (selC, scanC) = serve(s"$dir/clustered")
+    val (selN, scanN) = serve(s"$dir/native")
+    require(selC == selN, s"layouts must agree on the read: $selC vs $selN")
+    println(f"[layout] state rows=$n%d  read=(keyword=error, first quarter)  selected=$selC%d")
+    println(f"[layout] clustered: scan materialized $scanC%d rows " +
+      f"(${100.0 * scanC / n}%.1f%% of state table)")
+    println(f"[layout] native:    scan materialized $scanN%d rows " +
+      f"(${100.0 * scanN / n}%.1f%% of state table)")
+    println(f"[layout] row-group skip factor: ${scanN.toDouble / math.max(1L, scanC)}%.1fx")
+    counts.unpersist()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   def main(args: Array[String]): Unit = {
     val mirror = args.contains("--mirror")
-    MainFlags.requireKnown(args, Set("--mirror"))
+    val state = args.contains("--state")
+    MainFlags.requireKnown(args, Set("--mirror", "--state"))
     val pos = MainFlags.positional(args)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)

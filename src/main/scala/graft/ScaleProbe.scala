@@ -97,10 +97,16 @@ object ScaleProbe {
   }
 
   /** Replicate documents+embeddings+events ×factor into `outDir`
-    * (each table skipped if already present). */
+    * (each table skipped if already present). `jitterPermille` scales
+    * the embedding replica jitter amplitude (±jitterPermille/1000):
+    * the default 10 (±0.01, ~1.3% sign-bit flips on this corpus) is
+    * the r13 dense-regime setting, BIT-IDENTICAL to the original
+    * division formula; 50 (±0.05) builds the mid-noise regime the r14
+    * recall sweep measures (~5% flips). */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int,
-      tables: Set[String] = Set("documents", "embeddings", "events")): Unit = {
+      tables: Set[String] = Set("documents", "embeddings", "events"),
+      jitterPermille: Int = 10): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def missing(name: String): Boolean =
@@ -131,11 +137,14 @@ object ScaleProbe {
       emb.select(col("*"), reps)
         .select(
           (col("vec_id") + col("rep") * vecStride).as("vec_id"),
-          // ±0.01 deterministic jitter so replicas are near, not equal
+          // deterministic jitter so replicas are near, not equal; the
+          // divisor keeps the default amplitude's float rounding
+          // identical to the original /100000.0f form
           when(col("rep") === 0, col("embedding"))
             .otherwise(transform(col("embedding"), (x, i) =>
               (x + (pmod(hash(col("vec_id") * 31 + i + col("rep")), lit(2000))
-                - 1000).cast("float") / lit(100000.0f)).cast("float")))
+                - 1000).cast("float")
+                / lit(1000000.0f / jitterPermille)).cast("float")))
             .as("embedding"),
           col("label"))
         .repartition(32)
@@ -217,6 +226,119 @@ object ScaleProbe {
     (ingestSecs.min, delSecs.min)
   }
 
+  /** Fixed-batch tier: the O(batch) claim of the incremental
+    * near-dup operators measured on the axis the 100 TB per-crawl-
+    * round story actually rests on — the CORPUS grows ×factor while
+    * the BATCH is pinned (the gated q147/q148/q131 derive their batch
+    * from the table by modulo, so the sf1 probe scales batch AND
+    * corpus together and reads ~2.8×; this tier isolates corpus
+    * growth alone).
+    *
+    * Batch = the rep-0 originals below a fixed id cut (200 vectors /
+    * 500 docs — identical rows at BOTH scales, since replication
+    * remaps replica ids above the original stride); corpus = all
+    * other rows. Three operators, each timed `runs` times (min):
+    *
+    *  - `sketch_inmem` ([[graft.operators.Dedup.embeddingNearDupIncremental]]):
+    *    the in-memory form must hash the WHOLE union per round (canon
+    *    kernel is O(corpus)) — expected to GROW with the corpus; it
+    *    exists here as the contrast that motivates the index.
+    *  - `sketch_indexed` ([[graft.operators.Dedup.embeddingNearDupIndexed]]):
+    *    corpus canon codes are parquet reads; per-round kernels are
+    *    batch-only and candidates are bounded by batch·T·w, so the
+    *    only corpus-growth term is the narrow (16 B/row) rank pass —
+    *    the near-flat claim under test. Index build is UNTIMED (paid
+    *    once at ingest, amortized over rounds).
+    *  - `lsh_indexed_text` ([[graft.operators.Dedup.incrementalLshPairsIndexed]]):
+    *    the text twin — batch tokenize/minhash + banded join against
+    *    the persisted index's buckets.
+    *
+    * Also prints [[graft.operators.Similarity.sketchIndexStats]] of
+    * each built index (bucket skew of the vec_id hash, carry depth) —
+    * the operational stats a production sizing decision would read. */
+  def fixedBatchTier(spark: SparkSession, dir: String,
+      runs: Int): Seq[(String, Double)] = {
+    import graft.operators.{Dedup, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft_fixedbatch").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vBatch = emb.filter(col("vec_id") < 200)
+    val vCorpus = emb.filter(col("vec_id") >= 200)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dBatch = docs.filter(col("doc_id") < 500)
+    val dCorpus = docs.filter(col("doc_id") >= 500)
+    def best(mk: => DataFrame): Double = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val inmem = best(Dedup.embeddingNearDupIncremental(vBatch, vCorpus, 0.3, 64))
+    Similarity.writeSketchIndex(vCorpus, s"$root/sk", 64)
+    System.err.println(s"[probe] sketch index stats ($dir): " +
+      Similarity.sketchIndexStats(spark, s"$root/sk"))
+    val indexed = best(Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3))
+    Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"), s"$root/lsh")
+    val lshText = best(Dedup.incrementalLshPairsIndexed(
+      dBatch, col("doc_id"), col("text"), s"$root/lsh"))
+    Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
+      "lsh_indexed_text" -> lshText)
+  }
+
+  /** Mid-noise recall sweep: the "raise T, not w" production-sizing
+    * guidance measured instead of argued. r13 pinned sorted-sketch
+    * recall at two extremes — ~1.3% sign-bit flips (±0.01 jitter,
+    * 0.989 recall at T=4/w=16) and isotropic (the information-
+    * theoretic floor). This tier builds the regime between them
+    * (±0.05 jitter ≈ 5% flips), measures the ACTUAL flip rate, then
+    * sweeps T ∈ {4, 8} × w ∈ {16, 32} over exhaustive ≥0.9 ground
+    * truth. Theory says recall ≈ 1 − (1 − p_window)^T per pair:
+    * extra tables multiply independent chances of landing a pair in
+    * one window, while a wider window only grows the per-table
+    * chance sublinearly once flips scatter codes across the sort
+    * order — the sweep pins the sizes. */
+  def noiseSweep(spark: SparkSession, srcDir: String, runs: Int): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.Vectors
+    val root = java.nio.file.Files.createTempDirectory("graft_noisesweep").toString
+    // 500 originals × 6 replicas = 3,000 vectors — exhaustive ground
+    // truth stays a 4.5M-kernel job
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+      .write.parquet(s"$root/base/embeddings.parquet")
+    materialize(spark, s"$root/base", s"$root/rep", 6,
+      Set("embeddings"), jitterPermille = 50)
+    val rep = spark.read.parquet(s"$root/rep/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    // measured sign-flip rate: mean Hamming distance between each
+    // replica's canonical code and its original's, over nBits
+    val stride = 500L
+    val codes = rep.select(col("vec_id"),
+      Vectors.lshBucket(col("embedding"), 64, 32).as("c"))
+    val flips = codes.filter(col("vec_id") >= stride)
+      .select((col("vec_id") % stride).as("o"), col("c"))
+      .join(codes.filter(col("vec_id") < stride)
+        .select(col("vec_id").as("o"), col("c").as("c0")), "o")
+      .agg(avg(bit_count(col("c").bitwiseXOR(col("c0")))) / 32.0)
+      .head().getDouble(0)
+    def pairs(df: DataFrame) = df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupPairs(
+      rep.withColumn("one", lit(1)), "one", 0.9))
+    System.err.println(
+      f"[probe] noise-sweep corpus n=3000 flipRate=$flips%.4f exactPairs=${exact.size}%d")
+    val rows = for (t <- Seq(4, 8); w <- Seq(16, 32)) yield {
+      val approx = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
+        nBits = 32, tables = t, window = w))
+      require(approx.subsetOf(exact), "precision must be 1.0 by construction")
+      val recall = (approx & exact).size.toDouble / exact.size
+      System.err.println(f"[probe] noise-sweep T=$t%d w=$w%-3d recall=$recall%.4f")
+      f""""t${t}_w$w":$recall%.4f"""
+    }
+    println(s"""{"metric":"noisesweep","flipRate":$flips,""" +
+      s""""exactPairs":${exact.size},${rows.mkString(",")}}""")
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
@@ -228,7 +350,13 @@ object ScaleProbe {
     // `--mutation-only` limits the run to the streaming-mutation tier
     // (the query tiers take ~30 min; the mutation tier minutes)
     val mutationOnly = args.contains("--mutation-only")
-    MainFlags.requireKnown(args, Set("--mutation-only"))
+    // `--fixed-batch` runs ONLY the fixed-batch tier (corpus ×factor,
+    // batch pinned — the O(batch) axis)
+    val fixedBatchOnly = args.contains("--fixed-batch")
+    // `--noise-sweep` runs ONLY the mid-noise recall sweep
+    val noiseSweepOnly = args.contains("--noise-sweep")
+    MainFlags.requireKnown(args,
+      Set("--mutation-only", "--fixed-batch", "--noise-sweep"))
     val pos = MainFlags.positional(args)
     val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
@@ -256,13 +384,20 @@ object ScaleProbe {
     // replication for tables the run never touches).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (noiseSweepOnly) {
+      noiseSweep(spark, srcDir, runs)
+      spark.stop()
+      return
+    }
     val selected =
-      (if (mutationOnly) Seq.empty else ProbeQueries ++ CdcProbeQueries)
+      (if (mutationOnly || fixedBatchOnly) Seq.empty
+       else ProbeQueries ++ CdcProbeQueries)
         .filter(n => only.forall(_.exists(n.startsWith)))
     val mutationSelected = mutationOnly ||
-      only.forall(_.exists("mutation".startsWith))
+      (!fixedBatchOnly && only.forall(_.exists("mutation".startsWith)))
     val tables = (selected.map(tableFor).toSet ++
-      (if (mutationSelected) Set("embeddings") else Set.empty))
+      (if (mutationSelected) Set("embeddings") else Set.empty) ++
+      (if (fixedBatchOnly) Set("embeddings", "documents") else Set.empty))
     materialize(spark, srcDir, workDir, factor, tables)
 
     // footer/JVM warm-up at both scales, then the noop sink
@@ -291,8 +426,19 @@ object ScaleProbe {
         f""""mutation":{"batch":50,"ingest":{"sf01":$inS%.3f,"sf1":$inB%.3f,"ratio":${inB / inS}%.2f},""" +
           f""""delete":{"sf01":$delS%.3f,"sf1":$delB%.3f,"ratio":${delB / delS}%.2f}}""")
     } else None
+    val fixedBatch = if (fixedBatchOnly) {
+      val small = fixedBatchTier(spark, srcDir, runs).toMap
+      val big = fixedBatchTier(spark, workDir, runs).toMap
+      Some(small.keys.toSeq.sorted.map { k =>
+        val (s, b) = (small(k), big(k))
+        System.err.println(
+          f"[probe] fixed-batch $k%-18s $s%8.2f s -> $b%8.2f s  (${b / s}%.1f×)")
+        f""""$k":{"sf01":$s%.3f,"sf1":$b%.3f,"ratio":${b / s}%.2f}"""
+      }.mkString(""""fixed_batch":{""", ",", "}"))
+    } else None
     println(s"""{"metric":"scaleprobe","factor":$factor,"runs":$runs,""" +
       (mutation.map(_ + ",").getOrElse("")) +
+      (fixedBatch.map(_ + ",").getOrElse("")) +
       s""""queries":{${rows.mkString(",")}}}""")
     spark.stop()
   }

@@ -719,8 +719,12 @@ object Dedup {
     val union = corpus.select(col("vec_id"), col("embedding"))
       .join(newIds, Seq("vec_id"), "left_anti")
       .unionByName(batch)
-    val cand = Similarity.sortedSketchCandidates(union, dim, nBits, tables, window)
-    Similarity.scoreSketchPairs(union, batchIncident(cand, newIds))
+    // incidence filtered BEFORE the pair-dedup shuffle (r14): the
+    // O(corpus·tables·window) adjacency fan-out stays in-pipeline and
+    // only batch-incident pairs reach a shuffle or the kernel
+    val cand = Similarity.batchIncidentSortedCandidates(
+      union, newIds, dim, nBits, tables, window)
+    Similarity.scoreSketchPairs(union, cand)
       .filter(col("sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
   }
@@ -755,19 +759,6 @@ object Dedup {
       .localCheckpoint(eager = false)
   }
 
-  /** Batch-incident filter BEFORE scoring, in ONE pass over the
-    * candidate stream (a union of two semi-joins would re-execute the
-    * whole candidate subtree per branch): two broadcast marker joins
-    * + an OR filter, no dedup needed. */
-  private def batchIncident(cand: DataFrame, newIds: DataFrame): DataFrame =
-    cand
-      .join(newIds.select(col("vec_id").as("va"), lit(true).as("_an")),
-        Seq("va"), "left")
-      .join(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn")),
-        Seq("vb"), "left")
-      .filter(col("_an").isNotNull || col("_bn").isNotNull)
-      .select(col("va"), col("vb"))
-
   /** [[embeddingNearDupIncremental]] against a persisted sketch index
     * ([[Similarity.writeSketchIndex]]): identical semantics, but the
     * corpus side's canonical codes AND vectors are parquet reads —
@@ -797,8 +788,12 @@ object Dedup {
     // re-evaluate the batch leg's kernel per consumer
     val codes = union.select(col("vec_id"), col("canon").as("_canon"))
       .localCheckpoint(eager = false)
-    val cand = Similarity.candidatesFromCodes(codes, nBits, tables, window)
-    Similarity.scoreSketchPairs(union, batchIncident(cand, newIds))
+    // incidence filtered BEFORE the pair-dedup shuffle (r14, the
+    // in-memory form's move): the only corpus-proportional shuffle
+    // left in an indexed round is the narrow (16 B/row) rank pass
+    val cand = Similarity.batchIncidentCandidatesFromCodes(
+      codes, newIds, nBits, tables, window)
+    Similarity.scoreSketchPairs(union, cand)
       .filter(col("sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("sim"))
   }

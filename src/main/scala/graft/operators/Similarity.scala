@@ -1552,11 +1552,42 @@ object Similarity {
     candidatesFromCodes(canon, nBits, tables, window)
   }
 
+  /** [[sortedSketchCandidates]] restricted to batch-incident pairs —
+    * the canon kernel still runs once per union row (the in-memory
+    * incremental form must hash the whole union), but the pair dedup
+    * shuffle shrinks to O(batch·tables·window) via
+    * [[batchIncidentCandidatesFromCodes]]. */
+  private[operators] def batchIncidentSortedCandidates(emb: DataFrame,
+      newIds: DataFrame, dim: Int, nBits: Int, tables: Int,
+      window: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val canon = emb.select(col("vec_id"),
+        Vectors.lshBucket(col("embedding"), dim, nBits).as("_canon"))
+      .localCheckpoint(eager = false)
+    batchIncidentCandidatesFromCodes(canon, newIds, nBits, tables, window)
+  }
+
   /** The integer half of the sorted-sketch core, from PRECOMPUTED
     * canonical codes — (vec_id, _canon) rows, e.g. read back from a
     * persisted [[writeSketchIndex]] table (the kernel pass already
     * paid at build time). */
   private[operators] def candidatesFromCodes(canon: DataFrame,
+      nBits: Int, tables: Int, window: Int): DataFrame =
+    // across tables AND orientations: one kernel eval per pair. The
+    // dedup shuffle is O(tables·n·window) pairs — correct for the
+    // full-corpus operators; incremental callers use the RAW stream
+    // and dedup AFTER their batch-incident filter instead, so the
+    // only O(corpus) shuffle they pay is the narrow rank pass.
+    rawAdjacentPairs(canon, nBits, tables, window).distinct()
+
+  /** [[candidatesFromCodes]] WITHOUT the final dedup: the raw
+    * (va, vb) adjacency stream, one row per (table, orientation)
+    * match — duplicates possible across tables. The pair fan-out
+    * (tables·n·window rows) stays INSIDE whole-stage codegen here
+    * (banded broadcast-free equi-join, no shuffle after the rank);
+    * callers that filter the stream (batch-incidence) must dedup
+    * after filtering. */
+  private[operators] def rawAdjacentPairs(canon: DataFrame,
       nBits: Int, tables: Int, window: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
     require(tables >= 1 && window >= 1)
@@ -1583,9 +1614,29 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
-      .distinct() // across tables AND orientations: one kernel eval per pair
     cand
   }
+
+  /** Batch-incident variant of [[sortedSketchCandidates]] /
+    * [[candidatesFromCodes]]: adjacency pairs with ≥1 endpoint in
+    * `newIds`, deduplicated AFTER the incidence filter — so the
+    * O(tables·n·window) pair fan-out never hits a shuffle (it is
+    * filtered to O(batch·tables·window) rows inside the same codegen
+    * stage as the banded join), and the only corpus-proportional
+    * shuffles left in an incremental round are the narrow (16 B/row)
+    * rank passes. Incidence = two broadcast marker joins + an OR
+    * filter, one pass over the raw stream (the union-of-semi-joins
+    * alternative would re-execute the candidate subtree per branch). */
+  private[operators] def batchIncidentCandidatesFromCodes(canon: DataFrame,
+      newIds: DataFrame, nBits: Int, tables: Int, window: Int): DataFrame =
+    rawAdjacentPairs(canon, nBits, tables, window)
+      .join(newIds.select(col("vec_id").as("va"), lit(true).as("_an")),
+        Seq("va"), "left")
+      .join(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn")),
+        Seq("vb"), "left")
+      .filter(col("_an").isNotNull || col("_bn").isNotNull)
+      .select(col("va"), col("vb"))
+      .distinct()
 
   /** Bit order of sorted-sketch table `t`: bits ranked by the same
     * multiplicative-hash family as the hyperplanes (plan-time

@@ -245,9 +245,21 @@ object VersionedIndex {
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     def stage(name: String, df: DataFrame): Unit = {
-      val w = df.write
-      partitionBy.get(name).filter(_.nonEmpty).fold(w)(cols =>
-        w.partitionBy(cols: _*))
+      val pcols = partitionBy.get(name).filter(_.nonEmpty)
+      // ONE file per partition dir, not tasks × dirs (the mirror
+      // sink's file-count lesson applied at the single staging
+      // definition): without the repartition every write task holding
+      // rows of a bucket opens its own file in that bucket's dir —
+      // measured 2,048 files for a 64-bucket sketch index staged from
+      // 32 shuffle partitions, and EVERY read of the index paid the
+      // per-file open/footer cost (the dominant term in the r14
+      // fixed-batch probe). One extra exchange of the staged rows
+      // buys O(buckets) files; at 100 TB the same trade bounds
+      // manifest/listing pressure on the object store.
+      val out = pcols.fold(df)(cs =>
+        df.repartition(cs.map(org.apache.spark.sql.functions.col): _*))
+      val w = out.write
+      pcols.fold(w)(cols => w.partitionBy(cols: _*))
         .parquet(new Path(staging, name).toString)
       // refresh the staging dir's mtime so the liveness clock other
       // writers' sweeps read measures per-TABLE progress — a long

@@ -187,7 +187,7 @@ object VectorQueries {
     * the fingerprint tracks DATA only. */
   private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf1-" + sourceFingerprint(d)).getPath
+      "graft-ivf2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
@@ -209,7 +209,7 @@ object VectorQueries {
   val q126 = QueryDef("q126_ivf_upsert_full_probe", (s, d) => {
     // "1" = layout/semantics version; bump with any build/upsert change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfups1-" + sourceFingerprint(d)).getPath
+      "graft-ivfups2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -232,7 +232,7 @@ object VectorQueries {
   val q130 = QueryDef("q130_ivf_delete_probe", (s, d) => {
     // "1" = layout/semantics version; bump with any build/delete change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfdel1-" + sourceFingerprint(d)).getPath
+      "graft-ivfdel2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -628,7 +628,7 @@ object VectorQueries {
     // (this index's actual source — the file-local sourceFingerprint
     // helper tracks embeddings, which this query never reads).
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-lshdel1-" + QueryDef.sourceFingerprint(d, "documents.parquet")).getPath
+      "graft-lshdel2-" + QueryDef.sourceFingerprint(d, "documents.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       graft.operators.Dedup.writeLshIndex(
@@ -749,12 +749,13 @@ object VectorQueries {
   // result must be IDENTICAL to the ad-hoc composition, so the oracle
   // is q134's four-stage replay, unchanged (the q55-vs-q37 move).
   /** Build-once IVF-PQ index cache for q135/q136 (atomic-rename
-    * publish, q55's pattern). "2" in the name: the cache key carries
-    * the codebook construction version — a pre-trained-codebook
-    * (round-9) index must never be reused. */
+    * publish, q55's pattern). The number in the name is the
+    * layout/semantics version — "2" retired the pre-trained-codebook
+    * (round-9) layout, "3" the tasks×dirs staging file explosion
+    * (r14); bump with any codebook/build/layout change. */
   private def ivfPqIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfpq2-" + sourceFingerprint(d)).getPath
+      "graft-ivfpq3-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfPqIndex(Tables.embeddings(s, d), 16, tmp.getPath)
@@ -1139,7 +1140,7 @@ object VectorQueries {
     // "1" = sketch layout/canon-semantics version; bump with any
     // change to sketchRows/canon/bucketing or the commit layout
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-sketch1-" + sourceFingerprint(d)).getPath
+      "graft-sketch2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.writeSketchIndex(

@@ -525,6 +525,59 @@ object Pipelines {
       spark.read.parquet(countsPath.toString), stateDir, topN)
   }
 
+  /** One trigger's clustered state-table landing — the foreachBatch
+    * body of [[clusteredStateSink]], factored out so probes and specs
+    * exercise the exact production write (the q145/mirror lesson: one
+    * code path behind the gate and the measurement).
+    *
+    * The writeClustered mechanism applied to an APPENDED state table:
+    * range-partition the batch on the serving keys (write parallelism
+    * scales with the batch; files are key-range-disjoint), sort within
+    * partitions (tight per-row-group min/max on the serving keys), and
+    * land in a `batch=N` dir with mode-overwrite — a redelivered
+    * trigger overwrites its own dir, so replay is idempotent (the
+    * corpusFactory landing contract). Readers `spark.read.parquet(path)`
+    * and get `batch` as a partition column to drop. */
+  def applyClusteredStateBatch(batch: DataFrame, path: String, batchId: Long,
+      keys: Seq[String], maxRecordsPerFile: Long = 0): Unit = {
+    require(keys.nonEmpty, "applyClusteredStateBatch needs >=1 clustering key")
+    val ks = keys.map(col)
+    val w = batch.repartitionByRange(ks: _*)
+      .sortWithinPartitions(ks: _*)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(s"$path/batch=$batchId")
+  }
+
+  /** Clustered sink for events-derived STATE tables (the r13 mirror
+    * layout adoption extended to the windowed-counts tier): each
+    * trigger's append-mode output lands key-sorted via
+    * [[applyClusteredStateBatch]] instead of the native file sink's
+    * unsorted tasks×leaves files.
+    *
+    * Why not the native parquet streaming sink: Structured Streaming
+    * rejects Sort outside Complete-mode aggregation, so the native
+    * sink CANNOT cluster — every file's row groups span the whole key
+    * space and a serving read (the dashboard shape: one key × a time
+    * range, q15/q27/q140) scans everything the time-dir pruning
+    * leaves. With key-leading sort order, row-group min/max confine
+    * the scan to the requested key's groups — O(|answer| + files)
+    * rows, not O(state table); `LayoutProbe --state` measures the
+    * factor and SCALE.md records it. Exactly-once: checkpointed
+    * offsets + per-batch dir overwrite (same contract as
+    * [[corpusFactorySink]]). */
+  def clusteredStateSink(counts: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], maxRecordsPerFile: Long = 0,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClusteredStateBatch(batch, path, batchId, keys, maxRecordsPerFile)
+      }
+      .start()
+
   /** Training-data landing zone: the streaming curation funnel's keep
     * rows written per micro-batch as split/shard-partitioned parquet —
     * the layout a trainer consumes directly (deterministic split

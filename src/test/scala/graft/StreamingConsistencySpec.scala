@@ -203,6 +203,54 @@ class StreamingConsistencySpec extends SparkSuite {
     q.stop()
   }
 
+  test("clustered state sink: streamed landing matches batch counts, files key-sorted") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("cstate").toString
+    def counts(df: DataFrame) = df
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .count()
+      .select(col("window.start").as("minute"),
+        col("event_type").as("keyword"), col("count"))
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "user_id")
+    val q = Pipelines.clusteredStateSink(
+      counts(sdf.withWatermark("ts", "30 days")),
+      s"$base/state", s"$base/ckpt", keys = Seq("keyword", "minute"),
+      maxRecordsPerFile = 8, trigger = Trigger.ProcessingTime(0))
+    val (a, b) = events.splitAt(events.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    // flush pattern (see the append-percentile test): advance the
+    // watermark past every real window so append mode emits them all;
+    // the flush window itself stays open and never lands
+    val maxTs = events.map(_._1.getTime).max
+    stream.addData((new Timestamp(maxTs + 90L * 24 * 3600 * 1000), "flush", 0L))
+    q.processAllAvailable()
+    stream.addData((new Timestamp(maxTs + 90L * 24 * 3600 * 1000 + 1), "flush", 0L))
+    q.processAllAvailable()
+    q.stop()
+    // content: the landed state table == the batch windowed counts
+    val landed = spark.read.parquet(s"$base/state").drop("batch")
+    val batch = counts(Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("user_id")))
+    assert(landed.count() > 0)
+    assert(sortedRows(landed) == sortedRows(batch))
+    // layout: every landed file is (keyword, minute)-sorted — the
+    // row-group-stats property LayoutProbe --state measures at scale
+    val fs = new java.io.File(s"$base/state")
+    val files = fs.listFiles().filter(_.getName.startsWith("batch="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("keyword"), col("minute").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"file ${f.getName} is not (keyword, minute)-sorted")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val views = events.filter(_._2 == "view").map(e => (e._3, e._1))
