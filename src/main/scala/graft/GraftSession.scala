@@ -28,6 +28,13 @@ object GraftSession {
       // flag lives here, not inside a table loader, so no read path
       // mutates session state as a side effect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark's default parquet timestamp encoding is INT96, whose
+      // row groups carry NO usable min/max — a pushed time-range
+      // predicate then prunes NOTHING, silently (measured r14: a
+      // minute-sorted table scanned 100% under INT96, 1.1% as INT64
+      // micros). Every graft writer emits INT64 micros so serving
+      // tables keep time-range pruning; readers are unaffected.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     GraftFunctions.register(spark)

@@ -172,6 +172,9 @@ object LayoutProbe {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64-micros timestamps: INT96 (the default) has no usable
+      // row-group stats, silently defeating time-range pruning (r14)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +184,11 @@ object LayoutProbe {
       // scale axis: pass a ScaleProbe-materialized workDir as sfDir
       // (events replicate there with disjoint id ranges)
       mirrorProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (state) {
+      stateProbe(spark, sfDir)
       spark.stop()
       return
     }

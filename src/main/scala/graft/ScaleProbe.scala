@@ -56,6 +56,7 @@ object ScaleProbe {
     "q146_embedding_neardup_sorted",
     "q147_embedding_neardup_incremental",
     "q148_sketch_index_lifecycle",
+    "q149_vector_dup_clusters",
     "q106_duplicate_spans",
     "q123_bpe_merges",
     "q125_bpe_token_counts")
@@ -91,7 +92,8 @@ object ScaleProbe {
          "q143_knn_graph_sorted" |
          "q146_embedding_neardup_sorted" |
          "q147_embedding_neardup_incremental" |
-         "q148_sketch_index_lifecycle" => "embeddings"
+         "q148_sketch_index_lifecycle" |
+         "q149_vector_dup_clusters" => "embeddings"
     case other => sys.error(
       s"tableFor: probe query $other has no table mapping — add it here")
   }
@@ -370,6 +372,9 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64-micros timestamps: INT96 (the default) has no usable
+      // row-group stats, silently defeating time-range pruning (r14)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

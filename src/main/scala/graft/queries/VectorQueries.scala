@@ -1137,8 +1137,9 @@ object VectorQueries {
          |ORDER BY vec_a, vec_b""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    // "1" = sketch layout/canon-semantics version; bump with any
-    // change to sketchRows/canon/bucketing or the commit layout
+    // "2" = sketch layout/canon-semantics version (2 retired the
+    // tasks×dirs staging layout, r14); bump with any change to
+    // sketchRows/canon/bucketing or the commit layout
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-sketch2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
@@ -1157,7 +1158,37 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // Block-less dup clustering: connected components over the sorted-
+  // sketch pair stream — q64's curation step for corpora with NO
+  // usable block key, at sorted-sketch (sub-quadratic) pair cost. The
+  // CC stage is pair-source-agnostic; the r14 funnel measurement
+  // (SCALE.md) pins WHEN to choose which feeder: blocked pairs win
+  // where a block key exists (2.9 vs 7.8 s at sf0.1), this path is
+  // the capability where none does. Oracle: q146's full construction
+  // replay + q64's recursive transitive closure.
+  val q149 = sql(
+    "q149_vector_dup_clusters", {
+      s"""WITH RECURSIVE ${sortedSketchCtes(32, 4, 16)},
+         |pr AS (SELECT va, vb FROM p WHERE sim >= 0.35),
+         |edges AS (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
+         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+         |cc AS (SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node)
+         |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM cc ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    Dedup.dupClusters(
+        Dedup.embeddingNearDupSorted(Tables.embeddings(s, d), 0.35, 64,
+          nBits = 32, tables = 4, window = 16),
+        a = "vec_a", b = "vec_b")
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("csize"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149)
 }
