@@ -274,16 +274,23 @@ object ScaleProbe {
       mk.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val inmem = best(Dedup.embeddingNearDupIncremental(vBatch, vCorpus, 0.3, 64))
-    Similarity.writeSketchIndex(vCorpus, s"$root/sk", 64)
-    System.err.println(s"[probe] sketch index stats ($dir): " +
-      Similarity.sketchIndexStats(spark, s"$root/sk"))
-    val indexed = best(Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3))
-    Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"), s"$root/lsh")
-    val lshText = best(Dedup.incrementalLshPairsIndexed(
-      dBatch, col("doc_id"), col("text"), s"$root/lsh"))
-    Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
-      "lsh_indexed_text" -> lshText)
+    try {
+      val inmem = best(Dedup.embeddingNearDupIncremental(vBatch, vCorpus, 0.3, 64))
+      Similarity.writeSketchIndex(vCorpus, s"$root/sk", 64)
+      System.err.println(s"[probe] sketch index stats ($dir): " +
+        Similarity.sketchIndexStats(spark, s"$root/sk"))
+      val indexed = best(Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3))
+      Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"), s"$root/lsh")
+      val lshText = best(Dedup.incrementalLshPairsIndexed(
+        dBatch, col("doc_id"), col("text"), s"$root/lsh"))
+      Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
+        "lsh_indexed_text" -> lshText)
+    } finally {
+      // the indexes copy the whole corpus — GBs at sf1; clean up like
+      // the LayoutProbe modes do
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Mid-noise recall sweep: the "raise T, not w" production-sizing
@@ -298,7 +305,9 @@ object ScaleProbe {
     * one window, while a wider window only grows the per-table
     * chance sublinearly once flips scatter codes across the sort
     * order — the sweep pins the sizes. */
-  def noiseSweep(spark: SparkSession, srcDir: String, runs: Int): Unit = {
+  // no `runs` knob: the sweep measures RECALL on a deterministic
+  // construction, not wall time — repeats would return identical rows
+  def noiseSweep(spark: SparkSession, srcDir: String): Unit = {
     import graft.operators.Dedup
     import graft.functions.Vectors
     val root = java.nio.file.Files.createTempDirectory("graft_noisesweep").toString
@@ -339,6 +348,11 @@ object ScaleProbe {
     }
     println(s"""{"metric":"noisesweep","flipRate":$flips,""" +
       s""""exactPairs":${exact.size},${rows.mkString(",")}}""")
+    // the replicated corpus is probe-local; clean up like the
+    // LayoutProbe modes (rep is localCheckpoint'd, so the read is
+    // not re-consulted after this point)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
@@ -390,7 +404,7 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     if (noiseSweepOnly) {
-      noiseSweep(spark, srcDir, runs)
+      noiseSweep(spark, srcDir)
       spark.stop()
       return
     }

@@ -1630,9 +1630,15 @@ object Similarity {
   private[operators] def batchIncidentCandidatesFromCodes(canon: DataFrame,
       newIds: DataFrame, nBits: Int, tables: Int, window: Int): DataFrame =
     rawAdjacentPairs(canon, nBits, tables, window)
-      .join(newIds.select(col("vec_id").as("va"), lit(true).as("_an")),
+      // broadcast FORCED, not left to AQE: the raw stream's
+      // plan-time size statistic is unknown, so without the hint a
+      // non-adaptive session would sort-merge — shuffling the whole
+      // O(n·T·w) fan-out TWICE, worse than the pre-filter distinct
+      // this path exists to avoid. The batch is per-round small by
+      // contract (and guarded), so a forced broadcast is safe.
+      .join(broadcast(newIds.select(col("vec_id").as("va"), lit(true).as("_an"))),
         Seq("va"), "left")
-      .join(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn")),
+      .join(broadcast(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn"))),
         Seq("vb"), "left")
       .filter(col("_an").isNotNull || col("_bn").isNotNull)
       .select(col("va"), col("vb"))
@@ -1695,9 +1701,8 @@ object Similarity {
 
   /** The persisted boundary validates ids loudly (the ivfSeeds
     * contract: validate where state commits): NULL and duplicate
-    * vec_ids each get their own message. */
-  /** Returns the batch row count so callers can no-op on empty
-    * batches without a second pass. */
+    * vec_ids each get their own message. Returns the batch row count
+    * so callers can no-op on empty batches without a second pass. */
   private def requireUniqueVecIds(emb: DataFrame, where: String): Long = {
     val r = emb.agg(count(lit(1)), count_distinct(col("vec_id")),
       count(col("vec_id"))).head()

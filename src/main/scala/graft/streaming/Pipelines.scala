@@ -541,6 +541,13 @@ object Pipelines {
   def applyClusteredStateBatch(batch: DataFrame, path: String, batchId: Long,
       keys: Seq[String], maxRecordsPerFile: Long = 0): Unit = {
     require(keys.nonEmpty, "applyClusteredStateBatch needs >=1 clustering key")
+    // empty trigger = no dir: append-mode windowed aggregation emits
+    // rows only when the watermark closes a window, so MOST triggers
+    // produce nothing — writing batch=N anyway would grow the state
+    // table by one empty partition dir per trigger forever (~17k/day
+    // at 5 s), and every reader pays partition discovery over all of
+    // them (the upsertSketchIndex empty-batch contract, mirrored)
+    if (batch.isEmpty) return
     val ks = keys.map(col)
     val w = batch.repartitionByRange(ks: _*)
       .sortWithinPartitions(ks: _*)
@@ -568,7 +575,19 @@ object Pipelines {
     * [[corpusFactorySink]]). */
   def clusteredStateSink(counts: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], maxRecordsPerFile: Long = 0,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    // NOT layout-compatible with a dir previously written by the
+    // native streaming file sink (flat part files + _spark_metadata
+    // vs batch=N subdirs): mixed depths fail partition inference and
+    // metadata-log readers silently ignore the new files. Refuse the
+    // in-place swap loudly; migrate to a fresh directory.
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      counts.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(root, "_spark_metadata")),
+      s"$path was written by the native streaming file sink " +
+        "(_spark_metadata present) — clusteredStateSink uses a " +
+        "batch=N layout; point it at a fresh directory")
     counts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -577,6 +596,7 @@ object Pipelines {
         applyClusteredStateBatch(batch, path, batchId, keys, maxRecordsPerFile)
       }
       .start()
+  }
 
   /** Training-data landing zone: the streaming curation funnel's keep
     * rows written per micro-batch as split/shard-partitioned parquet —
