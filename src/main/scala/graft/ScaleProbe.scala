@@ -316,43 +316,51 @@ object ScaleProbe {
     spark.read.parquet(s"$srcDir/embeddings.parquet")
       .filter(col("vec_id") < 500)
       .write.parquet(s"$root/base/embeddings.parquet")
-    materialize(spark, s"$root/base", s"$root/rep", 6,
-      Set("embeddings"), jitterPermille = 50)
-    val rep = spark.read.parquet(s"$root/rep/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    // measured sign-flip rate: mean Hamming distance between each
-    // replica's canonical code and its original's, over nBits
-    val stride = 500L
-    val codes = rep.select(col("vec_id"),
-      Vectors.lshBucket(col("embedding"), 64, 32).as("c"))
-    val flips = codes.filter(col("vec_id") >= stride)
-      .select((col("vec_id") % stride).as("o"), col("c"))
-      .join(codes.filter(col("vec_id") < stride)
-        .select(col("vec_id").as("o"), col("c").as("c0")), "o")
-      .agg(avg(bit_count(col("c").bitwiseXOR(col("c0")))) / 32.0)
-      .head().getDouble(0)
-    def pairs(df: DataFrame) = df.select("vec_a", "vec_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Dedup.embeddingNearDupPairs(
-      rep.withColumn("one", lit(1)), "one", 0.9))
-    System.err.println(
-      f"[probe] noise-sweep corpus n=3000 flipRate=$flips%.4f exactPairs=${exact.size}%d")
-    val rows = for (t <- Seq(4, 8); w <- Seq(16, 32)) yield {
-      val approx = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
-        nBits = 32, tables = t, window = w))
-      require(approx.subsetOf(exact), "precision must be 1.0 by construction")
-      val recall = (approx & exact).size.toDouble / exact.size
-      System.err.println(f"[probe] noise-sweep T=$t%d w=$w%-3d recall=$recall%.4f")
-      f""""t${t}_w$w":$recall%.4f"""
+    try {
+      materialize(spark, s"$root/base", s"$root/rep", 6,
+        Set("embeddings"), jitterPermille = 50)
+      val base = spark.read.parquet(s"$root/base/embeddings.parquet")
+      // derive the replica stride EXACTLY as materialize does
+      // (max id + 1) — a hardcoded 500 would silently mismatch
+      // replicas to wrong originals on a sparse id space, corrupting
+      // the flip rate this sweep exists to record
+      val stride = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val rep = spark.read.parquet(s"$root/rep/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      // measured sign-flip rate: mean Hamming distance between each
+      // replica's canonical code and its original's, over nBits
+      val codes = rep.select(col("vec_id"),
+        Vectors.lshBucket(col("embedding"), 64, 32).as("c"))
+      val flips = codes.filter(col("vec_id") >= stride)
+        .select((col("vec_id") % stride).as("o"), col("c"))
+        .join(codes.filter(col("vec_id") < stride)
+          .select(col("vec_id").as("o"), col("c").as("c0")), "o")
+        .agg(avg(bit_count(col("c").bitwiseXOR(col("c0")))) / 32.0)
+        .head().getDouble(0)
+      def pairs(df: DataFrame) = df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Dedup.embeddingNearDupPairs(
+        rep.withColumn("one", lit(1)), "one", 0.9))
+      System.err.println(
+        f"[probe] noise-sweep corpus n=3000 flipRate=$flips%.4f exactPairs=${exact.size}%d")
+      val rows = for (t <- Seq(4, 8); w <- Seq(16, 32)) yield {
+        val approx = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
+          nBits = 32, tables = t, window = w))
+        require(approx.subsetOf(exact), "precision must be 1.0 by construction")
+        val recall = (approx & exact).size.toDouble / exact.size
+        System.err.println(f"[probe] noise-sweep T=$t%d w=$w%-3d recall=$recall%.4f")
+        f""""t${t}_w$w":$recall%.4f"""
+      }
+      println(s"""{"metric":"noisesweep","flipRate":$flips,""" +
+        s""""exactPairs":${exact.size},${rows.mkString(",")}}""")
+    } finally {
+      // probe-local replicated corpus — clean up even on a mid-sweep
+      // failure (rep is localCheckpoint'd, so the parquet read is not
+      // re-consulted once built)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    println(s"""{"metric":"noisesweep","flipRate":$flips,""" +
-      s""""exactPairs":${exact.size},${rows.mkString(",")}}""")
-    // the replicated corpus is probe-local; clean up like the
-    // LayoutProbe modes (rep is localCheckpoint'd, so the read is
-    // not re-consulted after this point)
-    val p = new org.apache.hadoop.fs.Path(root)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

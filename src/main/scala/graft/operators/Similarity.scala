@@ -1634,8 +1634,13 @@ object Similarity {
       // plan-time size statistic is unknown, so without the hint a
       // non-adaptive session would sort-merge — shuffling the whole
       // O(n·T·w) fan-out TWICE, worse than the pre-filter distinct
-      // this path exists to avoid. The batch is per-round small by
-      // contract (and guarded), so a forced broadcast is safe.
+      // this path exists to avoid. The hint is deliberately UNBOUNDED
+      // by autoBroadcastJoinThreshold: a pathological multi-million-id
+      // "batch" fails the broadcast build LOUDLY, which is the right
+      // outcome — degrading to the double shuffle of the fan-out would
+      // be a silent quadratic-cost cliff, and a batch that large is a
+      // bulk build mis-routed through the per-round API (use
+      // embeddingNearDupSorted over the union instead).
       .join(broadcast(newIds.select(col("vec_id").as("va"), lit(true).as("_an"))),
         Seq("va"), "left")
       .join(broadcast(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn"))),

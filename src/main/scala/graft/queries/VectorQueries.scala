@@ -182,9 +182,10 @@ object VectorQueries {
     * a private temp dir, then publish with an atomic rename: a
     * concurrent run can never observe a half-built index, and
     * whichever builder loses the rename race discards its copy.
-    * The "1" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
-    * lesson): bump it with any IVF build/layout/geometry change —
-    * the fingerprint tracks DATA only. */
+    * The "2" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
+    * lesson; 2 retired the tasks×dirs staging layout, r14): bump it
+    * with any IVF build/layout/geometry change — the fingerprint
+    * tracks DATA only. */
   private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivf2-" + sourceFingerprint(d)).getPath
@@ -207,7 +208,8 @@ object VectorQueries {
   // the upsert path produces an index indistinguishable from a fresh
   // build for search purposes.
   val q126 = QueryDef("q126_ivf_upsert_full_probe", (s, d) => {
-    // "1" = layout/semantics version; bump with any build/upsert change
+    // "2" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14); bump with any build/upsert change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivfups2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
@@ -230,7 +232,8 @@ object VectorQueries {
   // brute force over EXACTLY the surviving vectors: deleted rows are
   // unfindable, everything else is undisturbed.
   val q130 = QueryDef("q130_ivf_delete_probe", (s, d) => {
-    // "1" = layout/semantics version; bump with any build/delete change
+    // "2" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14); bump with any build/delete change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivfdel2-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
@@ -623,7 +626,8 @@ object VectorQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // "1" = layout/semantics version; bump with any LSH index
+    // "2" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14); bump with any LSH index
     // build/upsert/delete change. Fingerprint tracks documents.parquet
     // (this index's actual source — the file-local sourceFingerprint
     // helper tracks embeddings, which this query never reads).

@@ -546,14 +546,21 @@ object Pipelines {
     // produce nothing — writing batch=N anyway would grow the state
     // table by one empty partition dir per trigger forever (~17k/day
     // at 5 s), and every reader pays partition discovery over all of
-    // them (the upsertSketchIndex empty-batch contract, mirrored)
-    if (batch.isEmpty) return
-    val ks = keys.map(col)
-    val w = batch.repartitionByRange(ks: _*)
-      .sortWithinPartitions(ks: _*)
-      .write.mode("overwrite")
-    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
-     else w).parquet(s"$path/batch=$batchId")
+    // them (the upsertSketchIndex empty-batch contract, mirrored).
+    // persist first: the emptiness probe and the write are two
+    // actions over the same micro-batch plan — unpersisted, each
+    // would re-execute the stateful aggregation (the documented
+    // foreachBatch multi-action recipe)
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val ks = keys.map(col)
+      val w = batch.repartitionByRange(ks: _*)
+        .sortWithinPartitions(ks: _*)
+        .write.mode("overwrite")
+      (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+       else w).parquet(s"$path/batch=$batchId")
+    } finally batch.unpersist()
   }
 
   /** Clustered sink for events-derived STATE tables (the r13 mirror
@@ -576,11 +583,15 @@ object Pipelines {
   def clusteredStateSink(counts: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], maxRecordsPerFile: Long = 0,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
-    // NOT layout-compatible with a dir previously written by the
-    // native streaming file sink (flat part files + _spark_metadata
-    // vs batch=N subdirs): mixed depths fail partition inference and
-    // metadata-log readers silently ignore the new files. Refuse the
-    // in-place swap loudly; migrate to a fresh directory.
+    // NOT layout-compatible with a dir holding flat parquet files —
+    // the native streaming file sink's layout (part files +
+    // _spark_metadata) OR any batch job's: mixed depths fail
+    // partition inference and metadata-log readers silently ignore
+    // the new files. Refuse the in-place swap loudly; migrate to a
+    // fresh directory. (Migration caveat the guard cannot see: a
+    // fresh data dir with the OLD checkpoint resumes the watermark
+    // past every already-emitted window — history is not re-emitted.
+    // Migrate data dir and checkpoint together.)
     val root = new Path(path)
     val fs = root.getFileSystem(
       counts.sparkSession.sparkContext.hadoopConfiguration)
@@ -588,6 +599,15 @@ object Pipelines {
       s"$path was written by the native streaming file sink " +
         "(_spark_metadata present) — clusteredStateSink uses a " +
         "batch=N layout; point it at a fresh directory")
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      require(flat.isEmpty,
+        s"$path holds ${flat.length} flat parquet files — writing " +
+          "batch=N subdirs next to them creates a mixed-depth layout " +
+          "readers cannot infer; point clusteredStateSink at a fresh " +
+          "directory")
+    }
     counts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
