@@ -29,6 +29,23 @@ import graft.sources.Tables
   */
 object LayoutProbe {
 
+  /** Shared serving-read measurement: collect the filtered projection
+    * and report (selected rows, scan-materialized rows, wall seconds)
+    * from the executed plan's FileSourceScanExec metrics — ONE
+    * definition so a fix to metric collection (e.g. AQE-wrapped
+    * plans) cannot silently diverge between probe modes. */
+  private def serveRead(spark: SparkSession, path: String,
+      shape: DataFrame => DataFrame): (Long, Long, Double) = {
+    val df = shape(spark.read.parquet(path))
+    val t0 = System.nanoTime()
+    val selected = df.collect().length.toLong
+    val wall = (System.nanoTime() - t0) / 1e9
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+    (selected, scan, wall)
+  }
+
   /** `--mirror`: probe the ADOPTED clustered layout (r13) — the CDC
     * mirror staged by `Pipelines.applyCdcBatch`, whose within-bucket
     * (table, id) sort is the writeClustered mechanism — against an
@@ -63,18 +80,10 @@ object LayoutProbe {
       .sortWithinPartitions(col("bucket"), md5(col("id").cast("string")))
       .write.partitionBy("bucket").parquet(s"$dir/scattered")
     val n = live.count()
-    def serve(path: String): (Long, Long, Double) = {
-      val df = spark.read.parquet(path)
+    def serve(path: String): (Long, Long, Double) =
+      serveRead(spark, path, _
         .filter(col("table") === "articles" && col("id").between(40L, 120L))
-        .select(col("id"), col("ts_ms"), col("is_deleted"))
-      val t0 = System.nanoTime()
-      val selected = df.collect().length.toLong
-      val wall = (System.nanoTime() - t0) / 1e9
-      val scan = df.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => s.metrics("numOutputRows").value
-      }.sum
-      (selected, scan, wall)
-    }
+        .select(col("id"), col("ts_ms"), col("is_deleted")))
     val (selC, scanC, wallC) = serve(s"$dir/clustered")
     val (selS, scanS, wallS) = serve(s"$dir/scattered")
     require(selC == selS, s"layouts must agree on the range: $selC vs $selS")
@@ -133,14 +142,10 @@ object LayoutProbe {
     val qLo = new java.sql.Timestamp(lo)
     val qHi = new java.sql.Timestamp(lo + (hi - lo) / 4)
     def serve(path: String): (Long, Long) = {
-      val df = spark.read.parquet(path)
+      val (selected, scan, _) = serveRead(spark, path, _
         .filter(col("keyword") === "error" &&
           col("minute").between(qLo, qHi))
-        .select(col("minute"), col("count"))
-      val selected = df.collect().length.toLong
-      val scan = df.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => s.metrics("numOutputRows").value
-      }.sum
+        .select(col("minute"), col("count")))
       (selected, scan)
     }
     val (selC, scanC) = serve(s"$dir/clustered")

@@ -555,11 +555,34 @@ object Pipelines {
     try {
       if (batch.isEmpty) return
       val ks = keys.map(col)
+      // STAGE + RENAME, never write into the live dir: the native
+      // file sink this replaces gave readers atomic trigger
+      // visibility via _spark_metadata; a plain multi-file write
+      // into batch=N would let a concurrent serving read list a
+      // SUBSET of the trigger's files (silently undercounted
+      // windows). Dot-prefixed dirs are invisible to Spark's file
+      // listing, so the staged write is never read; the rename is
+      // the atomic publish, and a crash-replay swaps the redelivered
+      // batch in whole (the writeSwap/mirror recipe — same residual
+      // caveat: a reader that listed the OLD files just before a
+      // replay swap can hit FileNotFound mid-scan, the standard
+      // swap trade, loud rather than wrong).
+      val root = new Path(path)
+      val fs = root.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val live = new Path(root, s"batch=$batchId")
+      val tmp = new Path(root, s".tmp-batch-$batchId")
+      val aside = new Path(root, s".old-batch-$batchId")
+      if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to clear $tmp")
       val w = batch.repartitionByRange(ks: _*)
         .sortWithinPartitions(ks: _*)
         .write.mode("overwrite")
       (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
-       else w).parquet(s"$path/batch=$batchId")
+       else w).parquet(tmp.toString)
+      if (fs.exists(aside)) require(fs.delete(aside, true), s"failed to clear $aside")
+      if (fs.exists(live)) require(fs.rename(live, aside), s"failed to set aside $live")
+      require(fs.rename(tmp, live), s"failed to publish $live")
+      if (fs.exists(aside)) require(fs.delete(aside, true), s"failed to drop $aside")
     } finally batch.unpersist()
   }
 
