@@ -35,6 +35,13 @@ object GraftSession {
       // micros). Every graft writer emits INT64 micros so serving
       // tables keep time-range pruning; readers are unaffected.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // A pushed IN above this threshold silently degrades to a
+      // min/max RANGE filter, which prunes nothing over
+      // hash-distributed keys; the candidate-id probes of index
+      // members (Dedup.prunedOldShingles) push up to 4096-value id
+      // sets and need the literal set to reach parquet's row-group
+      // dictionaries/stats (LayoutProbe --lsh).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     GraftFunctions.register(spark)

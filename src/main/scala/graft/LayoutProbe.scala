@@ -162,10 +162,111 @@ object LayoutProbe {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** `--lsh`: probe the r15 verification read of
+    * `Dedup.incrementalLshPairsIndexed` — the candidate-id set pushed
+    * as `doc_id IN (…)` into the shingles member scan — against the
+    * pre-r15 semi-join form (identical rows, nothing pushed), plus an
+    * id-scattered write to separate the two skip mechanisms. The
+    * member table is hive-partitioned by `idx_bucket = hash(doc_id)`,
+    * so every id set spans all bucket dirs and partition pruning
+    * contributes nothing; what skips is the pushed set probing each
+    * row group's doc_id DICTIONARY for literal membership (see the
+    * mechanism note at the write below). Candidate volume is pinned to
+    * the batch (O(batch·near-dups)) while the corpus grows — the
+    * fixed-batch axis — so the pushed scan tracks the CANDIDATE count
+    * and the semi-join scan tracks the CORPUS. */
+  private def lshProbe(spark: SparkSession, sfDir: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-l").toString
+    val docs = Tables.documents(spark, sfDir)
+    // the real member-table shape: exploded distinct shingles + the
+    // index's bucket key (64 buckets, the writeLshIndex default)
+    val sh = graft.operators.Dedup
+      .shingleSet(docs, col("doc_id"), col("text"))
+      .withColumn("idx_bucket",
+        pmod(xxhash64(col("doc_id")), lit(64L)).cast("int"))
+      .persist()
+    val n = sh.count()
+    // FIXED rows-per-file = the row-group emulation (the mirror/state
+    // probes' geometry rule): at scale groups-per-bucket grows with
+    // the corpus while rows-per-group stays put, so a toy corpus needs
+    // capped files for file/group stats to exist at all. BOTH layouts
+    // get the same cap — the difference under measurement is row
+    // ORDER, not geometry.
+    val perFile = 4096L
+    // Dictionaries stay ENABLED (the committed layout's encoding):
+    // measured mechanism decomposition at this geometry —
+    //  * parquet DICTIONARY filtering is what skips: a pushed id-set
+    //    probes each row group's doc_id dictionary for literal
+    //    membership, so exactly the files CONTAINING a candidate
+    //    survive (the information floor). It needs no row order.
+    //  * min/max STATS alone (dictionaries force-disabled) prune far
+    //    less on a hash-BUCKETED member: a file's doc_id band is
+    //    docsPerFile × nBuckets wide (only every-64th id lands in the
+    //    bucket), so uniform candidates overlap ~every band (8-id
+    //    probe: 32% scan; 500-id: 100%). Stats are the fallback
+    //    when a chunk's dictionary lapses, not the primary skip.
+    //  * NOTHING pushed (the pre-r15 semi-join form) scans 100%.
+    // The doc_id sort stays in the committed layout: it keeps the
+    // stats fallback as tight as bucketing allows, and range reads
+    // (compaction, per-id audits) prune unconditionally.
+    def write(ordered: org.apache.spark.sql.Column, out: String): Unit =
+      sh.repartition(col("idx_bucket"))
+        .sortWithinPartitions(col("idx_bucket"), ordered)
+        .write.partitionBy("idx_bucket").option("maxRecordsPerFile", perFile)
+        .parquet(out)
+    write(col("doc_id"), s"$dir/clustered")
+    write(md5(col("doc_id").cast("string")), s"$dir/scattered")
+    // candidate set: a batch's near-dup candidates — a few hundred ids
+    // scattered uniformly over the id space (they hash into ~every
+    // bucket, the worst case for partition pruning and exactly the
+    // regime prunedOldShingles runs in). PINNED at ~500 ids while the
+    // corpus grows: candidates track the BATCH, and a set past the
+    // session's IN-pushdown threshold would silently degrade to a
+    // min/max range — the exact failure this probe exists to expose.
+    val nCand = sys.env.getOrElse("SPARK_GRAFT_LSH_CAND", "500").toInt
+    val candIds = docs.filter(col("doc_id") % 199 === 7)
+      .select(col("doc_id")).limit(nCand).collect().map(_.get(0))
+    def serve(path: String): (Long, Long, Double) =
+      serveRead(spark, path, _
+        .filter(col("doc_id").isin(candIds: _*))
+        .select(col("doc_id"), col("shingle")))
+    val (selC, scanC, wallC) = serve(s"$dir/clustered")
+    val (selS, scanS, wallS) = serve(s"$dir/scattered")
+    // the pre-r15 verification shape: candidate ids arrive as a frame,
+    // pruned by semi-join only — nothing reaches the parquet scan
+    val idFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(candIds.toSeq.map(org.apache.spark.sql.Row(_))),
+      new org.apache.spark.sql.types.StructType().add("doc_id",
+        docs.schema("doc_id").dataType))
+    val (selJ, scanJ, wallJ) = serveRead(spark, s"$dir/clustered", df =>
+      df.select(col("doc_id"), col("shingle"))
+        .join(broadcast(idFrame), Seq("doc_id"), "left_semi"))
+    require(selC == selS && selC == selJ,
+      s"read forms must agree on the id set: $selC vs $selS vs $selJ")
+    println(f"[layout] shingles rows=$n%d  candidates=${candIds.length}%d ids  selected=$selC%d")
+    println(f"[layout] clustered + pushed IN:  scan materialized $scanC%d rows " +
+      f"(${100.0 * scanC / n}%.1f%% of member table)  wall=$wallC%.2f s")
+    println(f"[layout] scattered + pushed IN:  scan materialized $scanS%d rows " +
+      f"(${100.0 * scanS / n}%.1f%% of member table)  wall=$wallS%.2f s")
+    println(f"[layout] clustered + semi-join:  scan materialized $scanJ%d rows " +
+      f"(${100.0 * scanJ / n}%.1f%% of member table)  wall=$wallJ%.2f s")
+    println(f"[layout] row-group skip factor (vs scattered): " +
+      f"${scanS.toDouble / math.max(1L, scanC)}%.1fx; " +
+      f"(vs semi-join): ${scanJ.toDouble / math.max(1L, scanC)}%.1fx")
+    sh.unpersist()
+    // SPARK_GRAFT_KEEP_LAYOUT: leave the written layouts on disk for
+    // post-hoc inspection (parquet footer stats per file)
+    if (!sys.env.contains("SPARK_GRAFT_KEEP_LAYOUT")) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else System.err.println(s"[layout] kept at $dir")
+  }
+
   def main(args: Array[String]): Unit = {
     val mirror = args.contains("--mirror")
     val state = args.contains("--state")
-    MainFlags.requireKnown(args, Set("--mirror", "--state"))
+    val lsh = args.contains("--lsh")
+    MainFlags.requireKnown(args, Set("--mirror", "--state", "--lsh"))
     val pos = MainFlags.positional(args)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
@@ -180,6 +281,13 @@ object LayoutProbe {
       // INT64-micros timestamps: INT96 (the default) has no usable
       // row-group stats, silently defeating time-range pruning (r14)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // A pushed IN above this threshold silently degrades to a
+      // min/max RANGE filter, which prunes nothing over
+      // hash-distributed keys; the candidate-id probes of index
+      // members (Dedup.prunedOldShingles) push up to 4096-value id
+      // sets and need the literal set to reach parquet's row-group
+      // dictionaries/stats (LayoutProbe --lsh).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,6 +302,14 @@ object LayoutProbe {
     }
     if (state) {
       stateProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (lsh) {
+      graft.plans.GraftFunctions.register(spark)
+      // scale axis: pass a ScaleProbe-materialized workDir as sfDir
+      // (documents replicate there; the candidate set stays O(batch))
+      lshProbe(spark, sfDir)
       spark.stop()
       return
     }

@@ -111,9 +111,43 @@ object ScaleProbe {
       jitterPermille: Int = 10): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def missing(name: String): Boolean =
-      tables.contains(name.stripSuffix(".parquet")) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name"))
+    // Replica-param marker: skip-if-present reuse must be keyed on the
+    // parameters that shaped the replica, or an outDir built at
+    // jitter=10 is silently reused for a jitter=50 request (wrong
+    // noise regime — corrupts exactly the numbers a sweep exists to
+    // measure; same for factor). An underscore file inside the table
+    // dir is invisible to parquet readers. Marker PRESENT + mismatch
+    // = loud failure; marker ABSENT (a pre-marker layout) = rebuild
+    // with a stderr note, since the stored params are unknowable.
+    def wanted(name: String): String =
+      if (name.startsWith("embeddings"))
+        s"factor=$factor jitterPermille=$jitterPermille"
+      else s"factor=$factor"
+    def marker(name: String) =
+      new org.apache.hadoop.fs.Path(s"$outDir/$name/_GRAFT_PARAMS")
+    def writeMarker(name: String): Unit = {
+      val out = fs.create(marker(name), true)
+      try out.write(wanted(name).getBytes("UTF-8")) finally out.close()
+    }
+    def missing(name: String): Boolean = {
+      if (!tables.contains(name.stripSuffix(".parquet"))) return false
+      val dir = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      if (!fs.exists(dir)) return true
+      if (!fs.exists(marker(name))) {
+        System.err.println(s"[probe] $dir predates the replica-param " +
+          "marker — rebuilding (params unknowable)")
+        require(fs.delete(dir, true), s"failed to clear unmarked $dir")
+        return true
+      }
+      val in = fs.open(marker(name))
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == wanted(name),
+        s"$dir was materialized with [$stored] but this run needs " +
+          s"[${wanted(name)}] — delete the dir (reusing it would " +
+          "measure the wrong replica regime)")
+      false
+    }
 
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
@@ -131,6 +165,7 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      writeMarker("documents.parquet")
     }
 
     if (missing("embeddings.parquet")) {
@@ -151,6 +186,7 @@ object ScaleProbe {
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      writeMarker("embeddings.parquet")
     }
 
     if (missing("events.parquet")) {
@@ -171,6 +207,7 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      writeMarker("events.parquet")
     }
   }
 
@@ -283,8 +320,24 @@ object ScaleProbe {
       Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"), s"$root/lsh")
       val lshText = best(Dedup.incrementalLshPairsIndexed(
         dBatch, col("doc_id"), col("text"), s"$root/lsh"))
+      // CC funnel, both deployment forms (q149 vs q150): the one-shot
+      // form re-sketches the whole union and closes the corpus
+      // closure per run; the persisted-state form pays one indexed
+      // probe + a fold over graph-sized edges. State build (the
+      // bootstrap) is UNTIMED like the index build — paid once.
+      val ccInmem = best(Dedup.dupClusters(
+        Dedup.embeddingNearDupSorted(vBatch.unionByName(vCorpus), 0.3, 64),
+        a = "vec_a", b = "vec_b"))
+      Dedup.writeClusterState(Dedup.dupClusters(
+        Dedup.embeddingNearDupSorted(vCorpus, 0.3, 64),
+        a = "vec_a", b = "vec_b"), s"$root/cc")
+      val ccState = best(Dedup.mergePairsIntoClusters(
+        Dedup.readClusterState(spark, s"$root/cc"),
+        Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3),
+        a = "vec_a", b = "vec_b"))
       Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
-        "lsh_indexed_text" -> lshText)
+        "lsh_indexed_text" -> lshText,
+        "cc_funnel_inmem" -> ccInmem, "cc_state_indexed" -> ccState)
     } finally {
       // the indexes copy the whole corpus — GBs at sf1; clean up like
       // the LayoutProbe modes do
@@ -397,6 +450,13 @@ object ScaleProbe {
       // INT64-micros timestamps: INT96 (the default) has no usable
       // row-group stats, silently defeating time-range pruning (r14)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // A pushed IN above this threshold silently degrades to a
+      // min/max RANGE filter, which prunes nothing over
+      // hash-distributed keys; the candidate-id probes of index
+      // members (Dedup.prunedOldShingles) push up to 4096-value id
+      // sets and need the literal set to reach parquet's row-group
+      // dictionaries/stats (LayoutProbe --lsh).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -252,8 +252,11 @@ object Dedup {
       id: Column, text: Column, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val dsOld = docShingles(oldDocs, id, text, n)
+    val shOld = dsOld.select(col("doc_id"), explode(col("sh")).as("shingle"))
     incrementalAgainst(newDocs, id, text,
-      dsOld.select(col("doc_id"), explode(col("sh")).as("shingle")),
+      // candidate ids ≪ corpus → AQE broadcasts the semi-join: one
+      // corpus tokenize pass feeding only candidate docs' rows onward
+      candIds => shOld.join(candIds, Seq("doc_id"), "left_semi"),
       bandedFromDocShingles(dsOld, numHashes, bands),
       n, numHashes, bands, threshold)
   }
@@ -353,7 +356,16 @@ object Dedup {
       partitionBy = Map("shingles" -> Seq("idx_bucket"),
         "bands" -> Seq("idx_bucket")),
       legacySweep = Seq("shingles", "bands"),
-      carry = carry)
+      carry = carry,
+      // shingles clustered by doc_id: verification reads push a
+      // candidate-id set (prunedOldShingles — dictionary-probed, with
+      // the sort as stats fallback + range-read locality); bands
+      // clustered by bucket key: the incremental banded join only
+      // consumes corpus rows colliding with the batch's (band,
+      // band_hash) set, so the same layout serves a future probe-side
+      // prune. Layout change r15 → cache key graft-lshdel3.
+      clusterBy = Map("shingles" -> Seq("doc_id"),
+        "bands" -> Seq("band", "band_hash")))
 
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
@@ -582,14 +594,59 @@ object Dedup {
     val curDir = currentLshIndexDir(spark, indexPath)
     requireLshParams(spark, curDir, n, numHashes, bands)
     incrementalAgainst(newDocs, id, text,
-      readLshTable(spark, indexPath, "shingles"),
+      prunedOldShingles(spark, indexPath),
       readLshTable(spark, indexPath, "bands"),
       n, numHashes, bands, threshold)
   }
 
+  /** Above this many candidate ids the pushed-filter form falls back
+    * to a semi-join: a multi-thousand-value IN is pushed to parquet as
+    * a left-deep Or(Eq…) tree whose recursive evaluation risks the
+    * executor stack, and a candidate set that large has outgrown
+    * row-group pruning anyway. */
+  private val MaxShinglePushdownIds = 4096
+
+  /** Candidate-driven read of the persisted `shingles` member table:
+    * exactly the candidate docs' rows, reading as little as possible.
+    * Small candidate sets (the steady-state crawl round) collect to
+    * the driver — bounded by [[MaxShinglePushdownIds]] — and push
+    * `doc_id IN (…)` into the parquet scan, where each row group's
+    * doc_id DICTIONARY is probed for literal membership: exactly the
+    * groups CONTAINING a candidate are read (LayoutProbe --lsh; the
+    * within-bucket doc_id sort the commit applies keeps min/max stats
+    * as a fallback when a chunk's dictionary lapses, but bucketing
+    * dilates per-file id bands ×nBuckets, so the dictionary — not the
+    * sort — is the primary skip). The session raises the parquet
+    * IN-pushdown threshold ([[graft.GraftSession]]) because Spark
+    * silently degrades an over-threshold IN to a min/max range, which
+    * prunes nothing over hash-distributed ids. Larger sets keep the
+    * broadcast semi-join: same rows, corpus-linear scan. */
+  private def prunedOldShingles(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String)(candIds: DataFrame): DataFrame = {
+    val sh = readLshTable(spark, indexPath, "shingles")
+    val sample = candIds.limit(MaxShinglePushdownIds + 1).collect()
+    if (sample.isEmpty) sh.limit(0)
+    else if (sample.length <= MaxShinglePushdownIds)
+      sh.filter(col("doc_id").isin(sample.map(_.get(0)): _*))
+    else sh.join(candIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** Core of the incremental tier. `shOldFor` supplies the OLD side's
+    * verification shingles GIVEN the frame of old-side candidate doc
+    * ids — verification is candidate-driven end to end (r15): the
+    * per-doc size aggregation and both Jaccard joins see O(batch +
+    * candidates) shingle rows, never the corpus. Before this, the
+    * sizes groupBy shuffled EVERY corpus shingle row per round — the
+    * dominant O(corpus) term the ×20 fixed-batch probe measured at
+    * 1.8–1.9× (the widest rows in the index paying a full shuffle for
+    * docs no candidate pair touches). The supplier sees only ids NOT
+    * in the batch, so the changed-doc replacement contract holds
+    * unchanged: a doc id on both sides (snapshotDiff's "changed" rows)
+    * verifies against its NEW shingles only — stale index rows for
+    * batch ids never load. */
   private def incrementalAgainst(newDocs: DataFrame, id: Column, text: Column,
-      shOld: DataFrame, bandedOldRaw: DataFrame, n: Int, numHashes: Int,
-      bands: Int, threshold: Double): DataFrame = {
+      shOldFor: DataFrame => DataFrame, bandedOldRaw: DataFrame, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     // ONE tokenize+shingle pass over the batch: the per-doc array
     // feeds the signature kernel (l side AND the r-side union via the
     // sig checkpoint), the exploded shingle form for verification, and
@@ -598,28 +655,31 @@ object Dedup {
     // q131's wall at sf0.1).
     val dsNew = docShingles(newDocs, id, text, n).cache()
     val shNew = dsNew.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // A doc id on BOTH sides is a CHANGED doc (snapshotDiff's "changed"
-    // rows land in the batch while the superseded version sits in the
-    // old corpus/index). The new version must fully replace the old:
-    // without this anti-join the union merges both versions' shingles
-    // (inflating n_sh and intersection counts in jaccardOnPairs) and
-    // the stale band rows emit candidates from a signature that no
-    // longer exists. Batch ids ≪ corpus, so AQE turns these into
-    // broadcast anti-joins — one corpus scan, no shuffle.
     // batch ids from the cached per-doc rows — no extra source scan
     // (the distinct stays: it is what makes the anti-joins correct if
     // a caller passes duplicate-id rows)
     val newIds = dsNew.select(col("doc_id")).distinct()
-    val shAll = shNew
-      .union(shOld.join(newIds, Seq("doc_id"), "left_anti")).cache()
     try {
       val bandedNew = bandedFromDocShingles(dsNew, numHashes, bands)
         .withColumn("is_new", lit(true))
+      // A doc id on BOTH sides is a CHANGED doc: anti-join the old
+      // band rows so the stale signature stops emitting candidates.
+      // Batch ids ≪ corpus, so AQE broadcasts the anti-join — one
+      // corpus band scan, no shuffle.
       val bandedAll = bandedNew.unionByName(
         bandedOldRaw.join(newIds, Seq("doc_id"), "left_anti")
           .withColumn("is_new", lit(false)))
       val firstSharedBand = array_position(
         zip_with(col("l.bands"), col("r.bands"), (a, b) => a === b), lit(true))
+      // CACHED, not eagerly checkpointed: candidates are O(batch
+      // near-dups) and feed both the id prune and verification — the
+      // cache makes the banded join (the corpus band scan) run once
+      // whichever consumer hits it first, WITHOUT forcing a separate
+      // driver-synchronized job. The in-memory caller thus keeps its
+      // single-final-job shape (an eager checkpoint here measured
+      // +26% on q117 at sf0.1 — pure extra-job scheduling); the
+      // indexed caller's driver-side id collect materializes the
+      // cache as its own job anyway.
       val candidates = bandedNew.as("l")
         .join(bandedAll.as("r"),
           col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
@@ -630,11 +690,21 @@ object Dedup {
             firstSharedBand === col("l.band") + 1)
         .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
-      jaccardOnPairs(shAll, candidates)
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint()
-    } finally { shAll.unpersist(); dsNew.unpersist() }
+        .cache()
+      // old-side ids verification actually needs: pair members that are
+      // not batch docs (batch members verify against shNew)
+      val candOldIds = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .join(newIds, Seq("doc_id"), "left_anti")
+      val shCand = shNew.union(shOldFor(candOldIds)).cache()
+      try {
+        jaccardOnPairs(shCand, candidates)
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .localCheckpoint()
+      } finally { shCand.unpersist(); candidates.unpersist() }
+    } finally dsNew.unpersist()
   }
 
   /** The banded self-join over (doc_id, bands, band, band_hash) rows.
@@ -876,6 +946,51 @@ object Dedup {
         .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))
     } finally edges.unpersist()
   }
+
+  /** Fold a round's near-dup pairs into an accumulated cluster state —
+    * the per-crawl-round form of [[dupClusters]]. `state` is a prior
+    * (doc_id, cluster, …) assignment; its rows enter the component
+    * computation as STAR edges (member → cluster representative),
+    * which preserve exactly the connectivity the accumulated pairs
+    * established: CC over (star(state) ∪ newPairs) equals CC over the
+    * union of every pair set ever folded in, and the min-id labels
+    * coincide because each star's hub IS its component's min id. So a
+    * recurring deployment pays per round: pair detection on the batch
+    * (O(batch) kernels via [[embeddingNearDupIndexed]]) + pointer
+    * jumping over a GRAPH-sized edge set (state + new pairs — narrow
+    * id rows, ≪ corpus), never the corpus re-hash the one-shot
+    * [[dupClusters]]-over-[[embeddingNearDupSorted]] funnel pays
+    * (measured 3.7× at ×20 fixed-batch, SCALE.md r14). Cluster sizes
+    * are recomputed over the merged state. A batch with no pairs folds
+    * to the prior state unchanged (modulo recomputed csize). */
+  def mergePairsIntoClusters(state: DataFrame, pairs: DataFrame,
+      a: String = "doc_a", b: String = "doc_b"): DataFrame =
+    dupClusters(
+      pairs.select(col(a), col(b)).unionByName(
+        state.select(col("doc_id").as(a), col("cluster").as(b))), a, b)
+
+  /** Persist an accumulated cluster state (the [[VersionedIndex]]
+    * contract: atomic rename commits, the previous version readable
+    * until the flip, crash-safe staging). UNPARTITIONED on purpose:
+    * unlike the id-bucketed member tables, a merge can relabel ANY
+    * component (two old clusters joined by one new pair take the
+    * global min label), so there is no touched-partition locality for
+    * a partial commit to exploit — each round rewrites the graph-sized
+    * table whole, which is the cheap part of the round. Clustered by
+    * label so per-cluster reads (serving "the members of cluster c")
+    * prune by row-group stats. */
+  def writeClusterState(state: DataFrame, path: String): Unit =
+    VersionedIndex.commit(state.sparkSession, path,
+      Seq("clusters" -> state.select(col("doc_id"), col("cluster"),
+        col("csize"))),
+      Map("kind" -> "ccstate"),
+      clusterBy = Map("clusters" -> Seq("cluster", "doc_id")))
+
+  /** Current committed cluster state at `path` (see
+    * [[writeClusterState]]). */
+  def readClusterState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    VersionedIndex.readTable(spark, path, "clusters")
 
   /** The curation end-step: drop every near-duplicate except one
     * representative per cluster (the min-id member, dupClusters'

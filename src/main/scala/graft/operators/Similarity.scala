@@ -1627,20 +1627,36 @@ object Similarity {
     * rank passes. Incidence = two broadcast marker joins + an OR
     * filter, one pass over the raw stream (the union-of-semi-joins
     * alternative would re-execute the candidate subtree per branch). */
+  /** Hard cap on ids the incident-marker broadcast will carry: 1M ids
+    * ≈ 8 MB of longs — far inside driver comfort, far outside any
+    * sane per-round batch. */
+  private val MaxIncidentBatchIds = 1000000L
+
   private[operators] def batchIncidentCandidatesFromCodes(canon: DataFrame,
-      newIds: DataFrame, nBits: Int, tables: Int, window: Int): DataFrame =
+      newIds: DataFrame, nBits: Int, tables: Int, window: Int): DataFrame = {
+    // Explicit batch-size guard BEFORE the unbounded broadcast hints
+    // below: without it, a pathological multi-million-id "batch"
+    // would likely die of driver memory pressure while BUILDING the
+    // broadcast — an opaque OOM, not a diagnostic. One cheap count of
+    // the (batch-sized) id frame buys the intended loud contract
+    // error instead (r15 advisor finding).
+    val nNew = newIds.count()
+    require(nNew <= MaxIncidentBatchIds,
+      s"batch-incident candidates got $nNew batch ids (cap " +
+        s"$MaxIncidentBatchIds): a batch this size is a bulk build " +
+        "mis-routed through the per-round API — run " +
+        "embeddingNearDupSorted over the union instead")
     rawAdjacentPairs(canon, nBits, tables, window)
       // broadcast FORCED, not left to AQE: the raw stream's
       // plan-time size statistic is unknown, so without the hint a
       // non-adaptive session would sort-merge — shuffling the whole
       // O(n·T·w) fan-out TWICE, worse than the pre-filter distinct
       // this path exists to avoid. The hint is deliberately UNBOUNDED
-      // by autoBroadcastJoinThreshold: a pathological multi-million-id
-      // "batch" fails the broadcast build LOUDLY, which is the right
-      // outcome — degrading to the double shuffle of the fan-out would
-      // be a silent quadratic-cost cliff, and a batch that large is a
-      // bulk build mis-routed through the per-round API (use
-      // embeddingNearDupSorted over the union instead).
+      // by autoBroadcastJoinThreshold — degrading to the double
+      // shuffle of the fan-out would be a silent quadratic-cost
+      // cliff — and the count() guard above is what keeps "unbounded"
+      // honest (the contract violation fails with its own error, not
+      // a driver OOM mid-broadcast-build).
       .join(broadcast(newIds.select(col("vec_id").as("va"), lit(true).as("_an"))),
         Seq("va"), "left")
       .join(broadcast(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn"))),
@@ -1648,6 +1664,7 @@ object Similarity {
       .filter(col("_an").isNotNull || col("_bn").isNotNull)
       .select(col("va"), col("vb"))
       .distinct()
+  }
 
   /** Bit order of sorted-sketch table `t`: bits ranked by the same
     * multiplicative-hash family as the hyperplanes (plan-time

@@ -214,7 +214,8 @@ object VersionedIndex {
       legacySweep: Seq[String] = Seq.empty,
       carry: Map[String, Map[String, Int]] = Map.empty,
       derive: Seq[(String, String => DataFrame)] = Seq.empty,
-      onStaged: () => Unit = () => ()): Unit = {
+      onStaged: () => Unit = () => (),
+      clusterBy: Map[String, Seq[String]] = Map.empty): Unit = {
     val (fs, root) = fsFor(spark, path)
     val vs = versions(fs, root)
     val cur = vs.filter(_._2).lastOption.map(_._1).getOrElse(0)
@@ -258,7 +259,24 @@ object VersionedIndex {
       // manifest/listing pressure on the object store.
       val out = pcols.fold(df)(cs =>
         df.repartition(cs.map(org.apache.spark.sql.functions.col): _*))
-      val w = out.write
+      // `clusterBy` sorts rows by the named columns within each
+      // written file (partition cols lead the sort, so the writer's
+      // own partition-ordering requirement is satisfied by the same
+      // single sort — no second sort inside the write). Clustered
+      // members carry tight per-row-group/page min-max stats on the
+      // cluster key: range reads prune unconditionally, and pushed
+      // key-SET probes keep a stats fallback when a chunk's
+      // dictionary lapses (the dictionary is the primary set-probe
+      // skip — LayoutProbe --lsh measures the decomposition). Any
+      // change here is an index LAYOUT change — bump the affected
+      // graft-* cache key versions (the r14 staging rule).
+      val ccols = clusterBy.getOrElse(name, Seq.empty)
+      val sorted =
+        if (ccols.isEmpty) out
+        else out.sortWithinPartitions(
+          (pcols.getOrElse(Seq.empty) ++ ccols)
+            .map(org.apache.spark.sql.functions.col): _*)
+      val w = sorted.write
       pcols.fold(w)(cols => w.partitionBy(cols: _*))
         .parquet(new Path(staging, name).toString)
       // refresh the staging dir's mtime so the liveness clock other

@@ -185,7 +185,12 @@ object VectorQueries {
     * The "2" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
     * lesson; 2 retired the tasks×dirs staging layout, r14): bump it
     * with any IVF build/layout/geometry change — the fingerprint
-    * tracks DATA only. */
+    * tracks DATA only. "Layout" includes the SESSION CONFS the write
+    * ran under: an artifact cached before a writer-conf change keeps
+    * the old encoding silently (the r14 INT96 case — a
+    * timestamp-keyed cache written pre-TIMESTAMP_MICROS would carry
+    * dead row-group stats forever; audited r15: no current graft-*
+    * cache has a timestamp column, so no bump was needed). */
   private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-ivf2-" + sourceFingerprint(d)).getPath
@@ -626,13 +631,14 @@ object VectorQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // "2" = layout/semantics version (2 retired the tasks×dirs
-    // staging layout, r14); bump with any LSH index
+    // "3" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14; 3 added doc_id/band-key clustering of the
+    // member tables, r15); bump with any LSH index
     // build/upsert/delete change. Fingerprint tracks documents.parquet
     // (this index's actual source — the file-local sourceFingerprint
     // helper tracks embeddings, which this query never reads).
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-lshdel2-" + QueryDef.sourceFingerprint(d, "documents.parquet")).getPath
+      "graft-lshdel3-" + QueryDef.sourceFingerprint(d, "documents.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       graft.operators.Dedup.writeLshIndex(
@@ -1034,8 +1040,11 @@ object VectorQueries {
     * Scala `Similarity.bitOrder` the operator uses), per-table
     * (code, vec_id) ranks, window-adjacency pair sets union-deduped,
     * and the exact-cosine pass — ending with `p` = (va, vb, sim). */
+  /** `prefix` namespaces every CTE (`n`, `rk$t`, `cand`, `p` →
+    * `${prefix}n`, …) so one oracle can replay the construction over
+    * several corpus restrictions side by side (q150's rounds). */
   private def sortedSketchCtes(nBits: Int, tables: Int, window: Int,
-      where: String = ""): String = {
+      where: String = "", prefix: String = ""): String = {
     def dotSql(j: Int) =
       s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
         s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
@@ -1046,24 +1055,24 @@ object VectorQueries {
       .map { case (j, r) => s"((canon >> $j) & 1) * ${1L << (nBits - 1 - r)}" }
       .mkString(" + ") + ")"
     val rks = (0 until tables).map(t =>
-      s"""rk$t AS (SELECT vec_id, row_number() OVER (ORDER BY ${codeSql(t)}, vec_id) AS rn FROM n)""")
+      s"""${prefix}rk$t AS (SELECT vec_id, row_number() OVER (ORDER BY ${codeSql(t)}, vec_id) AS rn FROM ${prefix}n)""")
       .mkString(",\n")
     val cands = (0 until tables).map(t =>
       s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
-         |  FROM rk$t a JOIN rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
+         |  FROM ${prefix}rk$t a JOIN ${prefix}rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
       .mkString("\nUNION\n") // UNION (not ALL): cross-table pair dedup
     val src = if (where.isEmpty) "embeddings" else s"embeddings WHERE $where"
-    s"""n AS (SELECT vec_id, embedding, $canonSql AS canon,
+    s"""${prefix}n AS (SELECT vec_id, embedding, $canonSql AS canon,
        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
        |  FROM $src),
        |$rks,
-       |cand AS ($cands),
-       |p AS (SELECT c.va, c.vb, round(
+       |${prefix}cand AS ($cands),
+       |${prefix}p AS (SELECT c.va, c.vb, round(
        |    list_sum(list_transform(range(1, len(ea.embedding)+1),
        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
        |    / (ea.nrm * eb.nrm), 6) AS sim
-       |  FROM cand c JOIN n ea ON ea.vec_id = c.va JOIN n eb ON eb.vec_id = c.vb)""".stripMargin
+       |  FROM ${prefix}cand c JOIN ${prefix}n ea ON ea.vec_id = c.va JOIN ${prefix}n eb ON eb.vec_id = c.vb)""".stripMargin
   }
 
   // Approximate k-NN graph via multi-table sorted LSH sketches
@@ -1192,7 +1201,85 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  // The PERSISTED-STATE form of q149's block-less dup-cluster funnel —
+  // the recurring-deployment shape (r14 backlog #2): per round, pairs
+  // come from the persisted sketch index (embeddingNearDupIndexed —
+  // O(batch) kernels, q148's contract) and fold into an accumulated
+  // cluster state (mergePairsIntoClusters — CC over star(state) ∪ new
+  // pairs, a graph-sized edge set), instead of re-hashing the corpus
+  // closure per run (q149's measured 3.7× fixed-batch slope). Three
+  // rounds: bootstrap {v%3=0} (full sorted-sketch clustering, the
+  // one-time cost), round 1 folds {v%3=1} via the index, round 2
+  // folds {v%3=2}. Rounds 0–1 and the upserted index are cached
+  // build artifacts (the q148 pattern); the LIVE run is exactly one
+  // deployment round: index probe + state fold. The oracle replays
+  // each round's pair set over its own corpus restriction (prefixed
+  // CTE sets — the union the index held at that round), unions the
+  // accumulated pairs, and takes q149's recursive closure: CC over
+  // star-compressed prior state equals CC over accumulated pairs
+  // (DedupSpec pins the invariant; star hubs are min-id members).
+  val q150 = sql(
+    "q150_cluster_state_rounds", {
+      s"""WITH RECURSIVE ${sortedSketchCtes(32, 4, 16,
+             where = "vec_id % 3 = 0", prefix = "r0")},
+         |${sortedSketchCtes(32, 4, 16,
+             where = "vec_id % 3 <= 1", prefix = "r1")},
+         |${sortedSketchCtes(32, 4, 16, prefix = "r2")},
+         |pr AS (
+         |  SELECT va, vb FROM r0p WHERE sim >= 0.35
+         |  UNION SELECT va, vb FROM r1p
+         |    WHERE sim >= 0.35 AND (va % 3 = 1 OR vb % 3 = 1)
+         |  UNION SELECT va, vb FROM r2p
+         |    WHERE sim >= 0.35 AND (va % 3 = 2 OR vb % 3 = 2)),
+         |edges AS (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
+         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+         |cc AS (SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node)
+         |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM cc ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // "1" = state/layout version; bump with any change to the sketch
+    // index layout, canon semantics, or the cluster-state schema
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ccstate1-" + sourceFingerprint(d)).getPath
+    if (!new java.io.File(root).exists()) {
+      val tmp = new java.io.File(root + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      val idx = tmp.getPath + "/idx"
+      val st = tmp.getPath + "/state"
+      // round 0: bootstrap — full block-less clustering of the initial
+      // corpus + its sketch index (the q149 one-time cost)
+      Similarity.writeSketchIndex(
+        emb.filter(col("vec_id") % 3 === 0), idx, 64)
+      val state0 = Dedup.dupClusters(
+        Dedup.embeddingNearDupSorted(emb.filter(col("vec_id") % 3 === 0),
+          0.35, 64, nBits = 32, tables = 4, window = 16),
+        a = "vec_a", b = "vec_b")
+      // round 1: index probe for the batch's pairs, fold, upsert
+      val pairs1 = Dedup.embeddingNearDupIndexed(
+        emb.filter(col("vec_id") % 3 === 1), idx, 0.35)
+      val state1 = Dedup.mergePairsIntoClusters(state0, pairs1,
+        a = "vec_a", b = "vec_b")
+      Similarity.upsertSketchIndex(emb.filter(col("vec_id") % 3 === 1), idx)
+      Dedup.writeClusterState(state1, st)
+      if (!tmp.renameTo(new java.io.File(root))) deleteRecursively(tmp)
+    }
+    // the LIVE round — what every subsequent crawl round costs:
+    // O(batch)-kernel pair detection against the persisted index +
+    // one fold of graph-sized edges into the persisted state
+    val pairs2 = Dedup.embeddingNearDupIndexed(
+      emb.filter(col("vec_id") % 3 === 2), s"$root/idx", 0.35)
+    Dedup.mergePairsIntoClusters(
+        Dedup.readClusterState(s, s"$root/state"), pairs2,
+        a = "vec_a", b = "vec_b")
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("csize"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149, q150)
 }

@@ -547,13 +547,18 @@ object Pipelines {
     // table by one empty partition dir per trigger forever (~17k/day
     // at 5 s), and every reader pays partition discovery over all of
     // them (the upsertSketchIndex empty-batch contract, mirrored).
-    // persist first: the emptiness probe and the write are two
-    // actions over the same micro-batch plan — unpersisted, each
-    // would re-execute the stateful aggregation (the documented
-    // foreachBatch multi-action recipe)
+    // persist + count(): the emptiness probe and the write are two
+    // actions over the same micro-batch plan. count() (not isEmpty)
+    // materializes EVERY partition into the cache — a limit-1 probe
+    // would cache only the partitions it touched and the write would
+    // silently recompute the stateful aggregation for the rest
+    // (r15 advisor finding); the full pass costs nothing extra on an
+    // empty trigger and is the price of one execution on a full one
+    // (MEMORY_AND_DISK, so an oversized batch spills rather than
+    // evicts).
     batch.persist()
     try {
-      if (batch.isEmpty) return
+      if (batch.count() == 0L) return
       val ks = keys.map(col)
       // STAGE + RENAME, never write into the live dir: the native
       // file sink this replaces gave readers atomic trigger
@@ -563,10 +568,21 @@ object Pipelines {
       // windows). Dot-prefixed dirs are invisible to Spark's file
       // listing, so the staged write is never read; the rename is
       // the atomic publish, and a crash-replay swaps the redelivered
-      // batch in whole (the writeSwap/mirror recipe — same residual
-      // caveat: a reader that listed the OLD files just before a
-      // replay swap can hit FileNotFound mid-scan, the standard
-      // swap trade, loud rather than wrong).
+      // batch in whole (the writeSwap/mirror recipe). TWO residual
+      // reader races exist, BOTH confined to crash-replay of an
+      // already-published batch (first publish of batch=N has no
+      // live dir to swap): (a) a reader that listed the OLD files
+      // just before the swap hits FileNotFound mid-scan — loud, the
+      // standard swap trade; (b) a reader whose ROOT listing lands
+      // in the live→aside→live window sees no batch=N dir at all
+      // and silently undercounts that one batch for that one read.
+      // (b) is accepted for this tier: replay re-delivers the SAME
+      // rows (deterministic per-batch recomputation), the window is
+      // two renames wide, and it requires a crash between commit and
+      // checkpoint — a dashboard read repeated a trigger later is
+      // whole again. A tier where a transient whole-batch gap is
+      // NOT acceptable should publish under versioned dir names
+      // resolved through a pointer file instead.
       val root = new Path(path)
       val fs = root.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)

@@ -424,4 +424,43 @@ class DedupSpec extends SparkSuite {
     assert(out(4L)._2 == 0, "within-doc repetition is not cross-doc duplication")
     assert(!out.contains(5L), "sub-k docs have no windows")
   }
+
+  test("mergePairsIntoClusters: folded rounds equal the closure over all accumulated pairs") {
+    import spark.implicits._
+    // three "rounds" of pairs: p2 bridges p0's and p1's components —
+    // the case star compression must survive (two settled clusters
+    // join through one new pair and take the global min label)
+    val p0 = Seq((2L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p1 = Seq((10L, 11L)).toDF("doc_a", "doc_b")
+    val p2 = Seq((3L, 10L), (20L, 21L)).toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("doc_id", "cluster", "csize").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val folded = Dedup.mergePairsIntoClusters(
+      Dedup.mergePairsIntoClusters(Dedup.dupClusters(p0), p1), p2)
+    val full = Dedup.dupClusters(p0.unionByName(p1).unionByName(p2))
+    assert(rows(folded) == rows(full))
+    assert(rows(folded).contains((11L, 1L, 5L)),
+      "bridged component must relabel to the global min with size 5")
+    // an empty round folds to the prior state unchanged
+    val noop = Dedup.mergePairsIntoClusters(full, p0.limit(0))
+    assert(rows(noop) == rows(full))
+  }
+
+  test("cluster state round-trips through the versioned commit, folds after reload") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccstate").toString + "/state"
+    val s0 = Dedup.dupClusters(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    Dedup.writeClusterState(s0, dir)
+    val back = Dedup.readClusterState(spark, dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      s0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // fold a bridging round into the RELOADED state, persist again —
+    // the deployment loop: read -> fold -> commit
+    val s1 = Dedup.mergePairsIntoClusters(back, Seq((2L, 5L)).toDF("doc_a", "doc_b"))
+    Dedup.writeClusterState(s1, dir)
+    val rows = Dedup.readClusterState(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L)))
+  }
 }

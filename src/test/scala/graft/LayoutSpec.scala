@@ -675,6 +675,57 @@ class LayoutSpec extends SparkSuite {
     assert(res.count() == 19, "full probe must see every re-ingested vector")
   }
 
+  test("LSH shingles member: pushed candidate-id set prunes the scan; semi-join form scans all") {
+    val dir = Files.createTempDirectory("lshprune").toString + "/index"
+    val docs = Tables.documents(spark, sf0001)
+    graft.operators.Dedup.writeLshIndex(docs, col("doc_id"), col("text"), dir)
+    val member = graft.operators.Dedup.readLshTable(spark, dir, "shingles")
+    val total = member.count()
+    // >10 ids: below Spark's DEFAULT IN-pushdown threshold this set
+    // would be pushed as per-value predicates anyway; above it, Spark
+    // silently degrades the IN to a min/max RANGE — which spans the
+    // whole id space here and prunes NOTHING. The raised threshold
+    // (GraftSession ships it; prunedOldShingles relies on it) is what
+    // this pin protects: drop the conf and the scan goes back to 100%.
+    val candIds = docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id")).collect().map(_.get(0))
+    assert(candIds.length > 10)
+    val saved = spark.conf.getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+    // AQE off for metric visibility only: an adaptive plan hides the
+    // FileSourceScanExec behind query stages (the LayoutProbe rule);
+    // the semi-join stays a broadcast join via the explicit hint
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      }
+      val pushed = member.filter(col("doc_id").isin(candIds: _*))
+      val viaJoin = member.join(
+        broadcast(candIds.map(_.asInstanceOf[Long]).toSeq.toDF("doc_id")),
+        Seq("doc_id"), "left_semi")
+      assert(pushed.count() == viaJoin.count(), "read forms must agree")
+      val pushedScan = scanRows(pushed)
+      val joinScan = scanRows(viaJoin)
+      // dictionary/stats skipping: the pushed form reads only row
+      // groups holding candidate docs; the join form reads the table
+      assert(pushedScan < total,
+        s"pushed IN did not skip anything: $pushedScan of $total")
+      assert(joinScan == total, s"semi-join baseline expected full scan, got $joinScan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v)
+        case None => spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+      }
+    }
+  }
+
   test("LSH index survives full takedown then re-ingest (empty-manifest recovery)") {
     import graft.operators.{Dedup, Index}
     import org.apache.spark.sql.functions.col
