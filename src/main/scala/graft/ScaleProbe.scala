@@ -325,15 +325,21 @@ object ScaleProbe {
       // closure per run; the persisted-state form pays one indexed
       // probe + a fold over graph-sized edges. State build (the
       // bootstrap) is UNTIMED like the index build — paid once.
+      // Threshold 0.35 = the gated queries' regime: at 0.3 the
+      // UNREPLICATED isotropic corpus grows a pair graph whose
+      // components are chains deeper than the pointer-jumping cap
+      // (dupClusters fails loudly, by design — a dedup threshold
+      // admitting isotropic-noise pairs is mis-sized, not a scale
+      // problem).
       val ccInmem = best(Dedup.dupClusters(
-        Dedup.embeddingNearDupSorted(vBatch.unionByName(vCorpus), 0.3, 64),
+        Dedup.embeddingNearDupSorted(vBatch.unionByName(vCorpus), 0.35, 64),
         a = "vec_a", b = "vec_b"))
       Dedup.writeClusterState(Dedup.dupClusters(
-        Dedup.embeddingNearDupSorted(vCorpus, 0.3, 64),
+        Dedup.embeddingNearDupSorted(vCorpus, 0.35, 64),
         a = "vec_a", b = "vec_b"), s"$root/cc")
       val ccState = best(Dedup.mergePairsIntoClusters(
         Dedup.readClusterState(spark, s"$root/cc"),
-        Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3),
+        Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.35),
         a = "vec_a", b = "vec_b"))
       Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
         "lsh_indexed_text" -> lshText,
@@ -362,7 +368,6 @@ object ScaleProbe {
   // construction, not wall time — repeats would return identical rows
   def noiseSweep(spark: SparkSession, srcDir: String): Unit = {
     import graft.operators.Dedup
-    import graft.functions.Vectors
     val root = java.nio.file.Files.createTempDirectory("graft_noisesweep").toString
     // 500 originals × 6 replicas = 3,000 vectors — exhaustive ground
     // truth stays a 4.5M-kernel job
@@ -381,16 +386,14 @@ object ScaleProbe {
       val rep = spark.read.parquet(s"$root/rep/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint()
-      // measured sign-flip rate: mean Hamming distance between each
-      // replica's canonical code and its original's, over nBits
-      val codes = rep.select(col("vec_id"),
-        Vectors.lshBucket(col("embedding"), 64, 32).as("c"))
-      val flips = codes.filter(col("vec_id") >= stride)
-        .select((col("vec_id") % stride).as("o"), col("c"))
-        .join(codes.filter(col("vec_id") < stride)
-          .select(col("vec_id").as("o"), col("c").as("c0")), "o")
-        .agg(avg(bit_count(col("c").bitwiseXOR(col("c0")))) / 32.0)
-        .head().getDouble(0)
+      // measured sign-flip rate: each replica paired with its
+      // original (vec_id % stride), through the PRODUCTION estimator
+      // (r15) — the sweep's headline rate and the operator callers
+      // size with are one definition
+      val flips = graft.operators.Similarity.estimateFlipRate(
+        rep.filter(col("vec_id") < stride),
+        rep.filter(col("vec_id") >= stride)
+          .select((col("vec_id") % stride).as("vec_id"), col("embedding")))
       def pairs(df: DataFrame) = df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairs(Dedup.embeddingNearDupPairs(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, percentile_approx}
 
 /** Unified open/dispatch for the persisted [[VersionedIndex]]
   * layouts — the user-facing entry point a serving layer actually
@@ -260,11 +260,110 @@ object Index {
       Similarity.upsertSketchIndex(vectors, path)
     def delete(ids: DataFrame): Unit =
       Similarity.deleteFromSketchIndex(ids, path)
+    /** Bucket balance + carry depth + emptied state (r14 surface,
+      * exposed on the handle r15 for parity with the other kinds). */
+    def stats: Similarity.SketchStats =
+      Similarity.sketchIndexStats(spark, path)
   }
 
   def buildSketch(embeddings: DataFrame, path: String, dim: Int,
       nBits: Int = 32): Sketch = {
     Similarity.writeSketchIndex(embeddings, path, dim, nBits)
     open(embeddings.sparkSession, path).asInstanceOf[Sketch]
+  }
+
+  /** The operational core every index kind answers with one schema —
+    * the questions a monitoring loop actually polls: how many items
+    * the index serves (`rows`), how the probe-cost partitions are
+    * balanced (`partitions`/`maxPartition`/`medianPartition`/`skew` =
+    * max/median — the rebuild trigger's input), how deep the
+    * partial-commit carry runs (`carryDepth` = versions since the
+    * oldest still-carried leg, `carriedParts` = legs not at the
+    * current version — a carry that only deepens means full rewrites
+    * have stopped happening), and whether the index is committed but
+    * intentionally EMPTY (`emptied`: takedowns drained it — readable,
+    * mutable, serving nothing; distinct from "missing"). What a
+    * partition IS varies by kind (IVF list, LSH band bucket, sketch
+    * id-bucket, cluster) but the skew/carry/emptied judgment reads
+    * the same. Kind-specific detail stays on the handles/operators
+    * ([[Similarity.IvfStats]], [[Dedup.LshStats]],
+    * [[Similarity.SketchStats]]). */
+  final case class IndexStats(kind: String, rows: Long, partitions: Long,
+      maxPartition: Long, medianPartition: Long, skew: Double,
+      carryDepth: Int, carriedParts: Int, emptied: Boolean)
+
+  /** (carryDepth, carriedParts) of `tables`' partitioned member legs
+    * at the committed version — from the manifest alone (driver-side,
+    * no data read). */
+  private def carryOf(spark: SparkSession, path: String,
+      tables: Seq[String]): (Int, Int) = {
+    val cur = VersionedIndex.currentVersion(spark, path).getOrElse(
+      return (0, 0))
+    val mf = VersionedIndex.manifest(spark, path)
+    val legs = tables.flatMap(t => mf.getOrElse(t, Map.empty).values)
+    if (legs.isEmpty) (0, 0)
+    else (cur - legs.min, legs.count(_ != cur))
+  }
+
+  /** ONE health entry point for every persisted index kind — the same
+    * manifest evidence [[open]] dispatches on, mapped onto the common
+    * [[IndexStats]] core. Unlike [[open]], loads NO driver-side
+    * serving state (no codebook, no centroid preload): a monitoring
+    * loop polls it at manifest-read + one-bounded-aggregation cost.
+    * Covers the cluster-state layout ([[Dedup.writeClusterState]])
+    * too — the one committed layout [[open]] deliberately doesn't
+    * serve (its front door is [[Dedup.readClusterState]]). */
+  def stats(spark: SparkSession, path: String): IndexStats = {
+    val cur = VersionedIndex.currentDir(spark, path).getOrElse(
+      sys.error(s"no committed index at $path"))
+    val mf = VersionedIndex.manifest(spark, path)
+    val params = VersionedIndex.readParams(spark, cur)
+    val isPq = mf.contains("pq") || mf.contains("pq_codebook") ||
+      params.contains("pqM")
+    if (isPq || mf.contains("lists")) {
+      // list sizes from the maintained histogram (≤ nLists rows);
+      // median exact on the driver — the map is bounded by nLists
+      val sizes = Similarity.ivfListSizes(spark, path).filter(_._2 > 0L)
+      val (cd, cp) = carryOf(spark, path, Seq("lists"))
+      if (sizes.isEmpty)
+        IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
+          cd, cp, emptied = true)
+      else {
+        val vals = sizes.values.toSeq.sorted
+        val med = vals(vals.size / 2)
+        IndexStats(if (isPq) "ivf-pq" else "ivf", vals.sum, sizes.size,
+          vals.last, med, vals.last.toDouble / math.max(med, 1L),
+          cd, cp, emptied = false)
+      }
+    } else if (mf.contains("shingles") || mf.contains("bands")) {
+      val s = Dedup.lshIndexStats(spark, path)
+      val (cd, cp) = carryOf(spark, path, Seq("shingles", "bands"))
+      IndexStats("lsh", s.nBandedDocs, s.nBuckets, s.maxBucket,
+        s.medianBucket, s.skew, cd, cp, emptied = s.nBuckets == 0L)
+    } else if (mf.contains("sketch")) {
+      val s = Similarity.sketchIndexStats(spark, path)
+      IndexStats("sketch", s.nVecs, s.nOccupiedBuckets, s.maxBucket,
+        s.medianBucket, s.skew, s.carryDepth, s.carriedParts, s.emptied)
+    } else if (mf.contains("clusters")) {
+      // accumulated dup-cluster state: a "partition" is a cluster;
+      // skew = the giant-component watch (one cluster swallowing the
+      // corpus usually means the pair threshold is mis-sized)
+      val r = VersionedIndex.readTable(spark, path, "clusters")
+        .select(col("cluster"), col("csize")).distinct()
+        .agg(count(lit(1)).as("nc"), max(col("csize")).as("mx"),
+          percentile_approx(col("csize"), lit(0.5), lit(1000))
+            .cast("long").as("med"),
+          org.apache.spark.sql.functions.sum(col("csize")).as("rows"))
+        .head()
+      val (cd, cp) = carryOf(spark, path, Seq("clusters"))
+      if (r.getLong(0) == 0L)
+        IndexStats("ccstate", 0L, 0L, 0L, 0L, 1.0, cd, cp, emptied = true)
+      else
+        IndexStats("ccstate", r.getLong(3), r.getLong(0), r.getLong(1),
+          r.getLong(2),
+          r.getLong(1).toDouble / math.max(r.getLong(2), 1L),
+          cd, cp, emptied = false)
+    } else sys.error(s"unrecognized index layout at $path: " +
+      s"tables=${mf.keys.toSeq.sorted.mkString(",")}")
   }
 }

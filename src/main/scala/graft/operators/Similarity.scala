@@ -1672,6 +1672,62 @@ object Similarity {
   private[graft] def bitOrder(t: Int, nBits: Int): Seq[Int] =
     (0 until nBits).sortBy(j => (((t * 64L + j) * 2654435761L) % 1000003L, j.toLong))
 
+  /** Measured per-bit sign-flip rate between two embedding VERSIONS
+    * of the same items — the input the sorted-sketch production
+    * sizing rule needs (SCALE.md mid-noise sweep, "raise T, not w").
+    * `oldVecs`/`newVecs` carry (vec_id, embedding) with vec_id
+    * identifying the ITEM (a re-crawled doc, a re-embedded chunk);
+    * only ids present on BOTH sides contribute — in a crawl round,
+    * feed it the batch's re-embedded docs joined to the index's prior
+    * vectors for the same ids. The rate is the mean Hamming fraction
+    * between the versions' canonical nBits hyperplane codes — exactly
+    * the bits whose flips scatter a pair across the sketch sort
+    * order, so it IS the regime parameter the recall sweep measured
+    * (0.069 on the ±0.05-jitter sweep corpus; ScaleProbe
+    * --noise-sweep computes its headline rate through this method).
+    * Cost: one plane-dot kernel pass per side over the paired ids +
+    * one narrow join; run it on a sample — a few thousand pairs pin
+    * the rate to well under a point. */
+  def estimateFlipRate(oldVecs: DataFrame, newVecs: DataFrame,
+      dim: Int = 64, nBits: Int = 32): Double = {
+    graft.plans.GraftFunctions.register(oldVecs.sparkSession)
+    def codes(df: DataFrame, c: String) = df.select(col("vec_id"),
+      Vectors.lshBucket(col("embedding"), dim, nBits).as(c))
+    val row = codes(oldVecs, "c0").join(codes(newVecs, "c1"), "vec_id")
+      .agg(avg(bit_count(col("c0").bitwiseXOR(col("c1")))).as("h"),
+        count(lit(1)).as("n")).head()
+    require(row.getLong(1) > 0,
+      "estimateFlipRate needs at least one vec_id present in BOTH versions")
+    row.getDouble(0) / nBits
+  }
+
+  /** A sorted-sketch size: `tables` independent bit permutations,
+    * `window` adjacent ranks per table (candidates/node ≈ 2·T·w). */
+  final case class SketchSizing(tables: Int, window: Int)
+
+  /** The production sizing rule as a lookup, pinned to the r14
+    * mid-noise sweep (SCALE.md): below ~3% per-bit flips the default
+    * T=4/w=16 stands (0.989 recall at the 1.3%-flip regime); through
+    * the mid-noise regime raise TABLES first — independent
+    * permutations compound recall as 1−(1−p)^T, while a wider window
+    * only helps when flips leave a pair within 2w ranks of the SAME
+    * permutation, a chance that decays once codes scatter (measured
+    * at 6.9% flips: T=8/w=16 0.872 beats T=4/w=32 0.864 at EQUAL
+    * candidate volume; T=8/w=32 restores 0.936) → T=8/w=32. Past
+    * ~15% sign-sketch adjacency itself degrades toward the isotropic
+    * floor — no (T, w) is worth its candidate volume; the require
+    * names the IVF tier instead of returning a sizing that would
+    * silently miss. */
+  def recommendSketch(flipRate: Double): SketchSizing = {
+    require(flipRate >= 0.0 && flipRate <= 1.0,
+      s"flipRate is a fraction of bits, got $flipRate")
+    require(flipRate < 0.15,
+      f"at ${flipRate}%.3f per-bit flips sign-sketch adjacency " +
+        "degrades toward the isotropic floor — use the IVF ANN tier " +
+        "(buildIvfIndex + ivfSearchIndexed) for candidates instead")
+    if (flipRate < 0.03) SketchSizing(4, 16) else SketchSizing(8, 32)
+  }
+
   /** Deterministic 1-based global rank of each (t, code, vec_id) row
     * within its table `t` by (code, vec_id) — the scalable
     * zipWithIndex: range-partition on the full sort key, rank within

@@ -1057,4 +1057,62 @@ class LayoutSpec extends SparkSuite {
     assert(texts.count(t => t == "café hello" || t == "café hello") == 1)
     q.stop()
   }
+
+  test("Index.stats: one health schema across every persisted index kind") {
+    import graft.operators.{Dedup, Index, Similarity}
+    val root = Files.createTempDirectory("idxstats").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+
+    Similarity.buildIvfIndex(emb, 8, s"$root/ivf")
+    val ivf = Index.stats(spark, s"$root/ivf")
+    assert(ivf.kind == "ivf" && !ivf.emptied)
+    assert(ivf.rows == emb.count(), "rows = indexed vectors")
+    assert(ivf.partitions > 0 && ivf.partitions <= 8, "partitions = occupied lists")
+    // one common-core judgment reads identically for every kind below
+    def sane(s: Index.IndexStats): Unit = {
+      assert(s.maxPartition >= s.medianPartition && s.medianPartition > 0)
+      assert(s.skew >= 1.0 && s.carryDepth >= 0 && s.carriedParts >= 0)
+    }
+    sane(ivf)
+    // the common core agrees with the kind-specific detail object
+    val ivfDetail = Similarity.ivfIndexStats(spark, s"$root/ivf")
+    assert(ivf.maxPartition == ivfDetail.maxSize && ivf.skew == ivfDetail.skew)
+
+    Similarity.buildIvfPqIndex(emb, 8, s"$root/pq")
+    val pq = Index.stats(spark, s"$root/pq")
+    assert(pq.kind == "ivf-pq" && pq.rows == emb.count()); sane(pq)
+
+    Dedup.writeLshIndex(docs, col("doc_id"), col("text"), s"$root/lsh")
+    val lsh = Index.stats(spark, s"$root/lsh")
+    assert(lsh.kind == "lsh" && !lsh.emptied); sane(lsh)
+    val lshDetail = Dedup.lshIndexStats(spark, s"$root/lsh")
+    assert(lsh.rows == lshDetail.nBandedDocs &&
+      lsh.partitions == lshDetail.nBuckets && lsh.skew == lshDetail.skew)
+
+    Similarity.writeSketchIndex(emb, s"$root/sk", 64)
+    val sk0 = Index.stats(spark, s"$root/sk")
+    assert(sk0.kind == "sketch" && sk0.rows == emb.count() &&
+      sk0.carryDepth == 0 && sk0.carriedParts == 0); sane(sk0)
+    // a partial commit must surface in the common carry fields
+    Similarity.upsertSketchIndex(
+      emb.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label")), s"$root/sk")
+    val sk1 = Index.stats(spark, s"$root/sk")
+    assert(sk1.carryDepth == 1 && sk1.carriedParts > 0,
+      "untouched buckets stay carried at the previous version")
+    assert(sk1.rows == sk0.rows + 1)
+
+    Dedup.writeClusterState(Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")),
+      s"$root/cc")
+    val cc = Index.stats(spark, s"$root/cc")
+    assert(cc.kind == "ccstate" && cc.rows == 5 && cc.partitions == 2 &&
+      cc.maxPartition == 3); sane(cc)
+
+    // a missing index rejects the same way open() does
+    val thrown = intercept[RuntimeException](Index.stats(spark, s"$root/nothing"))
+    assert(thrown.getMessage.contains("no committed index"))
+  }
 }

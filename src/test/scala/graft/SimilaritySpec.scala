@@ -408,6 +408,48 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.95, s"mid-noise recall $recall below the 0.95 floor")
   }
 
+  test("estimateFlipRate + recommendSketch: the production sizing rule is an API") {
+    // the r15 operator form of the r14 sweep's guidance: measure the
+    // corpus flip rate from paired embedding versions, look the
+    // sizing up — instead of hand-running probe code (SCALE.md cites
+    // this API). Same replicated-corpus recipe as the mid-noise pin.
+    val dir = java.nio.file.Files.createTempDirectory("fliprate").toString
+    Tables.embeddings(spark, sf0001).limit(200)
+      .write.mode("overwrite").parquet(s"$dir/base/embeddings.parquet")
+    graft.ScaleProbe.materialize(spark, s"$dir/base", s"$dir/rep", 6,
+      Set("embeddings"), jitterPermille = 50)
+    val base = spark.read.parquet(s"$dir/base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val stride = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val reps = Tables.embeddings(spark, s"$dir/rep")
+      .filter(col("vec_id") >= stride)
+      .select((col("vec_id") % stride).as("vec_id"), col("embedding"))
+    val rate = Similarity.estimateFlipRate(base, reps)
+    info(f"measured flip rate = $rate%.4f on the jitter=50 spec corpus")
+    // deterministic construction: the ±0.05-jitter regime the sweep
+    // measured at 0.069 (n=3000) — the band covers corpus regeneration
+    assert(rate > 0.04 && rate < 0.10,
+      s"jitter=50 flip rate $rate outside the sweep's mid-noise regime")
+    // and the lookup lands exactly on the sweep's recommendation
+    assert(Similarity.recommendSketch(rate) == Similarity.SketchSizing(8, 32))
+    // identical versions: zero flips by definition
+    assert(Similarity.estimateFlipRate(base, base) == 0.0)
+    // negated versions: every plane dot changes sign -> every bit flips
+    val neg = base.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(Similarity.estimateFlipRate(base, neg) == 1.0)
+    // the pinned lookup table + the IVF-handoff cliff
+    assert(Similarity.recommendSketch(0.013) == Similarity.SketchSizing(4, 16))
+    assert(Similarity.recommendSketch(0.069) == Similarity.SketchSizing(8, 32))
+    val cliff = intercept[IllegalArgumentException](Similarity.recommendSketch(0.2))
+    assert(cliff.getMessage.contains("IVF"),
+      "past the cliff the error must name the IVF tier")
+    intercept[IllegalArgumentException](Similarity.recommendSketch(-0.1))
+    // disjoint id spaces: loud, not NaN
+    intercept[IllegalArgumentException](Similarity.estimateFlipRate(
+      base, base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
+  }
+
   test("incremental embedding near-dup == batch-incident subset of the full pairs") {
     import graft.operators.Dedup
     // the q117 contract on the vector tier: the incremental form must
