@@ -224,6 +224,14 @@ object LayoutProbe {
     // session's IN-pushdown threshold would silently degrade to a
     // min/max range — the exact failure this probe exists to expose.
     val nCand = sys.env.getOrElse("SPARK_GRAFT_LSH_CAND", "500").toInt
+    // above the operator cap the pushed IN would cross the session's
+    // pushdown threshold and silently degrade to the useless min/max
+    // range — the probe would then MEASURE the degraded regime and
+    // report it as layout behavior; refuse instead (the operator
+    // itself falls back to the semi-join past this cap)
+    require(nCand <= 4096,
+      s"SPARK_GRAFT_LSH_CAND=$nCand exceeds the 4096 operator pushdown " +
+        "cap — the probe would measure the degraded range-filter regime")
     val candIds = docs.filter(col("doc_id") % 199 === 7)
       .select(col("doc_id")).limit(nCand).collect().map(_.get(0))
     def serve(path: String): (Long, Long, Double) =

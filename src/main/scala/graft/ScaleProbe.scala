@@ -119,10 +119,14 @@ object ScaleProbe {
     // dir is invisible to parquet readers. Marker PRESENT + mismatch
     // = loud failure; marker ABSENT (a pre-marker layout) = rebuild
     // with a stderr note, since the stored params are unknowable.
+    // src is part of the replica identity too: the same outDir built
+    // from a DIFFERENT source corpus at matching factor/jitter would
+    // otherwise be reused silently — the same wrong-regime failure
+    // class, on the source axis (r15 review finding)
     def wanted(name: String): String =
       if (name.startsWith("embeddings"))
-        s"factor=$factor jitterPermille=$jitterPermille"
-      else s"factor=$factor"
+        s"src=$srcDir factor=$factor jitterPermille=$jitterPermille"
+      else s"src=$srcDir factor=$factor"
     def marker(name: String) =
       new org.apache.hadoop.fs.Path(s"$outDir/$name/_GRAFT_PARAMS")
     def writeMarker(name: String): Unit = {

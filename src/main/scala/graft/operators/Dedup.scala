@@ -691,19 +691,26 @@ object Dedup {
         .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
         .cache()
-      // old-side ids verification actually needs: pair members that are
-      // not batch docs (batch members verify against shNew)
-      val candOldIds = candidates
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-        .join(newIds, Seq("doc_id"), "left_anti")
-      val shCand = shNew.union(shOldFor(candOldIds)).cache()
+      // the supplier call below runs driver-side work (the indexed
+      // form's bounded id collect) — it must sit INSIDE the try so a
+      // mid-job failure still unpersists the candidates cache (a
+      // long-lived driver retrying crawl rounds would otherwise
+      // accumulate materialized banded-join caches per failure)
       try {
-        jaccardOnPairs(shCand, candidates)
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .localCheckpoint()
-      } finally { shCand.unpersist(); candidates.unpersist() }
+        // old-side ids verification actually needs: pair members that
+        // are not batch docs (batch members verify against shNew)
+        val candOldIds = candidates
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .join(newIds, Seq("doc_id"), "left_anti")
+        val shCand = shNew.union(shOldFor(candOldIds)).cache()
+        try {
+          jaccardOnPairs(shCand, candidates)
+            .filter(col("jaccard") >= threshold)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+            .localCheckpoint()
+        } finally shCand.unpersist()
+      } finally candidates.unpersist()
     } finally dsNew.unpersist()
   }
 

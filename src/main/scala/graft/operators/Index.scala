@@ -322,17 +322,23 @@ object Index {
       params.contains("pqM")
     if (isPq || mf.contains("lists")) {
       // list sizes from the maintained histogram (≤ nLists rows);
-      // median exact on the driver — the map is bounded by nLists
-      val sizes = Similarity.ivfListSizes(spark, path).filter(_._2 > 0L)
+      // median exact on the driver — the map is bounded by nLists.
+      // Drained (zero) lists stay IN the balance stats, matching
+      // Similarity.ivfIndexStats exactly — the common core and the
+      // detail object must never disagree about the same index (a
+      // zero median is real imbalance information: most lists empty).
+      val sizes = Similarity.ivfListSizes(spark, path)
       val (cd, cp) = carryOf(spark, path, Seq("lists"))
-      if (sizes.isEmpty)
+      val total = sizes.values.sum
+      if (sizes.isEmpty || total == 0L)
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
           cd, cp, emptied = true)
       else {
         val vals = sizes.values.toSeq.sorted
-        val med = vals(vals.size / 2)
-        IndexStats(if (isPq) "ivf-pq" else "ivf", vals.sum, sizes.size,
-          vals.last, med, vals.last.toDouble / math.max(med, 1L),
+        // median clamped to >=1 exactly as ivfIndexStats clamps it
+        val med = math.max(vals(vals.size / 2), 1L)
+        IndexStats(if (isPq) "ivf-pq" else "ivf", total, sizes.size,
+          vals.last, med, vals.last.toDouble / med,
           cd, cp, emptied = false)
       }
     } else if (mf.contains("shingles") || mf.contains("bands")) {

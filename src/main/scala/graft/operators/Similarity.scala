@@ -1617,6 +1617,11 @@ object Similarity {
     cand
   }
 
+  /** Hard cap on ids the incident-marker broadcast will carry: 1M ids
+    * ≈ 8 MB of longs — far inside driver comfort, far outside any
+    * sane per-round batch. */
+  private val MaxIncidentBatchIds = 1000000
+
   /** Batch-incident variant of [[sortedSketchCandidates]] /
     * [[candidatesFromCodes]]: adjacency pairs with ≥1 endpoint in
     * `newIds`, deduplicated AFTER the incidence filter — so the
@@ -1627,25 +1632,20 @@ object Similarity {
     * rank passes. Incidence = two broadcast marker joins + an OR
     * filter, one pass over the raw stream (the union-of-semi-joins
     * alternative would re-execute the candidate subtree per branch). */
-  /** Hard cap on ids the incident-marker broadcast will carry: 1M ids
-    * ≈ 8 MB of longs — far inside driver comfort, far outside any
-    * sane per-round batch. */
-  private val MaxIncidentBatchIds = 1000000L
-
   private[operators] def batchIncidentCandidatesFromCodes(canon: DataFrame,
       newIds: DataFrame, nBits: Int, tables: Int, window: Int): DataFrame = {
     // Explicit batch-size guard BEFORE the unbounded broadcast hints
     // below: without it, a pathological multi-million-id "batch"
     // would likely die of driver memory pressure while BUILDING the
-    // broadcast — an opaque OOM, not a diagnostic. One cheap count of
-    // the (batch-sized) id frame buys the intended loud contract
-    // error instead (r15 advisor finding).
-    val nNew = newIds.count()
-    require(nNew <= MaxIncidentBatchIds,
-      s"batch-incident candidates got $nNew batch ids (cap " +
-        s"$MaxIncidentBatchIds): a batch this size is a bulk build " +
-        "mis-routed through the per-round API — run " +
-        "embeddingNearDupSorted over the union instead")
+    // broadcast — an opaque OOM, not a diagnostic. The probe is
+    // LIMIT-bounded (cap+1), so the per-round guard job stops at the
+    // cap even when the mis-routed "batch" is billions of rows — it
+    // never scans what it is about to reject (r15 review finding).
+    require(newIds.limit(MaxIncidentBatchIds + 1).count() <= MaxIncidentBatchIds,
+      s"batch-incident candidates got over $MaxIncidentBatchIds batch " +
+        "ids (the cap): a batch this size is a bulk build mis-routed " +
+        "through the per-round API — run embeddingNearDupSorted over " +
+        "the union instead")
     rawAdjacentPairs(canon, nBits, tables, window)
       // broadcast FORCED, not left to AQE: the raw stream's
       // plan-time size statistic is unknown, so without the hint a
@@ -1654,9 +1654,9 @@ object Similarity {
       // this path exists to avoid. The hint is deliberately UNBOUNDED
       // by autoBroadcastJoinThreshold — degrading to the double
       // shuffle of the fan-out would be a silent quadratic-cost
-      // cliff — and the count() guard above is what keeps "unbounded"
-      // honest (the contract violation fails with its own error, not
-      // a driver OOM mid-broadcast-build).
+      // cliff — and the limit-bounded guard above is what keeps
+      // "unbounded" honest (the contract violation fails with its own
+      // error, not a driver OOM mid-broadcast-build).
       .join(broadcast(newIds.select(col("vec_id").as("va"), lit(true).as("_an"))),
         Seq("va"), "left")
       .join(broadcast(newIds.select(col("vec_id").as("vb"), lit(true).as("_bn"))),
@@ -1691,6 +1691,17 @@ object Similarity {
   def estimateFlipRate(oldVecs: DataFrame, newVecs: DataFrame,
       dim: Int = 64, nBits: Int = 32): Double = {
     graft.plans.GraftFunctions.register(oldVecs.sparkSession)
+    // dim mismatch must be LOUD: the plane-dot kernel returns null on
+    // a width mismatch, lshBucket maps null dots to all-zero codes,
+    // and two all-zero sides XOR to a flip rate of 0.0 — silently
+    // UNDERSIZING the sketch, the exact failure this API exists to
+    // prevent. One sampled row per side is enough (the guard is
+    // against a wrong dim PARAMETER, not ragged rows).
+    for (side <- Seq(oldVecs, newVecs);
+         r <- side.select(size(col("embedding"))).take(1))
+      require(r.getInt(0) == dim,
+        s"estimateFlipRate called with dim=$dim on ${r.getInt(0)}-wide " +
+          "embeddings — pass the real width or every code degenerates to 0")
     def codes(df: DataFrame, c: String) = df.select(col("vec_id"),
       Vectors.lshBucket(col("embedding"), dim, nBits).as(c))
     val row = codes(oldVecs, "c0").join(codes(newVecs, "c1"), "vec_id")

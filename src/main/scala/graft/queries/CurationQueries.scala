@@ -367,8 +367,8 @@ object CurationQueries {
   val q108 = sql(
     "q108_leakage_safe_split",
     s"""WITH RECURSIVE gt AS (SELECT doc_a, doc_b FROM (${VectorQueries.jaccardOracle}) g),
-       |edges AS (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
-       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+       |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
        |reach(node, lbl) AS (
        |  SELECT node, node FROM nodes
        |  UNION
@@ -614,8 +614,8 @@ object CurationQueries {
          |s1 AS (SELECT doc_id, lang, text, n_ws FROM fp JOIN mn
          |  ON fp.f = mn.f AND fp.doc_id = mn.keep_id),
          |gt AS (SELECT doc_a, doc_b FROM ($pairsOverSurvivors) g),
-         |edges AS (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
-         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
          |reach(node, lbl) AS (
          |  SELECT node, node FROM nodes
          |  UNION

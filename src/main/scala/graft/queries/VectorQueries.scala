@@ -288,8 +288,8 @@ object VectorQueries {
   val q64 = sql(
     "q64_dup_clusters",
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracle) gt),
-       |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
        |reach(node, lbl) AS (
        |  SELECT node, node FROM nodes
        |  UNION
@@ -503,8 +503,8 @@ object VectorQueries {
   val q82 = sql(
     "q82_neardup_removal",
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracle) gt),
-       |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT x AS node FROM edges),
+       |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
        |reach(node, lbl) AS (
        |  SELECT node, node FROM nodes
        |  UNION
@@ -1182,9 +1182,9 @@ object VectorQueries {
   val q149 = sql(
     "q149_vector_dup_clusters", {
       s"""WITH RECURSIVE ${sortedSketchCtes(32, 4, 16)},
-         |pr AS (SELECT va, vb FROM p WHERE sim >= 0.35),
-         |edges AS (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
-         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |pr AS MATERIALIZED (SELECT va, vb FROM p WHERE sim >= 0.35),
+         |edges AS MATERIALIZED (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
+         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
          |reach(node, lbl) AS (
          |  SELECT node, node FROM nodes
          |  UNION
@@ -1225,14 +1225,14 @@ object VectorQueries {
          |${sortedSketchCtes(32, 4, 16,
              where = "vec_id % 3 <= 1", prefix = "r1")},
          |${sortedSketchCtes(32, 4, 16, prefix = "r2")},
-         |pr AS (
+         |pr AS MATERIALIZED (
          |  SELECT va, vb FROM r0p WHERE sim >= 0.35
          |  UNION SELECT va, vb FROM r1p
          |    WHERE sim >= 0.35 AND (va % 3 = 1 OR vb % 3 = 1)
          |  UNION SELECT va, vb FROM r2p
          |    WHERE sim >= 0.35 AND (va % 3 = 2 OR vb % 3 = 2)),
-         |edges AS (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
-         |nodes AS (SELECT DISTINCT x AS node FROM edges),
+         |edges AS MATERIALIZED (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
+         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
          |reach(node, lbl) AS (
          |  SELECT node, node FROM nodes
          |  UNION

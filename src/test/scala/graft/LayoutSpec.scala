@@ -1077,7 +1077,20 @@ class LayoutSpec extends SparkSuite {
     sane(ivf)
     // the common core agrees with the kind-specific detail object
     val ivfDetail = Similarity.ivfIndexStats(spark, s"$root/ivf")
-    assert(ivf.maxPartition == ivfDetail.maxSize && ivf.skew == ivfDetail.skew)
+    assert(ivf.maxPartition == ivfDetail.maxSize && ivf.skew == ivfDetail.skew &&
+      ivf.medianPartition == ivfDetail.medianSize)
+    // ...and stays in agreement after deletes skew the histogram
+    // (zero-size lists included in balance stats on BOTH surfaces,
+    // median clamped identically)
+    val toDelete = emb.filter(col("vec_id") < 150).select(col("vec_id"))
+    val nDeleted = toDelete.count()
+    Similarity.deleteFromIvfIndex(toDelete, s"$root/ivf")
+    val ivfAfter = Index.stats(spark, s"$root/ivf")
+    val detAfter = Similarity.ivfIndexStats(spark, s"$root/ivf")
+    assert(ivfAfter.maxPartition == detAfter.maxSize &&
+      ivfAfter.skew == detAfter.skew &&
+      ivfAfter.medianPartition == detAfter.medianSize)
+    assert(nDeleted > 0 && ivfAfter.rows == ivf.rows - nDeleted)
 
     Similarity.buildIvfPqIndex(emb, 8, s"$root/pq")
     val pq = Index.stats(spark, s"$root/pq")

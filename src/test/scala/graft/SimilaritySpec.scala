@@ -448,6 +448,12 @@ class SimilaritySpec extends SparkSuite {
     // disjoint id spaces: loud, not NaN
     intercept[IllegalArgumentException](Similarity.estimateFlipRate(
       base, base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
+    // dim mismatch: loud, never a silent all-zero-code 0.0 rate (the
+    // kernel nulls on width mismatch and null dots encode as bit 0 —
+    // a quiet 0.0 would UNDERSIZE the sketch via recommendSketch)
+    val wrongDim = intercept[IllegalArgumentException](
+      Similarity.estimateFlipRate(base, base, dim = 128))
+    assert(wrongDim.getMessage.contains("dim=128"))
   }
 
   test("incremental embedding near-dup == batch-incident subset of the full pairs") {
