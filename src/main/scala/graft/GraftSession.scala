@@ -13,11 +13,31 @@ import graft.plans.{GraftExtensions, GraftFunctions}
   * at runtime either way.
   */
 object GraftSession {
+
+  /** The parquet confs every graft session MUST carry, as one shared
+    * definition — both fail SILENTLY when dropped, so they are not
+    * allowed to exist as per-main copy-paste stanzas:
+    *  - INT64-micros timestamps: Spark's default INT96 encoding has
+    *    NO usable row-group min/max, so a pushed time-range predicate
+    *    prunes nothing (measured r14: a minute-sorted table scanned
+    *    100% under INT96, 1.1% as INT64 micros). Writers only;
+    *    readers are unaffected.
+    *  - IN-pushdown threshold above the 4096-id operator cap: past
+    *    the threshold Spark degrades a pushed IN to a min/max RANGE
+    *    filter, which prunes nothing over hash-distributed keys — the
+    *    candidate-id probes of index members
+    *    (Dedup.prunedOldShingles) need the literal set to reach
+    *    parquet's row-group dictionaries/stats (LayoutProbe --lsh).
+    * Every main's session builder routes through this. */
+  def parquetConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+
   def create(
       appName: String = "graft",
       master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = parquetConfs(SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -27,21 +47,7 @@ object GraftSession {
       // ns-timestamp parquet (events table) reads as raw int64; the
       // flag lives here, not inside a table loader, so no read path
       // mutates session state as a side effect.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Spark's default parquet timestamp encoding is INT96, whose
-      // row groups carry NO usable min/max — a pushed time-range
-      // predicate then prunes NOTHING, silently (measured r14: a
-      // minute-sorted table scanned 100% under INT96, 1.1% as INT64
-      // micros). Every graft writer emits INT64 micros so serving
-      // tables keep time-range pruning; readers are unaffected.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // A pushed IN above this threshold silently degrades to a
-      // min/max RANGE filter, which prunes nothing over
-      // hash-distributed keys; the candidate-id probes of index
-      // members (Dedup.prunedOldShingles) push up to 4096-value id
-      // sets and need the literal set to reach parquet's row-group
-      // dictionaries/stats (LayoutProbe --lsh).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     GraftFunctions.register(spark)

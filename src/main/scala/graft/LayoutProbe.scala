@@ -182,8 +182,11 @@ object LayoutProbe {
     // index's bucket key (64 buckets, the writeLshIndex default)
     val sh = graft.operators.Dedup
       .shingleSet(docs, col("doc_id"), col("text"))
+      // THE index's bucket definition (writeLshIndex default 64) —
+      // shared so a bucketing change can never desync the probe from
+      // the layout it measures
       .withColumn("idx_bucket",
-        pmod(xxhash64(col("doc_id")), lit(64L)).cast("int"))
+        graft.operators.Dedup.idxBucketCol(col("doc_id"), 64))
       .persist()
     val n = sh.count()
     // FIXED rows-per-file = the row-group emulation (the mirror/state
@@ -279,25 +282,15 @@ object LayoutProbe {
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.parquetConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-layout-probe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // INT64-micros timestamps: INT96 (the default) has no usable
-      // row-group stats, silently defeating time-range pruning (r14)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // A pushed IN above this threshold silently degrades to a
-      // min/max RANGE filter, which prunes nothing over
-      // hash-distributed keys; the candidate-id probes of index
-      // members (Dedup.prunedOldShingles) push up to 4096-value id
-      // sets and need the literal set to reach parquet's row-group
-      // dictionaries/stats (LayoutProbe --lsh).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if (mirror) {

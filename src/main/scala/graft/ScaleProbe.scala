@@ -122,11 +122,15 @@ object ScaleProbe {
     // src is part of the replica identity too: the same outDir built
     // from a DIFFERENT source corpus at matching factor/jitter would
     // otherwise be reused silently — the same wrong-regime failure
-    // class, on the source axis (r15 review finding)
+    // class, on the source axis (r15 review finding). Path NORMALIZED
+    // (Hadoop Path strips trailing/redundant slashes) so an
+    // equivalent spelling of the same source never hard-fails reuse
+    // of a valid multi-GB replica.
+    val srcKey = new org.apache.hadoop.fs.Path(srcDir).toString
     def wanted(name: String): String =
       if (name.startsWith("embeddings"))
-        s"src=$srcDir factor=$factor jitterPermille=$jitterPermille"
-      else s"src=$srcDir factor=$factor"
+        s"src=$srcKey factor=$factor jitterPermille=$jitterPermille"
+      else s"src=$srcKey factor=$factor"
     def marker(name: String) =
       new org.apache.hadoop.fs.Path(s"$outDir/$name/_GRAFT_PARAMS")
     def writeMarker(name: String): Unit = {
@@ -447,25 +451,15 @@ object ScaleProbe {
     val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.parquetConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaleprobe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // INT64-micros timestamps: INT96 (the default) has no usable
-      // row-group stats, silently defeating time-range pruning (r14)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // A pushed IN above this threshold silently degrades to a
-      // min/max RANGE filter, which prunes nothing over
-      // hash-distributed keys; the candidate-id probes of index
-      // members (Dedup.prunedOldShingles) push up to 4096-value id
-      // sets and need the literal set to reach parquet's row-group
-      // dictionaries/stats (LayoutProbe --lsh).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 

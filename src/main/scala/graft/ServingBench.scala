@@ -20,25 +20,15 @@ object ServingBench {
     val sizes = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 8, 32, 128))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.parquetConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-serving-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // INT64-micros timestamps: INT96 (the default) has no usable
-      // row-group stats, silently defeating time-range pruning (r14)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // A pushed IN above this threshold silently degrades to a
-      // min/max RANGE filter, which prunes nothing over
-      // hash-distributed keys; the candidate-id probes of index
-      // members (Dedup.prunedOldShingles) push up to 4096-value id
-      // sets and need the literal set to reach parquet's row-group
-      // dictionaries/stats (LayoutProbe --lsh).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 

@@ -283,7 +283,10 @@ object Dedup {
 
   /** Bucket partition key: a pure function of the doc id, so batch →
     * touched-partitions needs no index read. */
-  private def idxBucketCol(id: Column, nBuckets: Int): Column =
+  // private[graft]: LayoutProbe --lsh emulates the committed member
+  // layout and must use THE bucket definition, not a hand copy that
+  // silently desyncs if the hash/cast/default ever changes
+  private[graft] def idxBucketCol(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
 
   /** The PERSISTED-index boundary validates the unique-doc_id

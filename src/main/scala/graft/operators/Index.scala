@@ -321,25 +321,26 @@ object Index {
     val isPq = mf.contains("pq") || mf.contains("pq_codebook") ||
       params.contains("pqM")
     if (isPq || mf.contains("lists")) {
-      // list sizes from the maintained histogram (≤ nLists rows);
-      // median exact on the driver — the map is bounded by nLists.
-      // Drained (zero) lists stay IN the balance stats, matching
-      // Similarity.ivfIndexStats exactly — the common core and the
-      // detail object must never disagree about the same index (a
-      // zero median is real imbalance information: most lists empty).
+      // carry is judged over EVERY partitioned member leg an IVF
+      // partial commit touches independently — lists, the vec_map
+      // side table, and (ivf-pq) the pq code table: a batch can own
+      // all its list legs at the new version while most vb buckets
+      // stay carried, and that is exactly the signal carryDepth
+      // exists to keep honest (the LSH branch counts both its member
+      // tables for the same reason)
+      val (cd, cp) = carryOf(spark, path, Seq("lists", "vec_map", "pq"))
       val sizes = Similarity.ivfListSizes(spark, path)
-      val (cd, cp) = carryOf(spark, path, Seq("lists"))
-      val total = sizes.values.sum
-      if (sizes.isEmpty || total == 0L)
+      if (sizes.isEmpty || sizes.values.sum == 0L)
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
           cd, cp, emptied = true)
       else {
-        val vals = sizes.values.toSeq.sorted
-        // median clamped to >=1 exactly as ivfIndexStats clamps it
-        val med = math.max(vals(vals.size / 2), 1L)
-        IndexStats(if (isPq) "ivf-pq" else "ivf", total, sizes.size,
-          vals.last, med, vals.last.toDouble / med,
-          cd, cp, emptied = false)
+        // balance math DELEGATED to the detail object — the common
+        // core and ivfIndexStats must never disagree about the same
+        // index, so there is exactly one median/clamp/skew definition
+        val d = Similarity.ivfIndexStats(spark, path)
+        IndexStats(if (isPq) "ivf-pq" else "ivf",
+          d.listSizes.values.sum, d.listSizes.size, d.maxSize,
+          d.medianSize, d.skew, cd, cp, emptied = false)
       }
     } else if (mf.contains("shingles") || mf.contains("bands")) {
       val s = Dedup.lshIndexStats(spark, path)

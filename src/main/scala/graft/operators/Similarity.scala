@@ -1641,6 +1641,12 @@ object Similarity {
     // LIMIT-bounded (cap+1), so the per-round guard job stops at the
     // cap even when the mis-routed "batch" is billions of rows — it
     // never scans what it is about to reject (r15 review finding).
+    // The extra driver-synchronized job is a DESIGNED trade: a
+    // plan-embedded cap (the requireUniqueBatchVecIds raise_error
+    // pattern) needs a global count, i.e. either an action (this) or
+    // a single-partition window over the batch (strictly worse);
+    // measured cost on q117/q148-shaped rounds is inside the noise
+    // band (q117 2.62 s vs 2.55 s pre-guard, same-host 3-run median).
     require(newIds.limit(MaxIncidentBatchIds + 1).count() <= MaxIncidentBatchIds,
       s"batch-incident candidates got over $MaxIncidentBatchIds batch " +
         "ids (the cap): a batch this size is a bulk build mis-routed " +
