@@ -333,12 +333,10 @@ object ScaleProbe {
       // closure per run; the persisted-state form pays one indexed
       // probe + a fold over graph-sized edges. State build (the
       // bootstrap) is UNTIMED like the index build — paid once.
-      // Threshold 0.35 = the gated queries' regime: at 0.3 the
-      // UNREPLICATED isotropic corpus grows a pair graph whose
-      // components are chains deeper than the pointer-jumping cap
-      // (dupClusters fails loudly, by design — a dedup threshold
-      // admitting isotropic-noise pairs is mis-sized, not a scale
-      // problem).
+      // Threshold 0.35 = the gated queries' regime (0.3 on the
+      // unreplicated isotropic corpus admits noise pairs — a
+      // mis-sized dedup threshold, not what the funnel slope should
+      // be measured on).
       val ccInmem = best(Dedup.dupClusters(
         Dedup.embeddingNearDupSorted(vBatch.unionByName(vCorpus), 0.35, 64),
         a = "vec_a", b = "vec_b"))

@@ -884,77 +884,135 @@ object Dedup {
     * per dup cluster" needs components, not pairs (a–b and b–c must
     * collapse even when a–c was never emitted).
     *
-    * Min-label propagation WITH POINTER JUMPING: each round a node
-    * takes the least of its own label, its neighbors' labels, and its
-    * label's label (the shortcut — chase the pointer one hop). Plain
-    * neighbor propagation needs O(diameter) rounds; the shortcut
-    * halves the pointer depth every round, so convergence is
-    * O(log diameter) — the difference between 3 and 30 Spark jobs on
-    * a million-node boilerplate component at corpus scale. Each round
-    * is two joins + one aggregation on the GRAPH (orders of magnitude
-    * smaller than the corpus); localCheckpoint truncates the plan so
-    * lineage doesn't grow with iterations.
+    * Two tiers, one fixpoint (min-id labels are algorithm-independent,
+    * so the tiers are interchangeable by value):
     *
-    * Convergence costs NO extra job: a long accumulator incremented by
-    * a row pass rides the (eager) localCheckpoint materialization, so
-    * each round is exactly one Spark action — the former per-round
-    * `filter(_chg).count()` was a second driver-synchronized barrier
-    * over the pair graph (a full scheduler round-trip per iteration at
-    * corpus scale). Task retries can only OVERcount the accumulator,
-    * and only `== 0` is consulted, so a retry can at worst add one
-    * harmless extra round. A ⌈log₂ n⌉+2 round cap bounds the loop
-    * regardless (pointer jumping halves pointer depth every round). */
+    *  - FAST PATH: min-label propagation + label-of-label shortcut,
+    *    one join+aggregation per round with convergence counted by an
+    *    accumulator riding the localCheckpoint materialization — zero
+    *    extra jobs. Converges in ~log rounds on the LOW-DIAMETER
+    *    graphs near-dup detection actually produces (dense clusters of
+    *    mutual near-dups). But it is O(diameter) in the worst case:
+    *    on a sparse adversarially-ordered graph, labels point straight
+    *    at scattered local minima (their own roots), the shortcut
+    *    compresses nothing, and the global min crawls one edge hop per
+    *    round. So the tight ⌈log₂n⌉+2 cap here means "deep graph",
+    *    NOT an error —
+    *  - ROBUST PATH (cap tripped): alternating LARGE-STAR/SMALL-STAR
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14) — links each side of every node's
+    *    neighborhood to its closed-neighborhood minimum; converges to
+    *    min-rooted stars in O(log² n) rounds PROVEN, independent of
+    *    diameter. A 400-link revision chain (a LEGITIMATE dup graph:
+    *    drifting near-identical versions) needs this tier — it blew
+    *    even a 4·(log₂n+2) fast-path cap (r15, measured; DedupSpec
+    *    pins the chain).
+    *
+    * Every round in both tiers is joins/aggregations over the GRAPH
+    * (orders of magnitude smaller than the corpus), localCheckpointed
+    * so lineage doesn't grow with iterations. The robust tier's cap
+    * converts a hang into a LOUD failure, never a silent wrong answer:
+    * returning unconverged would emit split clusters (wrong dedup /
+    * leaky splits) with no error. */
   def dupClusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
-      .union(pairs.select(col(b).as("x"), col(a).as("y")))
-      .distinct().cache()
-    try {
-      val spark = pairs.sparkSession
-      var labels = edges.select(col("x").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      val maxRounds =
-        63 - java.lang.Long.numberOfLeadingZeros(math.max(labels.count(), 1L)) + 2
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxRounds) {
-        val neighborMin = edges
-          .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
-          .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
-        // lbl is always itself a node (init lbl=node; min preserves
-        // membership), so the shortcut join always matches.
-        val shortcut = labels
-          .join(labels.select(col("node").as("lbl"), col("lbl").as("ll")), "lbl")
-        val next = shortcut.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl")), col("ll")).as("lbl"),
-            (coalesce(col("nmin"), col("lbl")) < col("lbl") ||
-              col("ll") < col("lbl")).as("_chg"))
-        val acc = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
-        val chgIdx = next.schema.fieldIndex("_chg")
-        val counted = next.mapPartitions { it =>
-          it.map { r =>
-            if (!r.isNullAt(chgIdx) && r.getBoolean(chgIdx)) acc.add(1L)
-            r
-          }
-        }(org.apache.spark.sql.Encoders.row(next.schema))
-        val nextCk = counted.localCheckpoint()
-        changed = acc.value
-        labels = nextCk.drop("_chg")
-        round += 1
+    val spark = pairs.sparkSession
+    // canonical undirected edges (x = bigger, y = smaller); self-pairs
+    // carry no connectivity and are dropped
+    val e = pairs
+      .select(greatest(col(a), col(b)).as("x"), least(col(a), col(b)).as("y"))
+      .filter(col("x") =!= col("y")).distinct().localCheckpoint()
+    val nodes = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val log2n = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+
+    // ---- fast path ----
+    val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    val fastCap = log2n + 2
+    var round = 0
+    var changed = if (n == 0L) 0L else 1L
+    while (changed > 0 && round < fastCap) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
+        .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
+      // lbl is always itself a node (init lbl=node; min preserves
+      // membership), so the shortcut join always matches.
+      val shortcut = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("ll")), "lbl")
+      val next = shortcut.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl")), col("ll")).as("lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl") ||
+            col("ll") < col("lbl")).as("_chg"))
+      val acc = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
+      val chgIdx = next.schema.fieldIndex("_chg")
+      val counted = next.mapPartitions { it =>
+        it.map { r =>
+          if (!r.isNullAt(chgIdx) && r.getBoolean(chgIdx)) acc.add(1L)
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(next.schema))
+      val nextCk = counted.localCheckpoint()
+      changed = acc.value
+      labels = nextCk.drop("_chg")
+      round += 1
+    }
+
+    // ---- robust path, entered only when the fast cap tripped ----
+    if (changed > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"dupClusters: graph deeper than the fast-path bound " +
+          s"($changed labels still moving after $fastCap rounds) — " +
+          "switching to alternating-star CC")
+      // One star phase. m = min of each node's CLOSED neighborhood;
+      // the selected side's neighbors re-link to m. Both phases emit
+      // canonical rows by construction: large-star's nb > node ≥ m;
+      // small-star's nb ∈ N(node) so nb ≥ m; self-loops drop.
+      def star(edges: DataFrame, large: Boolean): DataFrame = {
+        val s = edges.select(col("x").as("n"), col("y").as("nb"))
+          .union(edges.select(col("y").as("n"), col("x").as("nb")))
+        val mins = s.groupBy(col("n")).agg(min(col("nb")).as("mnb"))
+          .select(col("n"), least(col("n"), col("mnb")).as("m"))
+        val joined = s.join(mins, "n")
+        val out =
+          if (large) joined.filter(col("nb") > col("n"))
+            .select(col("nb").as("x"), col("m").as("y"))
+          else joined.filter(col("nb") < col("n"))
+            .select(col("nb").as("x"), col("m").as("y"))
+            .unionByName(mins.select(col("n").as("x"), col("m").as("y")))
+        out.filter(col("x") =!= col("y")).distinct()
       }
-      // The cap converts a hang into a LOUD failure, never a silent
-      // wrong answer: the ⌈log₂n⌉+2 bound is pointer-jumping intuition,
-      // not a proof for this min-neighbor + label-of-label variant, and
-      // returning with changed > 0 would emit split clusters (wrong
-      // dedup / leaky splits) with no error.
-      require(changed == 0,
-        s"dupClusters failed to converge in $maxRounds rounds " +
-          s"($changed labels still changing) — component structure " +
-          "deeper than the pointer-jumping bound; raise the cap")
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
-      labels.join(sizes, "lbl")
-        .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))
-    } finally edges.unpersist()
+      // the proof's O(log² n) shape; practice is ~log n rounds, so
+      // hitting this cap means a real hang, not a deep graph
+      val starCap = (log2n + 3) * (log2n + 3)
+      var se = e
+      var starRound = 0
+      var done = false
+      while (!done && starRound < starCap) {
+        val e2 = star(star(se, large = true), large = false).localCheckpoint()
+        // fixpoint as set equality: same cardinality, nothing new
+        done = e2.count() == se.count() &&
+          e2.join(se, Seq("x", "y"), "left_anti").isEmpty
+        se = e2
+        starRound += 1
+      }
+      require(done,
+        s"dupClusters failed to converge in $starCap alternating-star " +
+          "rounds — far beyond the O(log² n) bound; the loop is " +
+          "wedged, not the graph deep")
+      // at the fixpoint every component is a star (member, root), the
+      // root = component min appearing only on the y side — each
+      // non-root node has exactly one label row; roots label themselves
+      labels = nodes
+        .join(se.select(col("x").as("node"), col("y").as("lbl")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    }
+
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))
   }
 
   /** Fold a round's near-dup pairs into an accumulated cluster state —
@@ -966,9 +1024,9 @@ object Dedup {
     * union of every pair set ever folded in, and the min-id labels
     * coincide because each star's hub IS its component's min id. So a
     * recurring deployment pays per round: pair detection on the batch
-    * (O(batch) kernels via [[embeddingNearDupIndexed]]) + pointer
-    * jumping over a GRAPH-sized edge set (state + new pairs — narrow
-    * id rows, ≪ corpus), never the corpus re-hash the one-shot
+    * (O(batch) kernels via [[embeddingNearDupIndexed]]) +
+    * alternating-star CC over a GRAPH-sized edge set (state + new
+    * pairs — narrow id rows, ≪ corpus), never the corpus re-hash the one-shot
     * [[dupClusters]]-over-[[embeddingNearDupSorted]] funnel pays
     * (measured 3.7× at ×20 fixed-batch, SCALE.md r14). Cluster sizes
     * are recomputed over the merged state. A batch with no pairs folds

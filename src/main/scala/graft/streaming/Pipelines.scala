@@ -1021,6 +1021,88 @@ object Pipelines {
       .start()
   }
 
+  /** One [[dupClusterSink]] trigger, as a callable — the q150
+    * deployment round: detect the batch's near-dup pairs against the
+    * indexed corpus (O(batch) kernels), fold them into the persisted
+    * cluster state (CC over star(state) ∪ pairs — graph-sized edges,
+    * never a corpus re-hash), upsert the batch into the sketch index
+    * so later rounds pair against it. The first non-empty batch
+    * BOOTSTRAPS instead: full block-less clustering
+    * ([[graft.operators.Dedup.dupClusters]] over
+    * `embeddingNearDupSorted`) + index build — q149's one-time cost.
+    *
+    * Ordering and idempotence (the crash-replay analysis, step by
+    * step): state commits BEFORE the index upsert. A replayed batch's
+    * ids supersede their own index rows inside detection (the
+    * changed-vector contract), so the pair set recomputes IDENTICALLY
+    * whether or not the previous attempt got as far as the upsert;
+    * folding the same pairs into an already-folded state is a CC
+    * fixpoint (same components, same min-id labels, same csize); the
+    * re-upsert rewrites the same buckets to the same content. In the
+    * bootstrap arm the same argument needs state-first too: were the
+    * index committed first and the driver crashed, the replay would
+    * take the incremental arm and read a state that never got
+    * written. A pair-less batch skips the state commit entirely (the
+    * graph-sized state table would otherwise be rewritten with
+    * identical content every quiet trigger) but ALWAYS upserts — the
+    * batch must enter the corpus regardless. Empty triggers commit
+    * nothing on either path. */
+  private[graft] def applyDupClusterBatch(batch: DataFrame,
+      indexPath: String, statePath: String, threshold: Double,
+      dim: Int, nBits: Int, tables: Int, window: Int): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.{Dedup, Similarity, VersionedIndex}
+    batch.persist() // consumed by ≥2 actions below; count() probes all partitions
+    try {
+      if (batch.count() == 0L) return
+      if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
+        Dedup.writeClusterState(
+          Dedup.dupClusters(
+            Dedup.embeddingNearDupSorted(batch, threshold, dim,
+              nBits = nBits, tables = tables, window = window),
+            a = "vec_a", b = "vec_b"), statePath)
+        Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
+      } else {
+        val pairs = Dedup.embeddingNearDupIndexed(batch, indexPath,
+          threshold, tables, window).persist()
+        try {
+          if (pairs.count() > 0L)
+            Dedup.writeClusterState(
+              Dedup.mergePairsIntoClusters(
+                Dedup.readClusterState(spark, statePath), pairs,
+                a = "vec_a", b = "vec_b"), statePath)
+        } finally pairs.unpersist()
+        Similarity.upsertSketchIndex(batch, indexPath)
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Streaming dup-cluster maintenance — the persisted-state CC
+    * funnel (q150) as a sink, completing the curation loop's
+    * streaming story: [[corpusFactorySink]] curates documents per
+    * trigger, this maintains the EMBEDDING-side duplicate clusters
+    * per trigger. Each micro-batch of (vec_id, embedding, …) rows
+    * runs one [[applyDupClusterBatch]] round; serving reads the
+    * accumulated assignment with
+    * [[graft.operators.Dedup.readClusterState]] (and its health with
+    * `Index.stats` — the `ccstate` kind). Per-trigger cost is the
+    * O(batch)-kernel index probe + a fold over graph-sized edges
+    * (measured 1.19×/1.56× at ×10/×20 fixed-batch corpus growth,
+    * SCALE.md r15), never the corpus re-hash of the one-shot form. */
+  def dupClusterSink(vectors: DataFrame, indexPath: String,
+      statePath: String, checkpoint: String, threshold: Double,
+      dim: Int = 64, nBits: Int = 32, tables: Int = 4, window: Int = 16,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDupClusterBatch(batch, indexPath, statePath, threshold,
+          dim, nBits, tables, window)
+      }
+      .start()
+
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
       checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),

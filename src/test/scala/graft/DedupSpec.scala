@@ -425,6 +425,20 @@ class DedupSpec extends SparkSuite {
     assert(!out.contains(5L), "sub-k docs have no windows")
   }
 
+  test("dupClusters: converges on a high-diameter chain (the revision-chain dup graph)") {
+    import spark.implicits._
+    // a 400-link path with SCRAMBLED ids — diameter 399, adversarial
+    // for min-label propagation (the shape that tripped the old
+    // log(n)+2 cap on real corpora; a chain of drifting document
+    // revisions is a legitimate dup graph, not a pathology)
+    val ids = (0L until 400L).map(i => (i * 389L + 71L) % 400L)
+    val pairs = ids.sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+    assert(out.length == 400)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 400L),
+      "one component labeled by the global min id")
+  }
+
   test("mergePairsIntoClusters: folded rounds equal the closure over all accumulated pairs") {
     import spark.implicits._
     // three "rounds" of pairs: p2 bridges p0's and p1's components —

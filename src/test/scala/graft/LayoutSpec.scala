@@ -1058,6 +1058,66 @@ class LayoutSpec extends SparkSuite {
     q.stop()
   }
 
+  test("dupClusterSink: streamed rounds equal the batch-built persisted-state funnel") {
+    import graft.operators.{Dedup, Similarity, VersionedIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("dupsink").toString
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Pipelines.dupClusterSink(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$base/idx", s"$base/state", s"$base/ckpt", threshold = 0.4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    (0 to 2).foreach { k =>
+      stream.addData(rows.filter(_._1 % 3 == k).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // independent batch replication of the same three rounds (the
+    // q150 loop via the batch operators on separate paths) — pins the
+    // STREAMING plumbing: checkpointing, trigger boundaries, the
+    // bootstrap/incremental dispatch, the state-then-index ordering
+    val r0 = emb.filter(col("vec_id") % 3 === 0)
+    Dedup.writeClusterState(Dedup.dupClusters(
+      Dedup.embeddingNearDupSorted(r0, 0.4, 64), a = "vec_a", b = "vec_b"),
+      s"$base/bst")
+    Similarity.writeSketchIndex(r0, s"$base/bidx", 64)
+    (1 to 2).foreach { k =>
+      val bk = emb.filter(col("vec_id") % 3 === k)
+      val pk = Dedup.embeddingNearDupIndexed(bk, s"$base/bidx", 0.4)
+      if (!pk.isEmpty)
+        Dedup.writeClusterState(Dedup.mergePairsIntoClusters(
+          Dedup.readClusterState(spark, s"$base/bst"), pk,
+          a = "vec_a", b = "vec_b"), s"$base/bst")
+      Similarity.upsertSketchIndex(bk, s"$base/bidx")
+    }
+    def state(p: String): Set[(Long, Long, Long)] =
+      Dedup.readClusterState(spark, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = state(s"$base/state")
+    assert(streamed.nonEmpty, "threshold 0.4 must yield pairs on this corpus")
+    assert(streamed == state(s"$base/bst"))
+
+    // pair-less round: the index must advance (the batch enters the
+    // corpus), the graph-sized state table must NOT be rewritten
+    val stV = VersionedIndex.currentVersion(spark, s"$base/state").get
+    val idxV = VersionedIndex.currentVersion(spark, s"$base/idx").get
+    val fresh = Seq((999999L, rows.head._2)).toDF("vec_id", "embedding")
+    graft.streaming.Pipelines.applyDupClusterBatch(fresh,
+      s"$base/idx", s"$base/state", threshold = 1.01, // > any cosine
+      dim = 64, nBits = 32, tables = 4, window = 16)
+    assert(VersionedIndex.currentVersion(spark, s"$base/idx").get == idxV + 1)
+    assert(VersionedIndex.currentVersion(spark, s"$base/state").get == stV)
+    assert(state(s"$base/state") == streamed, "state content untouched")
+    // empty trigger: nothing commits anywhere
+    graft.streaming.Pipelines.applyDupClusterBatch(emb.limit(0),
+      s"$base/idx", s"$base/state", 0.4, 64, 32, 4, 16)
+    assert(VersionedIndex.currentVersion(spark, s"$base/idx").get == idxV + 1)
+    assert(VersionedIndex.currentVersion(spark, s"$base/state").get == stV)
+  }
+
   test("Index.stats: one health schema across every persisted index kind") {
     import graft.operators.{Dedup, Index, Similarity}
     val root = Files.createTempDirectory("idxstats").toString
