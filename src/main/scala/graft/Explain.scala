@@ -16,15 +16,7 @@ object Explain {
       case Array() => SparkEntry.queries.keys.toSeq.sorted
       case sel => sel.toSeq
     }
-    val spark = GraftSession.parquetConfs(SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      ).getOrCreate()
+    val spark = GraftSession.probeSession("graft-explain", "8")
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
     names.foreach { n =>

@@ -33,6 +33,28 @@ object GraftSession {
     b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
 
+  /** The measurement/driver-main session: every probe and bench main
+    * builds exactly this shape (UTC, right-sized shuffle parallelism,
+    * ns-epoch events readable, no UI, the silent-failure parquet
+    * confs) — one definition instead of seven hand-synced builder
+    * stanzas. `aqe` is the only knob the mains disagree on
+    * (LayoutProbe needs adaptive OFF so FileSourceScanExec metrics
+    * stay visible in the executed plan). Kept separate from
+    * [[create]]: the product session registers optimizer extensions
+    * and native functions; measurement mains opt into functions
+    * explicitly so a probe can also measure WITHOUT them. */
+  def probeSession(appName: String, cpus: String,
+      aqe: Boolean = true): SparkSession =
+    parquetConfs(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+
   def create(
       appName: String = "graft",
       master: String = "local[*]",

@@ -282,15 +282,7 @@ object LayoutProbe {
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.parquetConfs(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-layout-probe")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      ).getOrCreate()
+    val spark = GraftSession.probeSession("graft-layout-probe", cpus, aqe = false)
     spark.sparkContext.setLogLevel("ERROR")
 
     if (mirror) {

@@ -43,15 +43,7 @@ object RecallLadder {
     val mults = pos.lift(2).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(2, 5, 10))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.parquetConfs(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-recall-ladder")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      ).getOrCreate()
+    val spark = GraftSession.probeSession("graft-recall-ladder", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 

@@ -150,7 +150,16 @@ object ScaleProbe {
       val in = fs.open(marker(name))
       val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      require(stored == wanted(name),
+      // compare with the stored src token normalized the same way as
+      // wanted()'s — a marker stamped by a revision (or caller) that
+      // spelled the identical source differently must not hard-fail
+      // reuse of a valid replica
+      val normStored = stored.split(" ").map { tok =>
+        if (tok.startsWith("src="))
+          "src=" + new org.apache.hadoop.fs.Path(tok.stripPrefix("src=")).toString
+        else tok
+      }.mkString(" ")
+      require(normStored == wanted(name),
         s"$dir was materialized with [$stored] but this run needs " +
           s"[${wanted(name)}] — delete the dir (reusing it would " +
           "measure the wrong replica regime)")
@@ -449,15 +458,7 @@ object ScaleProbe {
     val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.parquetConfs(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-scaleprobe")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      ).getOrCreate()
+    val spark = GraftSession.probeSession("graft-scaleprobe", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 

@@ -20,15 +20,7 @@ object ServingBench {
     val sizes = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 8, 32, 128))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.parquetConfs(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-serving-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      ).getOrCreate()
+    val spark = GraftSession.probeSession("graft-serving-bench", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 

@@ -329,17 +329,19 @@ object Index {
       // exists to keep honest (the LSH branch counts both its member
       // tables for the same reason)
       val (cd, cp) = carryOf(spark, path, Seq("lists", "vec_map", "pq"))
+      // ONE histogram read feeds both the emptiness decision and the
+      // balance stats (re-reading would double poll I/O and let a
+      // concurrent commit make the two describe different versions);
+      // the balance math itself is ivfStatsFrom — the same single
+      // median/clamp/skew definition ivfIndexStats uses
       val sizes = Similarity.ivfListSizes(spark, path)
       if (sizes.isEmpty || sizes.values.sum == 0L)
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
           cd, cp, emptied = true)
       else {
-        // balance math DELEGATED to the detail object — the common
-        // core and ivfIndexStats must never disagree about the same
-        // index, so there is exactly one median/clamp/skew definition
-        val d = Similarity.ivfIndexStats(spark, path)
+        val d = Similarity.ivfStatsFrom(sizes, 4.0)
         IndexStats(if (isPq) "ivf-pq" else "ivf",
-          d.listSizes.values.sum, d.listSizes.size, d.maxSize,
+          sizes.values.sum, sizes.size, d.maxSize,
           d.medianSize, d.skew, cd, cp, emptied = false)
       }
     } else if (mf.contains("shingles") || mf.contains("bands")) {

@@ -757,6 +757,17 @@ object Similarity {
       skewThreshold: Double = 4.0): IvfStats = {
     val sizes = ivfListSizes(spark, path)
     require(sizes.nonEmpty, s"no lists in IVF index at $path")
+    ivfStatsFrom(sizes, skewThreshold)
+  }
+
+  /** Balance math over an already-read histogram — THE single
+    * median/clamp/skew definition. `Index.stats` computes its common
+    * core from the same one read it uses for the emptiness decision
+    * (re-reading would both double poll I/O and open a version-skew
+    * window where emptiness and balance describe different commits). */
+  private[operators] def ivfStatsFrom(sizes: Map[Long, Long],
+      skewThreshold: Double): IvfStats = {
+    require(sizes.nonEmpty, "ivfStatsFrom needs a non-empty histogram")
     val vals = sizes.values.toSeq.sorted
     val max = vals.last
     val med = math.max(vals(vals.size / 2), 1L)

@@ -1052,10 +1052,38 @@ object Pipelines {
       dim: Int, nBits: Int, tables: Int, window: Int): Unit = {
     val spark = batch.sparkSession
     import graft.operators.{Dedup, Similarity, VersionedIndex}
+    // Dispatch on INDEX existence, but first reject the one
+    // configuration the loop can never have produced: a sketch index
+    // with NO cluster state. That is an offline-built index
+    // (readClusterState would fail every Structured Streaming retry
+    // with an error that never names the real problem — a permanently
+    // wedged query), and its corpus-internal dups are ones no batch
+    // probe will rediscover. The MIRROR case — state without index —
+    // is legitimate: it is exactly the bootstrap crash window (state
+    // commits first, below), and the re-bootstrap rewrites the same
+    // value from the redelivered batch. A WARN names it in case it
+    // was a misconfiguration instead (fresh index path over an old
+    // state would discard its clusters).
+    val haveIndex = VersionedIndex.currentDir(spark, indexPath).isDefined
+    val haveState = VersionedIndex.currentDir(spark, statePath).isDefined
+    require(!(haveIndex && !haveState),
+      s"dupClusterSink: sketch index exists at $indexPath but no " +
+        s"cluster state at $statePath — an offline-built index has " +
+        "corpus-internal dups no batch probe will rediscover. " +
+        "Bootstrap the state first (dupClusters over " +
+        "embeddingNearDupSorted of the indexed corpus + " +
+        "writeClusterState), or point the sink at fresh paths.")
+    if (haveState && !haveIndex)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusterSink: cluster state at $statePath but no index at " +
+          s"$indexPath — re-bootstrapping (normal only as crash-replay " +
+          "of an interrupted bootstrap; if these paths were meant to " +
+          "pair an OLD state with a NEW index, stop: the re-bootstrap " +
+          "replaces the state with this batch's clusters)")
     batch.persist() // consumed by ≥2 actions below; count() probes all partitions
     try {
       if (batch.count() == 0L) return
-      if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
+      if (!haveIndex) {
         Dedup.writeClusterState(
           Dedup.dupClusters(
             Dedup.embeddingNearDupSorted(batch, threshold, dim,

@@ -18,4 +18,20 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Drop the block-manager storage behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees RDD-level checkpoints — without this, an iterative operator
+    * that checkpoints per round (lineage truncation) leaks every
+    * round's blocks until driver GC, a real float on a 5-second
+    * streaming cadence. ONLY call after every consumer of the frame
+    * has fully materialized: the checkpoint's blocks ARE its data
+    * (lineage is gone), so a later action on a released frame fails.
+    * No-op on frames that are not checkpoint-backed. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }
