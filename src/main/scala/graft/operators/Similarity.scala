@@ -1649,15 +1649,16 @@ object Similarity {
     // below: without it, a pathological multi-million-id "batch"
     // would likely die of driver memory pressure while BUILDING the
     // broadcast — an opaque OOM, not a diagnostic. The probe is
-    // LIMIT-bounded (cap+1), so the per-round guard job stops at the
-    // cap even when the mis-routed "batch" is billions of rows — it
-    // never scans what it is about to reject (r15 review finding).
-    // The extra driver-synchronized job is a DESIGNED trade: a
-    // plan-embedded cap (the requireUniqueBatchVecIds raise_error
-    // pattern) needs a global count, i.e. either an action (this) or
-    // a single-partition window over the batch (strictly worse);
-    // measured cost on q117/q148-shaped rounds is inside the noise
-    // band (q117 2.62 s vs 2.55 s pre-guard, same-host 3-run median).
+    // LIMIT-bounded (cap+1), so it stops at the cap even when the
+    // mis-routed "batch" is billions of rows — it never scans what
+    // it is about to reject. Unconditional BY DESIGN: a plan-stats
+    // skip was tried and rejected — the optimizer's sizeInBytes
+    // estimate for a distinct-over-projection UNDERSHOOTS on exactly
+    // the oversized batches the guard exists for (a 1M+1-id frame
+    // estimated under the bound in the pinning spec), and a guard
+    // that silently skips its dangerous case is worse than one small
+    // scheduled job per round (~0.2 s at toy scale, noise at any
+    // real batch size).
     require(newIds.limit(MaxIncidentBatchIds + 1).count() <= MaxIncidentBatchIds,
       s"batch-incident candidates got over $MaxIncidentBatchIds batch " +
         "ids (the cap): a batch this size is a bulk build mis-routed " +

@@ -456,6 +456,23 @@ class SimilaritySpec extends SparkSuite {
     assert(wrongDim.getMessage.contains("dim=128"))
   }
 
+  test("batch-incident cap: a bulk-sized batch fails loudly, before any kernel or broadcast") {
+    import graft.operators.Dedup
+    // 1M+1 ids: over MaxIncidentBatchIds. The LIMIT-probe runs
+    // unconditionally and the require fires AT OPERATOR CONSTRUCTION
+    // — no plane dots, no broadcast build, no action by the caller.
+    // (This spec is also why the probe is unconditional: a plan-stats
+    // skip estimated this exact frame under the skip bound.)
+    val huge = spark.range(0L, 1000001L).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        (0 until 4).map(_ => lit(0.1f)): _*).as("embedding"))
+    val ex = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupIncremental(huge, emb.limit(10)
+        .select(col("vec_id"), col("embedding")), 0.9, 64))
+    assert(ex.getMessage.contains("embeddingNearDupSorted"),
+      "the contract error must route callers to the bulk API")
+  }
+
   test("incremental embedding near-dup == batch-incident subset of the full pairs") {
     import graft.operators.Dedup
     // the q117 contract on the vector tier: the incremental form must
