@@ -925,21 +925,40 @@ object Dedup {
     // is backed by it alone, so no eager result materialization (an
     // extra driver-synchronized job per call, measured +17–27% on the
     // CC-gated queries) is needed.
-    import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
+    // failure-path hygiene: every live checkpoint registers here and
+    // deregisters when released, so an exception anywhere (the robust
+    // cap's require, a failed job mid-round — a streaming trigger
+    // Structured Streaming will retry) drops ALL surviving blocks in
+    // the finally instead of re-introducing the GC float on exactly
+    // the retry path
+    val live = scala.collection.mutable.Set[DataFrame]()
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); live += c; c
+    }
+    def release(df: DataFrame): Unit = {
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(df)
+      live -= df
+    }
+    val result = try {
     // canonical undirected edges (x = bigger, y = smaller); self-pairs
-    // carry no connectivity and are dropped
-    val e = pairs
-      .select(greatest(col(a), col(b)).as("x"), least(col(a), col(b)).as("y"))
-      .filter(col("x") =!= col("y")).distinct().localCheckpoint()
-    val nodes = e.select(col("x").as("node"))
-      .union(e.select(col("y").as("node"))).distinct().localCheckpoint()
+    // carry no connectivity but their nodes are still NODES — a doc
+    // paired only with itself is a singleton cluster, not a dropped
+    // row (mergePairsIntoClusters feeds prior singleton state rows
+    // through here as self-edges and must get them back unchanged)
+    // raw checkpointed FIRST: the pairs expression may be a whole
+    // detection plan (kernels), and e + nodes each read it again
+    val raw = ckpt(pairs
+      .select(greatest(col(a), col(b)).as("x"), least(col(a), col(b)).as("y")))
+    val e = ckpt(raw.filter(col("x") =!= col("y")).distinct())
+    val nodes = ckpt(raw.select(col("x").as("node"))
+      .union(raw.select(col("y").as("node"))).distinct())
+    release(raw)
     val n = nodes.count()
     val log2n = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
 
     // ---- fast path ----
-    val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    val sym = ckpt(e.union(e.select(col("y").as("x"), col("x").as("y"))))
+    var labels = ckpt(nodes.withColumn("lbl", col("node")))
     val fastCap = log2n + 2
     var round = 0
     var changed = if (n == 0L) 0L else 1L
@@ -965,9 +984,11 @@ object Dedup {
         }
       }(org.apache.spark.sql.Encoders.row(next.schema))
       val nextCk = counted.localCheckpoint()
+      live += nextCk
       changed = acc.value
-      releaseLocalCheckpoint(labels) // superseded round, blocks dead
+      release(labels) // superseded round, blocks dead
       labels = nextCk.drop("_chg")
+      live += labels  // release(labels) resolves the Project wrapper
       round += 1
     }
 
@@ -1002,11 +1023,11 @@ object Dedup {
       var starRound = 0
       var done = false
       while (!done && starRound < starCap) {
-        val e2 = star(star(se, large = true), large = false).localCheckpoint()
+        val e2 = ckpt(star(star(se, large = true), large = false))
         // fixpoint as set equality: same cardinality, nothing new
         done = e2.count() == se.count() &&
           e2.join(se, Seq("x", "y"), "left_anti").isEmpty
-        if (!(se eq e)) releaseLocalCheckpoint(se) // superseded round
+        if (!(se eq e)) release(se) // superseded round
         se = e2
         starRound += 1
       }
@@ -1017,24 +1038,32 @@ object Dedup {
       // at the fixpoint every component is a star (member, root), the
       // root = component min appearing only on the y side — each
       // non-root node has exactly one label row; roots label themselves
-      releaseLocalCheckpoint(labels) // the fast path's last round
-      labels = nodes
+      release(labels) // the fast path's last round
+      labels = ckpt(nodes
         .join(se.select(col("x").as("node"), col("y").as("lbl")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
-        .localCheckpoint()
-      releaseLocalCheckpoint(se)
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl")))
+      release(se)
     }
 
     // e/sym/nodes are dead once the final labels checkpoint exists:
     // the returned (lazy) frame reads labels' blocks only. The one
     // floating block set per call is that final graph-sized labels
     // checkpoint, reclaimed by GC after the caller consumes it.
-    releaseLocalCheckpoint(e)
-    releaseLocalCheckpoint(sym)
-    releaseLocalCheckpoint(nodes)
+    release(e)
+    release(sym)
+    release(nodes)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster"), col("csize"))
+    } catch {
+      // on failure nothing escapes — drop every surviving checkpoint
+      // (on success the final labels checkpoint backs the returned
+      // lazy frame and must stay; `live` is only consulted here)
+      case t: Throwable =>
+        live.foreach(org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint)
+        throw t
+    }
+    result
   }
 
   /** Fold a round's near-dup pairs into an accumulated cluster state —
@@ -1046,13 +1075,22 @@ object Dedup {
     * union of every pair set ever folded in, and the min-id labels
     * coincide because each star's hub IS its component's min id. So a
     * recurring deployment pays per round: pair detection on the batch
-    * (O(batch) kernels via [[embeddingNearDupIndexed]]) +
-    * alternating-star CC over a GRAPH-sized edge set (state + new
-    * pairs — narrow id rows, ≪ corpus), never the corpus re-hash the one-shot
+    * (O(batch) kernels via [[embeddingNearDupIndexed]]) + CC over a
+    * GRAPH-sized edge set (state + new pairs — narrow id rows,
+    * ≪ corpus), never the corpus re-hash the one-shot
     * [[dupClusters]]-over-[[embeddingNearDupSorted]] funnel pays
     * (measured 3.7× at ×20 fixed-batch, SCALE.md r14). Cluster sizes
     * are recomputed over the merged state. A batch with no pairs folds
-    * to the prior state unchanged (modulo recomputed csize). */
+    * to the prior state unchanged (modulo recomputed csize).
+    *
+    * MONOTONE by construction: edges only ever accumulate, so a
+    * vector re-ingested with a DIFFERENT embedding keeps every
+    * membership its old embedding earned. That is the right semantic
+    * for append-only corpora (q150's gated rounds are disjoint id
+    * sets); for a stream that re-delivers changed vectors, use
+    * [[graft.streaming.Pipelines.dupClusterSink]], whose state keeps
+    * the exact pair set and RETRACTS a batch id's old pairs before
+    * re-closing. */
   def mergePairsIntoClusters(state: DataFrame, pairs: DataFrame,
       a: String = "doc_a", b: String = "doc_b"): DataFrame =
     dupClusters(
@@ -1076,11 +1114,39 @@ object Dedup {
       Map("kind" -> "ccstate"),
       clusterBy = Map("clusters" -> Seq("cluster", "doc_id")))
 
+  /** The RETRACTION-capable state commit: the cluster assignment plus
+    * the accumulated PAIR set it was closed from, as a second member
+    * table. Star-compressed clusters are a LOSSY summary (the pair
+    * history is gone — removing one member can split a component in
+    * ways the stars can't express), so revoking a changed vector's
+    * old memberships exactly requires the pairs. [[dupClusterSink]]
+    * commits through this; the pairs-less [[writeClusterState]] stays
+    * the one-shot/monotone form ([[mergePairsIntoClusters]], q150).
+    * Both member tables are graph-sized (≪ corpus). */
+  def writeClusterStateWithPairs(state: DataFrame, pairsAcc: DataFrame,
+      path: String): Unit =
+    VersionedIndex.commit(state.sparkSession, path,
+      Seq("clusters" -> state.select(col("doc_id"), col("cluster"),
+          col("csize")),
+        "pairs" -> pairsAcc.select(col("doc_a"), col("doc_b"))),
+      Map("kind" -> "ccstate"),
+      clusterBy = Map("clusters" -> Seq("cluster", "doc_id"),
+        "pairs" -> Seq("doc_a", "doc_b")))
+
   /** Current committed cluster state at `path` (see
     * [[writeClusterState]]). */
   def readClusterState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     VersionedIndex.readTable(spark, path, "clusters")
+
+  /** The accumulated pair set behind a retraction-capable state
+    * ([[writeClusterStateWithPairs]]); None for states committed by
+    * the pairs-less form. */
+  def readClusterPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    if (VersionedIndex.manifest(spark, path).contains("pairs"))
+      Some(VersionedIndex.readTable(spark, path, "pairs"))
+    else None
 
   /** The curation end-step: drop every near-duplicate except one
     * representative per cluster (the min-id member, dupClusters'

@@ -116,7 +116,7 @@ object Index {
     def delete(ids: DataFrame): Unit = {
       Similarity.deleteFromIvfIndex(ids, path); refreshSize()
     }
-    def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
+    def stats(skewThreshold: Double = Similarity.DefaultIvfSkewThreshold): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
     /** Codebook-staleness signal (quantization-error EWMA vs build). */
     def codebookStats(retrainRatio: Double = 1.5): Similarity.PqDriftStats =
@@ -159,7 +159,7 @@ object Index {
     }
     def upsert(vectors: DataFrame): Unit = Similarity.upsertIvfIndex(vectors, path)
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
-    def stats(skewThreshold: Double = 4.0): Similarity.IvfStats =
+    def stats(skewThreshold: Double = Similarity.DefaultIvfSkewThreshold): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
@@ -339,7 +339,7 @@ object Index {
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
           cd, cp, emptied = true)
       else {
-        val d = Similarity.ivfStatsFrom(sizes, 4.0)
+        val d = Similarity.ivfStatsFrom(sizes, Similarity.DefaultIvfSkewThreshold)
         IndexStats(if (isPq) "ivf-pq" else "ivf",
           sizes.values.sum, sizes.size, d.maxSize,
           d.medianSize, d.skew, cd, cp, emptied = false)

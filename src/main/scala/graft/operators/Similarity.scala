@@ -753,8 +753,15 @@ object Similarity {
   }
 
   /** Skew statistic + rebuild decision for the committed IVF index. */
+  /** The rebuild trigger's default: max/median list skew beyond this
+    * means the pinned geometry no longer balances the corpus. ONE
+    * definition — every stats surface (`ivfIndexStats`, the handles,
+    * `Index.stats`) references it, so the health endpoint and the
+    * rebuild decision can never disagree about the threshold. */
+  val DefaultIvfSkewThreshold: Double = 4.0
+
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, path: String,
-      skewThreshold: Double = 4.0): IvfStats = {
+      skewThreshold: Double = DefaultIvfSkewThreshold): IvfStats = {
     val sizes = ivfListSizes(spark, path)
     require(sizes.nonEmpty, s"no lists in IVF index at $path")
     ivfStatsFrom(sizes, skewThreshold)

@@ -1021,32 +1021,41 @@ object Pipelines {
       .start()
   }
 
-  /** One [[dupClusterSink]] trigger, as a callable — the q150
+  /** One [[dupClusterSink]] trigger, as a callable — the recurring
     * deployment round: detect the batch's near-dup pairs against the
-    * indexed corpus (O(batch) kernels), fold them into the persisted
-    * cluster state (CC over star(state) ∪ pairs — graph-sized edges,
-    * never a corpus re-hash), upsert the batch into the sketch index
-    * so later rounds pair against it. The first non-empty batch
-    * BOOTSTRAPS instead: full block-less clustering
-    * ([[graft.operators.Dedup.dupClusters]] over
-    * `embeddingNearDupSorted`) + index build — q149's one-time cost.
+    * indexed corpus (O(batch) kernels), RETRACT the batch ids' old
+    * pairs from the accumulated pair set, re-close the clusters over
+    * (kept ∪ new) pairs — graph-sized edges, never a corpus re-hash —
+    * and upsert the batch into the sketch index so later rounds pair
+    * against it. The first non-empty batch BOOTSTRAPS instead: full
+    * block-less clustering + index build — q149's one-time cost.
+    *
+    * Retraction is what makes a CHANGED vector correct over time: the
+    * state's `pairs` member ([[graft.operators.Dedup.writeClusterStateWithPairs]])
+    * holds the exact pair history, so a re-embedded vector sheds every
+    * membership its OLD embedding earned and keeps exactly what the
+    * new detection re-establishes. The monotone fold
+    * ([[graft.operators.Dedup.mergePairsIntoClusters]], q150's gated
+    * one-shot form) cannot do this — star-compressed clusters are a
+    * lossy summary — and would serve stale memberships forever.
     *
     * Ordering and idempotence (the crash-replay analysis, step by
     * step): state commits BEFORE the index upsert. A replayed batch's
     * ids supersede their own index rows inside detection (the
     * changed-vector contract), so the pair set recomputes IDENTICALLY
     * whether or not the previous attempt got as far as the upsert;
-    * folding the same pairs into an already-folded state is a CC
-    * fixpoint (same components, same min-id labels, same csize); the
+    * retraction-then-fold on the already-committed pair set removes
+    * precisely what the replayed fold re-adds (every new pair touches
+    * a batch id), so the re-commit writes the same value; the
     * re-upsert rewrites the same buckets to the same content. In the
     * bootstrap arm the same argument needs state-first too: were the
     * index committed first and the driver crashed, the replay would
     * take the incremental arm and read a state that never got
-    * written. A pair-less batch skips the state commit entirely (the
-    * graph-sized state table would otherwise be rewritten with
-    * identical content every quiet trigger) but ALWAYS upserts — the
-    * batch must enter the corpus regardless. Empty triggers commit
-    * nothing on either path. */
+    * written. A quiet batch — nothing detected AND nothing revoked —
+    * skips the state commit entirely (the graph-sized state table
+    * would otherwise be rewritten with identical content every quiet
+    * trigger) but ALWAYS upserts — the batch must enter the corpus
+    * regardless. Empty triggers commit nothing on either path. */
   private[graft] def applyDupClusterBatch(batch: DataFrame,
       indexPath: String, statePath: String, threshold: Double,
       dim: Int, nBits: Int, tables: Int, window: Int): Unit = {
@@ -1080,26 +1089,66 @@ object Pipelines {
           "of an interrupted bootstrap; if these paths were meant to " +
           "pair an OLD state with a NEW index, stop: the re-bootstrap " +
           "replaces the state with this batch's clusters)")
+    import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
     batch.persist() // consumed by ≥2 actions below; count() probes all partitions
     try {
       if (batch.count() == 0L) return
       if (!haveIndex) {
-        Dedup.writeClusterState(
-          Dedup.dupClusters(
-            Dedup.embeddingNearDupSorted(batch, threshold, dim,
-              nBits = nBits, tables = tables, window = window),
-            a = "vec_a", b = "vec_b"), statePath)
+        // bootstrap: full block-less clustering PLUS the pair set it
+        // was closed from — the retraction capital later rounds spend
+        val p0 = Dedup.embeddingNearDupSorted(batch, threshold, dim,
+            nBits = nBits, tables = tables, window = window)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+          .localCheckpoint()
+        try {
+          Dedup.writeClusterStateWithPairs(Dedup.dupClusters(p0), p0, statePath)
+        } finally releaseLocalCheckpoint(p0)
         Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
       } else {
-        val pairs = Dedup.embeddingNearDupIndexed(batch, indexPath,
-          threshold, tables, window).persist()
+        // RETRACTION before fold: a batch id's accumulated pairs are
+        // revoked wholesale — a re-embedded vector must not keep
+        // memberships its OLD embedding earned (the star-compressed
+        // assignment can't revoke them; the pairs member can) — and
+        // the batch's new detection re-establishes exactly what still
+        // holds (embeddingNearDupIndexed covers batch-vs-corpus AND
+        // within-batch, with batch versions superseding index rows).
+        // A vector left with no pairs drops out of the state: absence
+        // = "has no duplicates", the dupClusters node contract.
+        // Replay-idempotent EXACTLY: every new pair touches a batch
+        // id, so re-running retraction on an already-folded pair set
+        // removes precisely what the replayed fold re-adds.
+        val newPairs = Dedup.embeddingNearDupIndexed(batch, indexPath,
+            threshold, tables, window)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+          .localCheckpoint()
+        val oldPairs = Dedup.readClusterPairs(spark, statePath).getOrElse(
+          sys.error(s"dupClusterSink: state at $statePath has no pairs " +
+            "member — it was committed by the pairs-less " +
+            "writeClusterState (the monotone one-shot form), so " +
+            "changed-vector retraction is impossible; re-bootstrap " +
+            "the sink on fresh paths")).localCheckpoint()
+        val kept = {
+          val ids = batch.select(col("vec_id")).distinct()
+          oldPairs
+            .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
+            .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
+            .localCheckpoint()
+        }
         try {
-          if (pairs.count() > 0L)
-            Dedup.writeClusterState(
-              Dedup.mergePairsIntoClusters(
-                Dedup.readClusterState(spark, statePath), pairs,
-                a = "vec_a", b = "vec_b"), statePath)
-        } finally pairs.unpersist()
+          // quiet-trigger skip: nothing detected AND nothing revoked —
+          // the graph-sized state is not rewritten with identical
+          // content (counts are metadata-cheap on checkpointed frames)
+          if (newPairs.count() > 0L || kept.count() < oldPairs.count()) {
+            val acc = kept.unionByName(newPairs).distinct().localCheckpoint()
+            try {
+              Dedup.writeClusterStateWithPairs(Dedup.dupClusters(acc), acc, statePath)
+            } finally releaseLocalCheckpoint(acc)
+          }
+        } finally {
+          releaseLocalCheckpoint(newPairs)
+          releaseLocalCheckpoint(oldPairs)
+          releaseLocalCheckpoint(kept)
+        }
         Similarity.upsertSketchIndex(batch, indexPath)
       }
     } finally batch.unpersist()

@@ -1118,6 +1118,33 @@ class LayoutSpec extends SparkSuite {
     assert(VersionedIndex.currentVersion(spark, s"$base/state").get == stV)
   }
 
+  test("dupClusterSink retraction: a re-embedded vector sheds its old memberships") {
+    import graft.operators.{Dedup, VersionedIndex}
+    val base = Files.createTempDirectory("dupretract").toString
+    // controlled geometry: v1,v2 on axis 0 (cos ≈ 0.999), v3,v4 on
+    // axis 2; cross-axis cosines are exactly 0
+    def vec(axis: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(i =>
+        if (i == axis) 1f else if (i == (axis + 1) % 64) eps else 0f)
+    def apply(batch: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.Pipelines.applyDupClusterBatch(batch,
+        s"$base/idx", s"$base/state", threshold = 0.9,
+        dim = 64, nBits = 32, tables = 4, window = 16)
+    apply(Seq((1L, vec(0, 0f)), (2L, vec(0, 0.05f)),
+      (3L, vec(2, 0f)), (4L, vec(2, 0.05f))).toDF("vec_id", "embedding"))
+    def state(): Set[(Long, Long, Long)] =
+      Dedup.readClusterState(spark, s"$base/state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L)))
+    // v2 re-embedded onto axis 2: it must LEAVE {1,2} and JOIN {3,4};
+    // v1, now pair-less, drops out (absence = "has no duplicates")
+    apply(Seq((2L, vec(2, 0.03f))).toDF("vec_id", "embedding"))
+    assert(state() == Set((2L, 2L, 3L), (3L, 2L, 3L), (4L, 2L, 3L)),
+      "the monotone fold would have kept v2 in BOTH clusters and v1 forever")
+    // the index took the new embedding (version advanced)
+    assert(VersionedIndex.currentVersion(spark, s"$base/idx").get == 2)
+  }
+
   test("Index.stats: one health schema across every persisted index kind") {
     import graft.operators.{Dedup, Index, Similarity}
     val root = Files.createTempDirectory("idxstats").toString
