@@ -22,16 +22,21 @@ object GraftSession {
     *    prunes nothing (measured r14: a minute-sorted table scanned
     *    100% under INT96, 1.1% as INT64 micros). Writers only;
     *    readers are unaffected.
-    *  - IN-pushdown threshold above the 4096-id operator cap: past
-    *    the threshold Spark degrades a pushed IN to a min/max RANGE
-    *    filter, which prunes nothing over hash-distributed keys — the
-    *    candidate-id probes of index members
-    *    (Dedup.prunedOldShingles) need the literal set to reach
-    *    parquet's row-group dictionaries/stats (LayoutProbe --lsh).
+    *  - IN-pushdown threshold exactly one past the operator cap
+    *    (Dedup.MaxShinglePushdownIds, the largest Or(Eq…) depth deemed
+    *    executor-stack-safe): past the threshold Spark degrades a
+    *    pushed IN to a min/max RANGE filter, which prunes nothing over
+    *    hash-distributed keys — the candidate-id probes of index
+    *    members (Dedup.prunedOldShingles) need the literal set to
+    *    reach parquet's row-group dictionaries/stats (LayoutProbe
+    *    --lsh). Derived, not hand-synced: a wider threshold would let
+    *    OTHER isin/IN sites push predicate trees deeper than the cap
+    *    was sized for.
     * Every main's session builder routes through this. */
   def parquetConfs(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        (graft.operators.Dedup.MaxShinglePushdownIds + 1).toString)
 
   /** The measurement/driver-main session: every probe and bench main
     * builds exactly this shape (UTC, right-sized shuffle parallelism,

@@ -127,15 +127,46 @@ object ScaleProbe {
     // equivalent spelling of the same source never hard-fails reuse
     // of a valid multi-GB replica.
     val srcKey = new org.apache.hadoop.fs.Path(srcDir).toString
-    def wanted(name: String): String =
+    // one field per LINE (not space-separated): a srcDir containing a
+    // space must not shear the marker into garbled tokens and hard-fail
+    // reuse of a valid multi-GB replica (r15 advisor finding)
+    def wanted(name: String): Map[String, String] = {
+      val base = Map("src" -> srcKey, "factor" -> factor.toString)
       if (name.startsWith("embeddings"))
-        s"src=$srcKey factor=$factor jitterPermille=$jitterPermille"
-      else s"src=$srcKey factor=$factor"
+        base + ("jitterPermille" -> jitterPermille.toString)
+      else base
+    }
+    def renderMarker(m: Map[String, String]): String =
+      Seq("src", "factor", "jitterPermille")
+        .flatMap(k => m.get(k).map(v => s"$k=$v")).mkString("\n")
     def marker(name: String) =
       new org.apache.hadoop.fs.Path(s"$outDir/$name/_GRAFT_PARAMS")
     def writeMarker(name: String): Unit = {
       val out = fs.create(marker(name), true)
-      try out.write(wanted(name).getBytes("UTF-8")) finally out.close()
+      try out.write(renderMarker(wanted(name)).getBytes("UTF-8"))
+      finally out.close()
+    }
+    // Accepts both forms: line-per-field (current) and the legacy
+    // single-line "src=<path> factor=N [jitterPermille=M]" — parsed by
+    // anchoring the numeric tail so a legacy src containing spaces
+    // still round-trips. Unparseable content maps to a sentinel that
+    // can never equal wanted(), so the mismatch require stays loud.
+    def parseMarker(stored: String): Map[String, String] = {
+      val s = stored.trim
+      if (s.contains("\n"))
+        s.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('=')
+          if (i < 0) ("_unparseable" -> line) else (line.take(i) -> line.drop(i + 1))
+        }.toMap
+      else {
+        val legacy = "^src=(.*) factor=(\\d+)(?: jitterPermille=(\\d+))?$".r
+        s match {
+          case legacy(src, f, j) =>
+            Map("src" -> src, "factor" -> f) ++
+              Option(j).map("jitterPermille" -> _)
+          case _ => Map("_unparseable" -> s)
+        }
+      }
     }
     def missing(name: String): Boolean = {
       if (!tables.contains(name.stripSuffix(".parquet"))) return false
@@ -150,19 +181,19 @@ object ScaleProbe {
       val in = fs.open(marker(name))
       val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      // compare with the stored src token normalized the same way as
-      // wanted()'s — a marker stamped by a revision (or caller) that
-      // spelled the identical source differently must not hard-fail
-      // reuse of a valid replica
-      val normStored = stored.split(" ").map { tok =>
-        if (tok.startsWith("src="))
-          "src=" + new org.apache.hadoop.fs.Path(tok.stripPrefix("src=")).toString
-        else tok
-      }.mkString(" ")
+      // field-by-field compare, with the stored src normalized the same
+      // way as wanted()'s — a marker stamped by a revision (or caller)
+      // that spelled the identical source differently must not
+      // hard-fail reuse of a valid replica
+      val normStored = parseMarker(stored).map {
+        case ("src", v) =>
+          "src" -> new org.apache.hadoop.fs.Path(v).toString
+        case kv => kv
+      }
       require(normStored == wanted(name),
-        s"$dir was materialized with [$stored] but this run needs " +
-          s"[${wanted(name)}] — delete the dir (reusing it would " +
-          "measure the wrong replica regime)")
+        s"$dir was materialized with [${stored.trim}] but this run needs " +
+          s"[${renderMarker(wanted(name))}] — delete the dir (reusing it " +
+          "would measure the wrong replica regime)")
       false
     }
 

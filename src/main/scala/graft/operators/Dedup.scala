@@ -606,8 +606,12 @@ object Dedup {
     * to a semi-join: a multi-thousand-value IN is pushed to parquet as
     * a left-deep Or(Eq…) tree whose recursive evaluation risks the
     * executor stack, and a candidate set that large has outgrown
-    * row-group pruning anyway. */
-  private val MaxShinglePushdownIds = 4096
+    * row-group pruning anyway. `private[graft]` because the session's
+    * parquet IN-pushdown threshold ([[graft.GraftSession.parquetConfs]])
+    * derives from it — the conf must never admit a deeper predicate
+    * tree than this cap deems stack-safe, so both come from this one
+    * constant. */
+  private[graft] val MaxShinglePushdownIds = 4096
 
   /** Candidate-driven read of the persisted `shingles` member table:
     * exactly the candidate docs' rows, reading as little as possible.

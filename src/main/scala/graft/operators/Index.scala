@@ -314,8 +314,22 @@ object Index {
     * too — the one committed layout [[open]] deliberately doesn't
     * serve (its front door is [[Dedup.readClusterState]]). */
   def stats(spark: SparkSession, path: String): IndexStats = {
-    val cur = VersionedIndex.currentDir(spark, path).getOrElse(
-      sys.error(s"no committed index at $path"))
+    val cur = VersionedIndex.currentDir(spark, path).getOrElse {
+      // the legacy unversioned LSH layout (<path>/shingles, no
+      // manifest) is still a served data path (readLshTable reads it),
+      // so health polling must not error on an index queries answer
+      // from — lshIndexStats resolves the same legacy dir itself;
+      // carry is 0 by construction (no versions to carry across)
+      val legacy = new org.apache.hadoop.fs.Path(path, "shingles")
+      val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(legacy)) {
+        val s = Dedup.lshIndexStats(spark, path)
+        return IndexStats("lsh", s.nBandedDocs, s.nBuckets, s.maxBucket,
+          s.medianBucket, s.skew, 0, 0, emptied = s.nBuckets == 0L)
+      }
+      sys.error(s"no committed index at $path (and no legacy " +
+        "unversioned LSH layout — expected <path>/shingles)")
+    }
     val mf = VersionedIndex.manifest(spark, path)
     val params = VersionedIndex.readParams(spark, cur)
     val isPq = mf.contains("pq") || mf.contains("pq_codebook") ||
@@ -336,8 +350,14 @@ object Index {
       // median/clamp/skew definition ivfIndexStats uses
       val sizes = Similarity.ivfListSizes(spark, path)
       if (sizes.isEmpty || sizes.values.sum == 0L)
-        IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, 0L, 0L, 0L, 1.0,
-          cd, cp, emptied = true)
+        // partitions stays the real list count when the histogram is
+        // non-empty all-zero — the non-empty arm (and ivfIndexStats)
+        // counts zero-size lists in the balance stats, and a monitor
+        // tracking `partitions` must not see a discontinuous drop to 0
+        // the moment the last vector is deleted; skew/max/median keep
+        // their degenerate values
+        IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, sizes.size.toLong,
+          0L, 0L, 1.0, cd, cp, emptied = true)
       else {
         val d = Similarity.ivfStatsFrom(sizes, Similarity.DefaultIvfSkewThreshold)
         IndexStats(if (isPq) "ivf-pq" else "ivf",

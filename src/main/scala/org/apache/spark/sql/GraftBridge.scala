@@ -27,11 +27,23 @@ object GraftBridge {
     * streaming cadence. ONLY call after every consumer of the frame
     * has fully materialized: the checkpoint's blocks ARE its data
     * (lineage is gone), so a later action on a released frame fails.
-    * No-op on frames that are not checkpoint-backed. */
-  def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ =>
+    * No-op on frames that are not checkpoint-backed.
+    *
+    * Single-root contract: the frame must BE a checkpoint (its
+    * analyzed plan contains at most one LogicalRDD). Walking a
+    * derived frame — say a join of two checkpointed inputs — would
+    * unpersist a still-live sibling's blocks, and with no lineage
+    * behind a local checkpoint that sibling is unrecoverable. We
+    * assert rather than silently releasing whatever we find. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
     }
+    require(
+      rdds.length <= 1,
+      s"releaseLocalCheckpoint expects a frame whose plan holds at most one " +
+        s"LogicalRDD (the checkpoint root); found ${rdds.length}. Releasing a " +
+        "derived frame would drop a sibling checkpoint's only copy of its data.")
+    rdds.foreach(_.rdd.unpersist(blocking = false))
+  }
 }

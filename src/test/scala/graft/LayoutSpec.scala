@@ -691,7 +691,8 @@ class LayoutSpec extends SparkSuite {
       .select(col("doc_id")).collect().map(_.get(0))
     assert(candIds.length > 10)
     val saved = spark.conf.getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+      (graft.operators.Dedup.MaxShinglePushdownIds + 1).toString)
     // AQE off for metric visibility only: an adaptive plan hides the
     // FileSourceScanExec behind query stages (the LayoutProbe rule);
     // the semi-join stays a broadcast join via the explicit hint
@@ -1178,6 +1179,20 @@ class LayoutSpec extends SparkSuite {
       ivfAfter.skew == detAfter.skew &&
       ivfAfter.medianPartition == detAfter.medianSize)
     assert(nDeleted > 0 && ivfAfter.rows == ivf.rows - nDeleted)
+    // full takedown: the emptied arm reports the histogram's true
+    // entry count as `partitions` — on THIS path that is 0 because the
+    // delete maintenance prunes zero-count lists from `list_sizes`
+    // (`partitions` = occupied lists on every surface, shrinking
+    // gradually under partial deletes, never a discontinuity); an
+    // all-zero-but-present histogram (legacy params form) would keep
+    // its list count, consistent with the non-empty arm
+    Similarity.deleteFromIvfIndex(emb.select(col("vec_id")), s"$root/ivf")
+    assert(Similarity.ivfListSizes(spark, s"$root/ivf").isEmpty,
+      "delete maintenance prunes zero-count lists from the histogram")
+    val ivfEmpty = Index.stats(spark, s"$root/ivf")
+    assert(ivfEmpty.emptied && ivfEmpty.rows == 0L && ivfEmpty.partitions == 0L)
+    assert(ivfEmpty.maxPartition == 0L && ivfEmpty.medianPartition == 0L &&
+      ivfEmpty.skew == 1.0)
 
     Similarity.buildIvfPqIndex(emb, 8, s"$root/pq")
     val pq = Index.stats(spark, s"$root/pq")
@@ -1189,6 +1204,19 @@ class LayoutSpec extends SparkSuite {
     val lshDetail = Dedup.lshIndexStats(spark, s"$root/lsh")
     assert(lsh.rows == lshDetail.nBandedDocs &&
       lsh.partitions == lshDetail.nBuckets && lsh.skew == lshDetail.skew)
+    // the legacy unversioned LSH layout (<path>/shingles, no manifest)
+    // is still a served data path (readLshTable reads it) — health
+    // polling must not error on an index queries answer from; carry is
+    // structurally 0 (no versions to carry across)
+    val legacyDir = s"$root/legacylsh"
+    Dedup.readLshTable(spark, s"$root/lsh", "shingles")
+      .write.parquet(s"$legacyDir/shingles")
+    Dedup.readLshTable(spark, s"$root/lsh", "bands")
+      .write.parquet(s"$legacyDir/bands")
+    val leg = Index.stats(spark, legacyDir)
+    assert(leg.kind == "lsh" && !leg.emptied &&
+      leg.rows == lsh.rows && leg.partitions == lsh.partitions &&
+      leg.carryDepth == 0 && leg.carriedParts == 0)
 
     Similarity.writeSketchIndex(emb, s"$root/sk", 64)
     val sk0 = Index.stats(spark, s"$root/sk")
@@ -1214,5 +1242,58 @@ class LayoutSpec extends SparkSuite {
     // a missing index rejects the same way open() does
     val thrown = intercept[RuntimeException](Index.stats(spark, s"$root/nothing"))
     assert(thrown.getMessage.contains("no committed index"))
+  }
+
+  test("ScaleProbe replica markers: space-safe src paths, legacy form, loud mismatch") {
+    import graft.ScaleProbe
+    val root = Files.createTempDirectory("mkspace").toString
+    // a src path CONTAINING A SPACE must round-trip: the old marker
+    // format was space-separated, so the stored token sheared and the
+    // require hard-failed reuse of a perfectly valid replica
+    val srcDir = s"$root/src dir"
+    Tables.embeddings(spark, sf0001).limit(50)
+      .write.parquet(s"$srcDir/embeddings.parquet")
+    val out = s"$root/rep"
+    ScaleProbe.materialize(spark, srcDir, out, 2, Set("embeddings"))
+    val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+    assert(n == 100)
+    // identical params → the replica is REUSED, not rejected
+    ScaleProbe.materialize(spark, srcDir, out, 2, Set("embeddings"))
+    // a marker stamped by the legacy single-line revision still
+    // round-trips (the numeric tail anchors the parse, so even a
+    // legacy src with spaces survives); the .crc sidecar must go or
+    // Hadoop's checksummed local FS rejects the hand-edited file
+    val srcKey = new org.apache.hadoop.fs.Path(srcDir).toString
+    val mkDir = s"$out/embeddings.parquet"
+    assert(new java.io.File(s"$mkDir/._GRAFT_PARAMS.crc").delete())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$mkDir/_GRAFT_PARAMS"),
+      s"src=$srcKey factor=2 jitterPermille=10".getBytes("UTF-8"))
+    ScaleProbe.materialize(spark, srcDir, out, 2, Set("embeddings"))
+    // ...but a genuine param mismatch stays LOUD (wrong noise regime)
+    val bad = intercept[IllegalArgumentException](
+      ScaleProbe.materialize(spark, srcDir, out, 2, Set("embeddings"),
+        jitterPermille = 50))
+    assert(bad.getMessage.contains("wrong replica regime"))
+  }
+
+  test("releaseLocalCheckpoint: refuses a derived frame holding two checkpoint roots") {
+    import org.apache.spark.sql.GraftBridge
+    val a = Seq(1L, 2L).toDF("x").localCheckpoint(eager = true)
+    val b = Seq(2L, 3L).toDF("x").localCheckpoint(eager = true)
+    // releasing a JOIN of two checkpoints would drop a still-live
+    // sibling's only copy of its data (no lineage behind a local
+    // checkpoint) — the single-root contract is asserted, not assumed
+    val derived = a.join(b, Seq("x"))
+    val err = intercept[IllegalArgumentException](
+      GraftBridge.releaseLocalCheckpoint(derived))
+    assert(err.getMessage.contains("LogicalRDD"))
+    // both checkpoints stayed live through the refusal
+    assert(derived.count() == 1)
+    // the intended single-root shape (modulo a projection) releases fine
+    GraftBridge.releaseLocalCheckpoint(a.select(col("x")))
+    GraftBridge.releaseLocalCheckpoint(b)
+    // a plain non-checkpointed frame is a no-op, never an error
+    GraftBridge.releaseLocalCheckpoint(Seq(1L).toDF("x"))
   }
 }
