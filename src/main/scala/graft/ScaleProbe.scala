@@ -398,6 +398,95 @@ object ScaleProbe {
     }
   }
 
+  /** Growing-graph tier: the axis the r15 fixed-batch measurement did
+    * NOT isolate — [[graft.streaming.Pipelines.dupClusterSink]]'s
+    * per-trigger cost as the ACCUMULATED pair graph grows while the
+    * batch AND corpus stay pinned. On a high-duplication corpus at a
+    * 5 s cadence the dup graph grows monotonically with
+    * total-duplicates-ever; the r15 form re-ran the iterative CC over
+    * all of it every trigger. The r16 incremental re-close bounds the
+    * iterative term to batch-affected components; what remains O(graph)
+    * per trigger is single-pass columnar IO (state scans + the commit
+    * write — the documented cheap part).
+    *
+    * Construction: synthetic settled components (4-node chains over an
+    * id space disjoint from the corpus) stand in for
+    * total-duplicates-ever at ×1/×10/×20; the batch is 200 EXACT
+    * copies of corpus vectors under fresh ids, so detection emits a
+    * deterministic ~200 pairs every trigger (threshold 0.9 — only the
+    * copies match on this isotropic corpus) and each re-run retracts
+    * and re-establishes exactly those, the steady-state trigger shape.
+    * Timed: the full `applyDupClusterBatch` trigger, plus a direct A/B
+    * of the fold itself — incremental vs the pre-r16 full re-close
+    * (forced via `maxAffected = 0`, the fallback route) — on identical
+    * checkpointed inputs. */
+  def growingGraphTier(spark: SparkSession, dir: String,
+      runs: Int): Seq[(String, Double)] = {
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("graft_growgraph").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 200)
+    val batch = corpus.orderBy(col("vec_id")).limit(200)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def best(mk: => DataFrame): Double = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    try {
+      val idx = s"$root/idx"
+      Similarity.writeSketchIndex(corpus, idx, 64)
+      val basePairs = 100000L
+      Seq(1, 10, 20).flatMap { g =>
+        val st = s"$root/st$g"
+        // settled components: 4-node chains (3 edges each), disjoint
+        // from corpus and batch ids
+        val synth = spark.range(basePairs * g).select(
+          (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
+          (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
+        Dedup.writeClusterStateWithPairs(Dedup.dupClusters(synth), synth, st)
+        def trigger(): Unit = graft.streaming.Pipelines.applyDupClusterBatch(
+          batch, idx, st, 0.9, 64, 32, 4, 16)
+        trigger() // warm fold: batch pairs enter; the state is a fixpoint after
+        val tTrig = (1 to runs).map { _ =>
+          val t0 = System.nanoTime(); trigger(); (System.nanoTime() - t0) / 1e9
+        }.min
+        // fold A/B on identical checkpointed inputs (the trigger's
+        // exact shape: retraction of the batch's pairs + re-detection)
+        val prior = Dedup.readClusterState(spark, st)
+        val ids = batch.select(col("vec_id")).distinct()
+        val newPairs = Dedup.embeddingNearDupIndexed(batch, idx, 0.9)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+          .localCheckpoint()
+        val kept = Dedup.readClusterPairs(spark, st).get
+          .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
+          .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
+          .localCheckpoint()
+        try {
+          val tInc = best(Dedup.recloseAffectedComponents(
+            prior, kept, newPairs, ids))
+          val tFull = best(Dedup.recloseAffectedComponents(
+            prior, kept, newPairs, ids, maxAffected = 0))
+          System.err.println(
+            f"[probe] growing-graph x$g%-3d trigger $tTrig%7.2f s  " +
+              f"fold incr $tInc%7.2f s  full $tFull%7.2f s")
+          Seq(s"trigger_x$g" -> tTrig, s"fold_incr_x$g" -> tInc,
+            s"fold_full_x$g" -> tFull)
+        } finally {
+          releaseLocalCheckpoint(newPairs)
+          releaseLocalCheckpoint(kept)
+        }
+      }
+    } finally {
+      releaseLocalCheckpoint(batch)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Mid-noise recall sweep: the "raise T, not w" production-sizing
     * guidance measured instead of argued. r13 pinned sorted-sketch
     * recall at two extremes — ~1.3% sign-bit flips (±0.01 jitter,
@@ -481,8 +570,12 @@ object ScaleProbe {
     val fixedBatchOnly = args.contains("--fixed-batch")
     // `--noise-sweep` runs ONLY the mid-noise recall sweep
     val noiseSweepOnly = args.contains("--noise-sweep")
+    // `--growing-graph` runs ONLY the accumulated-graph tier (graph
+    // ×factor, batch AND corpus pinned — the dupClusterSink axis)
+    val growingGraphOnly = args.contains("--growing-graph")
     MainFlags.requireKnown(args,
-      Set("--mutation-only", "--fixed-batch", "--noise-sweep"))
+      Set("--mutation-only", "--fixed-batch", "--noise-sweep",
+        "--growing-graph"))
     val pos = MainFlags.positional(args)
     val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
@@ -504,6 +597,16 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     if (noiseSweepOnly) {
       noiseSweep(spark, srcDir)
+      spark.stop()
+      return
+    }
+    if (growingGraphOnly) {
+      // no replication: the corpus stays pinned at srcDir scale and
+      // the growing graph is generated synthetically
+      val rows = growingGraphTier(spark, srcDir, runs)
+      println(s"""{"metric":"scaleprobe","tier":"growing_graph","runs":$runs,""" +
+        rows.map { case (k, v) => f""""$k":$v%.3f""" }
+          .mkString(""""timings":{""", ",", "}}"))
       spark.stop()
       return
     }

@@ -1024,15 +1024,40 @@ object Dedup {
       // hitting this cap means a real hang, not a deep graph
       val starCap = (log2n + 3) * (log2n + 3)
       var se = e
+      // |se| seeds the cardinality side of the fixpoint test; later
+      // rounds carry it forward from the total accumulator — the
+      // ONLY extra action the probe costs is this one count
+      var seCount = se.count()
       var starRound = 0
       var done = false
       while (!done && starRound < starCap) {
-        val e2 = ckpt(star(star(se, large = true), large = false))
-        // fixpoint as set equality: same cardinality, nothing new
-        done = e2.count() == se.count() &&
-          e2.join(se, Seq("x", "y"), "left_anti").isEmpty
+        // fixpoint probe rides the checkpoint materialization (the
+        // fast path's accumulator pattern): set equality ⇔ e2 ⊆ se
+        // (no row misses the _old marker) ∧ |e2| = |se| — one job per
+        // round instead of three (ckpt + count + anti-join). Both
+        // sides of the probe join are distinct on (x, y) (star()
+        // ends .distinct(); e is built distinct), so the left join
+        // never multiplies rows. A rare task-retry over-count only
+        // costs an extra round, never a wrong answer — the same
+        // contract the fast path's changed-counter accepts.
+        val accNew = spark.sparkContext.longAccumulator("graft.dupClusters.starNew")
+        val accTot = spark.sparkContext.longAccumulator("graft.dupClusters.starTotal")
+        val probed = star(star(se, large = true), large = false)
+          .join(se.select(col("x"), col("y"), lit(true).as("_old")),
+            Seq("x", "y"), "left")
+        val oldIdx = probed.schema.fieldIndex("_old")
+        val counted = probed.mapPartitions { it =>
+          it.map { r =>
+            accTot.add(1L)
+            if (r.isNullAt(oldIdx)) accNew.add(1L)
+            r
+          }
+        }(org.apache.spark.sql.Encoders.row(probed.schema))
+        val e2 = ckpt(counted.drop("_old"))
+        done = accNew.value == 0L && accTot.value == seCount
         if (!(se eq e)) release(se) // superseded round
         se = e2
+        seCount = accTot.value
         starRound += 1
       }
       require(done,
@@ -1100,6 +1125,93 @@ object Dedup {
     dupClusters(
       pairs.select(col(a), col(b)).unionByName(
         state.select(col("doc_id").as(a), col("cluster").as(b))), a, b)
+
+  /** Cap on the affected-component node sets
+    * [[recloseAffectedComponents]] broadcasts: past it, the
+    * "affected subgraph" IS most of the graph, and the incremental
+    * path's bookkeeping would cost more than the full re-close it
+    * exists to avoid — so overflow falls back, it never errors
+    * (semantics are identical either way; this is a route choice,
+    * not a contract). Same order as the batch-incident cap: ~8 MB
+    * of longs broadcast-builds without driver memory pressure. */
+  private[graft] val MaxAffectedIds = 1000000
+
+  /** Incremental re-close of an accumulated cluster state after a
+    * retraction+detection round — the O(affected) form of
+    * `dupClusters(kept ∪ newPairs)` that [[graft.streaming
+    * .Pipelines.dupClusterSink]] folds every trigger. The full
+    * re-close runs the iterative CC over the ENTIRE accumulated pair
+    * graph, which grows monotonically with total duplicates ever seen
+    * while batches stay constant — per-trigger cost creeping on
+    * exactly the corpora dedup matters for. But labels of components
+    * not incident to (retracted ids ∪ new-pair endpoints) are a
+    * FIXPOINT: no kept edge crosses a component boundary (both
+    * endpoints of every surviving pair share a prior label, and every
+    * new pair's endpoints are affected by construction), so CC over
+    * (kept ∪ newPairs) decomposes exactly into untouched prior
+    * components ∪ CC over (touched kept pairs ∪ newPairs), and the
+    * min-id labels coincide side by side because the node sets are
+    * disjoint. The iterative part — the only super-linear term —
+    * runs over the affected subgraph only; the untouched assignment
+    * rows pass through as a single columnar scan.
+    *
+    * CONTRACT: `prior` is the committed closure of exactly
+    * (kept ∪ the retracted pairs) — i.e. `kept` is `prior`'s pair set
+    * minus every pair incident to `dirtyIds` (a single-column id
+    * frame; pairs lose edges through no other mechanism). New-pair
+    * endpoints may freely exist in `prior` (corpus partners with old
+    * memberships) — their components are marked affected through the
+    * same label join as the dirty ids'.
+    * [[graft.streaming.Pipelines.applyDupClusterBatch]] constructs
+    * exactly this shape.
+    *
+    * Scale routing: the affected node set and the affected
+    * components' member set are each probed LIMIT-bounded against
+    * `maxAffected` BEFORE being broadcast (the batch-incident cap
+    * playbook — the probe never scans what it rejects, and the
+    * optimizer's size estimate is not trusted in its dangerous
+    * range); overflow means the affected subgraph is graph-sized, so
+    * the full re-close is the cheaper route and the fallback takes
+    * it. Affected labels are collected and re-enter as a LOCAL
+    * relation: both downstream uses (member expansion, untouched
+    * anti-join) would otherwise re-execute the label subtree — one
+    * more full scan of the state each. */
+  def recloseAffectedComponents(prior: DataFrame, kept: DataFrame,
+      newPairs: DataFrame, dirtyIds: DataFrame,
+      maxAffected: Int = MaxAffectedIds): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    def fullReclose() = dupClusters(kept.unionByName(newPairs).distinct())
+    val affectedNodes = dirtyIds.toDF("doc_id")
+      .unionByName(newPairs.select(col("doc_a").as("doc_id")))
+      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    if (affectedNodes.limit(maxAffected + 1).count() > maxAffected)
+      return fullReclose()
+    // prior labels of the affected components — every retracted pair's
+    // far endpoint shares its dirty endpoint's prior label, so dirty
+    // ids + new-pair endpoints mark every component that can change
+    val lblRows = prior.join(broadcast(affectedNodes), Seq("doc_id"))
+      .select(col("cluster")).distinct()
+      .limit(maxAffected + 1).collect()
+    if (lblRows.length > maxAffected) return fullReclose()
+    val lbls = broadcast(lblRows.map(_.getLong(0)).toSeq
+      .toDF("_aff_lbl"))
+    val members = prior.join(lbls, col("cluster") === col("_aff_lbl"))
+      .select(col("doc_id"))
+    if (members.limit(maxAffected + 1).count() > maxAffected)
+      return fullReclose()
+    // kept pairs inside affected components: both endpoints share the
+    // prior label, so ONE side's membership decides the pair
+    val touched = kept.join(
+      broadcast(members.select(col("doc_id").as("doc_a"))),
+      Seq("doc_a"), "left_semi")
+    val untouched = prior
+      .join(lbls, col("cluster") === col("_aff_lbl"), "left_anti")
+      .select(col("doc_id"), col("cluster"), col("csize"))
+    untouched.unionByName(
+      dupClusters(touched.unionByName(newPairs).distinct()))
+  }
 
   /** Persist an accumulated cluster state (the [[VersionedIndex]]
     * contract: atomic rename commits, the previous version readable

@@ -1040,6 +1040,27 @@ object VectorQueries {
     * Scala `Similarity.bitOrder` the operator uses), per-table
     * (code, vec_id) ranks, window-adjacency pair sets union-deduped,
     * and the exact-cosine pass — ending with `p` = (va, vb, sim). */
+  /** The recursive transitive-closure tail every CC-gated oracle
+    * shares (q149, q150): undirected edges over a prepared
+    * `pr(va, vb)` pair CTE, the recursive reach, min-label
+    * components, and the windowed csize projection. ONE definition so
+    * the next CC-gated query cannot drift its closure semantics (r15
+    * verdict #5). The pre-recursion CTEs stay AS MATERIALIZED —
+    * DuckDB re-evaluates plain CTEs referenced from a RECURSIVE term
+    * PER ITERATION (q150's three sketch constructions OOM'd 4/5 runs
+    * before materialization, r15). Callers end their own CTE list
+    * with `pr AS MATERIALIZED (…),` and append this. */
+  private def ccClosureSql: String =
+    """edges AS MATERIALIZED (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
+      |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
+      |reach(node, lbl) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+      |cc AS (SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node)
+      |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+      |FROM cc ORDER BY vec_id""".stripMargin
+
   /** `prefix` namespaces every CTE (`n`, `rk$t`, `cand`, `p` →
     * `${prefix}n`, …) so one oracle can replay the construction over
     * several corpus restrictions side by side (q150's rounds). */
@@ -1183,15 +1204,7 @@ object VectorQueries {
     "q149_vector_dup_clusters", {
       s"""WITH RECURSIVE ${sortedSketchCtes(32, 4, 16)},
          |pr AS MATERIALIZED (SELECT va, vb FROM p WHERE sim >= 0.35),
-         |edges AS MATERIALIZED (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
-         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
-         |reach(node, lbl) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
-         |cc AS (SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node)
-         |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
-         |FROM cc ORDER BY vec_id""".stripMargin
+         |""".stripMargin + ccClosureSql
     }) { (s, d) =>
     Dedup.dupClusters(
         Dedup.embeddingNearDupSorted(Tables.embeddings(s, d), 0.35, 64,
@@ -1231,15 +1244,7 @@ object VectorQueries {
          |    WHERE sim >= 0.35 AND (va % 3 = 1 OR vb % 3 = 1)
          |  UNION SELECT va, vb FROM r2p
          |    WHERE sim >= 0.35 AND (va % 3 = 2 OR vb % 3 = 2)),
-         |edges AS MATERIALIZED (SELECT va AS x, vb AS y FROM pr UNION SELECT vb, va FROM pr),
-         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
-         |reach(node, lbl) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
-         |cc AS (SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node)
-         |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
-         |FROM cc ORDER BY vec_id""".stripMargin
+         |""".stripMargin + ccClosureSql
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     // "1" = state/layout version; bump with any change to the sketch

@@ -1141,7 +1141,22 @@ object Pipelines {
           if (newPairs.count() > 0L || kept.count() < oldPairs.count()) {
             val acc = kept.unionByName(newPairs).distinct().localCheckpoint()
             try {
-              Dedup.writeClusterStateWithPairs(Dedup.dupClusters(acc), acc, statePath)
+              // INCREMENTAL re-close: only components incident to the
+              // batch (retracted memberships or new pairs) re-enter
+              // the iterative CC; the rest of the assignment passes
+              // through as one columnar scan. Before this, every
+              // trigger re-ran dupClusters over the FULL accumulated
+              // pair graph — which grows with total-dups-ever while
+              // batches stay constant, so per-trigger cost crept on
+              // exactly the corpora dedup matters for (r15 verdict
+              // #1; growing-graph axis measured in SCALE.md r16).
+              // The pairs member still commits the full accumulated
+              // set — the graph-sized WRITE is the documented cheap
+              // part; the iterative fold is what this bounds.
+              val reclosed = Dedup.recloseAffectedComponents(
+                Dedup.readClusterState(spark, statePath), kept, newPairs,
+                batch.select(col("vec_id")).distinct())
+              Dedup.writeClusterStateWithPairs(reclosed, acc, statePath)
             } finally releaseLocalCheckpoint(acc)
           }
         } finally {

@@ -477,4 +477,48 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L)))
   }
+
+  test("recloseAffectedComponents: every cap route equals the full re-close") {
+    import spark.implicits._
+    // prior components: {1,2,3}, {10,11}, {20,21,22}, {30,31}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dupClusters(oldPairs).localCheckpoint()
+    // batch: 21 re-embedded away (retraction SPLITS {20,21,22} — 20
+    // and 22 drop out pairless), fresh 100/101, and 100 BRIDGES the
+    // settled {10,11} and {30,31}
+    val dirty = Seq(21L, 100L, 101L).toDF("doc_id")
+    val batchIds = Set(21L, 100L, 101L)
+    val kept = oldPairs.filter(
+      !col("doc_a").isin(batchIds.toSeq: _*) &&
+        !col("doc_b").isin(batchIds.toSeq: _*))
+    val newPairs = Seq((100L, 101L), (100L, 10L), (100L, 30L))
+      .toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows(Dedup.dupClusters(kept.unionByName(newPairs)))
+    // untouched {1,2,3} passes through; {10,11,30,31,100,101} merges
+    // under min label 10; 20/21/22 gone
+    assert(expected == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 6L), (11L, 10L, 6L), (30L, 10L, 6L), (31L, 10L, 6L),
+      (100L, 10L, 6L), (101L, 10L, 6L)))
+    // cap routes: 10 → fully incremental; 5 → affected-member overflow
+    // (7 members > 5) falls back after the label probe; 3 → node
+    // overflow falls back at the first probe; all must agree by value
+    for (cap <- Seq(10, 5, 3))
+      assert(rows(Dedup.recloseAffectedComponents(
+        prior, kept, newPairs, dirty, maxAffected = cap)) == expected,
+        s"cap=$cap route diverged")
+    // retraction-only round (nothing detected): the affected component
+    // re-closes from its surviving pairs alone
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(rows(Dedup.recloseAffectedComponents(
+      prior, kept, emptyPairs, Seq(21L).toDF("doc_id"))) ==
+      rows(Dedup.dupClusters(kept)))
+    // no-touch round: fresh pair only — every prior row passes through
+    val freshOnly = Seq((100L, 101L)).toDF("doc_a", "doc_b")
+    assert(rows(Dedup.recloseAffectedComponents(
+      prior, oldPairs, freshOnly, Seq(100L, 101L).toDF("doc_id"))) ==
+      rows(prior) + ((100L, 100L, 2L)) + ((101L, 100L, 2L)))
+  }
 }
