@@ -273,11 +273,85 @@ object LayoutProbe {
     } else System.err.println(s"[layout] kept at $dir")
   }
 
+  /** `--ccstate`: probe the accumulated dup-cluster state layout
+    * ([[graft.operators.Dedup.writeClusterState]]: unpartitioned,
+    * clustered by (cluster, doc_id)) under its two serving reads —
+    * "members of cluster c" (the curation fan-out: drop a cluster,
+    * audit a cluster) and "cluster of doc d" (the membership lookup)
+    * — against an id-scattered baseline with identical file geometry,
+    * at ×10/×100 graph sizes. Component member ids are SCRAMBLED (an
+    * odd-multiplier bijection) so the min-id label does NOT
+    * numerically track its members: on real corpora a cluster's
+    * members are arbitrary ids, and an unscrambled synthetic chain
+    * would hand the doc-lookup read accidental stats power the
+    * production layout never has. */
+  private def ccstateProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{Dedup, VersionedIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-cc").toString
+    // fixed rows-per-file = the row-group emulation (the mirror/lsh
+    // probes' geometry rule): groups-per-state grow with the graph,
+    // rows-per-group stay put; both layouts get the same cap
+    val perFile = 4096L
+    val basePairs = 10000L
+    // a TRUE mix, not an affine map: multiply-mod preserves arithmetic
+    // structure (member ids would sit in label-correlated progressions
+    // and hand the lookup read artificial page-stats power); xxhash64
+    // over a 2^60 space keeps collisions negligible at probe scale
+    def scramble(c: org.apache.spark.sql.Column) =
+      lit(1000000000L) + pmod(xxhash64(c), lit(1L << 60))
+    Seq(10, 100).foreach { g =>
+      val synth = spark.range(basePairs * g).select(
+        scramble(expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
+        scramble(expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
+      val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", perFile.toString)
+      try Dedup.writeClusterState(Dedup.dupClusters(synth), s"$dir/cl$g")
+      finally prevMax match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      val clPath = VersionedIndex.currentDir(spark, s"$dir/cl$g")
+        .getOrElse(sys.error("state did not commit")) + "/clusters"
+      val live = spark.read.parquet(clPath)
+      val n = live.count()
+      // scattered baseline: same rows + geometry, order decorrelated
+      // from BOTH keys
+      live.orderBy(md5(col("doc_id").cast("string")))
+        .write.option("maxRecordsPerFile", perFile).parquet(s"$dir/sc$g")
+      val lbl = live.filter(col("csize") >= 4)
+        .select(col("cluster")).head().getLong(0)
+      val doc = live.filter(col("cluster") =!= lbl)
+        .select(col("doc_id")).head().getLong(0)
+      def members(path: String) = serveRead(spark, path,
+        _.filter(col("cluster") === lbl).select(col("doc_id"), col("csize")))
+      def lookup(path: String) = serveRead(spark, path,
+        _.filter(col("doc_id") === doc).select(col("cluster")))
+      val (mSelC, mScanC, _) = members(clPath)
+      val (mSelS, mScanS, _) = members(s"$dir/sc$g")
+      val (lSelC, lScanC, _) = lookup(clPath)
+      val (lSelS, lScanS, _) = lookup(s"$dir/sc$g")
+      require(mSelC == mSelS && lSelC == 1 && lSelS == 1,
+        s"layouts must agree: members $mSelC vs $mSelS, lookup $lSelC/$lSelS")
+      println(f"[layout] ccstate x$g%-4d rows=$n%d  cluster=$lbl%d members=$mSelC%d")
+      println(f"[layout]   members-of-cluster  clustered: $mScanC%8d rows " +
+        f"(${100.0 * mScanC / n}%5.1f%%)  scattered: $mScanS%8d (${100.0 * mScanS / n}%5.1f%%)" +
+        f"  skip ${mScanS.toDouble / math.max(1L, mScanC)}%.1fx")
+      println(f"[layout]   cluster-of-doc      clustered: $lScanC%8d rows " +
+        f"(${100.0 * lScanC / n}%5.1f%%)  scattered: $lScanS%8d (${100.0 * lScanS / n}%5.1f%%)" +
+        f"  skip ${lScanS.toDouble / math.max(1L, lScanC)}%.1fx")
+    }
+    if (!sys.env.contains("SPARK_GRAFT_KEEP_LAYOUT")) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else System.err.println(s"[layout] kept at $dir")
+  }
+
   def main(args: Array[String]): Unit = {
     val mirror = args.contains("--mirror")
     val state = args.contains("--state")
     val lsh = args.contains("--lsh")
-    MainFlags.requireKnown(args, Set("--mirror", "--state", "--lsh"))
+    val ccstate = args.contains("--ccstate")
+    MainFlags.requireKnown(args, Set("--mirror", "--state", "--lsh", "--ccstate"))
     val pos = MainFlags.positional(args)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val replicate = pos.lift(1).map(_.toInt).getOrElse(1)
@@ -303,6 +377,13 @@ object LayoutProbe {
       // scale axis: pass a ScaleProbe-materialized workDir as sfDir
       // (documents replicate there; the candidate set stays O(batch))
       lshProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (ccstate) {
+      // scale axis is internal (synthetic graph ×10/×100) — the state
+      // is graph-shaped, not corpus-shaped, so no sfDir table feeds it
+      ccstateProbe(spark, sfDir)
       spark.stop()
       return
     }

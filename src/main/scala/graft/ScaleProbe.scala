@@ -501,7 +501,17 @@ object ScaleProbe {
     * order — the sweep pins the sizes. */
   // no `runs` knob: the sweep measures RECALL on a deterministic
   // construction, not wall time — repeats would return identical rows
-  def noiseSweep(spark: SparkSession, srcDir: String): Unit = {
+  /** One sweep corpus per jitter level: the default 50 (±0.05, ~7%
+    * flips) is the r14 mid-noise regime; r16 added bracketing levels
+    * around the `recommendSketch` ≥15% IVF handoff (the 10–15% band
+    * rode on one sweep's extrapolation — the cliff is now located by
+    * measurement, SCALE.md r16). */
+  def noiseSweep(spark: SparkSession, srcDir: String,
+      jitters: Seq[Int] = Seq(50)): Unit =
+    jitters.foreach(j => noiseSweepAt(spark, srcDir, j))
+
+  private def noiseSweepAt(spark: SparkSession, srcDir: String,
+      jitterPermille: Int): Unit = {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_noisesweep").toString
     // 500 originals × 6 replicas = 3,000 vectors — exhaustive ground
@@ -511,7 +521,7 @@ object ScaleProbe {
       .write.parquet(s"$root/base/embeddings.parquet")
     try {
       materialize(spark, s"$root/base", s"$root/rep", 6,
-        Set("embeddings"), jitterPermille = 50)
+        Set("embeddings"), jitterPermille = jitterPermille)
       val base = spark.read.parquet(s"$root/base/embeddings.parquet")
       // derive the replica stride EXACTLY as materialize does
       // (max id + 1) — a hardcoded 500 would silently mismatch
@@ -534,8 +544,11 @@ object ScaleProbe {
       val exact = pairs(Dedup.embeddingNearDupPairs(
         rep.withColumn("one", lit(1)), "one", 0.9))
       System.err.println(
-        f"[probe] noise-sweep corpus n=3000 flipRate=$flips%.4f exactPairs=${exact.size}%d")
-      val rows = for (t <- Seq(4, 8); w <- Seq(16, 32)) yield {
+        f"[probe] noise-sweep jitter=$jitterPermille%d n=3000 " +
+          f"flipRate=$flips%.4f exactPairs=${exact.size}%d")
+      // T=12 row added r16: the candidate-volume step past T=8/w=32,
+      // probed where the handoff band needed a measured third option
+      val rows = for (t <- Seq(4, 8, 12); w <- Seq(16, 32)) yield {
         val approx = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
           nBits = 32, tables = t, window = w))
         require(approx.subsetOf(exact), "precision must be 1.0 by construction")
@@ -543,8 +556,8 @@ object ScaleProbe {
         System.err.println(f"[probe] noise-sweep T=$t%d w=$w%-3d recall=$recall%.4f")
         f""""t${t}_w$w":$recall%.4f"""
       }
-      println(s"""{"metric":"noisesweep","flipRate":$flips,""" +
-        s""""exactPairs":${exact.size},${rows.mkString(",")}}""")
+      println(s"""{"metric":"noisesweep","jitterPermille":$jitterPermille,""" +
+        s""""flipRate":$flips,"exactPairs":${exact.size},${rows.mkString(",")}}""")
     } finally {
       // probe-local replicated corpus — clean up even on a mid-sweep
       // failure (rep is localCheckpoint'd, so the parquet read is not
@@ -596,7 +609,12 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     if (noiseSweepOnly) {
-      noiseSweep(spark, srcDir)
+      // SPARK_GRAFT_SWEEP_JITTERS: comma-separated jitterPermille
+      // levels (default the r14 mid-noise 50); the r16 handoff
+      // bracketing ran 75,100,120
+      val jitters = sys.env.get("SPARK_GRAFT_SWEEP_JITTERS")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50))
+      noiseSweep(spark, srcDir, jitters)
       spark.stop()
       return
     }

@@ -1691,11 +1691,42 @@ object Similarity {
       .distinct()
   }
 
-  /** Bit order of sorted-sketch table `t`: bits ranked by the same
-    * multiplicative-hash family as the hyperplanes (plan-time
-    * constants; ties by bit index, engine-replayable). */
+  /** Bit order of sorted-sketch table `t` (plan-time constants; the
+    * oracle SQL bakes the emitted sequence, so the only contract is
+    * determinism).
+    *
+    * TWO families by design (r16). Tables 0–7 keep the original
+    * multiplicative-hash ranking — measured fact about it: sorting an
+    * ARITHMETIC PROGRESSION mod p yields (three-distance theorem) a
+    * small set of cyclic orders, so all eight are ROTATIONS of one
+    * cyclic sequence, and tables 8+ under the same formula are exact
+    * DUPLICATES of earlier ones (t=8≡3, 9≡1, 10≡2, …) — "raise T"
+    * silently ceilinged at eight tables, extra tables paying full
+    * kernel/rank/join cost for zero new candidates. The rotations are
+    * kept for t<8 both for hash stability (every gated sorted-sketch
+    * query runs T=4) and because they MEASURE BETTER at small T than
+    * random permutations (each rotation leads with a disjoint span of
+    * the bit cycle — structured prefix coverage; numpy A/B at 10%
+    * flips: T=8/w=32 rotations 0.973 vs avalanche 0.931). Tables 8+
+    * rank by a splitmix64-style avalanche of (t·64+j): 16/16 distinct
+    * non-rotation permutations, extending recall past the rotation
+    * ceiling (hybrid T=12/w=32 at 14% flips: 0.976 vs the T=8 0.957;
+    * ScaleProbe --noise-sweep re-measured in SCALE.md r16). Unsigned
+    * comparison via the sign-bit flip. */
   private[graft] def bitOrder(t: Int, nBits: Int): Seq[Int] =
-    (0 until nBits).sortBy(j => (((t * 64L + j) * 2654435761L) % 1000003L, j.toLong))
+    if (t < 8)
+      (0 until nBits).sortBy(j => (((t * 64L + j) * 2654435761L) % 1000003L, j.toLong))
+    else {
+      def mix(x0: Long): Long = {
+        val x = x0 + 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        z
+      }
+      (0 until nBits).sortBy(j => (mix(t * 64L + j) ^ Long.MinValue, j.toLong))
+    }
 
   /** Measured per-bit sign-flip rate between two embedding VERSIONS
     * of the same items — the input the sorted-sketch production
@@ -1741,19 +1772,25 @@ object Similarity {
     * `window` adjacent ranks per table (candidates/node ≈ 2·T·w). */
   final case class SketchSizing(tables: Int, window: Int)
 
-  /** The production sizing rule as a lookup, pinned to the r14
-    * mid-noise sweep (SCALE.md): below ~3% per-bit flips the default
-    * T=4/w=16 stands (0.989 recall at the 1.3%-flip regime); through
-    * the mid-noise regime raise TABLES first — independent
-    * permutations compound recall as 1−(1−p)^T, while a wider window
-    * only helps when flips leave a pair within 2w ranks of the SAME
-    * permutation, a chance that decays once codes scatter (measured
-    * at 6.9% flips: T=8/w=16 0.872 beats T=4/w=32 0.864 at EQUAL
-    * candidate volume; T=8/w=32 restores 0.936) → T=8/w=32. Past
-    * ~15% sign-sketch adjacency itself degrades toward the isotropic
-    * floor — no (T, w) is worth its candidate volume; the require
-    * names the IVF tier instead of returning a sizing that would
-    * silently miss. */
+  /** The production sizing rule as a lookup, pinned to the measured
+    * noise sweeps (SCALE.md r14 + the r16 handoff bracketing): below
+    * ~3% per-bit flips the default T=4/w=16 stands (0.989 recall at
+    * the 1.3%-flip regime); through the mid-noise regime raise TABLES
+    * first — distinct permutations compound recall as 1−(1−p)^T,
+    * while a wider window only helps when flips leave a pair within
+    * 2w ranks of the SAME permutation, a chance that decays once
+    * codes scatter (measured at 6.9% flips: T=8/w=16 0.872 beats
+    * T=4/w=32 0.864 at EQUAL candidate volume; T=8/w=32 reads 0.936)
+    * → T=8/w=32 to 10%. The 10–15% band was MEASURED in r16 (it
+    * previously rode on one sweep's extrapolation): T=8/w=32 decays
+    * to 0.886/0.852 at 10.0%/13.0% flips, while T=12/w=32 — possible
+    * only after the bitOrder hybrid ended the 8-table rotation
+    * ceiling — holds 0.931/0.905 at 1.5× the candidate volume →
+    * T=12/w=32 through the band. At the ≥15% edge the REGIME itself
+    * degenerates (the 15.2%-flip sweep corpus retains 192 of the
+    * mid-noise 7,500 ground-truth pairs — duplication this noisy is
+    * mostly no longer duplication); the require names the IVF tier
+    * instead of returning a sizing that would silently miss. */
   def recommendSketch(flipRate: Double): SketchSizing = {
     require(flipRate >= 0.0 && flipRate <= 1.0,
       s"flipRate is a fraction of bits, got $flipRate")
@@ -1761,7 +1798,9 @@ object Similarity {
       f"at ${flipRate}%.3f per-bit flips sign-sketch adjacency " +
         "degrades toward the isotropic floor — use the IVF ANN tier " +
         "(buildIvfIndex + ivfSearchIndexed) for candidates instead")
-    if (flipRate < 0.03) SketchSizing(4, 16) else SketchSizing(8, 32)
+    if (flipRate < 0.03) SketchSizing(4, 16)
+    else if (flipRate < 0.10) SketchSizing(8, 32)
+    else SketchSizing(12, 32)
   }
 
   /** Deterministic 1-based global rank of each (t, code, vec_id) row

@@ -1334,6 +1334,53 @@ class LayoutSpec extends SparkSuite {
     assert(bad.getMessage.contains("wrong replica regime"))
   }
 
+  test("ccstate layout: members-of-cluster is a row-group-pruned constant-row read") {
+    import graft.operators.{Dedup, VersionedIndex}
+    val root = Files.createTempDirectory("ccpin").toString
+    // 4-node chains over an xxhash64-mixed id space (a TRUE mix — an
+    // affine scramble leaves member ids in label-correlated
+    // progressions with artificial stats power; LayoutProbe --ccstate
+    // uses the same construction at ×10/×100)
+    def mix(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(1L << 60))
+    val synth = spark.range(3000).select(
+      mix(expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
+      mix(expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
+    val perFile = 64L
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", perFile.toString)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // scan metrics visible
+    try {
+      Dedup.writeClusterState(Dedup.dupClusters(synth), s"$root/cc")
+      val clPath = VersionedIndex.currentDir(spark, s"$root/cc").get + "/clusters"
+      val table = spark.read.parquet(clPath)
+      val total = table.count()
+      assert(total > 10 * perFile, "pin needs many row groups to prune")
+      val lbl = table.filter(col("csize") >= 4).select(col("cluster"))
+        .head().getLong(0)
+      val read = table.filter(col("cluster") === lbl)
+        .select(col("doc_id"), col("csize"))
+      assert(read.collect().length >= 4)
+      val scanned = read.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      // the clusterBy (cluster, doc_id) commit sort confines the read
+      // to the row groups holding the cluster — a constant-row read
+      // regardless of state size (LayoutProbe: 4096 rows at ×10 AND
+      // ×100). A dropped commit sort fails this loudly.
+      assert(scanned <= 2 * perFile,
+        s"members-of-cluster read materialized $scanned of $total rows — " +
+          "the (cluster, doc_id) clustering is not confining the scan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      prevMax match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+    }
+  }
+
   test("releaseLocalCheckpoint: refuses a derived frame holding two checkpoint roots") {
     import org.apache.spark.sql.GraftBridge
     val a = Seq(1L, 2L).toDF("x").localCheckpoint(eager = true)

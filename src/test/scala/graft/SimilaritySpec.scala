@@ -408,6 +408,39 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.95, s"mid-noise recall $recall below the 0.95 floor")
   }
 
+  test("bitOrder: rotation family pinned byte-exact for t<8; avalanche family distinct past the ceiling") {
+    // t<8 sequences are baked into every gated sorted-sketch oracle
+    // (q143, q146–q150 all run T=4) — a change here silently re-keys
+    // their hashes, so the first two rotations are pinned byte-exact
+    assert(Similarity.bitOrder(0, 32) == Seq(0, 26, 19, 12, 5, 31, 24,
+      17, 10, 3, 29, 22, 15, 8, 1, 27, 20, 13, 6, 25, 18, 11, 4, 30,
+      23, 16, 9, 2, 28, 21, 14, 7))
+    assert(Similarity.bitOrder(3, 32) == Seq(28, 21, 14, 7, 0, 26, 19,
+      12, 5, 31, 24, 17, 10, 3, 29, 22, 15, 8, 1, 27, 20, 13, 6, 25,
+      18, 11, 4, 30, 23, 16, 9, 2))
+    // the avalanche tier is pinned too (same reason, for any future
+    // gated query running T>8)
+    assert(Similarity.bitOrder(8, 32) == Seq(23, 9, 18, 10, 20, 4, 3,
+      30, 31, 17, 19, 11, 8, 28, 16, 7, 22, 29, 26, 24, 1, 14, 12, 27,
+      2, 21, 13, 6, 5, 25, 15, 0))
+    // the defect the hybrid closed: under the old formula t>=8 were
+    // exact DUPLICATES of earlier tables (t=8 equalled t=3 — sorting
+    // an arithmetic progression mod p has only a rotation family of
+    // orders), so raising T past 8 bought zero new candidates at full
+    // kernel cost. Now: 16 distinct permutations, none past t=7 a
+    // rotation of the shared t<8 cycle, every one a true permutation.
+    val orders = (0 until 16).map(t => Similarity.bitOrder(t, 32))
+    assert(orders.distinct.size == 16, "tables must be pairwise distinct")
+    val cycle = orders.head
+    val rotations = (0 until 32).map(k => cycle.drop(k) ++ cycle.take(k)).toSet
+    (0 until 8).foreach(t => assert(rotations.contains(orders(t)),
+      s"t=$t must stay in the pinned rotation family (hash stability)"))
+    (8 until 16).foreach(t => assert(!rotations.contains(orders(t)),
+      s"t=$t must leave the rotation family (else it duplicates coverage)"))
+    orders.foreach(o => assert(o.sorted == (0 until 32),
+      "every table must be a permutation of the bit indices"))
+  }
+
   test("estimateFlipRate + recommendSketch: the production sizing rule is an API") {
     // the r15 operator form of the r14 sweep's guidance: measure the
     // corpus flip rate from paired embedding versions, look the
@@ -438,9 +471,12 @@ class SimilaritySpec extends SparkSuite {
     val neg = base.select(col("vec_id"),
       transform(col("embedding"), x => -x).as("embedding"))
     assert(Similarity.estimateFlipRate(base, neg) == 1.0)
-    // the pinned lookup table + the IVF-handoff cliff
+    // the pinned lookup table + the IVF-handoff cliff (the 10–15%
+    // band measured r16: T=12/w=32 reads 0.931/0.905 at 10.0%/13.0%
+    // flips where T=8/w=32 decays to 0.886/0.852 — SCALE.md)
     assert(Similarity.recommendSketch(0.013) == Similarity.SketchSizing(4, 16))
     assert(Similarity.recommendSketch(0.069) == Similarity.SketchSizing(8, 32))
+    assert(Similarity.recommendSketch(0.13) == Similarity.SketchSizing(12, 32))
     val cliff = intercept[IllegalArgumentException](Similarity.recommendSketch(0.2))
     assert(cliff.getMessage.contains("IVF"),
       "past the cliff the error must name the IVF tier")
