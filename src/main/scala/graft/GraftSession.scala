@@ -22,9 +22,11 @@ object GraftSession {
     *    prunes nothing (measured r14: a minute-sorted table scanned
     *    100% under INT96, 1.1% as INT64 micros). Writers only;
     *    readers are unaffected.
-    *  - IN-pushdown threshold exactly one past the operator cap
+    *  - IN-pushdown threshold EQUAL to the operator cap
     *    (Dedup.MaxShinglePushdownIds, the largest Or(Eq…) depth deemed
-    *    executor-stack-safe): past the threshold Spark degrades a
+    *    executor-stack-safe; ParquetFilters pushes the literal chain
+    *    when values.length <= threshold, so equality still pushes the
+    *    cap-sized probe set): past the threshold Spark degrades a
     *    pushed IN to a min/max RANGE filter, which prunes nothing over
     *    hash-distributed keys — the candidate-id probes of index
     *    members (Dedup.prunedOldShingles) need the literal set to
@@ -36,7 +38,7 @@ object GraftSession {
   def parquetConfs(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        (graft.operators.Dedup.MaxShinglePushdownIds + 1).toString)
+        graft.operators.Dedup.MaxShinglePushdownIds.toString)
 
   /** The measurement/driver-main session: every probe and bench main
     * builds exactly this shape (UTC, right-sized shuffle parallelism,

@@ -279,13 +279,14 @@ object LayoutProbe {
     * "members of cluster c" (the curation fan-out: drop a cluster,
     * audit a cluster) and "cluster of doc d" (the membership lookup)
     * — against an id-scattered baseline with identical file geometry,
-    * at ×10/×100 graph sizes. Component member ids are SCRAMBLED (an
-    * odd-multiplier bijection) so the min-id label does NOT
-    * numerically track its members: on real corpora a cluster's
-    * members are arbitrary ids, and an unscrambled synthetic chain
-    * would hand the doc-lookup read accidental stats power the
-    * production layout never has. */
-  private def ccstateProbe(spark: SparkSession, sfDir: String): Unit = {
+    * at ×10/×100 graph sizes. Component member ids are MIXED through
+    * xxhash64 so the min-id label does NOT numerically track its
+    * members: on real corpora a cluster's members are arbitrary ids,
+    * and a structured synthetic chain (or an affine scramble — the
+    * rejected first draft) would hand the doc-lookup read accidental
+    * stats power the production layout never has. Fully synthetic —
+    * no corpus table feeds it. */
+  private def ccstateProbe(spark: SparkSession): Unit = {
     import graft.operators.{Dedup, VersionedIndex}
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-cc").toString
     // fixed rows-per-file = the row-group emulation (the mirror/lsh
@@ -383,7 +384,7 @@ object LayoutProbe {
     if (ccstate) {
       // scale axis is internal (synthetic graph ×10/×100) — the state
       // is graph-shaped, not corpus-shaped, so no sfDir table feeds it
-      ccstateProbe(spark, sfDir)
+      ccstateProbe(spark)
       spark.stop()
       return
     }

@@ -613,7 +613,8 @@ object ScaleProbe {
       // levels (default the r14 mid-noise 50); the r16 handoff
       // bracketing ran 75,100,120
       val jitters = sys.env.get("SPARK_GRAFT_SWEEP_JITTERS")
-        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        .filter(_.nonEmpty).getOrElse(Seq(50))
       noiseSweep(spark, srcDir, jitters)
       spark.stop()
       return

@@ -1037,9 +1037,18 @@ object Dedup {
         // round instead of three (ckpt + count + anti-join). Both
         // sides of the probe join are distinct on (x, y) (star()
         // ends .distinct(); e is built distinct), so the left join
-        // never multiplies rows. A rare task-retry over-count only
-        // costs an extra round, never a wrong answer — the same
-        // contract the fast path's changed-counter accepts.
+        // never multiplies rows. Accumulator trust model: task
+        // retries can only OVER-count, so accNew == 0 is reliable
+        // (a real new row can never read as zero), but the carried
+        // cardinality could in principle be inflated by compensating
+        // over-counts in consecutive rounds — so a firing probe is
+        // CONFIRMED by one exact count over the checkpointed frame
+        // before the loop exits (paid once, at convergence, not per
+        // round; a failed confirmation just keeps looping with the
+        // corrected cardinality). The fast path needs no analogue:
+        // its counter only gates EXTRA rounds — labels are already a
+        // fixpoint when it reads zero — while here `done` asserts a
+        // set equality the labels join then RELIES on.
         val accNew = spark.sparkContext.longAccumulator("graft.dupClusters.starNew")
         val accTot = spark.sparkContext.longAccumulator("graft.dupClusters.starTotal")
         val probed = star(star(se, large = true), large = false)
@@ -1054,10 +1063,13 @@ object Dedup {
           }
         }(org.apache.spark.sql.Encoders.row(probed.schema))
         val e2 = ckpt(counted.drop("_old"))
-        done = accNew.value == 0L && accTot.value == seCount
+        val exactCount =
+          if (accNew.value == 0L && accTot.value == seCount) Some(e2.count())
+          else None
+        done = exactCount.contains(seCount)
         if (!(se eq e)) release(se) // superseded round
         se = e2
-        seCount = accTot.value
+        seCount = exactCount.getOrElse(accTot.value)
         starRound += 1
       }
       require(done,

@@ -1127,13 +1127,13 @@ object Pipelines {
             "writeClusterState (the monotone one-shot form), so " +
             "changed-vector retraction is impossible; re-bootstrap " +
             "the sink on fresh paths")).localCheckpoint()
-        val kept = {
-          val ids = batch.select(col("vec_id")).distinct()
-          oldPairs
-            .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
-            .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
-            .localCheckpoint()
-        }
+        // ONE distinct over the persisted batch: consumed by both
+        // retraction anti-joins and the re-close's dirty-id set
+        val ids = batch.select(col("vec_id")).distinct()
+        val kept = oldPairs
+          .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
+          .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
+          .localCheckpoint()
         try {
           // quiet-trigger skip: nothing detected AND nothing revoked —
           // the graph-sized state is not rewritten with identical
@@ -1154,8 +1154,7 @@ object Pipelines {
               // set — the graph-sized WRITE is the documented cheap
               // part; the iterative fold is what this bounds.
               val reclosed = Dedup.recloseAffectedComponents(
-                Dedup.readClusterState(spark, statePath), kept, newPairs,
-                batch.select(col("vec_id")).distinct())
+                Dedup.readClusterState(spark, statePath), kept, newPairs, ids)
               Dedup.writeClusterStateWithPairs(reclosed, acc, statePath)
             } finally releaseLocalCheckpoint(acc)
           }

@@ -692,7 +692,7 @@ class LayoutSpec extends SparkSuite {
     assert(candIds.length > 10)
     val saved = spark.conf.getOption("spark.sql.parquet.pushdown.inFilterThreshold")
     spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
-      (graft.operators.Dedup.MaxShinglePushdownIds + 1).toString)
+      graft.operators.Dedup.MaxShinglePushdownIds.toString)
     // AQE off for metric visibility only: an adaptive plan hides the
     // FileSourceScanExec behind query stages (the LayoutProbe rule);
     // the semi-join stays a broadcast join via the explicit hint
