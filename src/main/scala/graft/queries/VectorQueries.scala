@@ -1192,6 +1192,27 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // The recommended NOISY-regime sizing (recommendSketch's third row,
+  // r16: 10–15% per-bit flips → T=12/w=32) run end to end — which
+  // gates the avalanche bit-order tier (tables 8+) through the DuckDB
+  // replay: the rotation formula's t≥8 tables were exact DUPLICATES
+  // of earlier ones (the r16 ceiling find), so an oracle running
+  // twelve tables is exactly the check that the hybrid's upper tier
+  // produces real, distinct, engine-replayable permutations. Same
+  // exact-verify contract as q146 (precision 1.0 by construction;
+  // extra tables can only ADD candidate coverage, so output ⊇ q146's
+  // at identical threshold).
+  val q151 = sql(
+    "q151_neardup_sorted_noisy_sizing", {
+      s"""WITH ${sortedSketchCtes(32, 12, 32)}
+         |SELECT va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, d) =>
+    Dedup.embeddingNearDupSorted(Tables.embeddings(s, d), 0.35, 64,
+        nBits = 32, tables = 12, window = 32)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // Block-less dup clustering: connected components over the sorted-
   // sketch pair stream — q64's curation step for corpora with NO
   // usable block key, at sorted-sketch (sub-quadratic) pair cost. The
@@ -1286,5 +1307,6 @@ object VectorQueries {
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
-    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149, q150)
+    q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149,
+    q150, q151)
 }

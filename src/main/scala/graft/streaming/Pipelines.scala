@@ -1177,9 +1177,18 @@ object Pipelines {
     * accumulated assignment with
     * [[graft.operators.Dedup.readClusterState]] (and its health with
     * `Index.stats` — the `ccstate` kind). Per-trigger cost is the
-    * O(batch)-kernel index probe + a fold over graph-sized edges
-    * (measured 1.19×/1.56× at ×10/×20 fixed-batch corpus growth,
-    * SCALE.md r15), never the corpus re-hash of the one-shot form. */
+    * O(batch)-kernel index probe + the INCREMENTAL re-close
+    * ([[graft.operators.Dedup.recloseAffectedComponents]], r16):
+    * iterative CC over batch-affected components only, untouched
+    * assignment rows passing through as single columnar scans —
+    * measured 1.19×/1.56× at ×10/×20 fixed-batch corpus growth
+    * (SCALE.md r15) and, on the accumulated-graph axis the corpus
+    * probe doesn't isolate, a fold that reads 1.44→2.43 s across
+    * ×1→×20 graph growth where the full re-close read 3.49→10.16 s
+    * (ScaleProbe --growing-graph, SCALE.md r16). Never the corpus
+    * re-hash of the one-shot form; the one remaining O(graph) term
+    * per non-quiet trigger is single-pass state IO (scans + the
+    * pairs-member commit), with no iteration multiplier. */
   def dupClusterSink(vectors: DataFrame, indexPath: String,
       statePath: String, checkpoint: String, threshold: Double,
       dim: Int = 64, nBits: Int = 32, tables: Int = 4, window: Int = 16,
