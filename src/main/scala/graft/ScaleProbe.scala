@@ -613,8 +613,15 @@ object ScaleProbe {
       // levels (default the r14 mid-noise 50); the r16 handoff
       // bracketing ran 75,100,120
       val jitters = sys.env.get("SPARK_GRAFT_SWEEP_JITTERS")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-        .filter(_.nonEmpty).getOrElse(Seq(50))
+        .map { v =>
+          // tolerate trailing commas, but an explicitly SET empty value
+          // fails loudly — silently sweeping the default 50 would hand
+          // the operator default numbers labeled as their bracketing run
+          val parsed = v.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+          require(parsed.nonEmpty,
+            s"SPARK_GRAFT_SWEEP_JITTERS is set but holds no levels: '$v'")
+          parsed
+        }.getOrElse(Seq(50))
       noiseSweep(spark, srcDir, jitters)
       spark.stop()
       return

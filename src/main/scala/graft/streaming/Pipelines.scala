@@ -1127,9 +1127,11 @@ object Pipelines {
             "writeClusterState (the monotone one-shot form), so " +
             "changed-vector retraction is impossible; re-bootstrap " +
             "the sink on fresh paths")).localCheckpoint()
-        // ONE distinct over the persisted batch: consumed by both
-        // retraction anti-joins and the re-close's dirty-id set
-        val ids = batch.select(col("vec_id")).distinct()
+        // ONE distinct over the persisted batch, CHECKPOINTED like its
+        // sibling frames: consumed by both retraction anti-joins and
+        // the re-close's dirty-id probes/joins — uncheckpointed, the
+        // distinct shuffle would re-execute in every consuming action
+        val ids = batch.select(col("vec_id")).distinct().localCheckpoint()
         val kept = oldPairs
           .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
           .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
@@ -1159,6 +1161,7 @@ object Pipelines {
             } finally releaseLocalCheckpoint(acc)
           }
         } finally {
+          releaseLocalCheckpoint(ids)
           releaseLocalCheckpoint(newPairs)
           releaseLocalCheckpoint(oldPairs)
           releaseLocalCheckpoint(kept)
