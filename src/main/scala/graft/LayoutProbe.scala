@@ -35,8 +35,13 @@ object LayoutProbe {
     * definition so a fix to metric collection (e.g. AQE-wrapped
     * plans) cannot silently diverge between probe modes. */
   private def serveRead(spark: SparkSession, path: String,
-      shape: DataFrame => DataFrame): (Long, Long, Double) = {
-    val df = shape(spark.read.parquet(path))
+      shape: DataFrame => DataFrame): (Long, Long, Double) =
+    serveFrame(shape(spark.read.parquet(path)))
+
+  /** [[serveRead]] over an already-shaped frame — for probes whose
+    * clustered side is a PRODUCT read helper (e.g.
+    * `Dedup.readClusterMembers`) rather than a raw path scan. */
+  private def serveFrame(df: DataFrame): (Long, Long, Double) = {
     val t0 = System.nanoTime()
     val selected = df.collect().length.toLong
     val wall = (System.nanoTime() - t0) / 1e9
@@ -311,9 +316,7 @@ object LayoutProbe {
         case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
         case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
       }
-      val clPath = VersionedIndex.currentDir(spark, s"$dir/cl$g")
-        .getOrElse(sys.error("state did not commit")) + "/clusters"
-      val live = spark.read.parquet(clPath)
+      val live = Dedup.readClusterState(spark, s"$dir/cl$g")
       val n = live.count()
       // scattered baseline: same rows + geometry, order decorrelated
       // from BOTH keys
@@ -323,14 +326,19 @@ object LayoutProbe {
         .select(col("cluster")).head().getLong(0)
       val doc = live.filter(col("cluster") =!= lbl)
         .select(col("doc_id")).head().getLong(0)
-      def members(path: String) = serveRead(spark, path,
+      // the clustered members read is the PRODUCT helper — it supplies
+      // the label's hash bucket, which a plain filter over the
+      // partitioned member cannot derive (r16 bucketed layout)
+      val (mSelC, mScanC, _) = serveFrame(
+        Dedup.readClusterMembers(spark, s"$dir/cl$g", lbl)
+          .select(col("doc_id"), col("csize")))
+      val (mSelS, mScanS, _) = serveRead(spark, s"$dir/sc$g",
         _.filter(col("cluster") === lbl).select(col("doc_id"), col("csize")))
-      def lookup(path: String) = serveRead(spark, path,
+      val (lSelC, lScanC, _) = serveFrame(Dedup
+        .readClusterState(spark, s"$dir/cl$g")
+        .filter(col("doc_id") === doc).select(col("cluster")))
+      val (lSelS, lScanS, _) = serveRead(spark, s"$dir/sc$g",
         _.filter(col("doc_id") === doc).select(col("cluster")))
-      val (mSelC, mScanC, _) = members(clPath)
-      val (mSelS, mScanS, _) = members(s"$dir/sc$g")
-      val (lSelC, lScanC, _) = lookup(clPath)
-      val (lSelS, lScanS, _) = lookup(s"$dir/sc$g")
       require(mSelC == mSelS && lSelC == 1 && lSelS == 1,
         s"layouts must agree: members $mSelC vs $mSelS, lookup $lSelC/$lSelS")
       println(f"[layout] ccstate x$g%-4d rows=$n%d  cluster=$lbl%d members=$mSelC%d")

@@ -440,7 +440,13 @@ object ScaleProbe {
       val idx = s"$root/idx"
       Similarity.writeSketchIndex(corpus, idx, 64)
       val basePairs = 100000L
-      Seq(1, 10, 20).flatMap { g =>
+      // SPARK_GRAFT_GROW_FACTORS: comma-separated graph multipliers
+      // (each = basePairs·g settled pairs); the default ladder brackets
+      // the commit-route crossover on this host
+      val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        .filter(_.nonEmpty).getOrElse(Seq(1, 10, 20, 50))
+      factors.flatMap { g =>
         val st = s"$root/st$g"
         // settled components: 4-node chains (3 edges each), disjoint
         // from corpus and batch ids
@@ -448,12 +454,24 @@ object ScaleProbe {
           (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
           (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
         Dedup.writeClusterStateWithPairs(Dedup.dupClusters(synth), synth, st)
-        def trigger(): Unit = graft.streaming.Pipelines.applyDupClusterBatch(
-          batch, idx, st, 0.9, 64, 32, 4, 16)
-        trigger() // warm fold: batch pairs enter; the state is a fixpoint after
-        val tTrig = (1 to runs).map { _ =>
-          val t0 = System.nanoTime(); trigger(); (System.nanoTime() - t0) / 1e9
-        }.min
+        // route A/B at each scale: the commit-route gate is forced per
+        // call so the measurement is decoupled from the default. ORDER
+        // MATTERS: the layout upgrade is one-way (once bucketed the
+        // sink stays bucketed regardless of gate), so the whole-write
+        // route must be timed BEFORE the first partial trigger.
+        def trigger(gate: Long): Unit =
+          graft.streaming.Pipelines.applyDupClusterBatch(
+            batch, idx, st, 0.9, 64, 32, 4, 16, partialMinPairs = gate)
+        def timeTrig(gate: Long): Double = {
+          trigger(gate) // warm: batch pairs enter; fixpoint (and, for
+                        // the partial route, the layout upgrade) after
+          (1 to runs).map { _ =>
+            val t0 = System.nanoTime(); trigger(gate)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val tWhole = timeTrig(Long.MaxValue)
+        val tPartial = timeTrig(0L)
         // fold A/B on identical checkpointed inputs (the trigger's
         // exact shape: retraction of the batch's pairs + re-detection)
         val prior = Dedup.readClusterState(spark, st)
@@ -471,10 +489,12 @@ object ScaleProbe {
           val tFull = best(Dedup.recloseAffectedComponents(
             prior, kept, newPairs, ids, maxAffected = 0))
           System.err.println(
-            f"[probe] growing-graph x$g%-3d trigger $tTrig%7.2f s  " +
-              f"fold incr $tInc%7.2f s  full $tFull%7.2f s")
-          Seq(s"trigger_x$g" -> tTrig, s"fold_incr_x$g" -> tInc,
-            s"fold_full_x$g" -> tFull)
+            f"[probe] growing-graph x$g%-3d trigger whole $tWhole%7.2f s" +
+              f"  partial $tPartial%7.2f s  fold incr $tInc%7.2f s" +
+              f"  full $tFull%7.2f s")
+          Seq(s"trigger_whole_x$g" -> tWhole,
+            s"trigger_partial_x$g" -> tPartial,
+            s"fold_incr_x$g" -> tInc, s"fold_full_x$g" -> tFull)
         } finally {
           releaseLocalCheckpoint(newPairs)
           releaseLocalCheckpoint(kept)

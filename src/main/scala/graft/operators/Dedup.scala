@@ -1190,10 +1190,69 @@ object Dedup {
     * more full scan of the state each. */
   def recloseAffectedComponents(prior: DataFrame, kept: DataFrame,
       newPairs: DataFrame, dirtyIds: DataFrame,
-      maxAffected: Int = MaxAffectedIds): DataFrame = {
+      maxAffected: Int = MaxAffectedIds): DataFrame =
+    recloseParts(prior, kept, newPairs, dirtyIds, maxAffected) match {
+      case RecloseFull(full) => full
+      case RecloseIncremental(lbls, _, reclosed) =>
+        assembleReclosed(prior, lbls, reclosed)
+    }
+
+  /** Full assignment from the incremental route's parts: untouched
+    * prior rows pass through, the re-closed affected subgraph joins
+    * them. ONE definition — the operator's public form, the sink's
+    * whole-write route, and the partial commit's manifest fallback
+    * all assemble through it. */
+  private[graft] def assembleReclosed(prior: DataFrame, lbls: DataFrame,
+      reclosed: DataFrame): DataFrame =
+    prior.join(lbls, col("cluster") === col("_aff_lbl"), "left_anti")
+      .select(col("doc_id"), col("cluster"), col("csize"))
+      .unionByName(reclosed)
+
+  /** Accumulated-pair-count gate for the PARTIAL state commit: below
+    * it the whole rewrite is the cheaper route. Measured end to end
+    * on the growing-graph route A/B (SCALE.md r16, local[32] NVMe,
+    * whole vs partial trigger wall): 10M pairs 13.2 s vs 14.5 s
+    * (whole still ahead — the partial path's fixed planning/pruned-
+    * read/bookkeeping jobs outweigh a page-cached write), 15M pairs
+    * 21.9 s vs 15.1 s (partial wins 1.45×) — the measured crossover
+    * sits at ≈12M pairs (~200 MB of state members). Set there for
+    * single-node deployments; on a real cluster or object store the
+    * whole write is bandwidth-bound while the partial overhead stays
+    * driver-scheduling-bound, so the crossover only moves DOWN — the
+    * per-call `partialMinPairs` knob exists for exactly that. Route
+    * choice only: content is identical either way, and the layout
+    * upgrade it triggers is one-way (see
+    * [[graft.streaming.Pipelines.applyDupClusterBatch]]). */
+  private[graft] val CcPartialCommitMinPairs = 12000000L
+
+  /** The re-close route, exposed piecewise for the PARTIAL state
+    * commit ([[graft.streaming.Pipelines.applyDupClusterBatch]]): the
+    * incremental arm carries the affected-label frame (a broadcast
+    * LOCAL relation, ≤ maxAffected rows) and the re-closed affected
+    * assignment — exactly the pieces the commit needs to rewrite only
+    * the touched label-hash buckets and CARRY the rest. The fallback
+    * arm is the full re-close, where no bounded touched set exists
+    * and a whole rewrite is the honest route. */
+  private[graft] sealed trait RecloseRoute
+  private[graft] final case class RecloseFull(assignment: DataFrame)
+    extends RecloseRoute
+  /** `affectedLbls`: one `_aff_lbl` column, broadcast local relation.
+    * `members`: the affected components' member ids (doc_id; bounded
+    * by the cap probe) — the partial commit derives the touched
+    * pair-bucket superset from it instead of scanning the pairs
+    * member. `reclosed`: the (doc_id, cluster, csize) assignment of
+    * the re-closed affected subgraph only. */
+  private[graft] final case class RecloseIncremental(
+      affectedLbls: DataFrame, members: DataFrame, reclosed: DataFrame)
+    extends RecloseRoute
+
+  private[graft] def recloseParts(prior: DataFrame, kept: DataFrame,
+      newPairs: DataFrame, dirtyIds: DataFrame,
+      maxAffected: Int = MaxAffectedIds): RecloseRoute = {
     val spark = prior.sparkSession
     import spark.implicits._
-    def fullReclose() = dupClusters(kept.unionByName(newPairs).distinct())
+    def fullReclose() =
+      RecloseFull(dupClusters(kept.unionByName(newPairs).distinct()))
     val affectedNodes = dirtyIds.toDF("doc_id")
       .unionByName(newPairs.select(col("doc_a").as("doc_id")))
       .unionByName(newPairs.select(col("doc_b").as("doc_id")))
@@ -1218,29 +1277,74 @@ object Dedup {
     val touched = kept.join(
       broadcast(members.select(col("doc_id").as("doc_a"))),
       Seq("doc_a"), "left_semi")
-    val untouched = prior
-      .join(lbls, col("cluster") === col("_aff_lbl"), "left_anti")
-      .select(col("doc_id"), col("cluster"), col("csize"))
-    untouched.unionByName(
+    RecloseIncremental(lbls, members,
       dupClusters(touched.unionByName(newPairs).distinct()))
   }
 
+  /** Hash-bucket count of the cluster-state members when the BUCKETED
+    * layout is chosen (r16). `clusters` buckets by hash(cluster),
+    * `pairs` by hash(doc_a) — the partial-commit unit: an incremental
+    * re-close knows exactly which labels changed and which pairs
+    * moved, so a trigger rewrites ONLY the buckets those hash into
+    * and CARRIES the rest in the manifest (the sketch/LSH indexes'
+    * partial-commit protocol on the state tables). Bucketing is a
+    * `buckets > 0` opt-in on the writers, NOT the default: it costs a
+    * repartition per staged member and ~nBuckets-dir IO on every full
+    * scan, which the growing-graph route A/B measured as a net LOSS
+    * below the ≈12M-pair crossover ([[CcPartialCommitMinPairs]]) —
+    * small states keep the r15 unpartitioned layout, and the sink
+    * upgrades in place the first time the graph crosses the gate.
+    * Stored in params; reads resolve it from there. */
+  private[graft] val CcStateBuckets = 64
+  private def ccBucketCol(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast("int")
+  /** Bucket count of the COMMITTED layout at `path`: None = the
+    * unpartitioned (r15) layout. */
+  private[graft] def ccStateBucketsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] =
+    VersionedIndex.currentDir(spark, path)
+      .flatMap(d => VersionedIndex.readParams(spark, d)
+        .get("ccBuckets").map(_.toInt))
+
+  private def ccClustersStaged(state: DataFrame, n: Int): DataFrame =
+    if (n <= 0) state.select(col("doc_id"), col("cluster"), col("csize"))
+    else state.select(col("doc_id"), col("cluster"), col("csize"),
+      ccBucketCol(col("cluster"), n).as("idx_bucket"))
+  private def ccPairsStaged(pairsAcc: DataFrame, n: Int): DataFrame =
+    if (n <= 0) pairsAcc.select(col("doc_a"), col("doc_b"))
+    else pairsAcc.select(col("doc_a"), col("doc_b"),
+      ccBucketCol(col("doc_a"), n).as("idx_bucket"))
+  private def ccPartitionBy(n: Int): Map[String, Seq[String]] =
+    if (n <= 0) Map.empty
+    else Map("clusters" -> Seq("idx_bucket"), "pairs" -> Seq("idx_bucket"))
+  private def ccParams(n: Int): Map[String, String] =
+    Map("kind" -> "ccstate") ++
+      (if (n > 0) Map("ccBuckets" -> n.toString) else Map.empty)
+  // within-partition sort: per-cluster reads prune by row-group stats
+  // (inside the one bucket a label hashes to, on the bucketed layout;
+  // inside each sorted run otherwise — [[readClusterMembers]])
+  private val CcClusterBy = Map("clusters" -> Seq("cluster", "doc_id"),
+    "pairs" -> Seq("doc_a", "doc_b"))
+
   /** Persist an accumulated cluster state (the [[VersionedIndex]]
     * contract: atomic rename commits, the previous version readable
-    * until the flip, crash-safe staging). UNPARTITIONED on purpose:
-    * unlike the id-bucketed member tables, a merge can relabel ANY
-    * component (two old clusters joined by one new pair take the
-    * global min label), so there is no touched-partition locality for
-    * a partial commit to exploit — each round rewrites the graph-sized
-    * table whole, which is the cheap part of the round. Clustered by
-    * label so per-cluster reads (serving "the members of cluster c")
-    * prune by row-group stats. */
-  def writeClusterState(state: DataFrame, path: String): Unit =
+    * until the flip, crash-safe staging). `buckets = 0` (default) is
+    * the unpartitioned r15 layout — each commit rewrites the
+    * graph-sized table whole, the right trade for small states and
+    * the one-shot/monotone forms (q150). `buckets > 0` opts into the
+    * label-hash bucketed layout whose unit of rewrite is the BUCKET
+    * (see [[CcStateBuckets]]) — what [[commitClusterStatePartial]]
+    * needs to carry untouched buckets per trigger. Rows sort by
+    * (cluster, doc_id) within partitions either way, so "members of
+    * cluster c" reads prune ([[readClusterMembers]]; LayoutProbe
+    * --ccstate). */
+  def writeClusterState(state: DataFrame, path: String,
+      buckets: Int = 0): Unit =
     VersionedIndex.commit(state.sparkSession, path,
-      Seq("clusters" -> state.select(col("doc_id"), col("cluster"),
-        col("csize"))),
-      Map("kind" -> "ccstate"),
-      clusterBy = Map("clusters" -> Seq("cluster", "doc_id")))
+      Seq("clusters" -> ccClustersStaged(state, buckets)),
+      ccParams(buckets),
+      partitionBy = ccPartitionBy(buckets).view.filterKeys(_ == "clusters").toMap,
+      clusterBy = CcClusterBy)
 
   /** The RETRACTION-capable state commit: the cluster assignment plus
     * the accumulated PAIR set it was closed from, as a second member
@@ -1248,33 +1352,148 @@ object Dedup {
     * history is gone — removing one member can split a component in
     * ways the stars can't express), so revoking a changed vector's
     * old memberships exactly requires the pairs. [[dupClusterSink]]
-    * commits through this; the pairs-less [[writeClusterState]] stays
-    * the one-shot/monotone form ([[mergePairsIntoClusters]], q150).
-    * Both member tables are graph-sized (≪ corpus). */
+    * bootstraps through this (and commits incrementally through
+    * [[commitClusterStatePartial]]); the pairs-less
+    * [[writeClusterState]] stays the one-shot/monotone form
+    * ([[mergePairsIntoClusters]], q150). Both member tables are
+    * graph-sized (≪ corpus) and bucketed (see [[writeClusterState]];
+    * pairs bucket by hash(doc_a)). */
   def writeClusterStateWithPairs(state: DataFrame, pairsAcc: DataFrame,
-      path: String): Unit =
+      path: String, buckets: Int = 0): Unit =
     VersionedIndex.commit(state.sparkSession, path,
-      Seq("clusters" -> state.select(col("doc_id"), col("cluster"),
-          col("csize")),
-        "pairs" -> pairsAcc.select(col("doc_a"), col("doc_b"))),
-      Map("kind" -> "ccstate"),
-      clusterBy = Map("clusters" -> Seq("cluster", "doc_id"),
-        "pairs" -> Seq("doc_a", "doc_b")))
+      Seq("clusters" -> ccClustersStaged(state, buckets),
+        "pairs" -> ccPairsStaged(pairsAcc, buckets)),
+      ccParams(buckets),
+      partitionBy = ccPartitionBy(buckets),
+      clusterBy = CcClusterBy)
+
+  private def dropBucket(df: DataFrame): DataFrame =
+    if (df.columns.contains("idx_bucket")) df.drop("idx_bucket") else df
 
   /** Current committed cluster state at `path` (see
-    * [[writeClusterState]]). */
+    * [[writeClusterState]]); the internal bucket column is stripped.
+    * Pre-r16 unbucketed states read as-is. */
   def readClusterState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    VersionedIndex.readTable(spark, path, "clusters")
+    dropBucket(VersionedIndex.readTable(spark, path, "clusters"))
+
+  /** Serving read "the members of cluster c": on the bucketed layout,
+    * partition-pruned to the ONE bucket the label hashes into, then
+    * row-group-pruned by the within-bucket (cluster, doc_id) sort —
+    * a constant-row read regardless of state size (LayoutProbe
+    * --ccstate: 4,096-row scans at ×10 and ×100 alike). On the
+    * unpartitioned layout the same commit sort gives row-group
+    * pruning inside each sorted run. On the bucketed layout a plain
+    * `filter(cluster === c)` over [[readClusterState]] cannot prune
+    * partitions (the bucket is a hash the reader must supply) —
+    * serve through this. */
+  def readClusterMembers(spark: org.apache.spark.sql.SparkSession,
+      path: String, cluster: Long): DataFrame = {
+    val raw = VersionedIndex.readTable(spark, path, "clusters")
+    val pruned = ccStateBucketsOf(spark, path) match {
+      case Some(n) if raw.columns.contains("idx_bucket") =>
+        raw.filter(col("idx_bucket") === ccBucketCol(lit(cluster), n))
+      case _ => raw // unpartitioned layout: row-group stats only
+    }
+    dropBucket(pruned.filter(col("cluster") === cluster))
+  }
 
   /** The accumulated pair set behind a retraction-capable state
     * ([[writeClusterStateWithPairs]]); None for states committed by
-    * the pairs-less form. */
+    * the pairs-less form. The internal bucket column is stripped. */
   def readClusterPairs(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] =
     if (VersionedIndex.manifest(spark, path).contains("pairs"))
-      Some(VersionedIndex.readTable(spark, path, "pairs"))
+      Some(dropBucket(VersionedIndex.readTable(spark, path, "pairs")))
     else None
+
+  /** PARTIAL state commit for one incremental re-close round — the
+    * r16 answer to the last O(graph)-per-trigger term in
+    * [[graft.streaming.Pipelines.dupClusterSink]]: with the fold
+    * already incremental, every non-quiet trigger still REWROTE both
+    * graph-sized members whole, while the content of all but a few
+    * buckets was byte-identical. Here only
+    *  - `clusters` buckets holding an affected OR re-closed label, and
+    *  - `pairs` buckets holding a retracted or new pair (by doc_a)
+    * rewrite; the rest CARRY in the manifest
+    * ([[VersionedIndex.planPartialRewrite]], the sketch/LSH
+    * protocol, per-table touched sets). Falls back to the whole
+    * rewrite when the manifest cannot support a partial commit
+    * (legacy/whole-table owners, emptied state, version chain at the
+    * cap) — a route choice, identical content either way.
+    *
+    * Inputs are the trigger's frames: `lbls`/`reclosed` from
+    * [[recloseParts]]' incremental arm, `ids` the batch ids,
+    * `newPairs` the detected pairs. `fullPairs` is the LAZY
+    * whole-rewrite pair fallback (kept ∪ new — only executed on that
+    * route); the assignment fallback assembles internally from the
+    * parts (untouched prior rows ∪ reclosed). */
+  private[graft] def commitClusterStatePartial(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      lbls: DataFrame, members: DataFrame, reclosed: DataFrame,
+      ids: DataFrame, newPairs: DataFrame,
+      fullPairs: => DataFrame, maxVersionChain: Int = 8): Unit = {
+    // the committed layout must be BUCKETED for a partial commit to
+    // have a rewrite unit; an unpartitioned (r15 / below-crossover)
+    // layout upgrades in place through the whole-write fallback, and
+    // the NEXT trigger commits partially
+    val n = ccStateBucketsOf(spark, path).getOrElse(0)
+    if (n <= 0) {
+      writeClusterStateWithPairs(
+        assembleReclosed(readClusterState(spark, path), lbls, reclosed),
+        fullPairs, path, CcStateBuckets)
+      return
+    }
+    // touched cluster-buckets: buckets of (affected ∪ re-closed)
+    // labels — ≤ n ints via a Spark distinct, never a label collect
+    val cBuckets = lbls.select(ccBucketCol(col("_aff_lbl"), n).as("b"))
+      .unionByName(reclosed.select(ccBucketCol(col("cluster"), n).as("b")))
+    // touched pair-buckets, as a SUPERSET from already-bounded frames
+    // (no pairs-member scan — the first cut found the touched set
+    // exactly via two semi-joins over the member and paid ~2 s of
+    // per-trigger scheduling for precision that buys nothing): a
+    // retracted pair sits in bucket(doc_a) where doc_a is either a
+    // batch id or the batch id's component partner — and every
+    // partner is an affected-component MEMBER by definition. Extra
+    // buckets in the superset rewrite with byte-identical content
+    // (their pruned read joins against ids/newPairs match nothing) —
+    // a little spare IO, never a semantic fork.
+    val pBuckets = ids.select(col("vec_id").as("k"))
+      .unionByName(members.select(col("doc_id").as("k")))
+      .unionByName(newPairs.select(col("doc_a").as("k")))
+      .select(ccBucketCol(col("k"), n).as("b"))
+    val planC = VersionedIndex.planPartialRewrite(spark, path,
+      Seq("clusters"), cBuckets, extraGate = true, maxVersionChain)
+    val planP = VersionedIndex.planPartialRewrite(spark, path,
+      Seq("pairs"), pBuckets, extraGate = true, maxVersionChain)
+    if (!planC.ok || !planP.ok) {
+      writeClusterStateWithPairs(
+        assembleReclosed(readClusterState(spark, path), lbls, reclosed),
+        fullPairs, path, n)
+      return
+    }
+    // touched-bucket rewrites: partition-pruned reads of exactly the
+    // buckets being replaced; untouched components/pairs inside a
+    // touched bucket round-trip through the rewrite
+    val inC = col("idx_bucket").isin(planC.touched.map(Int.box): _*)
+    val stagedClusters = VersionedIndex.readTable(spark, path, "clusters")
+      .filter(inC)
+      .join(lbls, col("cluster") === col("_aff_lbl"), "left_anti")
+      .unionByName(ccClustersStaged(reclosed, n).filter(inC))
+    val inP = col("idx_bucket").isin(planP.touched.map(Int.box): _*)
+    val stagedPairs = VersionedIndex.readTable(spark, path, "pairs")
+      .filter(inP)
+      .join(broadcast(ids.select(col("vec_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(ids.select(col("vec_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .unionByName(ccPairsStaged(newPairs, n).filter(inP))
+    VersionedIndex.commit(spark, path,
+      Seq("clusters" -> stagedClusters, "pairs" -> stagedPairs),
+      ccParams(n),
+      partitionBy = ccPartitionBy(n),
+      clusterBy = CcClusterBy,
+      carry = Map("clusters" -> planC.carryFor("clusters"),
+        "pairs" -> planP.carryFor("pairs")).filter(_._2.nonEmpty))
+  }
 
   /** The curation end-step: drop every near-duplicate except one
     * representative per cluster (the min-id member, dupClusters'

@@ -384,7 +384,9 @@ object Index {
             .cast("long").as("med"),
           org.apache.spark.sql.functions.sum(col("csize")).as("rows"))
         .head()
-      val (cd, cp) = carryOf(spark, path, Seq("clusters"))
+      // carry judged over BOTH members: a partial commit (r16 bucketed
+      // state) can rewrite clusters and pairs buckets independently
+      val (cd, cp) = carryOf(spark, path, Seq("clusters", "pairs"))
       if (r.getLong(0) == 0L)
         IndexStats("ccstate", 0L, 0L, 0L, 0L, 1.0, cd, cp, emptied = true)
       else

@@ -1058,7 +1058,9 @@ object Pipelines {
     * regardless. Empty triggers commit nothing on either path. */
   private[graft] def applyDupClusterBatch(batch: DataFrame,
       indexPath: String, statePath: String, threshold: Double,
-      dim: Int, nBits: Int, tables: Int, window: Int): Unit = {
+      dim: Int, nBits: Int, tables: Int, window: Int,
+      partialMinPairs: Long =
+        graft.operators.Dedup.CcPartialCommitMinPairs): Unit = {
     val spark = batch.sparkSession
     import graft.operators.{Dedup, Similarity, VersionedIndex}
     // Dispatch on INDEX existence, but first reject the one
@@ -1140,25 +1142,47 @@ object Pipelines {
           // quiet-trigger skip: nothing detected AND nothing revoked —
           // the graph-sized state is not rewritten with identical
           // content (counts are metadata-cheap on checkpointed frames)
-          if (newPairs.count() > 0L || kept.count() < oldPairs.count()) {
-            val acc = kept.unionByName(newPairs).distinct().localCheckpoint()
-            try {
-              // INCREMENTAL re-close: only components incident to the
-              // batch (retracted memberships or new pairs) re-enter
-              // the iterative CC; the rest of the assignment passes
-              // through as one columnar scan. Before this, every
-              // trigger re-ran dupClusters over the FULL accumulated
-              // pair graph — which grows with total-dups-ever while
-              // batches stay constant, so per-trigger cost crept on
-              // exactly the corpora dedup matters for (r15 verdict
-              // #1; growing-graph axis measured in SCALE.md r16).
-              // The pairs member still commits the full accumulated
-              // set — the graph-sized WRITE is the documented cheap
-              // part; the iterative fold is what this bounds.
-              val reclosed = Dedup.recloseAffectedComponents(
-                Dedup.readClusterState(spark, statePath), kept, newPairs, ids)
-              Dedup.writeClusterStateWithPairs(reclosed, acc, statePath)
-            } finally releaseLocalCheckpoint(acc)
+          val accPairCount = oldPairs.count()
+          if (newPairs.count() > 0L || kept.count() < accPairCount) {
+            // INCREMENTAL re-close + (past the crossover) PARTIAL
+            // commit (r16): only components incident to the batch
+            // (retracted memberships or new pairs) re-enter the
+            // iterative CC; and once the accumulated graph outgrows
+            // CcPartialCommitMinPairs, only the state buckets holding
+            // an affected/re-closed label (or a moved pair) REWRITE —
+            // untouched buckets carry in the manifest. Below the
+            // crossover the whole write is measurably the cheaper
+            // route (the partial path's fixed planning/bookkeeping
+            // overhead exceeds a small graph's write — SCALE.md r16
+            // growing-graph A/B), so the route is adaptive on the
+            // pair count the quiet check already computed. Every
+            // fallback (affected set over the cap, manifest unable to
+            // carry, chain at the cap, small graph) is a whole
+            // rewrite with identical content — route choices, never
+            // semantic forks.
+            lazy val fullPairs = kept.unionByName(newPairs).distinct()
+            val prior = Dedup.readClusterState(spark, statePath)
+            // layout is a one-way upgrade: once bucketed, stay
+            // bucketed (downgrading would churn the whole state on a
+            // shrinking graph for nothing)
+            val bucketedNow =
+              Dedup.ccStateBucketsOf(spark, statePath).isDefined
+            val pastGate = bucketedNow || accPairCount >= partialMinPairs
+            Dedup.recloseParts(prior, kept, newPairs, ids) match {
+              case full: Dedup.RecloseFull =>
+                Dedup.writeClusterStateWithPairs(
+                  full.assignment, fullPairs, statePath,
+                  buckets = if (pastGate) Dedup.CcStateBuckets else 0)
+              case inc: Dedup.RecloseIncremental if pastGate =>
+                Dedup.commitClusterStatePartial(spark, statePath,
+                  inc.affectedLbls, inc.members, inc.reclosed, ids,
+                  newPairs, fullPairs = fullPairs)
+              case inc: Dedup.RecloseIncremental =>
+                Dedup.writeClusterStateWithPairs(
+                  Dedup.assembleReclosed(prior, inc.affectedLbls,
+                    inc.reclosed),
+                  fullPairs, statePath)
+            }
           }
         } finally {
           releaseLocalCheckpoint(ids)
@@ -1189,9 +1213,16 @@ object Pipelines {
     * probe doesn't isolate, a fold that reads 1.44→2.43 s across
     * ×1→×20 graph growth where the full re-close read 3.49→10.16 s
     * (ScaleProbe --growing-graph, SCALE.md r16). Never the corpus
-    * re-hash of the one-shot form; the one remaining O(graph) term
-    * per non-quiet trigger is single-pass state IO (scans + the
-    * pairs-member commit), with no iteration multiplier. */
+    * re-hash of the one-shot form. The COMMIT is adaptive on the
+    * accumulated pair count: small states whole-write the r15
+    * unpartitioned layout (measured cheaper below the ≈12M-pair
+    * crossover — a page-cached write beats partial-commit planning),
+    * and past the gate the layout upgrades in place to label-hash
+    * buckets and each trigger rewrites ONLY the buckets its affected
+    * labels/pairs hash into, carrying the rest in the manifest
+    * (measured 1.45× at 15M pairs, curve flat in graph size). What
+    * remains per non-quiet trigger below the gate is single-pass
+    * state IO with no iteration multiplier; above it, O(touched). */
   def dupClusterSink(vectors: DataFrame, indexPath: String,
       statePath: String, checkpoint: String, threshold: Double,
       dim: Int = 64, nBits: Int = 32, tables: Int = 4, window: Int = 16,

@@ -1334,6 +1334,68 @@ class LayoutSpec extends SparkSuite {
     assert(bad.getMessage.contains("wrong replica regime"))
   }
 
+  test("ccstate partial commit: a trigger rewrites only touched buckets, the rest carry") {
+    import graft.operators.{Dedup, Index, VersionedIndex}
+    val base = Files.createTempDirectory("ccpartial").toString
+    def vec(axis: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(i =>
+        if (i == axis) 1f else if (i == (axis + 1) % 64) eps else 0f)
+    // partialMinPairs = 0 forces the partial route on this toy graph
+    // (production gates it behind the measured ~2M-pair crossover —
+    // below it the whole write is the cheaper route)
+    def apply(batch: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.Pipelines.applyDupClusterBatch(batch,
+        s"$base/idx", s"$base/state", threshold = 0.9,
+        dim = 64, nBits = 32, tables = 4, window = 16,
+        partialMinPairs = 0L)
+    // bootstrap: 31 two-member clusters on even axes (labels 0,2,…,60
+    // hash across many of the 64 state buckets)
+    apply((0 until 31).flatMap(k => Seq(
+      (2L * k, vec(2 * k, 0f)), (2L * k + 1, vec(2 * k, 0.05f))))
+      .toDF("vec_id", "embedding"))
+    val v1 = VersionedIndex.currentVersion(spark, s"$base/state").get
+    def state(): Set[(Long, Long, Long)] =
+      Dedup.readClusterState(spark, s"$base/state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = state()
+    assert(before.size == 62 && before.count(_._2 == 0L) == 2)
+    // the bootstrap wrote the UNPARTITIONED (small-state) layout
+    assert(graft.operators.Dedup.ccStateBucketsOf(spark, s"$base/state").isEmpty)
+    // trigger A — first incremental round past the (forced) gate:
+    // the unpartitioned layout cannot carry, so this is the one-way
+    // in-place UPGRADE — a whole bucketed write, content correct
+    apply(Seq((1000L, vec(0, 0.02f))).toDF("vec_id", "embedding"))
+    val v2 = VersionedIndex.currentVersion(spark, s"$base/state").get
+    assert(v2 == v1 + 1)
+    assert(graft.operators.Dedup.ccStateBucketsOf(spark, s"$base/state")
+      .contains(64), "the upgrade trigger must leave a bucketed layout")
+    val joined = state()
+    assert(joined == before.filterNot(_._2 == 0L) ++
+      Set((0L, 0L, 3L), (1L, 0L, 3L), (1000L, 0L, 3L)))
+    // trigger B — retraction through the now-bucketed layout: only the
+    // buckets holding label 0 (clusters) / the moved pairs' doc_a
+    // (pairs) rewrite; every other bucket must CARRY at v2
+    apply(Seq((1000L, vec(7, 0.02f))).toDF("vec_id", "embedding"))
+    val v3 = VersionedIndex.currentVersion(spark, s"$base/state").get
+    assert(v3 == v2 + 1)
+    val mf = VersionedIndex.manifest(spark, s"$base/state")
+    val clLegs = mf("clusters")
+    val owned = clLegs.count(_._2 == v3)
+    val carried = clLegs.count(_._2 == v2)
+    assert(owned >= 1 && owned <= 3,
+      s"one affected label must touch ~one bucket, owned=$owned")
+    assert(carried >= 10,
+      s"untouched buckets must carry at the upgrade version, carried=$carried")
+    assert(mf("pairs").exists(_._2 == v2) && mf("pairs").exists(_._2 == v3))
+    // retraction content: 1000 sheds the membership and drops out,
+    // {0,1} re-closes, every carried cluster byte-identical
+    assert(state() == before,
+      "retraction must restore the pre-join state exactly")
+    // the unified health endpoint sees the carry
+    val s = Index.stats(spark, s"$base/state")
+    assert(s.kind == "ccstate" && s.carryDepth == 1 && s.carriedParts > 0)
+  }
+
   test("ccstate layout: members-of-cluster is a row-group-pruned constant-row read") {
     import graft.operators.{Dedup, VersionedIndex}
     val root = Files.createTempDirectory("ccpin").toString
@@ -1352,26 +1414,45 @@ class LayoutSpec extends SparkSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false") // scan metrics visible
     try {
       Dedup.writeClusterState(Dedup.dupClusters(synth), s"$root/cc")
-      val clPath = VersionedIndex.currentDir(spark, s"$root/cc").get + "/clusters"
-      val table = spark.read.parquet(clPath)
+      val table = Dedup.readClusterState(spark, s"$root/cc")
       val total = table.count()
       assert(total > 10 * perFile, "pin needs many row groups to prune")
       val lbl = table.filter(col("csize") >= 4).select(col("cluster"))
         .head().getLong(0)
-      val read = table.filter(col("cluster") === lbl)
+      val read = Dedup.readClusterMembers(spark, s"$root/cc", lbl)
         .select(col("doc_id"), col("csize"))
       assert(read.collect().length >= 4)
       val scanned = read.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           s.metrics("numOutputRows").value
       }.sum
-      // the clusterBy (cluster, doc_id) commit sort confines the read
-      // to the row groups holding the cluster — a constant-row read
-      // regardless of state size (LayoutProbe: 4096 rows at ×10 AND
-      // ×100). A dropped commit sort fails this loudly.
+      // the serving helper supplies the label's hash bucket (partition
+      // pruning) and the commit's within-bucket (cluster, doc_id) sort
+      // confines the read to the row groups holding the cluster — a
+      // constant-row read regardless of state size (LayoutProbe: one
+      // row group at ×10 AND ×100). A dropped commit sort OR a dropped
+      // bucket predicate fails this loudly.
       assert(scanned <= 2 * perFile,
         s"members-of-cluster read materialized $scanned of $total rows — " +
-          "the (cluster, doc_id) clustering is not confining the scan")
+          "the bucketed (cluster, doc_id) layout is not confining the scan")
+      // the helper and the naive filter agree on CONTENT
+      assert(read.collect().map(_.getLong(0)).sorted.toSeq ==
+        table.filter(col("cluster") === lbl).select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted.toSeq)
+      // same claim on the BUCKETED layout (the past-crossover form):
+      // partition pruning to one bucket + the within-bucket sort
+      Dedup.writeClusterState(Dedup.dupClusters(synth), s"$root/ccb",
+        buckets = 64)
+      val readB = Dedup.readClusterMembers(spark, s"$root/ccb", lbl)
+        .select(col("doc_id"), col("csize"))
+      assert(readB.collect().map(_.getLong(0)).sorted.toSeq ==
+        read.collect().map(_.getLong(0)).sorted.toSeq)
+      val scannedB = readB.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      assert(scannedB <= 2 * perFile,
+        s"bucketed members read materialized $scannedB of $total rows")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       prevMax match {
