@@ -311,8 +311,19 @@ object LayoutProbe {
         scramble(expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
       val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
       spark.conf.set("spark.sql.files.maxRecordsPerFile", perFile.toString)
-      try Dedup.writeClusterState(Dedup.dupClusters(synth), s"$dir/cl$g")
-      finally prevMax match {
+      try {
+        val clusters = Dedup.dupClusters(synth).localCheckpoint()
+        try {
+          // BOTH committed layouts: the unpartitioned default (small
+          // states, q150) and the bucketed past-crossover form the
+          // partial commit upgrades to — each serves the members read
+          // through readClusterMembers, whose pruning mechanism
+          // differs (row-group stats vs bucket partition + stats)
+          Dedup.writeClusterState(clusters, s"$dir/cl$g")
+          Dedup.writeClusterState(clusters, s"$dir/clb$g", buckets = 64)
+        } finally
+          org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(clusters)
+      } finally prevMax match {
         case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
         case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
       }
@@ -326,11 +337,15 @@ object LayoutProbe {
         .select(col("cluster")).head().getLong(0)
       val doc = live.filter(col("cluster") =!= lbl)
         .select(col("doc_id")).head().getLong(0)
-      // the clustered members read is the PRODUCT helper — it supplies
-      // the label's hash bucket, which a plain filter over the
-      // partitioned member cannot derive (r16 bucketed layout)
+      // the clustered members reads go through the PRODUCT helper —
+      // on the bucketed layout it supplies the label's hash bucket
+      // (a plain filter over the partitioned member cannot derive
+      // it); on the unpartitioned layout it is row-group stats alone
       val (mSelC, mScanC, _) = serveFrame(
         Dedup.readClusterMembers(spark, s"$dir/cl$g", lbl)
+          .select(col("doc_id"), col("csize")))
+      val (mSelB, mScanB, _) = serveFrame(
+        Dedup.readClusterMembers(spark, s"$dir/clb$g", lbl)
           .select(col("doc_id"), col("csize")))
       val (mSelS, mScanS, _) = serveRead(spark, s"$dir/sc$g",
         _.filter(col("cluster") === lbl).select(col("doc_id"), col("csize")))
@@ -339,13 +354,14 @@ object LayoutProbe {
         .filter(col("doc_id") === doc).select(col("cluster")))
       val (lSelS, lScanS, _) = serveRead(spark, s"$dir/sc$g",
         _.filter(col("doc_id") === doc).select(col("cluster")))
-      require(mSelC == mSelS && lSelC == 1 && lSelS == 1,
-        s"layouts must agree: members $mSelC vs $mSelS, lookup $lSelC/$lSelS")
+      require(mSelC == mSelS && mSelB == mSelC && lSelC == 1 && lSelS == 1,
+        s"layouts must agree: members $mSelC/$mSelB vs $mSelS, lookup $lSelC/$lSelS")
       println(f"[layout] ccstate x$g%-4d rows=$n%d  cluster=$lbl%d members=$mSelC%d")
-      println(f"[layout]   members-of-cluster  clustered: $mScanC%8d rows " +
-        f"(${100.0 * mScanC / n}%5.1f%%)  scattered: $mScanS%8d (${100.0 * mScanS / n}%5.1f%%)" +
-        f"  skip ${mScanS.toDouble / math.max(1L, mScanC)}%.1fx")
-      println(f"[layout]   cluster-of-doc      clustered: $lScanC%8d rows " +
+      println(f"[layout]   members-of-cluster  unpartitioned: $mScanC%8d rows " +
+        f"(${100.0 * mScanC / n}%5.1f%%)  bucketed: $mScanB%8d (${100.0 * mScanB / n}%5.1f%%)" +
+        f"  scattered: $mScanS%8d (${100.0 * mScanS / n}%5.1f%%)" +
+        f"  skip ${mScanS.toDouble / math.max(1L, mScanC)}%.1fx/${mScanS.toDouble / math.max(1L, mScanB)}%.1fx")
+      println(f"[layout]   cluster-of-doc      unpartitioned: $lScanC%8d rows " +
         f"(${100.0 * lScanC / n}%5.1f%%)  scattered: $lScanS%8d (${100.0 * lScanS / n}%5.1f%%)" +
         f"  skip ${lScanS.toDouble / math.max(1L, lScanC)}%.1fx")
     }

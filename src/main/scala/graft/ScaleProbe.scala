@@ -441,8 +441,12 @@ object ScaleProbe {
       Similarity.writeSketchIndex(corpus, idx, 64)
       val basePairs = 100000L
       // SPARK_GRAFT_GROW_FACTORS: comma-separated graph multipliers
-      // (each = basePairs·g settled pairs); the default ladder brackets
-      // the commit-route crossover on this host
+      // (each = basePairs·g settled pairs). The DEFAULT ladder covers
+      // the sub-crossover regime only (≤5M pairs, where the whole
+      // write wins — the point of the route A/B); the ≈12M-pair
+      // crossover rows in SCALE.md r16 ran GROW_FACTORS=100,150,
+      // which also need SPARK_DRIVER_MEM=48g (a 15M-edge bootstrap
+      // closure OOMs the default 8g heap).
       val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
         .filter(_.nonEmpty).getOrElse(Seq(1, 10, 20, 50))

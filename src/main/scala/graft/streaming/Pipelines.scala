@@ -1165,14 +1165,20 @@ object Pipelines {
             // layout is a one-way upgrade: once bucketed, stay
             // bucketed (downgrading would churn the whole state on a
             // shrinking graph for nothing)
-            val bucketedNow =
-              Dedup.ccStateBucketsOf(spark, statePath).isDefined
-            val pastGate = bucketedNow || accPairCount >= partialMinPairs
+            val committedBuckets = Dedup.ccStateBucketsOf(spark, statePath)
+            val pastGate =
+              committedBuckets.isDefined || accPairCount >= partialMinPairs
+            // a whole rewrite PRESERVES a committed bucket count (a
+            // caller may have chosen a custom one) and only ever
+            // upgrades 0 → the default — both fallbacks must leave
+            // the same layout or "route choice" becomes a layout fork
+            val wholeBuckets = committedBuckets.getOrElse(
+              if (pastGate) Dedup.CcStateBuckets else 0)
             Dedup.recloseParts(prior, kept, newPairs, ids) match {
               case full: Dedup.RecloseFull =>
                 Dedup.writeClusterStateWithPairs(
                   full.assignment, fullPairs, statePath,
-                  buckets = if (pastGate) Dedup.CcStateBuckets else 0)
+                  buckets = wholeBuckets)
               case inc: Dedup.RecloseIncremental if pastGate =>
                 Dedup.commitClusterStatePartial(spark, statePath,
                   inc.affectedLbls, inc.members, inc.reclosed, ids,

@@ -1341,8 +1341,8 @@ class LayoutSpec extends SparkSuite {
       (0 until 64).map(i =>
         if (i == axis) 1f else if (i == (axis + 1) % 64) eps else 0f)
     // partialMinPairs = 0 forces the partial route on this toy graph
-    // (production gates it behind the measured ~2M-pair crossover —
-    // below it the whole write is the cheaper route)
+    // (production gates it behind the measured ≈12M-pair crossover —
+    // below it the whole write is the cheaper route, SCALE.md r16)
     def apply(batch: org.apache.spark.sql.DataFrame): Unit =
       graft.streaming.Pipelines.applyDupClusterBatch(batch,
         s"$base/idx", s"$base/state", threshold = 0.9,
