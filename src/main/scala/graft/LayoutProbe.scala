@@ -292,7 +292,7 @@ object LayoutProbe {
     * stats power the production layout never has. Fully synthetic —
     * no corpus table feeds it. */
   private def ccstateProbe(spark: SparkSession): Unit = {
-    import graft.operators.{Dedup, VersionedIndex}
+    import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-cc").toString
     // fixed rows-per-file = the row-group emulation (the mirror/lsh
     // probes' geometry rule): groups-per-state grow with the graph,

@@ -448,8 +448,17 @@ object ScaleProbe {
       // which also need SPARK_DRIVER_MEM=48g (a 15M-edge bootstrap
       // closure OOMs the default 8g heap).
       val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-        .filter(_.nonEmpty).getOrElse(Seq(1, 10, 20, 50))
+        .map { v =>
+          // tolerate trailing commas; an explicitly SET empty value
+          // fails loudly — silently running the default ladder would
+          // hand the operator sub-crossover numbers labeled as their
+          // requested crossover run (the jitters knob's contract)
+          val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toInt).toSeq
+          require(parsed.nonEmpty,
+            s"SPARK_GRAFT_GROW_FACTORS is set but holds no factors: '$v'")
+          parsed
+        }.getOrElse(Seq(1, 10, 20, 50))
       factors.flatMap { g =>
         val st = s"$root/st$g"
         // settled components: 4-node chains (3 edges each), disjoint

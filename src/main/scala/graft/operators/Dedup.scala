@@ -1246,13 +1246,20 @@ object Dedup {
       affectedLbls: DataFrame, members: DataFrame, reclosed: DataFrame)
     extends RecloseRoute
 
+  /** `accAll`: optional supplier of (kept ∪ newPairs).distinct() for
+    * the full-re-close fallback — a caller that also needs the union
+    * (the sink stages it as the pairs member) passes a CHECKPOINTED
+    * one so the graph-sized shuffle runs once, not once per consumer;
+    * it is only invoked on the fallback route. */
   private[graft] def recloseParts(prior: DataFrame, kept: DataFrame,
       newPairs: DataFrame, dirtyIds: DataFrame,
-      maxAffected: Int = MaxAffectedIds): RecloseRoute = {
+      maxAffected: Int = MaxAffectedIds,
+      accAll: Option[() => DataFrame] = None): RecloseRoute = {
     val spark = prior.sparkSession
     import spark.implicits._
     def fullReclose() =
-      RecloseFull(dupClusters(kept.unionByName(newPairs).distinct()))
+      RecloseFull(dupClusters(accAll.map(_.apply())
+        .getOrElse(kept.unionByName(newPairs).distinct())))
     val affectedNodes = dirtyIds.toDF("doc_id")
       .unionByName(newPairs.select(col("doc_a").as("doc_id")))
       .unionByName(newPairs.select(col("doc_b").as("doc_id")))

@@ -1035,11 +1035,6 @@ object VectorQueries {
     h.searchBatch(queries, 10, 4) // shortlist: the handle's derived default
   }
 
-  /** Shared sorted-sketch replay CTEs (q143/q146): canonical 32-bit
-    * sign code, each table's bit permutation (generated from the SAME
-    * Scala `Similarity.bitOrder` the operator uses), per-table
-    * (code, vec_id) ranks, window-adjacency pair sets union-deduped,
-    * and the exact-cosine pass — ending with `p` = (va, vb, sim). */
   /** The recursive transitive-closure tail every CC-gated oracle
     * shares (q149, q150): undirected edges over a prepared
     * `pr(va, vb)` pair CTE, the recursive reach, min-label
@@ -1061,9 +1056,15 @@ object VectorQueries {
       |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
       |FROM cc ORDER BY vec_id""".stripMargin
 
-  /** `prefix` namespaces every CTE (`n`, `rk$t`, `cand`, `p` →
-    * `${prefix}n`, …) so one oracle can replay the construction over
-    * several corpus restrictions side by side (q150's rounds). */
+  /** Shared sorted-sketch replay CTEs (q143/q146/q149–q151):
+    * canonical 32-bit sign code, each table's bit permutation
+    * (generated from the SAME Scala `Similarity.bitOrder` the
+    * operator uses), per-table (code, vec_id) ranks, window-adjacency
+    * pair sets union-deduped, and the exact-cosine pass — ending with
+    * `p` = (va, vb, sim). `prefix` namespaces every CTE (`n`, `rk$t`,
+    * `cand`, `p` → `${prefix}n`, …) so one oracle can replay the
+    * construction over several corpus restrictions side by side
+    * (q150's rounds). */
   private def sortedSketchCtes(nBits: Int, tables: Int, window: Int,
       where: String = "", prefix: String = ""): String = {
     def dotSql(j: Int) =

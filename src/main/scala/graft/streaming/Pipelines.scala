@@ -1138,6 +1138,7 @@ object Pipelines {
           .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
           .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
           .localCheckpoint()
+        var accCk: Option[DataFrame] = None
         try {
           // quiet-trigger skip: nothing detected AND nothing revoked —
           // the graph-sized state is not rewritten with identical
@@ -1160,7 +1161,19 @@ object Pipelines {
             // carry, chain at the cap, small graph) is a whole
             // rewrite with identical content — route choices, never
             // semantic forks.
+            // the accumulated-pair union in two forms: `fullPairs`
+            // (lazy, uncheckpointed) for the arms that consume it at
+            // most ONCE (the staged pairs member of the single-write
+            // routes), and `acc` (forced-once CHECKPOINTED, released
+            // with the trigger's other checkpoints) for the
+            // RecloseFull route, whose two consumers (the full
+            // re-close AND the staged member) would otherwise each
+            // pay the graph-sized shuffle
             lazy val fullPairs = kept.unionByName(newPairs).distinct()
+            def acc: DataFrame = accCk.getOrElse {
+              val c = fullPairs.localCheckpoint()
+              accCk = Some(c); c
+            }
             val prior = Dedup.readClusterState(spark, statePath)
             // layout is a one-way upgrade: once bucketed, stay
             // bucketed (downgrading would churn the whole state on a
@@ -1174,10 +1187,11 @@ object Pipelines {
             // the same layout or "route choice" becomes a layout fork
             val wholeBuckets = committedBuckets.getOrElse(
               if (pastGate) Dedup.CcStateBuckets else 0)
-            Dedup.recloseParts(prior, kept, newPairs, ids) match {
+            Dedup.recloseParts(prior, kept, newPairs, ids,
+                accAll = Some(() => acc)) match {
               case full: Dedup.RecloseFull =>
                 Dedup.writeClusterStateWithPairs(
-                  full.assignment, fullPairs, statePath,
+                  full.assignment, acc, statePath,
                   buckets = wholeBuckets)
               case inc: Dedup.RecloseIncremental if pastGate =>
                 Dedup.commitClusterStatePartial(spark, statePath,
@@ -1191,6 +1205,7 @@ object Pipelines {
             }
           }
         } finally {
+          accCk.foreach(releaseLocalCheckpoint)
           releaseLocalCheckpoint(ids)
           releaseLocalCheckpoint(newPairs)
           releaseLocalCheckpoint(oldPairs)
