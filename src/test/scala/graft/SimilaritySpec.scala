@@ -441,6 +441,45 @@ class SimilaritySpec extends SparkSuite {
       "every table must be a permutation of the bit indices"))
   }
 
+  test("sorted near-dup handoff-band floor: the measured T=12/w=32 sizing at ~13% flips") {
+    import graft.operators.Dedup
+    // the r16 handoff bracketing (SCALE.md): in the 10–15% flip band
+    // T=8/w=32 decays to 0.886/0.852 while T=12/w=32 — real only
+    // after the bitOrder hybrid ended the 8-table rotation ceiling —
+    // holds 0.931/0.905 (n=3000). Pin the recommended band sizing on
+    // the deterministic jitter=100 spec corpus, plus the STRUCTURAL
+    // prefix property the hybrid guarantees: T=12's first eight
+    // tables ARE T=8's, so its pair set is a superset — a future
+    // bitOrder change that breaks prefix stability fails here before
+    // it silently re-keys recall.
+    val dir = java.nio.file.Files.createTempDirectory("sortedband").toString
+    Tables.embeddings(spark, sf0001).limit(200)
+      .write.mode("overwrite").parquet(s"$dir/base/embeddings.parquet")
+    graft.ScaleProbe.materialize(spark, s"$dir/base", s"$dir/rep", 6,
+      Set("embeddings"), jitterPermille = 100)
+    val rep = Tables.embeddings(spark, s"$dir/rep")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupPairs(
+      rep.withColumn("one", lit(1)), "one", 0.9))
+    assert(exact.nonEmpty, "band corpus must contain >=0.9 pairs")
+    val t8 = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
+      nBits = 32, tables = 8, window = 32))
+    val t12 = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
+      nBits = 32, tables = 12, window = 32))
+    assert(t12.subsetOf(exact), "precision must stay 1.0 by construction")
+    assert(t8.subsetOf(t12),
+      "T=12's first eight tables must BE T=8's (prefix stability)")
+    val recall8 = (t8 & exact).size.toDouble / exact.size
+    val recall12 = (t12 & exact).size.toDouble / exact.size
+    info(f"band recall: T=8/w=32 $recall8%.4f, T=12/w=32 $recall12%.4f " +
+      f"over ${exact.size}%d exact pairs")
+    assert(recall12 >= 0.88,
+      s"band-regime T=12/w=32 recall $recall12 below the 0.88 floor")
+    assert(recall12 >= recall8, "extra distinct tables can only add recall")
+  }
+
   test("estimateFlipRate + recommendSketch: the production sizing rule is an API") {
     // the r15 operator form of the r14 sweep's guidance: measure the
     // corpus flip rate from paired embedding versions, look the
