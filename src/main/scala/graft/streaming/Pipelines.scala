@@ -1247,14 +1247,19 @@ object Pipelines {
   def dupClusterSink(vectors: DataFrame, indexPath: String,
       statePath: String, checkpoint: String, threshold: Double,
       dim: Int = 64, nBits: Int = 32, tables: Int = 4, window: Int = 16,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      // the partial-commit crossover is a HOST property (measured on
+      // local NVMe; real-IO clusters cross earlier) — deployments
+      // lower it here without forking the sink
+      partialMinPairs: Long =
+        graft.operators.Dedup.CcPartialCommitMinPairs): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyDupClusterBatch(batch, indexPath, statePath, threshold,
-          dim, nBits, tables, window)
+          dim, nBits, tables, window, partialMinPairs)
       }
       .start()
 
