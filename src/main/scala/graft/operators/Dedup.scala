@@ -1039,13 +1039,17 @@ object Dedup {
         // ends .distinct(); e is built distinct), so the left join
         // never multiplies rows. Accumulator trust model: task
         // retries can only OVER-count, so accNew == 0 is reliable
-        // (a real new row can never read as zero), but the carried
-        // cardinality could in principle be inflated by compensating
-        // over-counts in consecutive rounds — so a firing probe is
-        // CONFIRMED by one exact count over the checkpointed frame
-        // before the loop exits (paid once, at convergence, not per
-        // round; a failed confirmation just keeps looping with the
-        // corrected cardinality). The fast path needs no analogue:
+        // (a real new row can never read as zero: e2 ⊆ se holds for
+        // certain), but accTot and the carried cardinality can both
+        // be retry-inflated — gating the confirmation on
+        // accTot == seCount would let persistent retries silently
+        // suppress it until starCap crashes a converged graph. So the
+        // exact count fires on accNew == 0 ALONE; it is paid only in
+        // candidate-fixpoint rounds (practice: the final round plus
+        // rare retry-noise rounds), and a failed confirmation just
+        // keeps looping with the corrected exact cardinality, which
+        // also repairs any inflation in seCount. The fast path needs
+        // no analogue:
         // its counter only gates EXTRA rounds — labels are already a
         // fixpoint when it reads zero — while here `done` asserts a
         // set equality the labels join then RELIES on.
@@ -1064,7 +1068,7 @@ object Dedup {
         }(org.apache.spark.sql.Encoders.row(probed.schema))
         val e2 = ckpt(counted.drop("_old"))
         val exactCount =
-          if (accNew.value == 0L && accTot.value == seCount) Some(e2.count())
+          if (accNew.value == 0L) Some(e2.count())
           else None
         done = exactCount.contains(seCount)
         if (!(se eq e)) release(se) // superseded round
@@ -1451,10 +1455,18 @@ object Dedup {
         fullPairs, path, CcStateBuckets)
       return
     }
+    // `reclosed` (dupClusters output: csize aggregation + join over
+    // the internal labels checkpoint) has TWO consumers on this route
+    // — the touched-bucket planning below and the staged commit write
+    // — so it is materialized once and released with the commit;
+    // every other frame here is either already local (`lbls`) or a
+    // caller-checkpointed sibling (`ids`, `newPairs`).
+    val reclosedCk = reclosed.localCheckpoint()
+    try {
     // touched cluster-buckets: buckets of (affected ∪ re-closed)
     // labels — ≤ n ints via a Spark distinct, never a label collect
     val cBuckets = lbls.select(ccBucketCol(col("_aff_lbl"), n).as("b"))
-      .unionByName(reclosed.select(ccBucketCol(col("cluster"), n).as("b")))
+      .unionByName(reclosedCk.select(ccBucketCol(col("cluster"), n).as("b")))
     // touched pair-buckets, as a SUPERSET from already-bounded frames
     // (no pairs-member scan — the first cut found the touched set
     // exactly via two semi-joins over the member and paid ~2 s of
@@ -1475,7 +1487,7 @@ object Dedup {
       Seq("pairs"), pBuckets, extraGate = true, maxVersionChain)
     if (!planC.ok || !planP.ok) {
       writeClusterStateWithPairs(
-        assembleReclosed(readClusterState(spark, path), lbls, reclosed),
+        assembleReclosed(readClusterState(spark, path), lbls, reclosedCk),
         fullPairs, path, n)
       return
     }
@@ -1486,7 +1498,7 @@ object Dedup {
     val stagedClusters = VersionedIndex.readTable(spark, path, "clusters")
       .filter(inC)
       .join(lbls, col("cluster") === col("_aff_lbl"), "left_anti")
-      .unionByName(ccClustersStaged(reclosed, n).filter(inC))
+      .unionByName(ccClustersStaged(reclosedCk, n).filter(inC))
     val inP = col("idx_bucket").isin(planP.touched.map(Int.box): _*)
     val stagedPairs = VersionedIndex.readTable(spark, path, "pairs")
       .filter(inP)
@@ -1500,6 +1512,8 @@ object Dedup {
       clusterBy = CcClusterBy,
       carry = Map("clusters" -> planC.carryFor("clusters"),
         "pairs" -> planP.carryFor("pairs")).filter(_._2.nonEmpty))
+    } finally org.apache.spark.sql.GraftBridge
+      .releaseLocalCheckpoint(reclosedCk)
   }
 
   /** The curation end-step: drop every near-duplicate except one

@@ -296,14 +296,15 @@ object Index {
     * at the committed version — from the manifest alone (driver-side,
     * no data read). */
   private def carryOf(spark: SparkSession, path: String,
-      tables: Seq[String]): (Int, Int) = {
-    val cur = VersionedIndex.currentVersion(spark, path).getOrElse(
-      return (0, 0))
-    val mf = VersionedIndex.manifest(spark, path)
-    val legs = tables.flatMap(t => mf.getOrElse(t, Map.empty).values)
-    if (legs.isEmpty) (0, 0)
-    else (cur - legs.min, legs.count(_ != cur))
-  }
+      tables: Seq[String]): (Int, Int) =
+    VersionedIndex.currentVersion(spark, path) match {
+      case None => (0, 0) // same no-non-local-return shape as stats
+      case Some(cur) =>
+        val mf = VersionedIndex.manifest(spark, path)
+        val legs = tables.flatMap(t => mf.getOrElse(t, Map.empty).values)
+        if (legs.isEmpty) (0, 0)
+        else (cur - legs.min, legs.count(_ != cur))
+    }
 
   /** ONE health entry point for every persisted index kind — the same
     * manifest evidence [[open]] dispatches on, mapped onto the common
@@ -313,23 +314,31 @@ object Index {
     * Covers the cluster-state layout ([[Dedup.writeClusterState]])
     * too — the one committed layout [[open]] deliberately doesn't
     * serve (its front door is [[Dedup.readClusterState]]). */
-  def stats(spark: SparkSession, path: String): IndexStats = {
-    val cur = VersionedIndex.currentDir(spark, path).getOrElse {
-      // the legacy unversioned LSH layout (<path>/shingles, no
-      // manifest) is still a served data path (readLshTable reads it),
-      // so health polling must not error on an index queries answer
-      // from — lshIndexStats resolves the same legacy dir itself;
-      // carry is 0 by construction (no versions to carry across)
-      val legacy = new org.apache.hadoop.fs.Path(path, "shingles")
-      val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(legacy)) {
-        val s = Dedup.lshIndexStats(spark, path)
-        return IndexStats("lsh", s.nBandedDocs, s.nBuckets, s.maxBucket,
-          s.medianBucket, s.skew, 0, 0, emptied = s.nBuckets == 0L)
-      }
-      sys.error(s"no committed index at $path (and no legacy " +
-        "unversioned LSH layout — expected <path>/shingles)")
+  def stats(spark: SparkSession, path: String): IndexStats =
+    VersionedIndex.currentDir(spark, path) match {
+      case Some(cur) => statsVersioned(spark, path, cur)
+      case None =>
+        // the legacy unversioned LSH layout (<path>/shingles, no
+        // manifest) is still a served data path (readLshTable reads
+        // it), so health polling must not error on an index queries
+        // answer from — lshIndexStats resolves the same legacy dir
+        // itself; carry is 0 by construction (no versions to carry
+        // across). A plain match arm, not a non-local return from a
+        // getOrElse closure: that form rides NonLocalReturnControl
+        // in Scala 2 (swallowed by any future catch-all) and is gone
+        // in Scala 3.
+        val legacy = new org.apache.hadoop.fs.Path(path, "shingles")
+        val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(legacy)) {
+          val s = Dedup.lshIndexStats(spark, path)
+          IndexStats("lsh", s.nBandedDocs, s.nBuckets, s.maxBucket,
+            s.medianBucket, s.skew, 0, 0, emptied = s.nBuckets == 0L)
+        } else sys.error(s"no committed index at $path (and no legacy " +
+          "unversioned LSH layout — expected <path>/shingles)")
     }
+
+  private def statsVersioned(spark: SparkSession, path: String,
+      cur: String): IndexStats = {
     val mf = VersionedIndex.manifest(spark, path)
     val params = VersionedIndex.readParams(spark, cur)
     val isPq = mf.contains("pq") || mf.contains("pq_codebook") ||
