@@ -290,7 +290,14 @@ object Index {
     * [[Similarity.SketchStats]]). */
   final case class IndexStats(kind: String, rows: Long, partitions: Long,
       maxPartition: Long, medianPartition: Long, skew: Double,
-      carryDepth: Int, carriedParts: Int, emptied: Boolean)
+      carryDepth: Int, carriedParts: Int, emptied: Boolean,
+      // embedding-regime drift (r17): the last measured re-embed
+      // flip rate, populated for the sketch kind (the one index whose
+      // detection recall is a direct function of that rate — the
+      // sizing sweeps in SCALE.md); None elsewhere and until a batch
+      // has measured one. Band/boundary detail stays kind-specific on
+      // [[Similarity.SketchStats]].
+      drift: Option[Double] = None)
 
   /** (carryDepth, carriedParts) of `tables`' partitioned member legs
     * at the committed version — from the manifest alone (driver-side,
@@ -381,7 +388,8 @@ object Index {
     } else if (mf.contains("sketch")) {
       val s = Similarity.sketchIndexStats(spark, path)
       IndexStats("sketch", s.nVecs, s.nOccupiedBuckets, s.maxBucket,
-        s.medianBucket, s.skew, s.carryDepth, s.carriedParts, s.emptied)
+        s.medianBucket, s.skew, s.carryDepth, s.carriedParts, s.emptied,
+        drift = s.driftFlipRate)
     } else if (mf.contains("clusters")) {
       // accumulated dup-cluster state: a "partition" is a cluster;
       // skew = the giant-component watch (one cluster swallowing the

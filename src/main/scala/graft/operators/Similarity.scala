@@ -1772,6 +1772,27 @@ object Similarity {
     * `window` adjacent ranks per table (candidates/node ≈ 2·T·w). */
   final case class SketchSizing(tables: Int, window: Int)
 
+  /** [[recommendSketch]]'s bands as a TOTAL label function — the ≥15%
+    * arm names the IVF handoff instead of erroring, because the drift
+    * MONITOR must keep reporting in exactly the regime where
+    * recommendSketch refuses to size. Band edges are the measured
+    * sweep boundaries (SCALE.md r14 + r16), shared with the lookup. */
+  private[graft] def sizingBand(flipRate: Double): String =
+    if (flipRate < 0.03) "T4/w16"
+    else if (flipRate < 0.10) "T8/w32"
+    else if (flipRate < 0.15) "T12/w32"
+    else "ivf"
+
+  /** Per-upsert drift sample cap: a few thousand (prior, fresh) code
+    * pairs pin a flip rate to well under a point
+    * ([[estimateFlipRate]]'s contract), so a giant re-embed batch
+    * never pays a batch-sized drift aggregation. */
+  private[graft] val DriftSampleIds = 4096
+  /** Below this many overlapping ids a batch's measured rate is too
+    * noisy to re-band on (±1 flipped code among 8 pairs moves the
+    * rate by ~half a band) — the prior drift state carries instead. */
+  private[graft] val DriftMinPairs = 16L
+
   /** The production sizing rule as a lookup, pinned to the measured
     * noise sweeps (SCALE.md r14 + the r16 handoff bracketing): below
     * ~3% per-bit flips the default T=4/w=16 stands (0.989 recall at
@@ -1868,10 +1889,11 @@ object Similarity {
 
   private def commitSketchVersion(spark: org.apache.spark.sql.SparkSession,
       path: String, sketch: DataFrame, dim: Int, nBits: Int, idxBuckets: Int,
-      carry: Map[String, Map[String, Int]] = Map.empty): Unit =
+      carry: Map[String, Map[String, Int]] = Map.empty,
+      extraParams: Map[String, String] = Map.empty): Unit =
     VersionedIndex.commit(spark, path, Seq("sketch" -> sketch),
       Map("dim" -> dim.toString, "nBits" -> nBits.toString,
-        "idxBuckets" -> idxBuckets.toString),
+        "idxBuckets" -> idxBuckets.toString) ++ extraParams,
       // no legacySweep: the sketch kind postdates versioning, so no
       // pre-version layout can exist (sweeping would instead delete an
       // unrelated user dir that happens to be named "sketch")
@@ -1905,13 +1927,76 @@ object Similarity {
       sketchRows(emb, dim, nBits, idxBuckets), dim, nBits, idxBuckets)
   }
 
+  /** The persisted drift state (`drift*` params) carried forward by a
+    * commit that measured nothing new: a takedown or an all-new-ids
+    * batch must not erase the last known regime reading. */
+  private def carriedDrift(params: Map[String, String]): Map[String, String] =
+    params.filter { case (k, _) => k.startsWith("drift") }
+
+  /** Per-batch embedding-regime drift (r17, the sizing loop closed
+    * operationally): when an upsert RE-EMBEDS ids the index already
+    * holds, the per-bit sign-flip rate between the index's prior
+    * codes and the batch's fresh codes for those ids is ONE narrow
+    * join away — both sides' canonical codes already exist (the index
+    * stores `canon`; the upsert computes the batch's), so the probe
+    * is a sampled join + one aggregation with NO extra kernel pass.
+    * The rate is [[estimateFlipRate]]'s definition on the stored
+    * codes, mapped to [[sizingBand]]; a band CHANGE against the
+    * previously persisted band is the regime-drift event the
+    * reference's anomaly alerting applies to index health (detection
+    * quietly degrading because the embedding regime moved is a
+    * silent-wrong-answer class) — logged loudly and recorded as
+    * `driftBoundary` ("T8/w32->T12/w32"), carried until the next
+    * crossing replaces it. Returns the `drift*` params to persist:
+    * the measured state, or the carried prior when the batch has too
+    * few overlapping ids to re-band on. */
+  private def measureSketchDrift(prior: DataFrame, fresh: DataFrame,
+      nBits: Int, params: Map[String, String], path: String): Map[String, String] = {
+    val r = prior.select(col("vec_id"), col("canon").as("_c0"))
+      .join(fresh.select(col("vec_id"), col("canon").as("_c1")), "vec_id")
+      .limit(DriftSampleIds)
+      .agg(count(lit(1)).as("n"),
+        avg(bit_count(col("_c0").bitwiseXOR(col("_c1")))).as("h"))
+      .head()
+    val n = r.getLong(0)
+    if (n < DriftMinPairs) carriedDrift(params)
+    else {
+      val rate = r.getDouble(1) / nBits
+      val band = sizingBand(rate)
+      val prevBand = params.get("driftBand")
+      val crossed = prevBand.filter(_ != band).map(pb => s"$pb->$band")
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      crossed.foreach(c => log.warn(
+        f"sketch index $path: embedding-regime drift crossed a sizing " +
+          f"boundary — batch flip rate $rate%.4f over $n%d re-embedded " +
+          f"ids moved the recommendSketch band $c; re-size detection " +
+          "queries accordingly (SCALE.md sizing table)"))
+      if (band == "ivf") log.warn(
+        f"sketch index $path: batch flip rate $rate%.4f is past the " +
+          "15%% sign-sketch cliff — adjacency degrades toward the " +
+          "isotropic floor; use the IVF ANN tier (buildIvfIndex + " +
+          "ivfSearchIndexed) for candidate generation in this regime")
+      Map("driftFlipRate" -> f"$rate%.6f", "driftPairs" -> n.toString,
+        "driftBand" -> band) ++
+        crossed.orElse(params.get("driftBoundary"))
+          .map("driftBoundary" -> _)
+    }
+  }
+
   /** UPSERT a batch: batch rows REPLACE previously-indexed versions of
     * the same vec_ids, new ids append — O(touched buckets) via the
     * shared partial-commit planner
     * ([[VersionedIndex.planPartialRewrite]]), exactly the LSH index's
     * move. Survives the committed-but-emptied state (full takedown →
     * re-ingest bootstraps through the full-rewrite branch over the
-    * empty read). */
+    * empty read). Every upsert also measures the batch's
+    * embedding-regime drift against the prior codes of its
+    * re-embedded ids ([[measureSketchDrift]]) and persists it in the
+    * version params — `Index.stats`/[[sketchIndexStats]] surface it,
+    * and a sizing-band crossing logs loudly. Probe cost: one sampled
+    * narrow join over the partition-pruned prior (vec_id, canon)
+    * projection — the embedding column stays unread — plus one
+    * re-execution of the batch-sized code kernel. */
   def upsertSketchIndex(newVecs: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = newVecs.sparkSession
@@ -1934,23 +2019,32 @@ object Similarity {
       newIds.select(sketchBucketCol(col("vec_id"), nBuckets).as("b")),
       extraGate = true, maxVersionChain)
     if (!plan.ok) {
+      val drift = measureSketchDrift(rawSketchTable(spark, path),
+        fresh, nBits, params, path)
       commitSketchVersion(spark, path,
         rawSketchTable(spark, path)
           .join(newIds, Seq("vec_id"), "left_anti")
           .drop("idx_bucket")
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
           .unionByName(fresh),
-        dim, nBits, nBuckets)
+        dim, nBits, nBuckets, extraParams = drift)
     } else {
       if (plan.touched.isEmpty) return
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
+      // every re-embedded id hashes into a touched bucket by
+      // construction, so the drift probe's prior side reads only the
+      // pruned partitions the rewrite reads anyway
+      val drift = measureSketchDrift(
+        VersionedIndex.readTable(spark, path, "sketch").filter(inTouched),
+        fresh, nBits, params, path)
       commitSketchVersion(spark, path,
         VersionedIndex.readTable(spark, path, "sketch")
           .filter(inTouched)
           .join(newIds, Seq("vec_id"), "left_anti")
           .unionByName(fresh),
         dim, nBits, nBuckets,
-        carry = Map("sketch" -> plan.carryFor("sketch")))
+        carry = Map("sketch" -> plan.carryFor("sketch")),
+        extraParams = drift)
     }
   }
 
@@ -1984,7 +2078,9 @@ object Similarity {
           .join(ids, Seq("vec_id"), "left_anti")
           .drop("idx_bucket")
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets)),
-        dim, nBits, nBuckets)
+        dim, nBits, nBuckets,
+        // a takedown measures no drift; the last regime reading carries
+        extraParams = carriedDrift(params))
     } else {
       if (plan.touched.isEmpty) return
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
@@ -1994,7 +2090,8 @@ object Similarity {
       commitSketchVersion(spark, path,
         touchedRows.join(ids, Seq("vec_id"), "left_anti"),
         dim, nBits, nBuckets,
-        carry = Map("sketch" -> plan.carryFor("sketch")))
+        carry = Map("sketch" -> plan.carryFor("sketch")),
+        extraParams = carriedDrift(params))
     }
   }
 
@@ -2028,14 +2125,22 @@ object Similarity {
     * column pruning keeps the embedding bytes unread. */
   final case class SketchStats(nVecs: Long, nOccupiedBuckets: Long,
       idxBuckets: Int, maxBucket: Long, medianBucket: Long, skew: Double,
-      carryDepth: Int, carriedParts: Int, emptied: Boolean)
+      carryDepth: Int, carriedParts: Int, emptied: Boolean,
+      // the r17 regime-drift loop: last measured re-embed flip rate,
+      // its recommendSketch band, and the last band CROSSING (e.g.
+      // "T8/w32->T12/w32") — None until an upsert has measured one
+      driftFlipRate: Option[Double] = None,
+      driftBand: Option[String] = None,
+      driftBoundary: Option[String] = None)
 
   def sketchIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): SketchStats = {
     val curDir = VersionedIndex.currentDir(spark, path).getOrElse(
       sys.error(s"no committed sketch index at $path"))
-    val idxBuckets = VersionedIndex.readParams(spark, curDir)
-      .get("idxBuckets").map(_.toInt).getOrElse(64)
+    val params = VersionedIndex.readParams(spark, curDir)
+    val idxBuckets = params.get("idxBuckets").map(_.toInt).getOrElse(64)
+    val (dRate, dBand, dCross) = (params.get("driftFlipRate").map(_.toDouble),
+      params.get("driftBand"), params.get("driftBoundary"))
     val cur = VersionedIndex.currentVersion(spark, path).getOrElse(
       sys.error(s"no committed version at $path"))
     val mf = VersionedIndex.manifest(spark, path).getOrElse("sketch", Map.empty)
@@ -2050,12 +2155,16 @@ object Similarity {
       percentile_approx(col("n"), lit(0.5), lit(1000)).cast("long"),
       sum(col("n"))).head()
     if (r.getLong(0) == 0L)
-      return SketchStats(0L, 0L, idxBuckets, 0L, 0L, 1.0,
-        carryDepth, carriedParts, emptied = true)
-    val med = math.max(r.getLong(2), 1L)
-    SketchStats(nVecs = r.getLong(3), nOccupiedBuckets = r.getLong(0),
-      idxBuckets = idxBuckets, maxBucket = r.getLong(1),
-      medianBucket = r.getLong(2), skew = r.getLong(1).toDouble / med,
-      carryDepth = carryDepth, carriedParts = carriedParts, emptied = false)
+      SketchStats(0L, 0L, idxBuckets, 0L, 0L, 1.0,
+        carryDepth, carriedParts, emptied = true,
+        driftFlipRate = dRate, driftBand = dBand, driftBoundary = dCross)
+    else {
+      val med = math.max(r.getLong(2), 1L)
+      SketchStats(nVecs = r.getLong(3), nOccupiedBuckets = r.getLong(0),
+        idxBuckets = idxBuckets, maxBucket = r.getLong(1),
+        medianBucket = r.getLong(2), skew = r.getLong(1).toDouble / med,
+        carryDepth = carryDepth, carriedParts = carriedParts, emptied = false,
+        driftFlipRate = dRate, driftBand = dBand, driftBoundary = dCross)
+    }
   }
 }

@@ -468,16 +468,30 @@ class SimilaritySpec extends SparkSuite {
       nBits = 32, tables = 8, window = 32))
     val t12 = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
       nBits = 32, tables = 12, window = 32))
-    assert(t12.subsetOf(exact), "precision must stay 1.0 by construction")
+    val t16 = pairs(Dedup.embeddingNearDupSorted(rep, 0.9, 64,
+      nBits = 32, tables = 16, window = 32))
+    assert(t16.subsetOf(exact), "precision must stay 1.0 by construction")
     assert(t8.subsetOf(t12),
       "T=12's first eight tables must BE T=8's (prefix stability)")
+    // r17: the avalanche tier's SLOPE is pinned too — the family's
+    // claim is "raise T keeps raising recall" (the defect r16 fixed
+    // was exactly this climb silently ceilinging at 8 duplicated
+    // tables), so one more deterministic row guards a future mix()
+    // edit that preserves prefix stability but flattens the climb
+    assert(t12.subsetOf(t16),
+      "T=16's first twelve tables must BE T=12's (prefix stability)")
     val recall8 = (t8 & exact).size.toDouble / exact.size
     val recall12 = (t12 & exact).size.toDouble / exact.size
-    info(f"band recall: T=8/w=32 $recall8%.4f, T=12/w=32 $recall12%.4f " +
-      f"over ${exact.size}%d exact pairs")
+    val recall16 = (t16 & exact).size.toDouble / exact.size
+    info(f"band recall: T=8/w=32 $recall8%.4f, T=12/w=32 $recall12%.4f, " +
+      f"T=16/w=32 $recall16%.4f over ${exact.size}%d exact pairs")
     assert(recall12 >= 0.88,
       s"band-regime T=12/w=32 recall $recall12 below the 0.88 floor")
     assert(recall12 >= recall8, "extra distinct tables can only add recall")
+    assert(recall16 >= recall12, "the avalanche tier must keep its slope")
+    assert(recall16 >= 0.93,
+      s"band-regime T=16/w=32 recall $recall16 below the 0.93 floor " +
+        "(numpy measured 0.992 vs the 0.973 rotation ceiling)")
   }
 
   test("estimateFlipRate + recommendSketch: the production sizing rule is an API") {
@@ -677,6 +691,74 @@ class SimilaritySpec extends SparkSuite {
     // and a real re-ingest still works after the no-ops
     Similarity.upsertSketchIndex(emb.limit(10), dir)
     assert(Similarity.readSketchTable(spark, dir).count() == 10)
+  }
+
+  test("sketch drift loop: a re-embedded batch trips the sizing boundary, a quiet one doesn't") {
+    import graft.operators.{Index, Similarity, VersionedIndex}
+    // the r17 operational close of the sizing story: every upsert
+    // measures the batch's flip rate against the index's PRIOR codes
+    // for the same ids (estimateFlipRate's definition on the stored
+    // canon column — no extra kernel pass), persists it in the
+    // version params, and records a sizing-band CROSSING loudly. The
+    // jitter construction is ScaleProbe's deterministic formula, so
+    // amplitudes map onto the measured sweep (SCALE.md r16:
+    // ±0.05 ≈ 6.9% flips, ±0.10 ≈ 13%).
+    val base = emb.limit(200).select("vec_id", "embedding")
+    def jittered(permille: Int) = base.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + (pmod(hash(col("vec_id") * 31 + i + lit(1)), lit(2000)) - 1000)
+          .cast("float") / lit(1000000.0f / permille)).cast("float"))
+        .as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("sketchdrift").toString + "/i"
+    Similarity.writeSketchIndex(base, dir, 64)
+    // fresh build: no drift measured yet
+    val s0 = Similarity.sketchIndexStats(spark, dir)
+    assert(s0.driftFlipRate.isEmpty && s0.driftBand.isEmpty &&
+      s0.driftBoundary.isEmpty)
+    assert(Index.stats(spark, dir).drift.isEmpty)
+    // QUIET batch: identical re-embeds → rate exactly 0.0, default
+    // band, and no boundary signal (nothing to cross from)
+    Similarity.upsertSketchIndex(base, dir)
+    val s1 = Similarity.sketchIndexStats(spark, dir)
+    assert(s1.driftFlipRate.contains(0.0) && s1.driftBand.contains("T4/w16"),
+      s"quiet batch read $s1")
+    assert(s1.driftBoundary.isEmpty, "a quiet batch must not trip a boundary")
+    assert(Index.stats(spark, dir).drift.contains(0.0))
+    // mid-noise re-embed (±0.05 ≈ 6.9% flips): band moves to T8/w32
+    // and the crossing is recorded
+    Similarity.upsertSketchIndex(jittered(50), dir)
+    val s2 = Similarity.sketchIndexStats(spark, dir)
+    info(f"jitter=50 drift: rate=${s2.driftFlipRate.get}%.4f band=${s2.driftBand.get}")
+    assert(s2.driftFlipRate.exists(r => r > 0.03 && r < 0.10), s"$s2")
+    assert(s2.driftBand.contains("T8/w32"))
+    assert(s2.driftBoundary.contains("T4/w16->T8/w32"))
+    // band-regime re-embed: the index now holds the ±0.05 versions,
+    // the batch carries ±0.15 of the SAME deterministic jitter
+    // pattern — difference amplitude ±0.10 ≈ 13% flips — so THE
+    // boundary the verdict names trips: T8/w32 -> T12/w32
+    Similarity.upsertSketchIndex(jittered(150), dir)
+    val s3 = Similarity.sketchIndexStats(spark, dir)
+    info(f"jitter=150-vs-50 drift: rate=${s3.driftFlipRate.get}%.4f band=${s3.driftBand.get}")
+    assert(s3.driftFlipRate.exists(r => r >= 0.10 && r < 0.15), s"$s3")
+    assert(s3.driftBand.contains("T12/w32"))
+    assert(s3.driftBoundary.contains("T8/w32->T12/w32"))
+    assert(Index.stats(spark, dir).drift == s3.driftFlipRate)
+    // the recorded band agrees with the sizing rule the monitor would
+    // look up (the loop is closed: measure → band → recommendSketch)
+    assert(Similarity.recommendSketch(s3.driftFlipRate.get) ==
+      Similarity.SketchSizing(12, 32))
+    // a takedown measures nothing: the last regime reading CARRIES
+    Similarity.deleteFromSketchIndex(base.limit(5).select(col("vec_id")), dir)
+    val s4 = Similarity.sketchIndexStats(spark, dir)
+    assert(s4.driftFlipRate == s3.driftFlipRate &&
+      s4.driftBand == s3.driftBand && s4.driftBoundary == s3.driftBoundary)
+    // an all-NEW-ids batch has no overlap to measure: drift carries
+    Similarity.upsertSketchIndex(
+      base.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")),
+      dir)
+    val s5 = Similarity.sketchIndexStats(spark, dir)
+    assert(s5.driftFlipRate == s3.driftFlipRate &&
+      s5.driftBand == s3.driftBand && s5.driftBoundary == s3.driftBoundary)
   }
 
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
