@@ -461,12 +461,7 @@ object ScaleProbe {
         }.getOrElse(Seq(1, 10, 20, 50))
       factors.flatMap { g =>
         val st = s"$root/st$g"
-        // settled components: 4-node chains (3 edges each), disjoint
-        // from corpus and batch ids
-        val synth = spark.range(basePairs * g).select(
-          (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
-          (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
-        Dedup.writeClusterStateWithPairs(Dedup.dupClusters(synth), synth, st)
+        buildSynthState(spark, basePairs * g, st)
         // route A/B at each scale: the commit-route gate is forced per
         // call so the measurement is decoupled from the default. ORDER
         // MATTERS: the layout upgrade is one-way (once bucketed the
@@ -517,6 +512,126 @@ object ScaleProbe {
       releaseLocalCheckpoint(batch)
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** Synthetic settled cluster state: `pairs` edges as 4-node chains
+    * (3 edges each) over an id space disjoint from the corpus and
+    * every probe batch — total-duplicates-ever stand-in, shared by
+    * the growing-graph and commit-crossover tiers. */
+  private def buildSynthState(spark: SparkSession, pairs: Long,
+      path: String): Unit = {
+    import graft.operators.Dedup
+    val synth = spark.range(pairs).select(
+      (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3)).as("doc_a"),
+      (lit(1000000000L) + expr("id DIV 3") * 4 + (col("id") % 3) + 1).as("doc_b"))
+    Dedup.writeClusterStateWithPairs(Dedup.dupClusters(synth), synth, path)
+  }
+
+  /** The crossover recommendation from (settledPairs, wholeSec,
+    * partialSec) rows, pure so the rule is spec-pinned: the smallest
+    * pair count where the partial route starts winning, linearly
+    * interpolated on the (whole − partial) zero crossing between the
+    * bracketing sizes. None = the partial route never won inside the
+    * tested range — keep the whole-write default and extend the
+    * ladder if the deployment expects bigger states (recommending a
+    * number past the measurements would be an extrapolation dressed
+    * as one). Rows must be in increasing pair order. */
+  private[graft] def crossoverRecommendation(
+      rows: Seq[(Long, Double, Double)]): Option[Long] = {
+    require(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted,
+      "crossover rows must be non-empty and size-ordered")
+    val i = rows.indexWhere { case (_, w, p) => p < w }
+    if (i < 0) None
+    else if (i == 0) Some(rows.head._1) // at or below the tested floor
+    else {
+      val (p0, w0, q0) = rows(i - 1)
+      val (p1, w1, q1) = rows(i)
+      val d0 = w0 - q0 // < 0 (whole still ahead)
+      val d1 = w1 - q1 // > 0 (partial ahead)
+      Some(p0 + ((p1 - p0) * (-d0) / (d1 - d0)).toLong)
+    }
+  }
+
+  /** `--commit-crossover`: measure THIS deployment's partial-commit
+    * crossover ([[graft.operators.Dedup.CcPartialCommitMinPairs]] is
+    * local-NVMe truth; a real cluster or object store crosses
+    * earlier because the whole write is bandwidth-bound while the
+    * partial route's overhead stays driver-scheduling-bound) and
+    * print the `partialMinPairs` to pass to `dupClusterSink`. Same
+    * construction as the growing-graph tier, but the synthetic
+    * states live ON `stateRoot` — point it at the deployment's real
+    * storage path, because the whole-vs-partial balance IS a storage
+    * property — and only the trigger routes are timed (whole BEFORE
+    * partial at each size: the layout upgrade is one-way). Probe
+    * dirs are removed afterwards. Heap note: bootstrap-closing a
+    * ≥10M-edge synthetic state needs a large driver heap (the r16
+    * measurements ran 48g); the probe sizes are the operator's call
+    * via SPARK_GRAFT_GROW_FACTORS (default 50,100,150 =
+    * 5M/10M/15M pairs, bracketing the NVMe crossover). */
+  def commitCrossoverTier(spark: SparkSession, srcDir: String,
+      stateRoot: String, factors: Seq[Int], runs: Int): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
+    require(factors == factors.sorted,
+      s"commit-crossover factors must be increasing, got $factors")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 200)
+    val batch = corpus.orderBy(col("vec_id")).limit(200)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val idx = s"$stateRoot/graft_xover_idx"
+    val fs = new org.apache.hadoop.fs.Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeSketchIndex(corpus, idx, 64)
+      val basePairs = 100000L
+      val rows = factors.map { g =>
+        val st = s"$stateRoot/graft_xover_st$g"
+        buildSynthState(spark, basePairs * g, st)
+        def trigger(gate: Long): Unit =
+          graft.streaming.Pipelines.applyDupClusterBatch(
+            batch, idx, st, 0.9, 64, 32, 4, 16, partialMinPairs = gate)
+        def timeTrig(gate: Long): Double = {
+          trigger(gate) // warm: pairs enter; upgrade (partial) after
+          (1 to runs).map { _ =>
+            val t0 = System.nanoTime(); trigger(gate)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val tWhole = timeTrig(Long.MaxValue)
+        val tPartial = timeTrig(0L)
+        System.err.println(
+          f"[probe] commit-crossover ${basePairs * g}%9d pairs  " +
+            f"whole $tWhole%7.2f s  partial $tPartial%7.2f s")
+        (basePairs * g, tWhole, tPartial)
+      }
+      val rec = crossoverRecommendation(rows)
+      rec match {
+        case Some(p) => System.err.println(
+          s"[probe] recommended partialMinPairs = $p for state at " +
+            s"$stateRoot (pass to dupClusterSink)")
+        case None => System.err.println(
+          s"[probe] the partial route never won up to " +
+            s"${rows.last._1} pairs on $stateRoot — keep the " +
+            "whole-write default; extend SPARK_GRAFT_GROW_FACTORS " +
+            "if the deployment expects bigger states")
+      }
+      val rowsJson = rows.map { case (p, w, q) =>
+        f"""{"pairs":$p,"whole":$w%.3f,"partial":$q%.3f}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"scaleprobe","tier":"commit_crossover",""" +
+        s""""runs":$runs,"stateRoot":"$stateRoot","rows":$rowsJson,""" +
+        s""""recommendedPartialMinPairs":${rec.map(_.toString).getOrElse("null")}}""")
+    } finally {
+      releaseLocalCheckpoint(batch)
+      // synthetic probe dirs only — everything this tier created
+      (Seq(idx) ++ factors.map(g => s"$stateRoot/graft_xover_st$g"))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
     }
   }
 
@@ -619,9 +734,13 @@ object ScaleProbe {
     // `--growing-graph` runs ONLY the accumulated-graph tier (graph
     // ×factor, batch AND corpus pinned — the dupClusterSink axis)
     val growingGraphOnly = args.contains("--growing-graph")
+    // `--commit-crossover` measures the deployment's whole-vs-partial
+    // commit crossover on a REAL storage path (positional arg 2) and
+    // prints the recommended dupClusterSink partialMinPairs
+    val commitCrossoverOnly = args.contains("--commit-crossover")
     MainFlags.requireKnown(args,
       Set("--mutation-only", "--fixed-batch", "--noise-sweep",
-        "--growing-graph"))
+        "--growing-graph", "--commit-crossover"))
     val pos = MainFlags.positional(args)
     val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
@@ -656,6 +775,22 @@ object ScaleProbe {
           parsed
         }.getOrElse(Seq(50))
       noiseSweep(spark, srcDir, jitters)
+      spark.stop()
+      return
+    }
+    if (commitCrossoverOnly) {
+      // positional arg 2 (the growing-graph tier's workDir slot) is
+      // the STORAGE PATH being probed — the crossover is a property
+      // of that path's IO, which is the whole point of the probe
+      val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
+        .map { v =>
+          val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toInt).toSeq
+          require(parsed.nonEmpty,
+            s"SPARK_GRAFT_GROW_FACTORS is set but holds no factors: '$v'")
+          parsed
+        }.getOrElse(Seq(50, 100, 150))
+      commitCrossoverTier(spark, srcDir, workDir, factors, runs)
       spark.stop()
       return
     }

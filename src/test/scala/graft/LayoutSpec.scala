@@ -1481,4 +1481,31 @@ class LayoutSpec extends SparkSuite {
     // a plain non-checkpointed frame is a no-op, never an error
     GraftBridge.releaseLocalCheckpoint(Seq(1L).toDF("x"))
   }
+
+  test("commit-crossover recommendation: bracketed interpolation, floor, and honest None") {
+    import graft.ScaleProbe.crossoverRecommendation
+    // the r16 NVMe measurements as the canonical shape: whole wins
+    // through 10M, partial wins at 15M — the zero crossing of
+    // (whole − partial) interpolates to ≈12M, the committed default
+    val r16 = Seq(
+      (10000000L, 13.20, 14.54),
+      (15000000L, 21.89, 15.06))
+    val rec = crossoverRecommendation(r16).get
+    assert(rec > 10000000L && rec < 15000000L, s"rec=$rec")
+    // exact zero crossing: d0=-1.34, d1=6.83 → 10M + 5M·(1.34/8.17)
+    assert(math.abs(rec - 10820000L) < 10000L, s"rec=$rec")
+    // partial already winning at the smallest size → the floor, not
+    // an extrapolation below what was measured
+    assert(crossoverRecommendation(
+      Seq((1000000L, 5.0, 4.0), (2000000L, 8.0, 5.0))).contains(1000000L))
+    // never winning inside the range → None (keep the whole-write
+    // default; a number past the measurements would be dressed-up
+    // extrapolation)
+    assert(crossoverRecommendation(
+      Seq((1000000L, 5.0, 9.0), (2000000L, 8.0, 9.5))).isEmpty)
+    // malformed input is loud
+    intercept[IllegalArgumentException](crossoverRecommendation(Nil))
+    intercept[IllegalArgumentException](crossoverRecommendation(
+      Seq((2000000L, 5.0, 9.0), (1000000L, 8.0, 9.5))))
+  }
 }
