@@ -458,17 +458,31 @@ object Pipelines {
     * `rankDeltaSnapshotSinkTtl`, which runs the same loop over
     * TTL-evicting keyed state; this variant remains for short-lived
     * queries where complete mode's simplicity wins. */
+  /** The ONE foreachBatch sink preamble (r17 consolidation): every
+    * foreachBatch-shaped sink in this file starts the same way —
+    * checkpointed source replay + a per-trigger driver callback —
+    * and used to repeat the five-line writeStream chain. What stays
+    * IN each sink body on purpose: the empty-trigger guards and
+    * misconfiguration requires, because they genuinely differ per
+    * sink (dupClusterSink persists-then-counts, upsertSketchIndex
+    * no-ops internally, vectorDeleteSink wants empty deletes to flow
+    * — a uniform guard here would change semantics). */
+  private def foreachBatchSink(src: DataFrame, checkpoint: String,
+      trigger: Trigger, outputMode: String = "append")(
+      body: (DataFrame, Long) => Unit): StreamingQuery =
+    src.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(body)
+      .start()
+
   def rankDeltaSnapshotSink(spark: SparkSession, counts: DataFrame, stateDir: String,
       checkpoint: String, topN: Int = 50,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    counts.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyRankDeltaSnapshot(spark, batch, stateDir, topN)
-      }
-      .start()
+    foreachBatchSink(counts, checkpoint, trigger, outputMode = "complete") {
+      (batch, _) => applyRankDeltaSnapshot(spark, batch, stateDir, topN)
+    }
 
   /** TTL-parity rank-delta loop (W2 + the reference's 7-day Redis
     * EXPIRE, advanced_trend_analyzer.py:89): per-key running counts
@@ -485,16 +499,12 @@ object Pipelines {
       ttlMs: Long = 7L * 24 * 3600 * 1000, topN: Int = 50,
       watermarkDelay: String = "0 seconds",
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    Stateful.runningCountsEvicting(events, keyCol, tsCol, ttlMs, watermarkDelay)
-      .toDF()
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyRankDeltaUpdates(spark, batch, stateDir, topN)
-      }
-      .start()
+    foreachBatchSink(
+      Stateful.runningCountsEvicting(events, keyCol, tsCol, ttlMs,
+        watermarkDelay).toDF(),
+      checkpoint, trigger, outputMode = "update") { (batch, _) =>
+      applyRankDeltaUpdates(spark, batch, stateDir, topN)
+    }
 
   /** Fold one update batch (key, total, evicted) into the persisted
     * live-counts table, then advance the snapshot/delta pair. The
@@ -647,14 +657,9 @@ object Pipelines {
           "readers cannot infer; point clusteredStateSink at a fresh " +
           "directory")
     }
-    counts.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyClusteredStateBatch(batch, path, batchId, keys, maxRecordsPerFile)
-      }
-      .start()
+    foreachBatchSink(counts, checkpoint, trigger) { (batch, batchId) =>
+      applyClusteredStateBatch(batch, path, batchId, keys, maxRecordsPerFile)
+    }
   }
 
   /** Training-data landing zone: the streaming curation funnel's keep
@@ -815,15 +820,10 @@ object Pipelines {
       bpeGate: Option[(Map[String, Long], Long)] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = docs.sparkSession
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
-          nShards, threshold, minTokens, minQuality, dsirGate, bpeGate)
-      }
-      .start()
+    foreachBatchSink(docs, checkpoint, trigger) { (batch, batchId) =>
+      applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
+        nShards, threshold, minTokens, minQuality, dsirGate, bpeGate)
+    }
   }
 
   /** Streaming VECTOR ingestion into the persisted IVF index: each
@@ -870,11 +870,7 @@ object Pipelines {
     import graft.operators.{Index, Similarity, VersionedIndex}
     var handle: Option[Index.Opened] = None // driver-side, one foreachBatch loop
     var warnedNoCodebook = false
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    foreachBatchSink(vectors, checkpoint, trigger) { (batch, _) =>
         if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
           if (pq) Similarity.buildIvfPqIndex(batch, nLists, indexPath)
           else Similarity.buildIvfIndex(batch, nLists, indexPath)
@@ -929,8 +925,7 @@ object Pipelines {
                 s"${other.kind} index at $indexPath")
           }
         }
-      }
-      .start()
+    }
   }
 
   /** Streaming TAKEDOWN for the persisted IVF index: each micro-batch
@@ -959,11 +954,7 @@ object Pipelines {
     val skipped = spark.sparkContext
       .longAccumulator("graft.vectorDeleteSink.skippedBatches")
     var handle: Option[Index.Opened] = None // opened once, after the index exists
-    deletes.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    foreachBatchSink(deletes, checkpoint, trigger) { (batch, batchId) =>
         if (VersionedIndex.currentDir(spark, indexPath).isDefined) {
           val h = handle.getOrElse {
             val o = Index.open(spark, indexPath); handle = Some(o); o
@@ -989,8 +980,7 @@ object Pipelines {
               s"$indexPath exists — takedown ids in it are DROPPED " +
               "(checkpoint advances; see the sink-ordering note)")
         }
-      }
-      .start()
+    }
   }
 
   /** Streaming ingest for the persisted SKETCH index
@@ -1009,16 +999,11 @@ object Pipelines {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = vectors.sparkSession
     import graft.operators.{Similarity, VersionedIndex}
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
-          if (!batch.isEmpty) Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
-        } else Similarity.upsertSketchIndex(batch, indexPath)
-      }
-      .start()
+    foreachBatchSink(vectors, checkpoint, trigger) { (batch, _) =>
+      if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
+        if (!batch.isEmpty) Similarity.writeSketchIndex(batch, indexPath, dim, nBits)
+      } else Similarity.upsertSketchIndex(batch, indexPath)
+    }
   }
 
   /** One [[dupClusterSink]] trigger, as a callable — the recurring
@@ -1253,15 +1238,10 @@ object Pipelines {
       // lower it here without forking the sink
       partialMinPairs: Long =
         graft.operators.Dedup.CcPartialCommitMinPairs): StreamingQuery =
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyDupClusterBatch(batch, indexPath, statePath, threshold,
-          dim, nBits, tables, window, partialMinPairs)
-      }
-      .start()
+    foreachBatchSink(vectors, checkpoint, trigger) { (batch, _) =>
+      applyDupClusterBatch(batch, indexPath, statePath, threshold,
+        dim, nBits, tables, window, partialMinPairs)
+    }
 
   /** The full sync pipeline: parsed CDC stream → idempotent mirror. */
   def cdcMirrorSink(spark: SparkSession, parsed: DataFrame, mirrorPath: String,
@@ -1269,12 +1249,7 @@ object Pipelines {
       policy: Map[String, TablePolicy] = Map.empty,
       defaultPolicy: TablePolicy = TablePolicy.SoftDelete,
       nBuckets: Int = MirrorBuckets): StreamingQuery =
-    parsed.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(spark, batch, mirrorPath, nBuckets, policy, defaultPolicy)
-      }
-      .start()
+    foreachBatchSink(parsed, checkpoint, trigger) { (batch, _) =>
+      applyCdcBatch(spark, batch, mirrorPath, nBuckets, policy, defaultPolicy)
+    }
 }
