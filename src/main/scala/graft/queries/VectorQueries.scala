@@ -1065,14 +1065,21 @@ object VectorQueries {
     * `cand`, `p` → `${prefix}n`, …) so one oracle can replay the
     * construction over several corpus restrictions side by side
     * (q150's rounds). */
-  private def sortedSketchCtes(nBits: Int, tables: Int, window: Int,
-      where: String = "", prefix: String = ""): String = {
+  /** The canonical nBits sign-code in DuckDB SQL — the plane-dot
+    * kernel (`Vectors.lshBucket`) re-derived: shared by the
+    * sorted-sketch replays and the flip-rate replay (q152) so the
+    * code definition cannot fork between oracles. */
+  private def canonSql(nBits: Int): String = {
     def dotSql(j: Int) =
       s"list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)" +
         s" * (((((($j*64)+(i-1)) * 2654435761) % 1000)/499.5) - 1.0)))"
-    val canonSql = "CAST(" + (0 until nBits)
+    "CAST(" + (0 until nBits)
       .map(j => s"(CASE WHEN ${dotSql(j)} >= 0.0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)"
+  }
+
+  private def sortedSketchCtes(nBits: Int, tables: Int, window: Int,
+      where: String = "", prefix: String = ""): String = {
     def codeSql(t: Int) = "(" + Similarity.bitOrder(t, nBits).zipWithIndex
       .map { case (j, r) => s"((canon >> $j) & 1) * ${1L << (nBits - 1 - r)}" }
       .mkString(" + ") + ")"
@@ -1084,7 +1091,7 @@ object VectorQueries {
          |  FROM ${prefix}rk$t a JOIN ${prefix}rk$t b ON b.rn - a.rn BETWEEN 1 AND $window""".stripMargin)
       .mkString("\nUNION\n") // UNION (not ALL): cross-table pair dedup
     val src = if (where.isEmpty) "embeddings" else s"embeddings WHERE $where"
-    s"""${prefix}n AS (SELECT vec_id, embedding, $canonSql AS canon,
+    s"""${prefix}n AS (SELECT vec_id, embedding, ${canonSql(nBits)} AS canon,
        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
        |  FROM $src),
@@ -1214,6 +1221,44 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // The drift estimator's kernel math hash-gated (r17): per-id
+  // sign-flip counts between two embedding "versions" — row v's
+  // vector vs row v+1's, a deterministic stand-in for a re-embed
+  // chosen so BOTH engines read identical parquet floats (no
+  // synthetic float arithmetic to round differently) — plus the
+  // corpus flip rate through the PRODUCTION estimator itself
+  // (Similarity.estimateFlipRate, the number the r17 drift loop
+  // persists per upsert and recommendSketch consumes). The oracle
+  // re-derives the canonical codes with the shared plane-dot SQL
+  // (canonSql — one definition with the sorted-sketch replays) and
+  // mirrors the avg/nBits aggregate; the lit(rate) column pins the
+  // estimator's scalar EQUAL to the windowed mean of the gated
+  // per-id rows, cross-engine.
+  val q152 = sql(
+    "q152_flip_rate_replay", {
+      s"""WITH n AS (SELECT vec_id, ${canonSql(32)} AS canon FROM embeddings),
+         |j AS (SELECT a.vec_id AS vec_id,
+         |    CAST(bit_count(xor(a.canon, b.canon)) AS INTEGER) AS flips
+         |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1)
+         |SELECT vec_id, flips,
+         |  round(avg(flips) OVER () / 32, 6) AS rate
+         |FROM j ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // "re-embedded" versions: id v now carries v+1's vector (shifting
+    // the id, not the floats, keeps the construction byte-identical
+    // across engines)
+    val reemb = emb.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val rate = Similarity.estimateFlipRate(emb, reemb)
+    def codes(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
+      col("vec_id"), Vectors.lshBucket(col("embedding"), 64, 32).as(c))
+    codes(emb, "c0").join(codes(reemb, "c1"), "vec_id")
+      .select(col("vec_id"),
+        bit_count(col("c0").bitwiseXOR(col("c1"))).cast("int").as("flips"),
+        round(lit(rate), 6).as("rate"))
+      .orderBy(col("vec_id"))
+  }
+
   // Block-less dup clustering: connected components over the sorted-
   // sketch pair stream — q64's curation step for corpora with NO
   // usable block key, at sorted-sketch (sub-quadratic) pair cost. The
@@ -1309,5 +1354,5 @@ object VectorQueries {
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
     q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149,
-    q150, q151)
+    q150, q151, q152)
 }
