@@ -365,9 +365,28 @@ object ScaleProbe {
       System.err.println(s"[probe] sketch index stats ($dir): " +
         Similarity.sketchIndexStats(spark, s"$root/sk"))
       val indexed = best(Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.3))
+      // the UPSERT path with the r17 drift probe live: a fixed
+      // 200-row re-embed of ids the index HOLDS (vBatch's ids are
+      // outside it — zero overlap would skip the probe), identical
+      // vectors so index content is unchanged for the rows below.
+      // Flat ratio = O(touched-buckets) commit + O(sample) probe,
+      // both independent of corpus size. Unit-timed: upsert commits
+      // state, it doesn't return a frame.
+      val vReembed = vCorpus.filter(col("vec_id") < 400)
+      def bestU(run: => Unit): Double = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+      }.min
+      val upsert = bestU(Similarity.upsertSketchIndex(vReembed, s"$root/sk"))
       Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"), s"$root/lsh")
       val lshText = best(Dedup.incrementalLshPairsIndexed(
         dBatch, col("doc_id"), col("text"), s"$root/lsh"))
+      // the text-tier upsert with the r17 re-crawl drift probe live:
+      // a fixed 500-doc re-ingest of ids the index HOLDS (dBatch's
+      // are outside it), identical text — flat ratio = O(touched)
+      // commit + O(sample·shingles) probe, independent of corpus size
+      val dReingest = dCorpus.filter(col("doc_id") < 1000)
+      val lshUpsert = bestU(Dedup.upsertLshIndex(
+        dReingest, col("doc_id"), col("text"), s"$root/lsh"))
       // CC funnel, both deployment forms (q149 vs q150): the one-shot
       // form re-sketches the whole union and closes the corpus
       // closure per run; the persisted-state form pays one indexed
@@ -388,7 +407,9 @@ object ScaleProbe {
         Dedup.embeddingNearDupIndexed(vBatch, s"$root/sk", 0.35),
         a = "vec_a", b = "vec_b"))
       Seq("sketch_inmem" -> inmem, "sketch_indexed" -> indexed,
+        "sketch_upsert_reembed" -> upsert,
         "lsh_indexed_text" -> lshText,
+        "lsh_upsert_recrawl" -> lshUpsert,
         "cc_funnel_inmem" -> ccInmem, "cc_state_indexed" -> ccState)
     } finally {
       // the indexes copy the whole corpus — GBs at sf1; clean up like

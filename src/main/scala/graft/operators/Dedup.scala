@@ -298,11 +298,12 @@ object Dedup {
     * for one id. Transient pair-mining paths document the same
     * contract ([[docShingles]]) without paying a per-call check — the
     * ivfSeeds precedent: validate where state commits. */
-  private def requireUniqueDocIds(ds: DataFrame, where: String): Unit = {
+  private def requireUniqueDocIds(ds: DataFrame, where: String): Long = {
     val r = ds.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
     require(r.getLong(0) == r.getLong(1),
       s"$where: ${r.getLong(0) - r.getLong(1)} duplicate doc_id rows — " +
         "doc ids must be unique (one row per document)")
+    r.getLong(0)
   }
 
   /** Directory of the current committed index version (the generic
@@ -351,11 +352,13 @@ object Dedup {
   private def commitLshVersion(spark: org.apache.spark.sql.SparkSession,
       path: String, shingles: DataFrame, bands: DataFrame,
       n: Int, numHashes: Int, bandCount: Int, idxBuckets: Int,
-      carry: Map[String, Map[String, Int]] = Map.empty): Unit =
+      carry: Map[String, Map[String, Int]] = Map.empty,
+      extraParams: Map[String, String] = Map.empty): Unit =
     VersionedIndex.commit(spark, path,
       Seq("shingles" -> shingles, "bands" -> bands),
       Map("n" -> n.toString, "numHashes" -> numHashes.toString,
-        "bands" -> bandCount.toString, "idxBuckets" -> idxBuckets.toString),
+        "bands" -> bandCount.toString, "idxBuckets" -> idxBuckets.toString)
+        ++ extraParams,
       partitionBy = Map("shingles" -> Seq("idx_bucket"),
         "bands" -> Seq("idx_bucket")),
       legacySweep = Seq("shingles", "bands"),
@@ -369,6 +372,99 @@ object Dedup {
       // prune. Layout change r15 → cache key graft-lshdel3.
       clusterBy = Map("shingles" -> Seq("doc_id"),
         "bands" -> Seq("band", "band_hash")))
+
+  /** Per-upsert re-crawl drift sample cap (docs) — the text tier's
+    * parallel of the sketch index's DriftSampleIds: the shingle join
+    * scales with docs × shingles-per-doc, so a bulk re-ingest probes
+    * a deterministic id-hash sample instead of the whole batch. */
+  private[graft] val LshDriftSampleDocs = 1024L
+  /** Below this many overlapping docs the measured version-Jaccard is
+    * too noisy to alarm on — the prior drift state carries. */
+  private[graft] val LshDriftMinDocs = 16L
+
+  /** The banding curve's 90%-candidate similarity: with `bands` bands
+    * of `rowsPerBand` minhash rows, a pair at Jaccard s collides in
+    * ≥1 band with probability 1 − (1 − s^r)^b; s90 solves that = 0.9.
+    * The re-crawl drift alarm's floor: when same-doc version Jaccard
+    * falls below it, even an EXACT duplicate of a prior crawl's
+    * version no longer reliably reaches candidacy — churn has outrun
+    * the banding, and cross-round near-dup detection is degrading
+    * silently. Defaults (b=16, r=4) put it at ≈0.605. */
+  private[graft] def bandingS90(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 - math.pow(0.1, 1.0 / bands), 1.0 / rowsPerBand)
+
+  /** `drift*` params carried by a commit that measured nothing new
+    * (takedown, all-new-ids batch) — the sketch index's contract. */
+  private def carriedLshDrift(params: Map[String, String]): Map[String, String] =
+    params.filter { case (k, _) => k.startsWith("drift") }
+
+  /** Per-batch RE-CRAWL drift for the text LSH index (r17 — the
+    * [[graft.operators.Similarity]] sketch drift loop's text-tier
+    * twin, on the reference's own domain: re-crawled news articles):
+    * for batch doc_ids the index already holds, the EXACT Jaccard
+    * between the stored shingle set and the batch's fresh one is a
+    * sampled tagged-union aggregation — no estimator needed, the
+    * `shingles` member IS the set, and the prior side reads only the
+    * partition-pruned touched buckets the rewrite reads anyway. The
+    * mean version-Jaccard is compared against [[bandingS90]] of the
+    * committed (bands, rowsPerBand): below it, re-crawled versions no
+    * longer reliably match even their own predecessors, so near-dup
+    * pairs straddling crawl rounds are being silently lost — alarm
+    * state, floor, and the last state TRANSITION persist in the
+    * version params ([[lshIndexStats]] surfaces them); entering the
+    * alarmed state WARN-logs with the operational answers (tighten
+    * banding at the next full rewrite, or shorten the re-crawl
+    * horizon). Docs whose either version has an empty shingle set
+    * drop out of the mean (no rows in the member — 0/0 is not a
+    * measurement). */
+  private def measureLshDrift(priorShingles: DataFrame, ds: DataFrame,
+      batchDocs: Long, bandCount: Int, rowsPerBand: Int,
+      params: Map[String, String], path: String): Map[String, String] = {
+    // deterministic id-hash sample when the batch is bulk-sized: a
+    // pure filter, no extra count job, stable across replays
+    val fresh0 = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val fresh =
+      if (batchDocs <= LshDriftSampleDocs) fresh0
+      else fresh0.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+        lit(LshDriftSampleDocs * 1000000L / batchDocs))
+    val tagged = priorShingles
+        .join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingle"), lit(1).as("o"), lit(0).as("nw"))
+      .unionByName(fresh
+        .join(priorShingles.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingle"), lit(0).as("o"), lit(1).as("nw")))
+    val r = tagged
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(max(col("o")).as("o"), max(col("nw")).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("o") * col("nw")).cast("double").as("inter"),
+        count(lit(1)).cast("double").as("uni"))
+      .agg(avg(col("inter") / col("uni")).as("j"), count(lit(1)).as("nd"))
+      .head()
+    val nd = r.getLong(1)
+    if (nd < LshDriftMinDocs) carriedLshDrift(params)
+    else {
+      val j = r.getDouble(0)
+      val floor = bandingS90(bandCount, rowsPerBand)
+      val state = if (j < floor) "below-s90" else "ok"
+      val prev = params.get("driftAlarm")
+      val crossed = prev.filter(_ != state).map(p => s"$p->$state")
+      if (state == "below-s90" && !prev.contains("below-s90"))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"lsh index $path: re-crawl drift — mean same-doc version " +
+            f"Jaccard $j%.4f over $nd%d re-ingested docs is below the " +
+            f"banding's 90%%-candidate floor $floor%.4f " +
+            f"(b=$bandCount%d, r=$rowsPerBand%d): re-crawled versions " +
+            "no longer reliably match their own predecessors, so " +
+            "cross-round near-dup detection is degrading. Tighten " +
+            "banding at the next full rewrite (more bands -> lower " +
+            "floor) or shorten the re-crawl horizon.")
+      Map("driftJaccard" -> j.toString, "driftDocs" -> nd.toString,
+        "driftFloor" -> floor.toString, "driftAlarm" -> state) ++
+        crossed.orElse(params.get("driftBoundary"))
+          .map("driftBoundary" -> _)
+    }
+  }
 
   /** Persist the LSH index for incremental rounds: the corpus's
     * shingle set and banded signatures, so the next crawl round pays
@@ -422,10 +518,11 @@ object Dedup {
     val storedBuckets = VersionedIndex.readParams(spark, curDir)
       .get("idxBuckets").map(_.toInt)
     val nBuckets = storedBuckets.getOrElse(idxBuckets)
+    val params = VersionedIndex.readParams(spark, curDir)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val ds = docShingles(newDocs, id, text, n).cache()
     try {
-      requireUniqueDocIds(ds, "upsertLshIndex")
+      val batchDocs = requireUniqueDocIds(ds, "upsertLshIndex")
       val shNew = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
       val bandsNew = bandedFromDocShingles(ds, numHashes, bands)
@@ -440,6 +537,8 @@ object Dedup {
         extraGate = storedBuckets.isDefined, maxVersionChain)
       if (!plan.ok) {
         // full rewrite: legacy/unbucketed index, or compaction point
+        val drift = measureLshDrift(readLshTable(spark, path, "shingles"),
+          ds, batchDocs, bands, numHashes / bands, params, path)
         commitLshVersion(spark, path,
           readLshTable(spark, path, "shingles")
             .join(newIds, Seq("doc_id"), "left_anti")
@@ -449,10 +548,17 @@ object Dedup {
             .join(newIds, Seq("doc_id"), "left_anti")
             .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
             .unionByName(bandsNew),
-          n, numHashes, bands, nBuckets)
+          n, numHashes, bands, nBuckets, extraParams = drift)
       } else {
         if (plan.touched.isEmpty) return // empty batch — nothing to commit
         val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
+        // every re-ingested id hashes into a touched bucket, so the
+        // drift probe's prior side reads only the pruned partitions
+        // the rewrite reads anyway (the sketch drift probe's move)
+        val drift = measureLshDrift(
+          VersionedIndex.readTable(spark, path, "shingles")
+            .filter(inTouched).drop("idx_bucket"),
+          ds, batchDocs, bands, numHashes / bands, params, path)
         def rewrite(table: String, fresh: DataFrame): DataFrame =
           VersionedIndex.readTable(spark, path, table)
             .filter(inTouched)
@@ -463,7 +569,8 @@ object Dedup {
           n, numHashes, bands, nBuckets,
           carry = Map(
             "shingles" -> plan.carryFor("shingles"),
-            "bands" -> plan.carryFor("bands")))
+            "bands" -> plan.carryFor("bands")),
+          extraParams = drift)
       }
     } finally ds.unpersist()
   }
@@ -506,7 +613,9 @@ object Dedup {
       if (!anyPresent(readLshTable(spark, path, "shingles"))) return
       commitLshVersion(spark, path,
         bucketed("shingles"), bucketed("bands"),
-        n, numHashes, bandCount, nBuckets)
+        n, numHashes, bandCount, nBuckets,
+        // a takedown measures no drift; the last reading carries
+        extraParams = carriedLshDrift(params))
     } else {
       if (plan.touched.isEmpty) return // empty id set — nothing to commit
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
@@ -521,7 +630,8 @@ object Dedup {
         n, numHashes, bandCount, nBuckets,
         carry = Map(
           "shingles" -> plan.carryFor("shingles"),
-          "bands" -> plan.carryFor("bands")))
+          "bands" -> plan.carryFor("bands")),
+        extraParams = carriedLshDrift(params))
     }
   }
 
@@ -550,15 +660,27 @@ object Dedup {
     * this stat exists to bound. Compare against the shingles table's
     * distinct doc count if the degenerate fraction itself matters. */
   final case class LshStats(nBandedDocs: Long, nBuckets: Long, maxBucket: Long,
-      medianBucket: Long, skew: Double, hotBuckets: Long, pairVolume: Long)
+      medianBucket: Long, skew: Double, hotBuckets: Long, pairVolume: Long,
+      // the r17 re-crawl drift loop: last measured same-doc version
+      // Jaccard, the banding s90 floor it was judged against, the
+      // alarm state ("ok"/"below-s90") and the last state transition
+      // — None until an upsert has measured one (incl. every legacy
+      // unversioned layout, which has no params to carry them in)
+      driftJaccard: Option[Double] = None,
+      driftFloor: Option[Double] = None,
+      driftAlarm: Option[String] = None,
+      driftBoundary: Option[String] = None)
 
   /** One aggregation pass over the persisted `bands` member table
     * (never the shingles), plus a ≤1-row stats reduce. */
   def lshIndexStats(spark: org.apache.spark.sql.SparkSession, path: String,
       hotThreshold: Long = 64): LshStats = {
     val curDir = currentLshIndexDir(spark, path)
-    val bandCount = VersionedIndex.readParams(spark, curDir)
-      .getOrElse("bands", "16").toLong
+    val params = VersionedIndex.readParams(spark, curDir)
+    val bandCount = params.getOrElse("bands", "16").toLong
+    val (dJ, dF, dA, dB) = (params.get("driftJaccard").map(_.toDouble),
+      params.get("driftFloor").map(_.toDouble),
+      params.get("driftAlarm"), params.get("driftBoundary"))
     val sizes = readLshTable(spark, path, "bands")
       .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
     val r = sizes.agg(
@@ -573,17 +695,23 @@ object Dedup {
       sum(col("n") * (col("n") - 1)).as("pairs2"),
       sum(col("n")).as("rows")).head()
     if (r.getLong(0) == 0L)
-      return LshStats(0L, 0L, 0L, 0L, 1.0, 0L, 0L)
-    val med = math.max(r.getLong(2), 1L)
-    LshStats(
-      // bands rows = banded docs × bands (degenerate docs emit none)
-      nBandedDocs = r.getLong(5) / bandCount,
-      nBuckets = r.getLong(0),
-      maxBucket = r.getLong(1),
-      medianBucket = r.getLong(2),
-      skew = r.getLong(1).toDouble / med,
-      hotBuckets = r.getLong(3),
-      pairVolume = r.getLong(4) / 2)
+      LshStats(0L, 0L, 0L, 0L, 1.0, 0L, 0L,
+        driftJaccard = dJ, driftFloor = dF, driftAlarm = dA,
+        driftBoundary = dB)
+    else {
+      val med = math.max(r.getLong(2), 1L)
+      LshStats(
+        // bands rows = banded docs × bands (degenerate docs emit none)
+        nBandedDocs = r.getLong(5) / bandCount,
+        nBuckets = r.getLong(0),
+        maxBucket = r.getLong(1),
+        medianBucket = r.getLong(2),
+        skew = r.getLong(1).toDouble / med,
+        hotBuckets = r.getLong(3),
+        pairVolume = r.getLong(4) / 2,
+        driftJaccard = dJ, driftFloor = dF, driftAlarm = dA,
+        driftBoundary = dB)
+    }
   }
 
   /** incrementalLshPairs against a persisted index (`writeLshIndex`):

@@ -384,7 +384,10 @@ object Index {
       val s = Dedup.lshIndexStats(spark, path)
       val (cd, cp) = carryOf(spark, path, Seq("shingles", "bands"))
       IndexStats("lsh", s.nBandedDocs, s.nBuckets, s.maxBucket,
-        s.medianBucket, s.skew, cd, cp, emptied = s.nBuckets == 0L)
+        s.medianBucket, s.skew, cd, cp, emptied = s.nBuckets == 0L,
+        // shift rate, same direction as the sketch kind's flip rate
+        // (0 = no drift): 1 − mean same-doc version Jaccard
+        drift = s.driftJaccard.map(1.0 - _))
     } else if (mf.contains("sketch")) {
       val s = Similarity.sketchIndexStats(spark, path)
       IndexStats("sketch", s.nVecs, s.nOccupiedBuckets, s.maxBucket,

@@ -1976,7 +1976,12 @@ object Similarity {
           "15%% sign-sketch cliff — adjacency degrades toward the " +
           "isotropic floor; use the IVF ANN tier (buildIvfIndex + " +
           "ivfSearchIndexed) for candidate generation in this regime")
-      Map("driftFlipRate" -> f"$rate%.6f", "driftPairs" -> n.toString,
+      // Double.toString, NOT an f"%.6f" interpolator: the interpolator
+      // formats under the JVM default locale, and a comma-decimal
+      // locale would persist "0,0714" — unparseable by the next
+      // sketchIndexStats read. toString is locale-independent and
+      // round-trips exactly.
+      Map("driftFlipRate" -> rate.toString, "driftPairs" -> n.toString,
         "driftBand" -> band) ++
         crossed.orElse(params.get("driftBoundary"))
           .map("driftBoundary" -> _)

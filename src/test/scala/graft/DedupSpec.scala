@@ -521,4 +521,59 @@ class DedupSpec extends SparkSuite {
       prior, oldPairs, freshOnly, Seq(100L, 101L).toDF("doc_id"))) ==
       rows(prior) + ((100L, 100L, 2L)) + ((101L, 100L, 2L)))
   }
+
+  test("lsh re-crawl drift: a mutated batch alarms below the banding floor, a faithful one doesn't") {
+    import graft.operators.{Index, VersionedIndex}
+    // the r17 text-tier drift loop (the sketch index's twin, on the
+    // reference's own domain — re-crawled news articles): every
+    // upsert measures the EXACT mean same-doc version Jaccard between
+    // stored and fresh shingle sets, judges it against the banding
+    // curve's 90%-candidate floor, and persists state + transitions
+    // in the version params.
+    val base = Tables.documents(spark, sf0001).limit(120)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("lshdrift").toString + "/i"
+    Dedup.writeLshIndex(base, col("doc_id"), col("text"), dir)
+    val floor = Dedup.bandingS90(16, 4) // default b=16, r=64/16=4
+    assert(math.abs(floor - 0.6051) < 0.001, s"s90=$floor")
+    val s0 = Dedup.lshIndexStats(spark, dir)
+    assert(s0.driftJaccard.isEmpty && s0.driftAlarm.isEmpty)
+    // faithful re-crawl: identical text → Jaccard exactly 1.0, ok
+    Dedup.upsertLshIndex(base, col("doc_id"), col("text"), dir)
+    val s1 = Dedup.lshIndexStats(spark, dir)
+    assert(s1.driftJaccard.contains(1.0) && s1.driftAlarm.contains("ok"), s"$s1")
+    assert(s1.driftFloor.exists(f => math.abs(f - floor) < 1e-12))
+    assert(s1.driftBoundary.isEmpty, "a faithful batch must not transition")
+    assert(Index.stats(spark, dir).drift.contains(0.0))
+    // mutated re-crawl: reversed text shares ~no word trigrams with
+    // the original → version Jaccard ≈ 0 ≪ s90 → the alarm trips and
+    // the transition is recorded
+    Dedup.upsertLshIndex(base.select(col("doc_id"), reverse(col("text")).as("text")),
+      col("doc_id"), col("text"), dir)
+    val s2 = Dedup.lshIndexStats(spark, dir)
+    info(f"mutated re-crawl: J=${s2.driftJaccard.get}%.4f floor=$floor%.4f")
+    assert(s2.driftJaccard.exists(_ < floor), s"$s2")
+    assert(s2.driftAlarm.contains("below-s90"))
+    assert(s2.driftBoundary.contains("ok->below-s90"))
+    assert(Index.stats(spark, dir).drift == s2.driftJaccard.map(1.0 - _))
+    // recovery: the next faithful round (vs the now-stored reversed
+    // text) reads 1.0 again and records the transition back
+    Dedup.upsertLshIndex(base.select(col("doc_id"), reverse(col("text")).as("text")),
+      col("doc_id"), col("text"), dir)
+    val s3 = Dedup.lshIndexStats(spark, dir)
+    assert(s3.driftJaccard.contains(1.0) && s3.driftAlarm.contains("ok"))
+    assert(s3.driftBoundary.contains("below-s90->ok"))
+    // a takedown measures nothing: the reading carries
+    Dedup.deleteFromLshIndex(base.limit(5).select(col("doc_id")), dir)
+    val s4 = Dedup.lshIndexStats(spark, dir)
+    assert(s4.driftJaccard == s3.driftJaccard &&
+      s4.driftAlarm == s3.driftAlarm && s4.driftBoundary == s3.driftBoundary)
+    // an all-new-ids batch has no overlap: the reading carries
+    Dedup.upsertLshIndex(
+      base.select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+      col("doc_id"), col("text"), dir)
+    val s5 = Dedup.lshIndexStats(spark, dir)
+    assert(s5.driftJaccard == s3.driftJaccard &&
+      s5.driftAlarm == s3.driftAlarm && s5.driftBoundary == s3.driftBoundary)
+  }
 }
