@@ -1951,10 +1951,20 @@ object Similarity {
     * the measured state, or the carried prior when the batch has too
     * few overlapping ids to re-band on. */
   private def measureSketchDrift(prior: DataFrame, fresh: DataFrame,
-      nBits: Int, params: Map[String, String], path: String): Map[String, String] = {
+      batchN: Long, nBits: Int, params: Map[String, String],
+      path: String): Map[String, String] = {
+    // DETERMINISTIC id-hash sample when the batch is bulk-sized (a
+    // pure filter — no extra job, and identical across Structured
+    // Streaming replays, so a re-delivered batch commits the same
+    // drift params; a limit() sample would break the sink's
+    // replay-idempotence contract at the params level)
+    val freshCodes = fresh.select(col("vec_id"), col("canon").as("_c1"))
+    val sampled =
+      if (batchN <= DriftSampleIds) freshCodes
+      else freshCodes.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit(DriftSampleIds * 1000000L / batchN))
     val r = prior.select(col("vec_id"), col("canon").as("_c0"))
-      .join(fresh.select(col("vec_id"), col("canon").as("_c1")), "vec_id")
-      .limit(DriftSampleIds)
+      .join(sampled, "vec_id")
       .agg(count(lit(1)).as("n"),
         avg(bit_count(col("_c0").bitwiseXOR(col("_c1")))).as("h"))
       .head()
@@ -2017,7 +2027,8 @@ object Similarity {
     // streaming ingest sink receiving empty micro-batches would grow
     // the version chain for nothing (the delete path's anyPresent
     // contract, mirrored)
-    if (requireUniqueVecIds(newVecs, "upsertSketchIndex") == 0L) return
+    val batchN = requireUniqueVecIds(newVecs, "upsertSketchIndex")
+    if (batchN == 0L) return
     val newIds = newVecs.select(col("vec_id")).distinct()
     val fresh = sketchRows(newVecs, dim, nBits, nBuckets)
     val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
@@ -2025,7 +2036,7 @@ object Similarity {
       extraGate = true, maxVersionChain)
     if (!plan.ok) {
       val drift = measureSketchDrift(rawSketchTable(spark, path),
-        fresh, nBits, params, path)
+        fresh, batchN, nBits, params, path)
       commitSketchVersion(spark, path,
         rawSketchTable(spark, path)
           .join(newIds, Seq("vec_id"), "left_anti")
@@ -2041,7 +2052,7 @@ object Similarity {
       // pruned partitions the rewrite reads anyway
       val drift = measureSketchDrift(
         VersionedIndex.readTable(spark, path, "sketch").filter(inTouched),
-        fresh, nBits, params, path)
+        fresh, batchN, nBits, params, path)
       commitSketchVersion(spark, path,
         VersionedIndex.readTable(spark, path, "sketch")
           .filter(inTouched)
