@@ -515,10 +515,9 @@ object Dedup {
     val spark = newDocs.sparkSession
     val curDir = currentLshIndexDir(spark, path)
     requireLshParams(spark, curDir, n, numHashes, bands)
-    val storedBuckets = VersionedIndex.readParams(spark, curDir)
-      .get("idxBuckets").map(_.toInt)
-    val nBuckets = storedBuckets.getOrElse(idxBuckets)
     val params = VersionedIndex.readParams(spark, curDir)
+    val storedBuckets = params.get("idxBuckets").map(_.toInt)
+    val nBuckets = storedBuckets.getOrElse(idxBuckets)
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val ds = docShingles(newDocs, id, text, n).cache()
     try {

@@ -359,6 +359,17 @@ object Index {
       // exists to keep honest (the LSH branch counts both its member
       // tables for the same reason)
       val (cd, cp) = carryOf(spark, path, Seq("lists", "vec_map", "pq"))
+      // drift for the PQ kind: the codebook-error EWMA's excess over
+      // the build baseline (pqErrRecent/pqErrBuild − 1; 0 = recent
+      // ingest fits the pinned codewords exactly like the build
+      // corpus did) — the signal retrainErrRatio alarms on, in the
+      // same 0-is-healthy direction as the sketch flip rate and the
+      // lsh shift rate. None for plain IVF and for PQ layouts
+      // predating the baseline.
+      val pqDrift = for {
+        b <- params.get("pqErrBuild").map(_.toLong) if b > 0L
+        r <- params.get("pqErrRecent").map(_.toLong)
+      } yield r.toDouble / b - 1.0
       // ONE histogram read feeds both the emptiness decision and the
       // balance stats (re-reading would double poll I/O and let a
       // concurrent commit make the two describe different versions);
@@ -373,12 +384,12 @@ object Index {
         // the moment the last vector is deleted; skew/max/median keep
         // their degenerate values
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, sizes.size.toLong,
-          0L, 0L, 1.0, cd, cp, emptied = true)
+          0L, 0L, 1.0, cd, cp, emptied = true, drift = pqDrift)
       else {
         val d = Similarity.ivfStatsFrom(sizes, Similarity.DefaultIvfSkewThreshold)
         IndexStats(if (isPq) "ivf-pq" else "ivf",
           sizes.values.sum, sizes.size, d.maxSize,
-          d.medianSize, d.skew, cd, cp, emptied = false)
+          d.medianSize, d.skew, cd, cp, emptied = false, drift = pqDrift)
       }
     } else if (mf.contains("shingles") || mf.contains("bands")) {
       val s = Dedup.lshIndexStats(spark, path)

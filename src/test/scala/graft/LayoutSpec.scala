@@ -1212,6 +1212,7 @@ class LayoutSpec extends SparkSuite {
     Similarity.buildIvfIndex(emb, 8, s"$root/ivf")
     val ivf = Index.stats(spark, s"$root/ivf")
     assert(ivf.kind == "ivf" && !ivf.emptied)
+    assert(ivf.drift.isEmpty, "plain IVF has no codebook baseline to drift from")
     assert(ivf.rows == emb.count(), "rows = indexed vectors")
     assert(ivf.partitions > 0 && ivf.partitions <= 8, "partitions = occupied lists")
     // one common-core judgment reads identically for every kind below
@@ -1254,10 +1255,15 @@ class LayoutSpec extends SparkSuite {
     Similarity.buildIvfPqIndex(emb, 8, s"$root/pq")
     val pq = Index.stats(spark, s"$root/pq")
     assert(pq.kind == "ivf-pq" && pq.rows == emb.count()); sane(pq)
+    // drift for the PQ kind = codebook-error EWMA excess over build
+    // (pqErrRecent/pqErrBuild - 1): exactly 0.0 at build, in the same
+    // 0-is-healthy direction as the sketch/lsh kinds' rates
+    assert(pq.drift.contains(0.0))
 
     Dedup.writeLshIndex(docs, col("doc_id"), col("text"), s"$root/lsh")
     val lsh = Index.stats(spark, s"$root/lsh")
     assert(lsh.kind == "lsh" && !lsh.emptied); sane(lsh)
+    assert(lsh.drift.isEmpty, "no re-crawl measured yet")
     val lshDetail = Dedup.lshIndexStats(spark, s"$root/lsh")
     assert(lsh.rows == lshDetail.nBandedDocs &&
       lsh.partitions == lshDetail.nBuckets && lsh.skew == lshDetail.skew)
@@ -1288,6 +1294,9 @@ class LayoutSpec extends SparkSuite {
     assert(sk1.carryDepth == 1 && sk1.carriedParts > 0,
       "untouched buckets stay carried at the previous version")
     assert(sk1.rows == sk0.rows + 1)
+    assert(sk0.drift.isEmpty && sk1.drift.isEmpty,
+      "an all-new-ids upsert measures no drift (populated arms are " +
+        "pinned by the SimilaritySpec/DedupSpec drift-loop tests)")
 
     Dedup.writeClusterState(Dedup.dupClusters(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")),
