@@ -590,12 +590,41 @@ object ScaleProbe {
     * measurements ran 48g); the probe sizes are the operator's call
     * via SPARK_GRAFT_GROW_FACTORS (default 50,100,150 =
     * 5M/10M/15M pairs, bracketing the NVMe crossover). */
+  /** Cold-IO support for the crossover probe
+    * (SPARK_GRAFT_XOVER_COLD=1): sync + drop the OS page cache before
+    * every timed trigger, so every READ in both routes pays real
+    * device IO. What it can and cannot emulate, measured (SCALE.md
+    * r17): the READ side goes cold, but parquet WRITES still land in
+    * the page cache asynchronously — no local-filesystem trick makes
+    * the whole-write route pay its write bandwidth synchronously, so
+    * a local cold run still understates the whole write relative to
+    * a real cluster, where the output commit (object-store upload /
+    * rename) IS synchronous. For the write-bound regime, point the
+    * probe's stateRoot at the deployment's REAL storage mount — that
+    * is the probe's design, the cold flag only removes the read-side
+    * page-cache subsidy. Requires root (/proc/sys/vm/drop_caches)
+    * and fails LOUDLY when the flag is set but the drop is
+    * unavailable — silently measuring warm would hand the operator
+    * page-cache numbers labeled cold. */
+  private def dropCaches(): Unit =
+    try {
+      Runtime.getRuntime.exec(Array("sync")).waitFor()
+      val w = new java.io.FileOutputStream("/proc/sys/vm/drop_caches")
+      try w.write('3'.toInt) finally w.close()
+    } catch {
+      case e: Exception => sys.error(
+        "SPARK_GRAFT_XOVER_COLD=1 but dropping the page cache failed " +
+          s"($e) — needs root on the probe host; unset the flag to " +
+          "measure the warm regime instead")
+    }
+
   def commitCrossoverTier(spark: SparkSession, srcDir: String,
       stateRoot: String, factors: Seq[Int], runs: Int): Unit = {
     import graft.operators.Similarity
     import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
     require(factors == factors.sorted,
       s"commit-crossover factors must be increasing, got $factors")
+    val cold = sys.env.get("SPARK_GRAFT_XOVER_COLD").contains("1")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val corpus = emb.filter(col("vec_id") >= 200)
@@ -617,6 +646,7 @@ object ScaleProbe {
         def timeTrig(gate: Long): Double = {
           trigger(gate) // warm: pairs enter; upgrade (partial) after
           (1 to runs).map { _ =>
+            if (cold) dropCaches()
             val t0 = System.nanoTime(); trigger(gate)
             (System.nanoTime() - t0) / 1e9
           }.min
@@ -625,7 +655,8 @@ object ScaleProbe {
         val tPartial = timeTrig(0L)
         System.err.println(
           f"[probe] commit-crossover ${basePairs * g}%9d pairs  " +
-            f"whole $tWhole%7.2f s  partial $tPartial%7.2f s")
+            f"whole $tWhole%7.2f s  partial $tPartial%7.2f s" +
+            (if (cold) "  (cold IO)" else ""))
         (basePairs * g, tWhole, tPartial)
       }
       val rec = crossoverRecommendation(rows)
@@ -643,7 +674,7 @@ object ScaleProbe {
         f"""{"pairs":$p,"whole":$w%.3f,"partial":$q%.3f}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"scaleprobe","tier":"commit_crossover",""" +
-        s""""runs":$runs,"stateRoot":"$stateRoot","rows":$rowsJson,""" +
+        s""""runs":$runs,"cold":$cold,"stateRoot":"$stateRoot","rows":$rowsJson,""" +
         s""""recommendedPartialMinPairs":${rec.map(_.toString).getOrElse("null")}}""")
     } finally {
       releaseLocalCheckpoint(batch)
