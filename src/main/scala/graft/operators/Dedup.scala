@@ -421,7 +421,11 @@ object Dedup {
       batchDocs: Long, bandCount: Int, rowsPerBand: Int,
       params: Map[String, String], path: String): Map[String, String] = {
     // deterministic id-hash sample when the batch is bulk-sized: a
-    // pure filter, no extra count job, stable across replays
+    // pure filter, no extra count job. The reading is a pure function
+    // of (batch, index state); a crash-replay whose prior attempt
+    // already committed re-measures the batch against its own rows
+    // and reads J=1 — a conservative quiet reading, self-correcting
+    // at the next real re-crawl (the sketch drift probe's contract).
     val fresh0 = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val fresh =
       if (batchDocs <= LshDriftSampleDocs) fresh0

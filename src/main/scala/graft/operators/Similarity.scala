@@ -1954,10 +1954,14 @@ object Similarity {
       batchN: Long, nBits: Int, params: Map[String, String],
       path: String): Map[String, String] = {
     // DETERMINISTIC id-hash sample when the batch is bulk-sized (a
-    // pure filter — no extra job, and identical across Structured
-    // Streaming replays, so a re-delivered batch commits the same
-    // drift params; a limit() sample would break the sink's
-    // replay-idempotence contract at the params level)
+    // pure filter — no extra job; a limit() sample would make the
+    // measurement depend on task scheduling). The reading is a pure
+    // function of (batch, index state). Replay note: a crash-replay
+    // whose previous attempt already COMMITTED the upsert re-measures
+    // the batch against its own rows and reads quiet (0 flips) —
+    // indistinguishable from a genuinely quiet re-delivery, a
+    // conservative reading that self-corrects at the next real
+    // re-embed; index CONTENT replay-idempotence is unaffected.
     val freshCodes = fresh.select(col("vec_id"), col("canon").as("_c1"))
     val sampled =
       if (batchN <= DriftSampleIds) freshCodes
