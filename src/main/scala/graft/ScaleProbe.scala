@@ -468,18 +468,7 @@ object ScaleProbe {
       // crossover rows in SCALE.md r16 ran GROW_FACTORS=100,150,
       // which also need SPARK_DRIVER_MEM=48g (a 15M-edge bootstrap
       // closure OOMs the default 8g heap).
-      val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
-        .map { v =>
-          // tolerate trailing commas; an explicitly SET empty value
-          // fails loudly — silently running the default ladder would
-          // hand the operator sub-crossover numbers labeled as their
-          // requested crossover run (the jitters knob's contract)
-          val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
-            .map(_.toInt).toSeq
-          require(parsed.nonEmpty,
-            s"SPARK_GRAFT_GROW_FACTORS is set but holds no factors: '$v'")
-          parsed
-        }.getOrElse(Seq(1, 10, 20, 50))
+      val factors = parseGrowFactors(Seq(1, 10, 20, 50))
       factors.flatMap { g =>
         val st = s"$root/st$g"
         buildSynthState(spark, basePairs * g, st)
@@ -535,6 +524,20 @@ object ScaleProbe {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  /** SPARK_GRAFT_GROW_FACTORS, parsed once for both tiers that take
+    * a state-size ladder (growing-graph, commit-crossover).
+    * Tolerates trailing commas; an explicitly SET empty value fails
+    * loudly — silently running a default ladder would hand the
+    * operator default numbers labeled as their requested run. */
+  private def parseGrowFactors(default: Seq[Int]): Seq[Int] =
+    sys.env.get("SPARK_GRAFT_GROW_FACTORS").map { v =>
+      val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toSeq
+      require(parsed.nonEmpty,
+        s"SPARK_GRAFT_GROW_FACTORS is set but holds no factors: '$v'")
+      parsed
+    }.getOrElse(default)
 
   /** Synthetic settled cluster state: `pairs` edges as 4-node chains
     * (3 edges each) over an id space disjoint from the corpus and
@@ -834,15 +837,8 @@ object ScaleProbe {
       // positional arg 2 (the growing-graph tier's workDir slot) is
       // the STORAGE PATH being probed — the crossover is a property
       // of that path's IO, which is the whole point of the probe
-      val factors = sys.env.get("SPARK_GRAFT_GROW_FACTORS")
-        .map { v =>
-          val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
-            .map(_.toInt).toSeq
-          require(parsed.nonEmpty,
-            s"SPARK_GRAFT_GROW_FACTORS is set but holds no factors: '$v'")
-          parsed
-        }.getOrElse(Seq(50, 100, 150))
-      commitCrossoverTier(spark, srcDir, workDir, factors, runs)
+      commitCrossoverTier(spark, srcDir, workDir,
+        parseGrowFactors(Seq(50, 100, 150)), runs)
       spark.stop()
       return
     }

@@ -373,10 +373,12 @@ object Dedup {
       clusterBy = Map("shingles" -> Seq("doc_id"),
         "bands" -> Seq("band", "band_hash")))
 
-  /** Per-upsert re-crawl drift sample cap (docs) — the text tier's
-    * parallel of the sketch index's DriftSampleIds: the shingle join
-    * scales with docs × shingles-per-doc, so a bulk re-ingest probes
-    * a deterministic id-hash sample instead of the whole batch. */
+  /** Per-upsert re-crawl drift sample cap (docs): unlike the sketch
+    * probe (two longs per row — measured whole), the shingle
+    * tagged-union scales with docs × shingles-per-doc, so a bulk
+    * re-crawl measures a deterministic id-hash sample OF THE OVERLAP
+    * (never a batch-proportional fraction, which would starve the
+    * measurement on mixed bulk ingest). */
   private[graft] val LshDriftSampleDocs = 1024L
   /** Below this many overlapping docs the measured version-Jaccard is
     * too noisy to alarm on — the prior drift state carries. */
@@ -418,25 +420,35 @@ object Dedup {
     * drop out of the mean (no rows in the member — 0/0 is not a
     * measurement). */
   private def measureLshDrift(priorShingles: DataFrame, ds: DataFrame,
-      batchDocs: Long, bandCount: Int, rowsPerBand: Int,
+      bandCount: Int, rowsPerBand: Int,
       params: Map[String, String], path: String): Map[String, String] = {
-    // deterministic id-hash sample when the batch is bulk-sized: a
-    // pure filter, no extra count job. The reading is a pure function
-    // of (batch, index state); a crash-replay whose prior attempt
-    // already committed re-measures the batch against its own rows
-    // and reads J=1 — a conservative quiet reading, self-correcting
-    // at the next real re-crawl (the sketch drift probe's contract).
-    val fresh0 = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val fresh =
-      if (batchDocs <= LshDriftSampleDocs) fresh0
-      else fresh0.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-        lit(LshDriftSampleDocs * 1000000L / batchDocs))
+    // The sample is drawn from the OVERLAP (batch ids the index
+    // holds), NOT batch-proportionally: mixed bulk ingest (say 200k
+    // new docs carrying 2k re-crawls) under a batch-scaled fraction
+    // would keep ~10 overlapping docs — permanently under the noise
+    // floor, carrying stale drift while the regime moved, the exact
+    // silent class the loop exists to catch. Pricing: one narrow
+    // overlap count over the CACHED pruned prior + the batch's
+    // per-doc rows, then the shingle tagged-union over at most
+    // ~LshDriftSampleDocs docs (deterministic id-hash sample, so the
+    // reading is a pure function of (batch, index state)).
+    val overlapIds = ds.select(col("doc_id"))
+      .join(priorShingles.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val oc = overlapIds.count()
+    if (oc < LshDriftMinDocs) carriedLshDrift(params)
+    else {
+    val sampleIds =
+      if (oc <= LshDriftSampleDocs) overlapIds
+      else overlapIds.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+        lit(LshDriftSampleDocs * 1000000L / oc))
     val tagged = priorShingles
-        .join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .join(sampleIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("shingle"), lit(1).as("o"), lit(0).as("nw"))
-      .unionByName(fresh
-        .join(priorShingles.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("shingle"), lit(0).as("o"), lit(1).as("nw")))
+      .unionByName(ds
+        .join(sampleIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"),
+          lit(0).as("o"), lit(1).as("nw")))
     val r = tagged
       .groupBy(col("doc_id"), col("shingle"))
       .agg(max(col("o")).as("o"), max(col("nw")).as("nw"))
@@ -447,6 +459,16 @@ object Dedup {
       .head()
     val nd = r.getLong(1)
     if (nd < LshDriftMinDocs) carriedLshDrift(params)
+    else if (r.getDouble(0) == 1.0)
+      // ZERO EVIDENCE carries: every sampled re-crawl was
+      // shingle-identical — no regime information, and recording
+      // J=1.0 would clear a genuine below-s90 alarm with a phantom
+      // "below-s90->ok" transition on exactly the reading a
+      // crash-replay of an already-committed upsert produces (the
+      // batch against its own stored shingles). The carry makes the
+      // persisted alarm state replay-idempotent (the sketch drift
+      // probe's contract).
+      carriedLshDrift(params)
     else {
       val j = r.getDouble(0)
       val floor = bandingS90(bandCount, rowsPerBand)
@@ -467,6 +489,7 @@ object Dedup {
         "driftFloor" -> floor.toString, "driftAlarm" -> state) ++
         crossed.orElse(params.get("driftBoundary"))
           .map("driftBoundary" -> _)
+    }
     }
   }
 
@@ -525,7 +548,7 @@ object Dedup {
     val newIds = newDocs.select(id.as("doc_id")).distinct()
     val ds = docShingles(newDocs, id, text, n).cache()
     try {
-      val batchDocs = requireUniqueDocIds(ds, "upsertLshIndex")
+      requireUniqueDocIds(ds, "upsertLshIndex")
       val shNew = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
       val bandsNew = bandedFromDocShingles(ds, numHashes, bands)
@@ -538,42 +561,52 @@ object Dedup {
         Seq("shingles", "bands"),
         newIds.select(idxBucketCol(col("doc_id"), nBuckets).as("b")),
         extraGate = storedBuckets.isDefined, maxVersionChain)
+      // the prior shingle rows have THREE consumers (the drift
+      // probe's overlap count, its tagged-union, and the commit's
+      // anti-join) — cached across the jobs instead of re-scanning
+      // the (pruned) partitions each time
       if (!plan.ok) {
         // full rewrite: legacy/unbucketed index, or compaction point
-        val drift = measureLshDrift(readLshTable(spark, path, "shingles"),
-          ds, batchDocs, bands, numHashes / bands, params, path)
-        commitLshVersion(spark, path,
-          readLshTable(spark, path, "shingles")
-            .join(newIds, Seq("doc_id"), "left_anti")
-            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-            .unionByName(shNew),
-          readLshTable(spark, path, "bands")
-            .join(newIds, Seq("doc_id"), "left_anti")
-            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-            .unionByName(bandsNew),
-          n, numHashes, bands, nBuckets, extraParams = drift)
+        val priorSh = readLshTable(spark, path, "shingles").cache()
+        try {
+          val drift = measureLshDrift(priorSh,
+            ds, bands, numHashes / bands, params, path)
+          commitLshVersion(spark, path,
+            priorSh
+              .join(newIds, Seq("doc_id"), "left_anti")
+              .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+              .unionByName(shNew),
+            readLshTable(spark, path, "bands")
+              .join(newIds, Seq("doc_id"), "left_anti")
+              .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+              .unionByName(bandsNew),
+            n, numHashes, bands, nBuckets, extraParams = drift)
+        } finally priorSh.unpersist()
       } else {
         if (plan.touched.isEmpty) return // empty batch — nothing to commit
         val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
         // every re-ingested id hashes into a touched bucket, so the
         // drift probe's prior side reads only the pruned partitions
         // the rewrite reads anyway (the sketch drift probe's move)
-        val drift = measureLshDrift(
-          VersionedIndex.readTable(spark, path, "shingles")
-            .filter(inTouched).drop("idx_bucket"),
-          ds, batchDocs, bands, numHashes / bands, params, path)
-        def rewrite(table: String, fresh: DataFrame): DataFrame =
-          VersionedIndex.readTable(spark, path, table)
-            .filter(inTouched)
-            .join(newIds, Seq("doc_id"), "left_anti")
-            .unionByName(fresh)
-        commitLshVersion(spark, path,
-          rewrite("shingles", shNew), rewrite("bands", bandsNew),
-          n, numHashes, bands, nBuckets,
-          carry = Map(
-            "shingles" -> plan.carryFor("shingles"),
-            "bands" -> plan.carryFor("bands")),
-          extraParams = drift)
+        val priorSh = VersionedIndex.readTable(spark, path, "shingles")
+          .filter(inTouched).cache()
+        try {
+          val drift = measureLshDrift(priorSh.drop("idx_bucket"),
+            ds, bands, numHashes / bands, params, path)
+          commitLshVersion(spark, path,
+            priorSh
+              .join(newIds, Seq("doc_id"), "left_anti")
+              .unionByName(shNew),
+            VersionedIndex.readTable(spark, path, "bands")
+              .filter(inTouched)
+              .join(newIds, Seq("doc_id"), "left_anti")
+              .unionByName(bandsNew),
+            n, numHashes, bands, nBuckets,
+            carry = Map(
+              "shingles" -> plan.carryFor("shingles"),
+              "bands" -> plan.carryFor("bands")),
+            extraParams = drift)
+        } finally priorSh.unpersist()
       }
     } finally ds.unpersist()
   }

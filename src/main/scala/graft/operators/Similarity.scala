@@ -1783,11 +1783,6 @@ object Similarity {
     else if (flipRate < 0.15) "T12/w32"
     else "ivf"
 
-  /** Per-upsert drift sample cap: a few thousand (prior, fresh) code
-    * pairs pin a flip rate to well under a point
-    * ([[estimateFlipRate]]'s contract), so a giant re-embed batch
-    * never pays a batch-sized drift aggregation. */
-  private[graft] val DriftSampleIds = 4096
   /** Below this many overlapping ids a batch's measured rate is too
     * noisy to re-band on (±1 flipped code among 8 pairs moves the
     * rate by ~half a band) — the prior drift state carries instead. */
@@ -1815,13 +1810,18 @@ object Similarity {
   def recommendSketch(flipRate: Double): SketchSizing = {
     require(flipRate >= 0.0 && flipRate <= 1.0,
       s"flipRate is a fraction of bits, got $flipRate")
-    require(flipRate < 0.15,
-      f"at ${flipRate}%.3f per-bit flips sign-sketch adjacency " +
-        "degrades toward the isotropic floor — use the IVF ANN tier " +
-        "(buildIvfIndex + ivfSearchIndexed) for candidates instead")
-    if (flipRate < 0.03) SketchSizing(4, 16)
-    else if (flipRate < 0.10) SketchSizing(8, 32)
-    else SketchSizing(12, 32)
+    // band edges live ONLY in sizingBand — the drift monitor and the
+    // sizing lookup must never disagree about where a boundary sits
+    // (a re-measured sweep edits one definition, not two)
+    sizingBand(flipRate) match {
+      case "T4/w16" => SketchSizing(4, 16)
+      case "T8/w32" => SketchSizing(8, 32)
+      case "T12/w32" => SketchSizing(12, 32)
+      case _ => throw new IllegalArgumentException(
+        f"at ${flipRate}%.3f per-bit flips sign-sketch adjacency " +
+          "degrades toward the isotropic floor — use the IVF ANN tier " +
+          "(buildIvfIndex + ivfSearchIndexed) for candidates instead")
+    }
   }
 
   /** Deterministic 1-based global rank of each (t, code, vec_id) row
@@ -1939,7 +1939,7 @@ object Similarity {
     * codes and the batch's fresh codes for those ids is ONE narrow
     * join away — both sides' canonical codes already exist (the index
     * stores `canon`; the upsert computes the batch's), so the probe
-    * is a sampled join + one aggregation with NO extra kernel pass.
+    * is one overlap join + one aggregation with NO extra kernel pass.
     * The rate is [[estimateFlipRate]]'s definition on the stored
     * codes, mapped to [[sizingBand]]; a band CHANGE against the
     * previously persisted band is the regime-drift event the
@@ -1949,33 +1949,41 @@ object Similarity {
     * `driftBoundary` ("T8/w32->T12/w32"), carried until the next
     * crossing replaces it. Returns the `drift*` params to persist:
     * the measured state, or the carried prior when the batch has too
-    * few overlapping ids to re-band on. */
+    * few overlapping ids to re-band on OR the overlap is
+    * code-identical (zero regime evidence — see the carry note in
+    * the body; this is also what makes a crash-replay of an
+    * already-committed upsert params-idempotent). */
   private def measureSketchDrift(prior: DataFrame, fresh: DataFrame,
-      batchN: Long, nBits: Int, params: Map[String, String],
+      nBits: Int, params: Map[String, String],
       path: String): Map[String, String] = {
-    // DETERMINISTIC id-hash sample when the batch is bulk-sized (a
-    // pure filter — no extra job; a limit() sample would make the
-    // measurement depend on task scheduling). The reading is a pure
-    // function of (batch, index state). Replay note: a crash-replay
-    // whose previous attempt already COMMITTED the upsert re-measures
-    // the batch against its own rows and reads quiet (0 flips) —
-    // indistinguishable from a genuinely quiet re-delivery, a
-    // conservative reading that self-corrects at the next real
-    // re-embed; index CONTENT replay-idempotence is unaffected.
-    val freshCodes = fresh.select(col("vec_id"), col("canon").as("_c1"))
-    val sampled =
-      if (batchN <= DriftSampleIds) freshCodes
-      else freshCodes.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
-        lit(DriftSampleIds * 1000000L / batchN))
+    // The FULL overlap is measured — no sampling: the probe join has
+    // the same O(touched ⋈ batch) shape as the commit's own
+    // anti-join, its columns are two longs, and the aggregation over
+    // the joined rows is free relative to the reads — while a
+    // batch-proportional sample would silently STARVE the
+    // measurement on mixed bulk ingest (200k new ids + 2k re-embeds
+    // would sample ~10 overlap pairs, under the noise floor, forever
+    // carrying stale drift). The reading is a pure function of
+    // (batch, index state).
     val r = prior.select(col("vec_id"), col("canon").as("_c0"))
-      .join(sampled, "vec_id")
+      .join(fresh.select(col("vec_id"), col("canon").as("_c1")), "vec_id")
       .agg(count(lit(1)).as("n"),
-        avg(bit_count(col("_c0").bitwiseXOR(col("_c1")))).as("h"))
+        sum(bit_count(col("_c0").bitwiseXOR(col("_c1")))).as("flips"))
       .head()
     val n = r.getLong(0)
     if (n < DriftMinPairs) carriedDrift(params)
+    else if (r.getLong(1) == 0L)
+      // ZERO EVIDENCE carries: every measured re-embed was
+      // code-identical, so the batch re-embedded nothing in a regime
+      // sense — recording 0.0 would erase the last real reading and
+      // log a phantom downward band crossing. This is also exactly
+      // what a crash-replay of an already-committed upsert measures
+      // (the batch against its own rows), so the carry makes the
+      // persisted drift state replay-idempotent, not just the index
+      // content.
+      carriedDrift(params)
     else {
-      val rate = r.getDouble(1) / nBits
+      val rate = r.getLong(1).toDouble / (n * nBits)
       val band = sizingBand(rate)
       val prevBand = params.get("driftBand")
       val crossed = prevBand.filter(_ != band).map(pb => s"$pb->$band")
@@ -2012,10 +2020,10 @@ object Similarity {
     * embedding-regime drift against the prior codes of its
     * re-embedded ids ([[measureSketchDrift]]) and persists it in the
     * version params — `Index.stats`/[[sketchIndexStats]] surface it,
-    * and a sizing-band crossing logs loudly. Probe cost: one sampled
-    * narrow join over the partition-pruned prior (vec_id, canon)
-    * projection — the embedding column stays unread — plus one
-    * re-execution of the batch-sized code kernel. */
+    * and a sizing-band crossing logs loudly. Probe cost: one narrow
+    * overlap join over the (cached) partition-pruned prior rows the
+    * commit reads anyway, plus one re-execution of the batch-sized
+    * code kernel. */
   def upsertSketchIndex(newVecs: DataFrame, path: String,
       maxVersionChain: Int = 8): Unit = {
     val spark = newVecs.sparkSession
@@ -2031,40 +2039,46 @@ object Similarity {
     // streaming ingest sink receiving empty micro-batches would grow
     // the version chain for nothing (the delete path's anyPresent
     // contract, mirrored)
-    val batchN = requireUniqueVecIds(newVecs, "upsertSketchIndex")
-    if (batchN == 0L) return
+    if (requireUniqueVecIds(newVecs, "upsertSketchIndex") == 0L) return
     val newIds = newVecs.select(col("vec_id")).distinct()
     val fresh = sketchRows(newVecs, dim, nBits, nBuckets)
     val plan = VersionedIndex.planPartialRewrite(spark, path, Seq("sketch"),
       newIds.select(sketchBucketCol(col("vec_id"), nBuckets).as("b")),
       extraGate = true, maxVersionChain)
+    // the prior rows have TWO consumers per branch — the drift probe
+    // and the commit's anti-join — so they are cached across the two
+    // jobs instead of scanning the (pruned) partitions twice per
+    // trigger on the streaming hot path
     if (!plan.ok) {
-      val drift = measureSketchDrift(rawSketchTable(spark, path),
-        fresh, batchN, nBits, params, path)
-      commitSketchVersion(spark, path,
-        rawSketchTable(spark, path)
-          .join(newIds, Seq("vec_id"), "left_anti")
-          .drop("idx_bucket")
-          .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
-          .unionByName(fresh),
-        dim, nBits, nBuckets, extraParams = drift)
+      val prior = rawSketchTable(spark, path).cache()
+      try {
+        val drift = measureSketchDrift(prior, fresh, nBits, params, path)
+        commitSketchVersion(spark, path,
+          prior
+            .join(newIds, Seq("vec_id"), "left_anti")
+            .drop("idx_bucket")
+            .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets))
+            .unionByName(fresh),
+          dim, nBits, nBuckets, extraParams = drift)
+      } finally prior.unpersist()
     } else {
       if (plan.touched.isEmpty) return
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
       // every re-embedded id hashes into a touched bucket by
       // construction, so the drift probe's prior side reads only the
       // pruned partitions the rewrite reads anyway
-      val drift = measureSketchDrift(
-        VersionedIndex.readTable(spark, path, "sketch").filter(inTouched),
-        fresh, batchN, nBits, params, path)
-      commitSketchVersion(spark, path,
-        VersionedIndex.readTable(spark, path, "sketch")
-          .filter(inTouched)
-          .join(newIds, Seq("vec_id"), "left_anti")
-          .unionByName(fresh),
-        dim, nBits, nBuckets,
-        carry = Map("sketch" -> plan.carryFor("sketch")),
-        extraParams = drift)
+      val prior = VersionedIndex.readTable(spark, path, "sketch")
+        .filter(inTouched).cache()
+      try {
+        val drift = measureSketchDrift(prior, fresh, nBits, params, path)
+        commitSketchVersion(spark, path,
+          prior
+            .join(newIds, Seq("vec_id"), "left_anti")
+            .unionByName(fresh),
+          dim, nBits, nBuckets,
+          carry = Map("sketch" -> plan.carryFor("sketch")),
+          extraParams = drift)
+      } finally prior.unpersist()
     }
   }
 

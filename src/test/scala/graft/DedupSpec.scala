@@ -538,16 +538,30 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(floor - 0.6051) < 0.001, s"s90=$floor")
     val s0 = Dedup.lshIndexStats(spark, dir)
     assert(s0.driftJaccard.isEmpty && s0.driftAlarm.isEmpty)
-    // faithful re-crawl: identical text → Jaccard exactly 1.0, ok
+    // BYTE-IDENTICAL re-crawl: shingle-identical versions are zero
+    // regime evidence — the reading carries (stays unmeasured), which
+    // is also exactly what a crash-replay of an already-committed
+    // upsert measures, making the persisted alarm state
+    // replay-idempotent
     Dedup.upsertLshIndex(base, col("doc_id"), col("text"), dir)
     val s1 = Dedup.lshIndexStats(spark, dir)
-    assert(s1.driftJaccard.contains(1.0) && s1.driftAlarm.contains("ok"), s"$s1")
-    assert(s1.driftFloor.exists(f => math.abs(f - floor) < 1e-12))
-    assert(s1.driftBoundary.isEmpty, "a faithful batch must not transition")
-    assert(Index.stats(spark, dir).drift.contains(0.0))
+    assert(s1.driftJaccard.isEmpty && s1.driftAlarm.isEmpty &&
+      s1.driftBoundary.isEmpty, s"identical batch must carry, read $s1")
+    // LIGHT re-crawl (one appended token): a real measurement, high
+    // Jaccard, state "ok", no transition to record yet
+    Dedup.upsertLshIndex(
+      base.select(col("doc_id"),
+        concat(col("text"), lit(" graftdriftmarker")).as("text")),
+      col("doc_id"), col("text"), dir)
+    val sOk = Dedup.lshIndexStats(spark, dir)
+    info(f"light re-crawl: J=${sOk.driftJaccard.get}%.4f floor=$floor%.4f")
+    assert(sOk.driftJaccard.exists(j => j < 1.0 && j > floor), s"$sOk")
+    assert(sOk.driftAlarm.contains("ok") && sOk.driftBoundary.isEmpty)
+    assert(sOk.driftFloor.exists(f => math.abs(f - floor) < 1e-12))
+    assert(Index.stats(spark, dir).drift == sOk.driftJaccard.map(1.0 - _))
     // mutated re-crawl: reversed text shares ~no word trigrams with
-    // the original → version Jaccard ≈ 0 ≪ s90 → the alarm trips and
-    // the transition is recorded
+    // the stored version → Jaccard ≈ 0 ≪ s90 → the alarm trips and
+    // the ok->below-s90 transition is recorded
     Dedup.upsertLshIndex(base.select(col("doc_id"), reverse(col("text")).as("text")),
       col("doc_id"), col("text"), dir)
     val s2 = Dedup.lshIndexStats(spark, dir)
@@ -555,13 +569,25 @@ class DedupSpec extends SparkSuite {
     assert(s2.driftJaccard.exists(_ < floor), s"$s2")
     assert(s2.driftAlarm.contains("below-s90"))
     assert(s2.driftBoundary.contains("ok->below-s90"))
-    assert(Index.stats(spark, dir).drift == s2.driftJaccard.map(1.0 - _))
-    // recovery: the next faithful round (vs the now-stored reversed
-    // text) reads 1.0 again and records the transition back
+    // CRASH-REPLAY pin: redelivering the committed reversed batch
+    // reads J=1 against its own stored shingles — zero evidence, the
+    // alarm must NOT clear with a phantom below-s90->ok transition
     Dedup.upsertLshIndex(base.select(col("doc_id"), reverse(col("text")).as("text")),
       col("doc_id"), col("text"), dir)
+    val sRep = Dedup.lshIndexStats(spark, dir)
+    assert(sRep.driftJaccard == s2.driftJaccard &&
+      sRep.driftAlarm.contains("below-s90") &&
+      sRep.driftBoundary == s2.driftBoundary,
+      s"replay must carry the alarmed reading, got $sRep")
+    // recovery: a REAL light re-crawl of the stored (reversed) text
+    // measures high again and records the transition back
+    Dedup.upsertLshIndex(
+      base.select(col("doc_id"),
+        concat(reverse(col("text")), lit(" graftm2")).as("text")),
+      col("doc_id"), col("text"), dir)
     val s3 = Dedup.lshIndexStats(spark, dir)
-    assert(s3.driftJaccard.contains(1.0) && s3.driftAlarm.contains("ok"))
+    assert(s3.driftJaccard.exists(j => j < 1.0 && j > floor) &&
+      s3.driftAlarm.contains("ok"))
     assert(s3.driftBoundary.contains("below-s90->ok"))
     // a takedown measures nothing: the reading carries
     Dedup.deleteFromLshIndex(base.limit(5).select(col("doc_id")), dir)

@@ -716,22 +716,25 @@ class SimilaritySpec extends SparkSuite {
     assert(s0.driftFlipRate.isEmpty && s0.driftBand.isEmpty &&
       s0.driftBoundary.isEmpty)
     assert(Index.stats(spark, dir).drift.isEmpty)
-    // QUIET batch: identical re-embeds → rate exactly 0.0, default
-    // band, and no boundary signal (nothing to cross from)
+    // QUIET batch: code-identical re-embeds are ZERO regime evidence
+    // — the reading carries (here: stays unmeasured) instead of
+    // recording 0.0, which is also exactly what a crash-replay of an
+    // already-committed upsert measures (the batch against its own
+    // rows), so the persisted drift state is replay-idempotent
     Similarity.upsertSketchIndex(base, dir)
     val s1 = Similarity.sketchIndexStats(spark, dir)
-    assert(s1.driftFlipRate.contains(0.0) && s1.driftBand.contains("T4/w16"),
-      s"quiet batch read $s1")
-    assert(s1.driftBoundary.isEmpty, "a quiet batch must not trip a boundary")
-    assert(Index.stats(spark, dir).drift.contains(0.0))
-    // mid-noise re-embed (±0.05 ≈ 6.9% flips): band moves to T8/w32
-    // and the crossing is recorded
+    assert(s1.driftFlipRate.isEmpty && s1.driftBand.isEmpty &&
+      s1.driftBoundary.isEmpty, s"quiet batch must carry, read $s1")
+    assert(Index.stats(spark, dir).drift.isEmpty)
+    // mid-noise re-embed (±0.05 ≈ 6.9% flips): the FIRST measurement
+    // — band recorded, no boundary (nothing measured to cross from)
     Similarity.upsertSketchIndex(jittered(50), dir)
     val s2 = Similarity.sketchIndexStats(spark, dir)
     info(f"jitter=50 drift: rate=${s2.driftFlipRate.get}%.4f band=${s2.driftBand.get}")
     assert(s2.driftFlipRate.exists(r => r > 0.03 && r < 0.10), s"$s2")
     assert(s2.driftBand.contains("T8/w32"))
-    assert(s2.driftBoundary.contains("T4/w16->T8/w32"))
+    assert(s2.driftBoundary.isEmpty,
+      "the first measured band has no prior band to cross from")
     // band-regime re-embed: the index now holds the ±0.05 versions,
     // the batch carries ±0.15 of the SAME deterministic jitter
     // pattern — difference amplitude ±0.10 ≈ 13% flips — so THE
@@ -747,6 +750,16 @@ class SimilaritySpec extends SparkSuite {
     // look up (the loop is closed: measure → band → recommendSketch)
     assert(Similarity.recommendSketch(s3.driftFlipRate.get) ==
       Similarity.SketchSizing(12, 32))
+    // CRASH-REPLAY pin: redelivering the already-committed batch
+    // re-measures it against its own rows (zero flips = zero
+    // evidence) — the T12 reading and its boundary must survive, not
+    // collapse to a phantom "T12/w32->T4/w16" crossing
+    Similarity.upsertSketchIndex(jittered(150), dir)
+    val sReplay = Similarity.sketchIndexStats(spark, dir)
+    assert(sReplay.driftFlipRate == s3.driftFlipRate &&
+      sReplay.driftBand == s3.driftBand &&
+      sReplay.driftBoundary == s3.driftBoundary,
+      s"replay must carry the reading, got $sReplay")
     // a takedown measures nothing: the last regime reading CARRIES
     Similarity.deleteFromSketchIndex(base.limit(5).select(col("vec_id")), dir)
     val s4 = Similarity.sketchIndexStats(spark, dir)
