@@ -419,7 +419,8 @@ object Dedup {
     * horizon). Docs whose either version has an empty shingle set
     * drop out of the mean (no rows in the member — 0/0 is not a
     * measurement). */
-  private def measureLshDrift(priorShingles: DataFrame, ds: DataFrame,
+  private def measureLshDrift(priorShingles: DataFrame,
+      priorDocIds: DataFrame, ds: DataFrame,
       bandCount: Int, rowsPerBand: Int,
       params: Map[String, String], path: String): Map[String, String] = {
     // The sample is drawn from the OVERLAP (batch ids the index
@@ -427,14 +428,16 @@ object Dedup {
     // new docs carrying 2k re-crawls) under a batch-scaled fraction
     // would keep ~10 overlapping docs — permanently under the noise
     // floor, carrying stale drift while the regime moved, the exact
-    // silent class the loop exists to catch. Pricing: one narrow
-    // overlap count over the CACHED pruned prior + the batch's
-    // per-doc rows, then the shingle tagged-union over at most
-    // ~LshDriftSampleDocs docs (deterministic id-hash sample, so the
-    // reading is a pure function of (batch, index state)).
+    // silent class the loop exists to catch. The overlap COUNT runs
+    // against `priorDocIds` — the caller derives it from the pruned
+    // BANDS member (a fixed `bands` rows per doc vs the shingle
+    // fan-out, so the distinct is ~an order of magnitude narrower;
+    // every shingled doc bands, so the id sets coincide) — and only
+    // the sampled tagged-union touches the shingle rows. The sample
+    // is a deterministic id-hash fraction of the overlap, so the
+    // reading is a pure function of (batch, index state).
     val overlapIds = ds.select(col("doc_id"))
-      .join(priorShingles.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
+      .join(priorDocIds, Seq("doc_id"), "left_semi")
     val oc = overlapIds.count()
     if (oc < LshDriftMinDocs) carriedLshDrift(params)
     else {
@@ -561,52 +564,52 @@ object Dedup {
         Seq("shingles", "bands"),
         newIds.select(idxBucketCol(col("doc_id"), nBuckets).as("b")),
         extraGate = storedBuckets.isDefined, maxVersionChain)
-      // the prior shingle rows have THREE consumers (the drift
-      // probe's overlap count, its tagged-union, and the commit's
-      // anti-join) — cached across the jobs instead of re-scanning
-      // the (pruned) partitions each time
+      // the drift probe's overlap count runs on the BANDS member's
+      // doc ids (a fixed `bands` rows/doc — far narrower than the
+      // shingle fan-out); the shingle member keeps exactly its two
+      // pre-drift consumers (the sampled tagged-union + the commit's
+      // anti-join), two pruned scans — measured cheaper than caching
+      // it (materializing the whole pruned shingle set cost more
+      // than the second scan on the q116 funnel trigger)
       if (!plan.ok) {
         // full rewrite: legacy/unbucketed index, or compaction point
-        val priorSh = readLshTable(spark, path, "shingles").cache()
-        try {
-          val drift = measureLshDrift(priorSh,
-            ds, bands, numHashes / bands, params, path)
-          commitLshVersion(spark, path,
-            priorSh
-              .join(newIds, Seq("doc_id"), "left_anti")
-              .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-              .unionByName(shNew),
-            readLshTable(spark, path, "bands")
-              .join(newIds, Seq("doc_id"), "left_anti")
-              .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
-              .unionByName(bandsNew),
-            n, numHashes, bands, nBuckets, extraParams = drift)
-        } finally priorSh.unpersist()
+        val drift = measureLshDrift(readLshTable(spark, path, "shingles"),
+          readLshTable(spark, path, "bands").select(col("doc_id")).distinct(),
+          ds, bands, numHashes / bands, params, path)
+        commitLshVersion(spark, path,
+          readLshTable(spark, path, "shingles")
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+            .unionByName(shNew),
+          readLshTable(spark, path, "bands")
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .withColumn("idx_bucket", idxBucketCol(col("doc_id"), nBuckets))
+            .unionByName(bandsNew),
+          n, numHashes, bands, nBuckets, extraParams = drift)
       } else {
         if (plan.touched.isEmpty) return // empty batch — nothing to commit
         val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
         // every re-ingested id hashes into a touched bucket, so the
         // drift probe's prior side reads only the pruned partitions
         // the rewrite reads anyway (the sketch drift probe's move)
-        val priorSh = VersionedIndex.readTable(spark, path, "shingles")
-          .filter(inTouched).cache()
-        try {
-          val drift = measureLshDrift(priorSh.drop("idx_bucket"),
-            ds, bands, numHashes / bands, params, path)
-          commitLshVersion(spark, path,
-            priorSh
-              .join(newIds, Seq("doc_id"), "left_anti")
-              .unionByName(shNew),
-            VersionedIndex.readTable(spark, path, "bands")
-              .filter(inTouched)
-              .join(newIds, Seq("doc_id"), "left_anti")
-              .unionByName(bandsNew),
-            n, numHashes, bands, nBuckets,
-            carry = Map(
-              "shingles" -> plan.carryFor("shingles"),
-              "bands" -> plan.carryFor("bands")),
-            extraParams = drift)
-        } finally priorSh.unpersist()
+        val drift = measureLshDrift(
+          VersionedIndex.readTable(spark, path, "shingles")
+            .filter(inTouched).drop("idx_bucket"),
+          VersionedIndex.readTable(spark, path, "bands")
+            .filter(inTouched).select(col("doc_id")).distinct(),
+          ds, bands, numHashes / bands, params, path)
+        def rewrite(table: String, fresh: DataFrame): DataFrame =
+          VersionedIndex.readTable(spark, path, table)
+            .filter(inTouched)
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .unionByName(fresh)
+        commitLshVersion(spark, path,
+          rewrite("shingles", shNew), rewrite("bands", bandsNew),
+          n, numHashes, bands, nBuckets,
+          carry = Map(
+            "shingles" -> plan.carryFor("shingles"),
+            "bands" -> plan.carryFor("bands")),
+          extraParams = drift)
       }
     } finally ds.unpersist()
   }
