@@ -21,12 +21,105 @@ import org.apache.spark.sql.SparkSession
   * inputs between queries).
   */
 object Bench {
+
+  /** `--warm` (r18): the warm-median arbitration protocol as a
+    * standing mode instead of per-round reactive work. Three rounds
+    * running (q131@r15, q120@r16, q148/q150@r17), one query's driver
+    * bench number cost a round-open arbitration that always concluded
+    * "host noise", resolved each time by the same hand-run recipe:
+    * warm the query once, take a 5-run back-to-back median. This mode
+    * IS that recipe: it reads the committed full-bench record
+    * (SPARK_GRAFT_BENCH_OUT), picks the top SPARK_GRAFT_WARM_TOP
+    * (default 10) queries by median wall time — the only ones whose
+    * noise ever looked like a regression — and times each with 1
+    * discarded warm-up + SPARK_GRAFT_WARM_RUNS (default 5) timed runs,
+    * reporting per-query medians. Per-query BACK-TO-BACK on purpose,
+    * opposite of the full suite's suite-level repetition: arbitration
+    * wants minimum variance for one query, not de-correlation across
+    * a 150-query sweep. The markdown table on stderr is the SCALE.md
+    * round-close artifact; rounds compare warm-vs-warm tables and skip
+    * per-query arbitration. SPARK_GRAFT_ONLY overrides the query set
+    * (prefix match) for targeted A/Bs. */
+  private def warmMain(spark: SparkSession, sfDir: String): Unit = {
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    val topN = sys.env.getOrElse("SPARK_GRAFT_WARM_TOP", "10").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "5").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val names: Seq[String] = only match {
+      case Some(pres) =>
+        SparkEntry.queries.keys.toSeq.sorted.filter(n => pres.exists(n.startsWith))
+      case None =>
+        // the committed full-bench record names the top wall-time
+        // queries; a hand JSON scan (no JSON lib in scope) bounded to
+        // the flat "queries" object — refuses loudly rather than
+        // warm-sweeping nothing
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath)), "UTF-8")
+        val tag = "\"queries\":{"
+        val qstart = text.indexOf(tag)
+        require(qstart >= 0,
+          s"no queries object in $outPath — run a full Bench first or set SPARK_GRAFT_ONLY")
+        text.substring(qstart + tag.length, text.indexOf('}', qstart))
+          .split(",").toSeq
+          .flatMap(_.split(":") match {
+            case Array(k, v) => scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+            case _ => None
+          })
+          .filter { case (k, v) => v >= 0 && SparkEntry.queries.contains(k) }
+          .sortBy(-_._2).take(topN).map(_._1)
+    }
+    require(names.nonEmpty, "no queries selected for the warm sweep")
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up, discarded
+      val ts = (1 to nRuns).map(_ => once())
+      val med = ts.sorted.apply(ts.size / 2)
+      System.err.println(
+        f"[warm] $name%-34s median $med%6.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      (name, med, ts)
+    }
+    // the SCALE.md paste-ready table
+    System.err.println("| query | warm median (s) | runs (s) |")
+    System.err.println("|---|---|---|")
+    rows.foreach { case (n, med, ts) =>
+      System.err.println(
+        f"| $n | $med%.2f | ${ts.map(t => f"$t%.2f").mkString(", ")} |")
+    }
+    println(s"""{"metric":"warm","runs":$nRuns,"queries":{""" +
+      rows.map { case (n, med, _) =>
+        "\"" + n + "\":" + math.rint(med * 1000) / 1000 }.mkString(",") +
+      s"""},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    val warm = args.contains("--warm")
+    MainFlags.requireKnown(args, Set("--warm"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.probeSession("graft-bench", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
+    if (warm) {
+      // table warm-up exactly like the full suite, then the sweep
+      graft.sources.Tables.names.foreach { n =>
+        try {
+          val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
+          else graft.sources.Tables.load(spark, sfDir, n)
+          df.count()
+        } catch { case _: Throwable => () }
+      }
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      warmMain(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     // Touch each table once (parquet footer + JVM warm-up) before
     // timing. Measured: fully caching the tables (cache().count())

@@ -343,8 +343,16 @@ object ScaleProbe {
     * Also prints [[graft.operators.Similarity.sketchIndexStats]] of
     * each built index (bucket skew of the vec_id hash, carry depth) —
     * the operational stats a production sizing decision would read. */
+  /** `bucketScale` (r18): the ×factor run passes the replication
+    * factor so the ADDITIONAL `lsh_upsert_recrawl_sized` row builds
+    * its index with `idxBuckets = 64·bucketScale` — the committed
+    * `nBuckets ≈ size/rewrite_unit` sizing rule applied to the grown
+    * corpus (per-bucket bytes pinned at the sf0.1 default's). The
+    * default-bucket `lsh_upsert_recrawl` row deliberately keeps 64
+    * buckets at every scale: the PAIR of rows is the measurement —
+    * how much of that row's growth the sizing rule buys back. */
   def fixedBatchTier(spark: SparkSession, dir: String,
-      runs: Int): Seq[(String, Double)] = {
+      runs: Int, bucketScale: Int = 1): Seq[(String, Double)] = {
     import graft.operators.{Dedup, Similarity}
     val root = java.nio.file.Files.createTempDirectory("graft_fixedbatch").toString
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -387,6 +395,17 @@ object ScaleProbe {
       val dReingest = dCorpus.filter(col("doc_id") < 1000)
       val lshUpsert = bestU(Dedup.upsertLshIndex(
         dReingest, col("doc_id"), col("text"), s"$root/lsh"))
+      // rule-sized bucket twin (r18 — the r17 claim measured): same
+      // fixed 500-doc re-ingest against an index bucketed by the
+      // committed sizing rule. A 500-id batch hash-touches ≤ ~347 of
+      // 640 buckets (vs all 64 default ones), and each touched bucket
+      // holds 1/bucketScale of the default's rows — the touched-set
+      // read the drift probe and the rewrite pay stays bounded by
+      // batch × rewrite_unit instead of growing with the corpus.
+      Dedup.writeLshIndex(dCorpus, col("doc_id"), col("text"),
+        s"$root/lsh_sized", idxBuckets = 64 * bucketScale)
+      val lshUpsertSized = bestU(Dedup.upsertLshIndex(
+        dReingest, col("doc_id"), col("text"), s"$root/lsh_sized"))
       // CC funnel, both deployment forms (q149 vs q150): the one-shot
       // form re-sketches the whole union and closes the corpus
       // closure per run; the persisted-state form pays one indexed
@@ -410,6 +429,7 @@ object ScaleProbe {
         "sketch_upsert_reembed" -> upsert,
         "lsh_indexed_text" -> lshText,
         "lsh_upsert_recrawl" -> lshUpsert,
+        "lsh_upsert_recrawl_sized" -> lshUpsertSized,
         "cc_funnel_inmem" -> ccInmem, "cc_state_indexed" -> ccState)
     } finally {
       // the indexes copy the whole corpus — GBs at sf1; clean up like
@@ -836,7 +856,16 @@ object ScaleProbe {
     if (commitCrossoverOnly) {
       // positional arg 2 (the growing-graph tier's workDir slot) is
       // the STORAGE PATH being probed — the crossover is a property
-      // of that path's IO, which is the whole point of the probe
+      // of that path's IO, which is the whole point of the probe, so
+      // an omitted arg must not silently fall back to the /tmp
+      // default and hand back local-disk numbers labeled as the
+      // deployment's run (r18, advisor fix — the same
+      // default-numbers-as-requested-run failure the env-var parsing
+      // above fails loudly on)
+      require(pos.lift(1).isDefined,
+        "--commit-crossover needs an explicit stateRoot (positional " +
+          "arg 2): the crossover is a property of that path's IO — " +
+          "pass the deployment's real storage mount, not a default")
       commitCrossoverTier(spark, srcDir, workDir,
         parseGrowFactors(Seq(50, 100, 150)), runs)
       spark.stop()
@@ -891,7 +920,7 @@ object ScaleProbe {
     } else None
     val fixedBatch = if (fixedBatchOnly) {
       val small = fixedBatchTier(spark, srcDir, runs).toMap
-      val big = fixedBatchTier(spark, workDir, runs).toMap
+      val big = fixedBatchTier(spark, workDir, runs, bucketScale = factor).toMap
       Some(small.keys.toSeq.sorted.map { k =>
         val (s, b) = (small(k), big(k))
         System.err.println(

@@ -395,11 +395,6 @@ object Dedup {
   private[graft] def bandingS90(bands: Int, rowsPerBand: Int): Double =
     math.pow(1.0 - math.pow(0.1, 1.0 / bands), 1.0 / rowsPerBand)
 
-  /** `drift*` params carried by a commit that measured nothing new
-    * (takedown, all-new-ids batch) — the sketch index's contract. */
-  private def carriedLshDrift(params: Map[String, String]): Map[String, String] =
-    params.filter { case (k, _) => k.startsWith("drift") }
-
   /** Per-batch RE-CRAWL drift for the text LSH index (r17 — the
     * [[graft.operators.Similarity]] sketch drift loop's text-tier
     * twin, on the reference's own domain: re-crawled news articles):
@@ -416,9 +411,16 @@ object Dedup {
     * version params ([[lshIndexStats]] surfaces them); entering the
     * alarmed state WARN-logs with the operational answers (tighten
     * banding at the next full rewrite, or shorten the re-crawl
-    * horizon). Docs whose either version has an empty shingle set
-    * drop out of the mean (no rows in the member — 0/0 is not a
-    * measurement). */
+    * horizon). Only docs ABSENT from the prior member (never banded —
+    * no rows to compare against) drop out of the mean. A doc whose
+    * FRESH re-crawl is degenerate (error stub, paywall interstitial —
+    * anything shingling to the <n-token whole-text fallback) counts
+    * DELIBERATELY, as J≈0 drift: a re-crawl that cannot match its own
+    * predecessor is precisely the cross-round detection loss the
+    * alarm reports, whether the cause is corpus churn or crawl
+    * quality — so the WARN names both remedies. (r18, advisor fix:
+    * this doc previously claimed either-side-empty docs drop, which
+    * only the prior side does.) */
   private def measureLshDrift(priorShingles: DataFrame,
       priorDocIds: DataFrame, ds: DataFrame,
       bandCount: Int, rowsPerBand: Int,
@@ -439,12 +441,20 @@ object Dedup {
     val overlapIds = ds.select(col("doc_id"))
       .join(priorDocIds, Seq("doc_id"), "left_semi")
     val oc = overlapIds.count()
-    if (oc < LshDriftMinDocs) carriedLshDrift(params)
+    if (oc < LshDriftMinDocs) VersionedIndex.Drift.carried(params)
     else {
+    // threshold in DOUBLE then rounded (r18, advisor fix): the integer
+    // form `SampleDocs * mod / oc` undershot 1024 as oc grew and hit
+    // ZERO past oc ≈ mod·SampleDocs — an empty sample silently
+    // carrying stale drift forever on exactly the billion-doc bulk
+    // regimes the overlap-based sampling was built for. The 1e9
+    // modulus keeps the expected sample within rounding of 1024 up to
+    // oc ≈ 1e12 docs; the max(1) floor never lets it reach zero.
     val sampleIds =
       if (oc <= LshDriftSampleDocs) overlapIds
-      else overlapIds.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-        lit(LshDriftSampleDocs * 1000000L / oc))
+      else overlapIds.filter(pmod(xxhash64(col("doc_id")), lit(1000000000L)) <
+        lit(math.max(1L,
+          math.round(LshDriftSampleDocs.toDouble * 1000000000.0 / oc))))
     val tagged = priorShingles
         .join(sampleIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("shingle"), lit(1).as("o"), lit(0).as("nw"))
@@ -461,24 +471,21 @@ object Dedup {
       .agg(avg(col("inter") / col("uni")).as("j"), count(lit(1)).as("nd"))
       .head()
     val nd = r.getLong(1)
-    if (nd < LshDriftMinDocs) carriedLshDrift(params)
-    else if (r.getDouble(0) == 1.0)
-      // ZERO EVIDENCE carries: every sampled re-crawl was
-      // shingle-identical — no regime information, and recording
-      // J=1.0 would clear a genuine below-s90 alarm with a phantom
-      // "below-s90->ok" transition on exactly the reading a
-      // crash-replay of an already-committed upsert produces (the
-      // batch against its own stored shingles). The carry makes the
-      // persisted alarm state replay-idempotent (the sketch drift
-      // probe's contract).
-      carriedLshDrift(params)
+    // min-evidence and ZERO-EVIDENCE (shingle-identical sample,
+    // J = 1.0 — a byte-identical re-delivery or a crash-replay of a
+    // committed upsert) both carry — the shared
+    // [[VersionedIndex.Drift]] contract: recording J=1.0 would clear
+    // a genuine below-s90 alarm with a phantom recovery transition.
+    if (nd < LshDriftMinDocs || r.getDouble(0) == 1.0)
+      VersionedIndex.Drift.carried(params)
     else {
       val j = r.getDouble(0)
       val floor = bandingS90(bandCount, rowsPerBand)
       val state = if (j < floor) "below-s90" else "ok"
-      val prev = params.get("driftAlarm")
-      val crossed = prev.filter(_ != state).map(p => s"$p->$state")
-      if (state == "below-s90" && !prev.contains("below-s90"))
+      // the alarm must also fire on a FIRST below-s90 measurement
+      // (no prior state → no crossing), so it stays outside
+      // Drift.persist's onCross hook — the documented seam
+      if (state == "below-s90" && !params.get("driftAlarm").contains("below-s90"))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           f"lsh index $path: re-crawl drift — mean same-doc version " +
             f"Jaccard $j%.4f over $nd%d re-ingested docs is below the " +
@@ -487,11 +494,12 @@ object Dedup {
             "no longer reliably match their own predecessors, so " +
             "cross-round near-dup detection is degrading. Tighten " +
             "banding at the next full rewrite (more bands -> lower " +
-            "floor) or shorten the re-crawl horizon.")
-      Map("driftJaccard" -> j.toString, "driftDocs" -> nd.toString,
-        "driftFloor" -> floor.toString, "driftAlarm" -> state) ++
-        crossed.orElse(params.get("driftBoundary"))
-          .map("driftBoundary" -> _)
+            "floor), shorten the re-crawl horizon, or — if the drop " +
+            "is abrupt — audit re-crawl quality (error stubs/paywall " +
+            "pages measure as full drift).")
+      VersionedIndex.Drift.persist(params, "driftAlarm", state,
+        Map("driftJaccard" -> j.toString, "driftDocs" -> nd.toString,
+          "driftFloor" -> floor.toString))
     }
     }
   }
@@ -654,7 +662,7 @@ object Dedup {
         bucketed("shingles"), bucketed("bands"),
         n, numHashes, bandCount, nBuckets,
         // a takedown measures no drift; the last reading carries
-        extraParams = carriedLshDrift(params))
+        extraParams = VersionedIndex.Drift.carried(params))
     } else {
       if (plan.touched.isEmpty) return // empty id set — nothing to commit
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
@@ -670,7 +678,7 @@ object Dedup {
         carry = Map(
           "shingles" -> plan.carryFor("shingles"),
           "bands" -> plan.carryFor("bands")),
-        extraParams = carriedLshDrift(params))
+        extraParams = VersionedIndex.Drift.carried(params))
     }
   }
 

@@ -291,12 +291,15 @@ object Index {
   final case class IndexStats(kind: String, rows: Long, partitions: Long,
       maxPartition: Long, medianPartition: Long, skew: Double,
       carryDepth: Int, carriedParts: Int, emptied: Boolean,
-      // embedding-regime drift (r17): the last measured re-embed
-      // flip rate, populated for the sketch kind (the one index whose
-      // detection recall is a direct function of that rate — the
-      // sizing sweeps in SCALE.md); None elsewhere and until a batch
-      // has measured one. Band/boundary detail stays kind-specific on
-      // [[Similarity.SketchStats]].
+      // regime drift, uniform 0-is-healthy direction across EVERY
+      // mutable kind (r17 sketch/lsh, r18 ivf): sketch = last
+      // measured re-embed flip rate; lsh = 1 − mean re-crawl
+      // Jaccard; ivf = centroid-staleness excess
+      // (ivfDistRecent/ivfDistBuild − 1); ivf-pq = codebook-error
+      // excess (pqErrRecent/pqErrBuild − 1). None until a mutation
+      // has measured one (and for layouts predating the relevant
+      // baseline). Band/boundary/alarm detail stays kind-specific on
+      // [[Similarity.SketchStats]]/[[Dedup.LshStats]]/params.
       drift: Option[Double] = None)
 
   /** (carryDepth, carriedParts) of `tables`' partitioned member legs
@@ -364,11 +367,21 @@ object Index {
       // ingest fits the pinned codewords exactly like the build
       // corpus did) — the signal retrainErrRatio alarms on, in the
       // same 0-is-healthy direction as the sketch flip rate and the
-      // lsh shift rate. None for plain IVF and for PQ layouts
-      // predating the baseline.
+      // lsh shift rate. None for PQ layouts predating the baseline.
       val pqDrift = for {
         b <- params.get("pqErrBuild").map(_.toLong) if b > 0L
         r <- params.get("pqErrRecent").map(_.toLong)
+      } yield r.toDouble / b - 1.0
+      // drift for the plain-IVF kind (r18): centroid staleness — the
+      // excess of recent ingest's mean assigned-centroid distance
+      // over the build baseline (ivfDistRecent/ivfDistBuild − 1, the
+      // same EWMA-vs-baseline shape as the PQ signal on the geometry
+      // axis; a re-centering rebuild re-baselines it to 0.0). None
+      // for indexes built before the baseline existed — their next
+      // full rebuild writes one.
+      val ivfDrift = for {
+        b <- params.get("ivfDistBuild").map(_.toLong) if b > 0L
+        r <- params.get("ivfDistRecent").map(_.toLong)
       } yield r.toDouble / b - 1.0
       // ONE histogram read feeds both the emptiness decision and the
       // balance stats (re-reading would double poll I/O and let a
@@ -384,12 +397,14 @@ object Index {
         // the moment the last vector is deleted; skew/max/median keep
         // their degenerate values
         IndexStats(if (isPq) "ivf-pq" else "ivf", 0L, sizes.size.toLong,
-          0L, 0L, 1.0, cd, cp, emptied = true, drift = pqDrift)
+          0L, 0L, 1.0, cd, cp, emptied = true,
+          drift = if (isPq) pqDrift else ivfDrift)
       else {
         val d = Similarity.ivfStatsFrom(sizes, Similarity.DefaultIvfSkewThreshold)
         IndexStats(if (isPq) "ivf-pq" else "ivf",
           sizes.values.sum, sizes.size, d.maxSize,
-          d.medianSize, d.skew, cd, cp, emptied = false, drift = pqDrift)
+          d.medianSize, d.skew, cd, cp, emptied = false,
+          drift = if (isPq) pqDrift else ivfDrift)
       }
     } else if (mf.contains("shingles") || mf.contains("bands")) {
       val s = Dedup.lshIndexStats(spark, path)

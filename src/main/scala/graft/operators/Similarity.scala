@@ -191,7 +191,10 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: one broadcast cross-join + windowed
-    * argmin over the input — O(n·nLists) with no corpus shuffle. */
+    * argmin over the input — O(n·nLists) with no corpus shuffle.
+    * Keeps `c_sim` (the winning centroid's cosine): the staged lists
+    * drop it, but the centroid-staleness drift loop and the build
+    * baseline average it — one assignment plan feeds both. */
   private def assignSeeded(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
@@ -201,11 +204,113 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"),
-        col("centroid_id").as("list_id"))
+        col("centroid_id").as("list_id"), col("c_sim"))
   }
 
   def ivfAssign(embeddings: DataFrame, nLists: Int): DataFrame =
+    assignSeeded(embeddings, ivfSeeds(embeddings, nLists)).drop("c_sim")
+
+  // ---- centroid-staleness drift (r18) -------------------------------
+  // The plain-IVF regime axis the other mutable kinds already had
+  // (sketch: flip rate; lsh: re-crawl Jaccard; ivf-pq: codebook-error
+  // EWMA): the list geometry is PINNED at build, so drifting ingest
+  // lands ever farther from its assigned centroid and probe recall
+  // decays WITHOUT necessarily skewing the list histogram (drift
+  // toward list boundaries, not into one list). Mean assigned-centroid
+  // distance of recent ingest vs the build corpus makes it loud.
+
+  /** Per-row integer micro-distance to the assigned centroid:
+    * ⌊(1 − c_sim)·1e6⌋ as a long — integer from the first row on, so
+    * every downstream mean/EWMA/ratio is exact, locale-safe and
+    * engine-replayable (q153 reproduces the same floor in DuckDB).
+    * ONE definition across the build baseline, the upsert EWMA and
+    * the q153 replay surface. */
+  private def distMicroCol: Column =
+    floor((lit(1.0) - col("c_sim")) * lit(1000000.0)).cast("long")
+
+  /** (rows, mean micro-distance) of an assigned frame (needs the
+    * `c_sim` column) — one narrow aggregation; None for an empty
+    * batch (nothing measured, the EWMA carries). */
+  private def centroidDistValue(assigned: DataFrame): Option[(Long, Long)] = {
+    val r = assigned.agg(count(lit(1)).as("n"), sum(distMicroCol).as("s"))
+      .head()
+    if (r.getLong(0) == 0L) None
+    else Some((r.getLong(0), r.getLong(1) / r.getLong(0)))
+  }
+
+  /** Build-time baseline sample size. The baseline is measured over a
+    * deterministic hash-ordered sample, NOT a second full-corpus
+    * assignment pass: the build already pays one O(n·nLists)
+    * assignment for the lists table, and re-running it for a scalar
+    * would double build compute at 100 TB. 4096 rows pin the mean to
+    * a small fraction of its spread — far tighter than the 1.5×
+    * excess the staleness alarm fires at — and the recent side's
+    * EWMA memory is only ~256 rows anyway. */
+  private val IvfDistBaselineSample = 4096
+
+  /** Excess of recent mean centroid distance over the build baseline
+    * that flags the geometry stale — recent ingest sits ≥1.5× as far
+    * from its assigned centroids as the build corpus did (the PQ
+    * retrain ratio's threshold, on the centroid axis). */
+  val DefaultIvfStaleExcess: Double = 0.5
+
+  private def ivfDistBaseline(embeddings: DataFrame,
+      seeds: DataFrame): Map[String, String] = {
+    val sample = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(IvfDistBaselineSample)
+    centroidDistValue(assignSeeded(sample, seeds)).map { case (_, v) =>
+      Map("ivfDistBuild" -> v.toString, "ivfDistRecent" -> v.toString,
+        // full-memory start (the pqErrWindow contract): the baseline
+        // represents ≥ windowCap rows, so the first small batch must
+        // not dominate the recent signal
+        "ivfDistWindow" -> PqErrWindowCap.toString)
+    }.getOrElse(Map.empty)
+  }
+
+  /** Centroid-staleness params for one upsert batch: fold the batch's
+    * mean micro-distance into the `ivfDist` EWMA, judge the excess
+    * over the build baseline, and persist the ok/stale state through
+    * the shared [[VersionedIndex.Drift]] machine (boundary crossings
+    * carried, WARN on entering stale). Indexes built before the
+    * baseline existed measure nothing (no denominator) until their
+    * next full rebuild writes one. */
+  private def ivfDistParams(assigned: DataFrame,
+      params: Map[String, String], path: String): Map[String, String] =
+    centroidDistValue(assigned).map { case (n, v) =>
+      val ew = VersionedIndex.Drift.ewma(params, "ivfDist", n, v,
+        PqErrWindowCap)
+      params.get("ivfDistBuild").map(_.toLong).filter(_ > 0L) match {
+        case None => ew
+        case Some(b) =>
+          val excess = ew("ivfDistRecent").toLong.toDouble / b - 1.0
+          val state = if (excess >= DefaultIvfStaleExcess) "stale" else "ok"
+          // the alarm also fires on a FIRST stale measurement (no
+          // prior state → no crossing), so it sits outside
+          // Drift.persist's onCross hook — the lsh alarm's contract
+          if (state == "stale" && !params.get("driftState").contains("stale"))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              f"ivf index $path: centroid staleness — recent ingest " +
+                f"sits ${excess * 100}%.1f%% farther from its assigned " +
+                "centroids than the build corpus did (threshold " +
+                f"${DefaultIvfStaleExcess * 100}%.0f%%); probe recall is " +
+                "degrading silently — re-center with rebuildIvfIndex " +
+                "(which also retrains the PQ codebook, if present)")
+          ew ++ VersionedIndex.Drift.persist(params, "driftState", state,
+            Map("driftDistExcess" -> excess.toString))
+      }
+    }.getOrElse(VersionedIndex.Drift.carried(params))
+
+  /** Per-row centroid fit of the corpus against its stride-seeded
+    * geometry — (vec_id, list_id, dist_micro): [[ivfAssign]]'s exact
+    * argmax assignment (ties → lowest centroid id) with the integer
+    * micro-distance the centroid-staleness drift loop averages. The
+    * oracle surface q153 replays per-row in DuckDB — the same
+    * kernel, the same floor. */
+  def centroidFit(embeddings: DataFrame, nLists: Int): DataFrame =
     assignSeeded(embeddings, ivfSeeds(embeddings, nLists))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        distMicroCol.as("dist_micro"))
 
   /** Ad-hoc IVF search: rank centroids for the query, scan the
     * top-`nprobe` lists, cosine top-k within them. Builds the
@@ -302,11 +407,12 @@ object Similarity {
     val spark = embeddings.sparkSession
     val seeds = ivfSeeds(embeddings, nLists)
     VersionedIndex.commit(spark, path,
-      Seq("lists" -> assignSeeded(embeddings, seeds),
+      Seq("lists" -> assignSeeded(embeddings, seeds).drop("c_sim"),
         "centroids" -> seeds.select(
           col("centroid_id").cast("long").as("list_id"), col("c_emb"))),
       Map("nLists" -> nLists.toString,
-        "vecMapBuckets" -> vecMapBuckets.toString),
+        "vecMapBuckets" -> vecMapBuckets.toString) ++
+        ivfDistBaseline(embeddings, seeds),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb")),
       derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),
         "list_sizes" -> deriveListSizes(spark)))
@@ -421,9 +527,12 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .join(broadcast(centroidIds), Seq("vec_id"), "left")
+      // c_sim stays on the cached frame: the centroid-staleness drift
+      // probe averages it (one narrow agg over the batch, no second
+      // kernel pass); the staged lists drop it at the write sites
       .select(col("vec_id"), col("label"), col("embedding"),
         when(col("_isc"), col("vec_id")).otherwise(col("centroid_id"))
-          .cast("long").as("list_id"))
+          .cast("long").as("list_id"), col("c_sim"))
       .cache()
     try {
       val newIds = newEmb.select(col("vec_id")).distinct()
@@ -462,26 +571,19 @@ object Similarity {
       // assignment against pinned centroids); re-training is a rebuild
       val pqCb = if (pqMf.nonEmpty || pqCbMf.nonEmpty)
         Some(readPqCodebook(spark, path)) else None
-      // codebook-staleness EWMA, weighted by BATCH SIZE: the recent
-      // error represents a ~PqErrWindowCap-row sliding memory, so the
-      // fold weight is n/(W+n) — a 10-row batch moves the signal 100×
-      // less than a 1000-row batch (a fixed α would let many tiny
-      // well-fitting batches wash out one huge drifted batch, and one
-      // tiny outlier sway the signal as much as a large one). Integer
-      // arithmetic throughout — O(batch), no index scan;
+      // codebook-staleness EWMA (shared batch-weighted fold,
+      // [[VersionedIndex.Drift.ewma]]) — O(batch), no index scan;
       // pqCodebookStats turns it into the needsRetrain signal
       val pqErrParams = pqCb.flatMap { cb =>
         pqMeanErr(assignedNew.select(col("vec_id"), col("embedding")), cb)
           .map { case (n, be) =>
-            val prev = params.get("pqErrRecent").map(_.toLong)
-              .orElse(params.get("pqErrBuild").map(_.toLong)).getOrElse(be)
-            val w = params.get("pqErrWindow").map(_.toLong)
-              .getOrElse(PqErrWindowCap)
-            Map(
-              "pqErrRecent" -> ((w * prev + n * be) / (w + n)).toString,
-              "pqErrWindow" -> math.min(w + n, PqErrWindowCap).toString)
+            VersionedIndex.Drift.ewma(params, "pqErr", n, be, PqErrWindowCap)
           }
       }.getOrElse(Map.empty)
+      // centroid-staleness EWMA + ok/stale state (r18): the same
+      // batch, measured against the PINNED list geometry — the drift
+      // axis Index.stats surfaces for the plain-IVF kind
+      val distParams = ivfDistParams(assignedNew, params, path)
       // chain length if we carried: prior owners (any table) + new
       val chainOwners = prevMf.values.toSet ++ vmMf.values.toSet ++
         pqMf.values.toSet
@@ -493,12 +595,12 @@ object Similarity {
         // vec_map/list_sizes (and pq, if present) side tables,
         // migrating older indexes
         val merged = index.join(newIds, Seq("vec_id"), "left_anti")
-          .unionByName(assignedNew)
+          .unionByName(assignedNew.drop("c_sim"))
         VersionedIndex.commit(spark, path,
           Seq("lists" -> merged, "centroids" -> readIvfCentroids(spark, path),
             "list_sizes" -> sizesDf(spark, newSizes)) ++
             pqCb.map(cb => "pq_codebook" -> codebookDf(spark, cb)).toSeq,
-          statsParams ++ pqErrParams,
+          statsParams ++ pqErrParams ++ distParams,
           partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
             "pq" -> Seq("list_id")),
           derive = Seq("vec_map" -> deriveVecMap(spark, buckets) _) ++
@@ -520,7 +622,7 @@ object Similarity {
           .select(col("vec_id"), col("label"), col("embedding"),
             col("list_id").cast("long").as("list_id"))
           .join(newIds, Seq("vec_id"), "left_anti")
-          .unionByName(assignedNew)
+          .unionByName(assignedNew.drop("c_sim"))
         val carry = prevMf.filter { case (dir, _) =>
           scala.util.Try(dir.stripPrefix("list_id=").toLong).toOption
             .forall(v => !touchedSet.contains(v))
@@ -550,7 +652,7 @@ object Similarity {
         VersionedIndex.commit(spark, path,
           Seq("lists" -> rewritten,
             "list_sizes" -> sizesDf(spark, newSizes)) ++ vmWrite,
-          statsParams ++ pqErrParams,
+          statsParams ++ pqErrParams ++ distParams,
           partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
             "pq" -> Seq("list_id")),
           derive = pqCb.map(cb => "pq" -> derivePq(spark, cb) _).toSeq,
@@ -964,7 +1066,7 @@ object Similarity {
       embeddings.select(col("vec_id"), col("embedding")), cb)
       .map(_._2).getOrElse(0L)
     VersionedIndex.commit(spark, path,
-      Seq("lists" -> assignSeeded(embeddings, seeds),
+      Seq("lists" -> assignSeeded(embeddings, seeds).drop("c_sim"),
         "centroids" -> seeds.select(
           col("centroid_id").cast("long").as("list_id"), col("c_emb")),
         "pq_codebook" -> codebookDf(spark, cb)),
@@ -976,7 +1078,8 @@ object Similarity {
         "pqErrBuild" -> errBuild.toString,
         "pqErrRecent" -> errBuild.toString,
         // full-corpus baseline → the EWMA starts at full memory
-        "pqErrWindow" -> PqErrWindowCap.toString) ++ pqParams(cb),
+        "pqErrWindow" -> PqErrWindowCap.toString) ++ pqParams(cb) ++
+        ivfDistBaseline(embeddings, seeds),
       partitionBy = Map("lists" -> Seq("list_id"), "vec_map" -> Seq("vb"),
         "pq" -> Seq("list_id")),
       derive = Seq("vec_map" -> deriveVecMap(spark, vecMapBuckets),
@@ -1927,12 +2030,6 @@ object Similarity {
       sketchRows(emb, dim, nBits, idxBuckets), dim, nBits, idxBuckets)
   }
 
-  /** The persisted drift state (`drift*` params) carried forward by a
-    * commit that measured nothing new: a takedown or an all-new-ids
-    * batch must not erase the last known regime reading. */
-  private def carriedDrift(params: Map[String, String]): Map[String, String] =
-    params.filter { case (k, _) => k.startsWith("drift") }
-
   /** Per-batch embedding-regime drift (r17, the sizing loop closed
     * operationally): when an upsert RE-EMBEDS ids the index already
     * holds, the per-bit sign-flip rate between the index's prior
@@ -1971,42 +2068,30 @@ object Similarity {
         sum(bit_count(col("_c0").bitwiseXOR(col("_c1")))).as("flips"))
       .head()
     val n = r.getLong(0)
-    if (n < DriftMinPairs) carriedDrift(params)
-    else if (r.getLong(1) == 0L)
-      // ZERO EVIDENCE carries: every measured re-embed was
-      // code-identical, so the batch re-embedded nothing in a regime
-      // sense — recording 0.0 would erase the last real reading and
-      // log a phantom downward band crossing. This is also exactly
-      // what a crash-replay of an already-committed upsert measures
-      // (the batch against its own rows), so the carry makes the
-      // persisted drift state replay-idempotent, not just the index
-      // content.
-      carriedDrift(params)
+    // min-evidence and ZERO-EVIDENCE (code-identical overlap) both
+    // carry — the shared [[VersionedIndex.Drift]] contract: a carry
+    // keeps the last real reading AND makes the persisted state
+    // idempotent under crash-replay of a committed upsert (the
+    // replay measures the batch against its own rows).
+    if (n < DriftMinPairs || r.getLong(1) == 0L)
+      VersionedIndex.Drift.carried(params)
     else {
       val rate = r.getLong(1).toDouble / (n * nBits)
       val band = sizingBand(rate)
-      val prevBand = params.get("driftBand")
-      val crossed = prevBand.filter(_ != band).map(pb => s"$pb->$band")
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
-      crossed.foreach(c => log.warn(
-        f"sketch index $path: embedding-regime drift crossed a sizing " +
-          f"boundary — batch flip rate $rate%.4f over $n%d re-embedded " +
-          f"ids moved the recommendSketch band $c; re-size detection " +
-          "queries accordingly (SCALE.md sizing table)"))
       if (band == "ivf") log.warn(
         f"sketch index $path: batch flip rate $rate%.4f is past the " +
           "15%% sign-sketch cliff — adjacency degrades toward the " +
           "isotropic floor; use the IVF ANN tier (buildIvfIndex + " +
           "ivfSearchIndexed) for candidate generation in this regime")
-      // Double.toString, NOT an f"%.6f" interpolator: the interpolator
-      // formats under the JVM default locale, and a comma-decimal
-      // locale would persist "0,0714" — unparseable by the next
-      // sketchIndexStats read. toString is locale-independent and
-      // round-trips exactly.
-      Map("driftFlipRate" -> rate.toString, "driftPairs" -> n.toString,
-        "driftBand" -> band) ++
-        crossed.orElse(params.get("driftBoundary"))
-          .map("driftBoundary" -> _)
+      VersionedIndex.Drift.persist(params, "driftBand", band,
+        // Double.toString — Drift.persist's locale contract
+        Map("driftFlipRate" -> rate.toString, "driftPairs" -> n.toString),
+        c => log.warn(
+          f"sketch index $path: embedding-regime drift crossed a sizing " +
+            f"boundary — batch flip rate $rate%.4f over $n%d re-embedded " +
+            f"ids moved the recommendSketch band $c; re-size detection " +
+            "queries accordingly (SCALE.md sizing table)"))
     }
   }
 
@@ -2114,7 +2199,7 @@ object Similarity {
           .withColumn("idx_bucket", sketchBucketCol(col("vec_id"), nBuckets)),
         dim, nBits, nBuckets,
         // a takedown measures no drift; the last regime reading carries
-        extraParams = carriedDrift(params))
+        extraParams = VersionedIndex.Drift.carried(params))
     } else {
       if (plan.touched.isEmpty) return
       val inTouched = col("idx_bucket").isin(plan.touched.map(Int.box): _*)
@@ -2125,7 +2210,7 @@ object Similarity {
         touchedRows.join(ids, Seq("vec_id"), "left_anti"),
         dim, nBits, nBuckets,
         carry = Map("sketch" -> plan.carryFor("sketch")),
-        extraParams = carriedDrift(params))
+        extraParams = VersionedIndex.Drift.carried(params))
     }
   }
 

@@ -381,6 +381,65 @@ object VersionedIndex {
     }
   }
 
+  /** ONE definition of the drift-loop persistence skeleton shared by
+    * every mutable index kind's regime monitor — sketch (flip-rate
+    * sizing band), LSH (re-crawl Jaccard alarm) and IVF/IVF-PQ
+    * (centroid-staleness / codebook-error EWMAs). The
+    * carry/boundary-crossing/serialization dance was previously
+    * hand-copied per kind (r17), so a semantics fix had to land in
+    * two places and the third kind shipped without one. */
+  private[operators] object Drift {
+
+    /** `drift*` params carried forward by a commit that measured
+      * nothing new — a takedown, an all-new-ids batch, or a
+      * ZERO-EVIDENCE overlap (every measured pair identical): the
+      * last real regime reading, including an active alarm, must
+      * survive. The zero-evidence carry is also what makes the
+      * persisted drift state idempotent under crash-replay of an
+      * already-committed upsert — the replay measures the batch
+      * against its own rows, sees no evidence, and carries instead
+      * of logging a phantom recovery crossing. */
+    def carried(params: Map[String, String]): Map[String, String] =
+      params.filter { case (k, _) => k.startsWith("drift") }
+
+    /** Persist a fresh reading: `measured` (serialize doubles with
+      * Double.toString, NEVER an f-interpolator — that formats under
+      * the JVM default locale, and a comma-decimal locale would
+      * persist an unparseable "0,0714") plus the state under
+      * `stateKey` and, when the state MOVED, the crossing as
+      * `driftBoundary` ("prev->cur"), carried until the next
+      * crossing replaces it. `onCross` fires only on a state change —
+      * the alarm/log hook; alarms that must also fire on a FIRST
+      * measurement (no prior state) stay at the call site. */
+    def persist(params: Map[String, String], stateKey: String,
+        state: String, measured: Map[String, String],
+        onCross: String => Unit = _ => ()): Map[String, String] = {
+      val crossed = params.get(stateKey).filter(_ != state)
+        .map(p => s"$p->$state")
+      crossed.foreach(onCross)
+      measured ++ Map(stateKey -> state) ++
+        crossed.orElse(params.get("driftBoundary")).map("driftBoundary" -> _)
+    }
+
+    /** Batch-size-weighted integer EWMA fold: recent' =
+      * ⌊(W·prev + n·value)/(W + n)⌋ with memory W capped at
+      * `windowCap` rows — "recent" means the last ~windowCap ingested
+      * rows, so batch means stay low-variance, any batch larger than
+      * the window rightly dominates it (weight n/(W+n) → 1), and a
+      * single-row outlier moves the signal by at most 1/(W+1) of its
+      * excess. Integer arithmetic throughout (sums < 2⁵³) — exact and
+      * locale-safe. Shared by the PQ codebook-error and IVF
+      * centroid-distance staleness signals. */
+    def ewma(params: Map[String, String], prefix: String,
+        n: Long, value: Long, windowCap: Long): Map[String, String] = {
+      val prev = params.get(s"${prefix}Recent").map(_.toLong)
+        .orElse(params.get(s"${prefix}Build").map(_.toLong)).getOrElse(value)
+      val w = params.get(s"${prefix}Window").map(_.toLong).getOrElse(windowCap)
+      Map(s"${prefix}Recent" -> ((w * prev + n * value) / (w + n)).toString,
+        s"${prefix}Window" -> math.min(w + n, windowCap).toString)
+    }
+  }
+
   /** ONE definition of the partial-commit rewrite decision shared by
     * every bucketed index kind (LSH upsert/delete, sketch
     * upsert/delete) — the protocol was previously hand-copied per

@@ -1230,10 +1230,13 @@ object VectorQueries {
   // (Similarity.estimateFlipRate, the number the r17 drift loop
   // persists per upsert and recommendSketch consumes). The oracle
   // re-derives the canonical codes with the shared plane-dot SQL
-  // (canonSql — one definition with the sorted-sketch replays) and
-  // mirrors the avg/nBits aggregate; the lit(rate) column pins the
-  // estimator's scalar EQUAL to the windowed mean of the gated
-  // per-id rows, cross-engine.
+  // (canonSql — one definition with the sorted-sketch replays). The
+  // cross-engine pin is INTEGER-only (flip sum + bit total — r18,
+  // advisor fix: a rounded avg() was HALF_UP in Spark vs DuckDB's
+  // double rounding, a latent boundary flake); the estimator's
+  // DOUBLE scalar is pinned same-engine by the require below,
+  // reproducing Average's own sum/count-then-/nBits order so the
+  // equality is exact, not epsilon.
   val q152 = sql(
     "q152_flip_rate_replay", {
       s"""WITH n AS (SELECT vec_id, ${canonSql(32)} AS canon FROM embeddings),
@@ -1241,7 +1244,8 @@ object VectorQueries {
          |    CAST(bit_count(xor(a.canon, b.canon)) AS INTEGER) AS flips
          |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1)
          |SELECT vec_id, flips,
-         |  round(avg(flips) OVER () / 32, 6) AS rate
+         |  CAST(sum(flips) OVER () AS BIGINT) AS flips_total,
+         |  CAST(count(*) OVER () * 32 AS BIGINT) AS bits_total
          |FROM j ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -1252,10 +1256,18 @@ object VectorQueries {
     val rate = Similarity.estimateFlipRate(emb, reemb)
     def codes(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
       col("vec_id"), Vectors.lshBucket(col("embedding"), 64, 32).as(c))
-    codes(emb, "c0").join(codes(reemb, "c1"), "vec_id")
+    val joined = codes(emb, "c0").join(codes(reemb, "c1"), "vec_id")
       .select(col("vec_id"),
-        bit_count(col("c0").bitwiseXOR(col("c1"))).cast("int").as("flips"),
-        round(lit(rate), 6).as("rate"))
+        bit_count(col("c0").bitwiseXOR(col("c1"))).cast("int").as("flips"))
+    val t = joined.agg(sum(col("flips")), count(lit(1))).head()
+    val (fsum, n) = (t.getLong(0), t.getLong(1))
+    require(rate == (fsum.toDouble / n) / 32,
+      s"estimateFlipRate ($rate) disagrees with the gated integer " +
+        s"totals ($fsum flips / ${n * 32} bits) — the estimator and the " +
+        "replay no longer share one definition")
+    joined
+      .select(col("vec_id"), col("flips"),
+        lit(fsum).as("flips_total"), lit(n * 32).as("bits_total"))
       .orderBy(col("vec_id"))
   }
 
@@ -1351,8 +1363,49 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  // The centroid-staleness drift loop's kernel math hash-gated (r18,
+  // the plain-IVF twin of q152's flip-rate replay): per-vector
+  // (assigned list, integer micro-distance) against the stride-seeded
+  // 16-list geometry — the same argmax assignment q134/q55's replays
+  // already pin (ORDER BY c_sim DESC, centroid_id) plus the drift
+  // loop's ⌊(1 − c_sim)·1e6⌋ floor, reproduced in DuckDB from the
+  // shared cosine SQL. The window totals and the integer corpus mean
+  // (sum // count — exactly the value a full-corpus ivfDist fold
+  // would measure) pin the aggregation chain with INTEGERS only: no
+  // cross-engine rounded double anywhere (the q152 advisor lesson,
+  // applied from day one here).
+  val q153 = sql(
+    "q153_centroid_fit_replay", {
+      s"""WITH p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings, p0 WHERE vec_id % p0.stride = 0 AND vec_id < p0.stride * 16),
+         |asg0 AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, centroid_id, c_sim FROM (
+         |  SELECT vec_id, centroid_id, c_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+         |  FROM asg0) z WHERE rn = 1),
+         |f AS (SELECT vec_id, CAST(centroid_id AS BIGINT) AS list_id,
+         |    CAST(floor((1 - c_sim) * 1000000) AS BIGINT) AS dist_micro
+         |  FROM asg)
+         |SELECT vec_id, list_id, dist_micro,
+         |  CAST(sum(dist_micro) OVER () AS BIGINT) AS dist_total,
+         |  CAST(count(*) OVER () AS BIGINT) AS n_rows,
+         |  CAST(sum(dist_micro) OVER () // count(*) OVER () AS BIGINT) AS dist_mean
+         |FROM f ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val fit = Similarity.centroidFit(Tables.embeddings(s, d), 16)
+    val t = fit.agg(sum(col("dist_micro")), count(lit(1))).head()
+    val (dsum, n) = (t.getLong(0), t.getLong(1))
+    fit.select(col("vec_id"), col("list_id"), col("dist_micro"),
+        lit(dsum).as("dist_total"), lit(n).as("n_rows"),
+        lit(dsum / n).as("dist_mean"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,
     q76, q79, q82, q95, q96, q104, q117, q122, q126, q128, q130, q131, q132, q133,
     q134, q135, q136, q137, q139, q141, q142, q143, q144, q146, q147, q148, q149,
-    q150, q151, q152)
+    q150, q151, q152, q153)
 }

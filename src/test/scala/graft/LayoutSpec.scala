@@ -64,8 +64,15 @@ class LayoutSpec extends SparkSuite {
     Similarity.buildIvfIndex(emb, 8, idx)
     assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=2")))
     assert(!Files.exists(java.nio.file.Paths.get(idx, "v=1")))
-    assert(VersionedIndex.readParams(spark, s"$idx/v=2") ==
+    // exact-pin the non-measured params; the r18 centroid-fit
+    // baseline keys are corpus statistics — pin their INVARIANTS
+    // (present, recent==build at a fresh build, full-memory window)
+    val v2params = VersionedIndex.readParams(spark, s"$idx/v=2")
+    assert(v2params - "ivfDistBuild" - "ivfDistRecent" - "ivfDistWindow" ==
       Map("nLists" -> "8", "vecMapBuckets" -> "64"))
+    assert(v2params.get("ivfDistBuild").exists(_.toLong > 0L) &&
+      v2params.get("ivfDistRecent") == v2params.get("ivfDistBuild") &&
+      v2params.get("ivfDistWindow").contains("256"))
     val r2 = Similarity.ivfSearchIndexed(spark, idx, 2, 0L, 5)
       .collect().map(_.getLong(0)).toSet
     assert(r2 == r1, "identical corpus + params must search identically")
@@ -1212,8 +1219,37 @@ class LayoutSpec extends SparkSuite {
     Similarity.buildIvfIndex(emb, 8, s"$root/ivf")
     val ivf = Index.stats(spark, s"$root/ivf")
     assert(ivf.kind == "ivf" && !ivf.emptied)
-    assert(ivf.drift.isEmpty, "plain IVF has no codebook baseline to drift from")
+    // centroid-staleness axis (r18): a fresh build baselines recent =
+    // build, so the plain-IVF kind reads exactly 0.0 — the same
+    // 0-is-healthy convention as the pq arm below
+    assert(ivf.drift.contains(0.0),
+      "fresh build: ivfDistRecent == ivfDistBuild")
     assert(ivf.rows == emb.count(), "rows = indexed vectors")
+    // after a mutation the drift arm must stay POPULATED with a
+    // measured excess and the ok/stale state machine must have run
+    // (driftState + driftDistExcess in the committed params): probe
+    // recall decaying without the list histogram skewing is the
+    // silent class this axis catches. Own index dir — the shared one
+    // above still has delete/takedown arms to run. (The threshold/
+    // boundary/rebuild-clears pins live in SimilaritySpec's
+    // centroid-staleness loop test, on a controlled tight-cluster
+    // corpus.)
+    Similarity.buildIvfIndex(emb, 8, s"$root/ivfdrift")
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+          col("label")),
+      s"$root/ivfdrift")
+    val ivfDrifted = Index.stats(spark, s"$root/ivfdrift")
+    assert(ivfDrifted.drift.isDefined,
+      "a mutated plain-IVF index must surface its staleness excess")
+    val driftParams = graft.operators.VersionedIndex
+      .currentDir(spark, s"$root/ivfdrift")
+      .map(graft.operators.VersionedIndex.readParams(spark, _))
+      .getOrElse(Map.empty)
+    assert(driftParams.get("driftState").exists(s => s == "ok" || s == "stale") &&
+      driftParams.contains("driftDistExcess"),
+      s"the staleness state machine must have run: $driftParams")
     assert(ivf.partitions > 0 && ivf.partitions <= 8, "partitions = occupied lists")
     // one common-core judgment reads identically for every kind below
     def sane(s: Index.IndexStats): Unit = {

@@ -774,6 +774,89 @@ class SimilaritySpec extends SparkSuite {
       s5.driftBand == s3.driftBand && s5.driftBoundary == s3.driftBoundary)
   }
 
+  test("ivf centroid-staleness loop: off-geometry ingest alarms, a re-centering rebuild clears it") {
+    import graft.operators.{Index, Similarity, VersionedIndex}
+    // the r18 close of the one mutable kind without a regime axis:
+    // every upsert folds the batch's mean assigned-centroid
+    // micro-distance into the ivfDist EWMA (the pqErr fold on the
+    // GEOMETRY axis — drift toward list boundaries degrades probe
+    // recall without necessarily skewing the histogram the skew
+    // trigger watches), judges the excess over the build baseline,
+    // and persists ok/stale through the shared Drift machine.
+    // A CONTROLLED regime: the gated corpus is near-isotropic (a
+    // negated or random batch fits its nearest-of-8 centroid about as
+    // badly as the corpus itself does — measured excess ~0.015, no
+    // alarm headroom), so the threshold behavior is pinned on a
+    // corpus whose geometry is KNOWN: 8 tight clusters of
+    // multiplicative-jitter clones (±2% per coordinate — scale-free,
+    // so the construction is independent of the embedding norms)
+    // around 8 real anchor vectors. Dense ids anchor·30+k make the
+    // stride seeding pick exactly the k=0 clone of each cluster.
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor"), col("embedding").as("aemb"),
+        col("label"))
+    def tight(idBase: Long): org.apache.spark.sql.DataFrame =
+      anchors.crossJoin(spark.range(0, 30).toDF("k"))
+        .select((col("anchor") * 30 + col("k") + idBase).as("vec_id"),
+          col("aemb"), col("label"))
+        .select(col("vec_id"),
+          transform(col("aemb"), (x, i) =>
+            (x * (lit(1.0f) +
+              (pmod(hash(col("vec_id") * 31 + i + lit(1)), lit(2000)) - 1000)
+                .cast("float") / lit(50000.0f))).cast("float"))
+            .as("embedding"),
+          col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfdistdrift")
+      .toString + "/i"
+    Similarity.buildIvfIndex(tight(0L), 8, dir)
+    def params = VersionedIndex.currentDir(spark, dir)
+      .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
+    // fresh build: recent == baseline → excess exactly 0.0 (the same
+    // 0-is-healthy convention as every other kind); no state yet —
+    // nothing ingested against the pinned geometry
+    assert(Index.stats(spark, dir).drift.contains(0.0))
+    assert(params.get("driftState").isEmpty)
+    assert(params.get("ivfDistBuild").exists(_.toLong > 0L),
+      s"tight clusters must still measure a nonzero baseline: $params")
+    // ON-regime ingest (new ids, same cluster construction): fit
+    // holds — state ok, excess under the stale threshold
+    Similarity.upsertIvfIndex(tight(10000L), dir)
+    assert(params.get("driftState").contains("ok"), s"$params")
+    val dOk = Index.stats(spark, dir).drift.get
+    assert(dOk < Similarity.DefaultIvfStaleExcess,
+      s"on-regime ingest must stay under the stale excess, read $dOk")
+    // OFF-GEOMETRY ingest (real corpus vectors — effectively random
+    // directions vs the 8 tight anchors, cosine fit near the
+    // isotropic floor): the excess crosses the threshold, the state
+    // machine records the crossing, and the WARN names the rebuild
+    // answer
+    Similarity.upsertIvfIndex(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 400)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+          col("label")),
+      dir)
+    val dStale = Index.stats(spark, dir).drift.get
+    info(f"staleness excess after off-geometry ingest: $dStale%.3f")
+    assert(dStale >= Similarity.DefaultIvfStaleExcess, s"read $dStale")
+    assert(params.get("driftState").contains("stale"))
+    assert(params.get("driftBoundary").contains("ok->stale"))
+    // a takedown measures nothing — the alarm and boundary CARRY
+    // (statsParams passes prior params through on the delete path)
+    Similarity.deleteFromIvfIndex(
+      tight(0L).limit(5).select(col("vec_id")), dir)
+    assert(params.get("driftState").contains("stale") &&
+      params.get("driftBoundary").contains("ok->stale"))
+    // the drift policy's answer: a re-centering rebuild re-seeds the
+    // geometry FROM the current rows, so the rebuilt baseline fits
+    // the corpus that actually exists — excess returns to exactly
+    // 0.0 and the state machine resets (fresh build params)
+    Similarity.rebuildIvfIndex(spark, dir)
+    assert(Index.stats(spark, dir).drift.contains(0.0),
+      "a re-centering rebuild must clear the staleness excess")
+    assert(params.get("driftState").isEmpty &&
+      params.get("driftBoundary").isEmpty)
+  }
+
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
     import graft.functions.Vectors
     val uncapped = Similarity.knnGraph(emb, 5,
