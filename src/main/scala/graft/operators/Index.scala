@@ -121,6 +121,11 @@ object Index {
     /** Codebook-staleness signal (quantization-error EWMA vs build). */
     def codebookStats(retrainRatio: Double = 1.5): Similarity.PqDriftStats =
       Similarity.pqCodebookStats(spark, path, retrainRatio)
+    /** Centroid-staleness signal (geometry-fit EWMA vs build) — the
+      * same axis exists under the PQ layer: codewords can fit while
+      * the pinned LIST geometry no longer balances recall. */
+    def centroidStats(staleExcess: Double = Similarity.DefaultIvfStaleExcess): Similarity.IvfCentroidStats =
+      Similarity.ivfCentroidStats(spark, path, staleExcess)
     /** Re-centers lists AND retrains the codebook (the drift policy);
       * refreshes this handle's preloaded codebook so subsequent
       * searches score against the retrained geometry. */
@@ -161,6 +166,10 @@ object Index {
     def delete(ids: DataFrame): Unit = Similarity.deleteFromIvfIndex(ids, path)
     def stats(skewThreshold: Double = Similarity.DefaultIvfSkewThreshold): Similarity.IvfStats =
       Similarity.ivfIndexStats(spark, path, skewThreshold)
+    /** Centroid-staleness signal (geometry-fit EWMA vs build) — the
+      * drift WITHIN lists that the skew histogram cannot see. */
+    def centroidStats(staleExcess: Double = Similarity.DefaultIvfStaleExcess): Similarity.IvfCentroidStats =
+      Similarity.ivfCentroidStats(spark, path, staleExcess)
     def rebuild(): Unit = {
       Similarity.rebuildIvfIndex(spark, path)
       cents = Index.loadCentroids(spark, path) // re-centering moved the geometry

@@ -312,6 +312,41 @@ object Similarity {
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
         distMicroCol.as("dist_micro"))
 
+  /** Centroid-staleness health of a persisted IVF / IVF-PQ index —
+    * the GEOMETRY-axis twin of [[pqCodebookStats]]: `buildDist` is
+    * the corpus mean assigned-centroid micro-distance at build time
+    * (sampled baseline), `recentDist` the batch-weighted EWMA over
+    * upserted batches, `excess` their ratio − 1 (the
+    * `Index.stats(...).drift` value for the plain-IVF kind), and
+    * `needsRecenter` fires at `staleExcess` — recent ingest no longer
+    * fits the pinned list geometry, and the answer is
+    * [[rebuildIvfIndex]] exactly like the codebook signal's. Reads
+    * PARAMS only (no data scan — a monitoring loop polls it for
+    * free); `state`/`boundary` surface the persisted ok/stale machine
+    * (None until an upsert has measured). Errors loudly on an index
+    * built before the baseline existed — its next full rebuild writes
+    * one (the pqCodebookStats contract). DELETES leave the signal
+    * untouched by design: it measures how recent INGEST fits the
+    * pinned geometry. */
+  final case class IvfCentroidStats(buildDist: Long, recentDist: Long,
+      excess: Double, needsRecenter: Boolean,
+      state: Option[String], boundary: Option[String])
+
+  def ivfCentroidStats(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      staleExcess: Double = DefaultIvfStaleExcess): IvfCentroidStats = {
+    val params = VersionedIndex.currentDir(spark, path)
+      .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
+    val build = params.getOrElse("ivfDistBuild",
+      sys.error(s"index at $path has no centroid-fit baseline " +
+        "(built before the ivfDist axis existed) — a full rebuild " +
+        "writes one")).toLong
+    val recent = params.get("ivfDistRecent").map(_.toLong).getOrElse(build)
+    val excess = recent.toDouble / math.max(build, 1L) - 1.0
+    IvfCentroidStats(build, recent, excess, excess >= staleExcess,
+      params.get("driftState"), params.get("driftBoundary"))
+  }
+
   /** Ad-hoc IVF search: rank centroids for the query, scan the
     * top-`nprobe` lists, cosine top-k within them. Builds the
     * assignment in-flight — fine for one-off/spec use; a serving path

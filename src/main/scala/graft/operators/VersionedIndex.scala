@@ -381,6 +381,36 @@ object VersionedIndex {
     }
   }
 
+  /** Floor for [[recommendIdxBuckets]]: below ~32 MB per bucket the
+    * per-partition FIXED costs (file open, footer, one-file-per-dir
+    * write, manifest entry) dominate the bytes a pruned read saves —
+    * measured r18: applying the naive size/rewrite_unit rule to a
+    * 50k-doc LSH index (64→640 buckets) made the fixed-batch upsert
+    * 2.44× SLOWER (~347 touched partition dirs of fixed cost), while
+    * the 64-bucket default was already flat (0.90×). SCALE.md
+    * "rule-sized buckets ... REFUTED at this scale" has the table. */
+  val MinBucketBytes: Long = 32L * 1024 * 1024
+
+  /** The `nBuckets ≈ size/rewrite_unit` sizing rule WITH its measured
+    * floor: one bucket is the unit a partial commit rewrites, so the
+    * rule bounds per-mutation IO as the index grows — but only once a
+    * bucket's bytes dwarf a file-open. Equivalent form:
+    * `indexBytes / max(targetRewriteUnitBytes, minBucketBytes)`,
+    * clamped to ≥ 1 — asking for rewrite units smaller than the floor
+    * buys no IO (the read is pruned either way) and multiplies
+    * per-commit file costs, so the floor wins. Deployments size
+    * `idxBuckets` (LSH/sketch) and the mirror's `nBuckets` with this
+    * at (re)build/compaction points; the LayoutSpec arms pin all
+    * three regimes. */
+  def recommendIdxBuckets(indexBytes: Long, targetRewriteUnitBytes: Long,
+      minBucketBytes: Long = MinBucketBytes): Int = {
+    require(indexBytes > 0 && targetRewriteUnitBytes > 0 && minBucketBytes > 0,
+      s"recommendIdxBuckets needs positive sizes, got index=$indexBytes " +
+        s"unit=$targetRewriteUnitBytes floor=$minBucketBytes")
+    val unit = math.max(targetRewriteUnitBytes, minBucketBytes)
+    math.max(1L, math.min(indexBytes / unit, Int.MaxValue.toLong)).toInt
+  }
+
   /** ONE definition of the drift-loop persistence skeleton shared by
     * every mutable index kind's regime monitor — sketch (flip-rate
     * sizing band), LSH (re-crawl Jaccard alarm) and IVF/IVF-PQ

@@ -850,7 +850,13 @@ object Pipelines {
     * exactly like pinned centroids) — and since codewords can go
     * stale WITHOUT skewing the list histogram, `retrainErrRatio`
     * arms the second trigger: `Similarity.pqCodebookStats`'s
-    * quantization-error EWMA vs the build-time baseline.
+    * quantization-error EWMA vs the build-time baseline. And since
+    * the GEOMETRY can go stale without skewing the histogram either
+    * (ingest drifting toward list boundaries — recall decays, list
+    * sizes stay balanced), `recenterExcess` arms the third trigger
+    * for BOTH kinds: `Similarity.ivfCentroidStats`'s assigned-
+    * centroid-distance EWMA vs its build baseline (the r18 axis —
+    * every upsert maintains it; the check here is O(params)).
     *
     * Index access goes through ONE [[graft.operators.Index]] handle,
     * opened lazily after bootstrap and reused for every later trigger
@@ -865,11 +871,31 @@ object Pipelines {
   def vectorIngestSink(vectors: DataFrame, indexPath: String, checkpoint: String,
       nLists: Int = 16, rebuildSkewThreshold: Option[Double] = None,
       retrainErrRatio: Option[Double] = None, pq: Boolean = false,
+      recenterExcess: Option[Double] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = vectors.sparkSession
     import graft.operators.{Index, Similarity, VersionedIndex}
     var handle: Option[Index.Opened] = None // driver-side, one foreachBatch loop
     var warnedNoCodebook = false
+    var warnedNoDistBaseline = false
+    // centroid-staleness trigger, shared by both IVF kinds: armed only
+    // once the index carries the ivfDist baseline (pre-axis layouts
+    // warn once and stay unmonitored until a rebuild writes one — the
+    // pqErrBuild guard's contract); the check itself reads params only
+    def geometryStale(): Boolean = recenterExcess.exists { r =>
+      val armed = VersionedIndex.currentDir(spark, indexPath)
+        .map(VersionedIndex.readParams(spark, _))
+        .exists(_.contains("ivfDistBuild"))
+      if (!armed && !warnedNoDistBaseline) {
+        warnedNoDistBaseline = true
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"vectorIngestSink: recenterExcess is set but the index at " +
+            s"$indexPath predates the centroid-fit baseline (no " +
+            "ivfDistBuild param) — geometry staleness is unmonitored " +
+            "until the next rebuild")
+      }
+      armed && Similarity.ivfCentroidStats(spark, indexPath, r).needsRecenter
+    }
     foreachBatchSink(vectors, checkpoint, trigger) { (batch, _) =>
         if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {
           if (pq) Similarity.buildIvfPqIndex(batch, nLists, indexPath)
@@ -907,7 +933,7 @@ object Pipelines {
                 }
                 armed && i.codebookStats(r).needsRetrain
               }
-              if (skewed || stale) i.rebuild()
+              if (skewed || stale || geometryStale()) i.rebuild()
             case i: Index.Ivf =>
               if (retrainErrRatio.isDefined && !warnedNoCodebook) {
                 warnedNoCodebook = true
@@ -918,7 +944,8 @@ object Pipelines {
                     "pq = true if PQ serving is expected")
               }
               i.upsert(batch)
-              if (rebuildSkewThreshold.exists(t => i.stats(t).needsRebuild))
+              if (rebuildSkewThreshold.exists(t => i.stats(t).needsRebuild) ||
+                  geometryStale())
                 i.rebuild()
             case other => sys.error(
               s"vectorIngestSink: cannot ingest vectors into a " +

@@ -922,6 +922,71 @@ class LayoutSpec extends SparkSuite {
     assert(Similarity.ivfPqSearchIndexed(spark, idx, 8, 0L, 5, 25).count() == 5)
   }
 
+  test("vector ingest sink: recenterExcess re-centers when the geometry goes stale") {
+    import graft.operators.{Similarity, VersionedIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("vecingrecenter").toString
+    val idx = s"$base/index"
+    // deterministic tight-cluster bootstrap (the SimilaritySpec drift
+    // corpus, driver-side): 8 anchors × 30 multiplicative-jitter
+    // clones (±2%/coordinate, scale-free), dense ids anchor·30+k so
+    // the stride seeding picks one clone per cluster → a SMALL
+    // centroid-fit baseline with known geometry
+    val anchors = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def jit(id: Long, i: Int): Float =
+      1.0f + (math.abs((id * 31 + i + 1) * 2654435761L % 2000) - 1000) / 50000.0f
+    val tight = for (a <- anchors.toIndexedSeq; k <- 0 until 30) yield {
+      val id = a._1 * 30 + k
+      (id, a._2, a._3.zipWithIndex.map { case (x, i) => x * jit(id, i) }.toSeq)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Seq[Float])]
+    val sdf = stream.toDF().toDF("vec_id", "label", "embedding")
+    val q = graft.streaming.Pipelines.vectorIngestSink(sdf, idx, s"$base/ckpt",
+      nLists = 8, recenterExcess = Some(0.5),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    stream.addData(tight)
+    q.processAllAvailable() // bootstrap (v=1) writes the fit baseline
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=1")))
+    assert(!Similarity.ivfCentroidStats(spark, idx).needsRecenter)
+    // OFF-GEOMETRY batch (real corpus vectors — random directions vs
+    // the tight anchors): the trigger upserts (v=2), reads the
+    // staleness signal its own commit just maintained, and re-centers
+    // (v=3) — all inside one trigger, no operator in the loop
+    val offGeo = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding")
+      .filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .collect().map(r =>
+        (r.getLong(0) + 1000000L, r.getInt(1), r.getSeq[Float](2).toSeq))
+    stream.addData(offGeo.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedIndex.currentDir(spark, idx).exists(_.endsWith("/v=3")),
+      "the trigger must upsert (v=2) then re-center (v=3)")
+    val cs = Similarity.ivfCentroidStats(spark, idx)
+    assert(!cs.needsRecenter && cs.excess == 0.0 && cs.state.isEmpty,
+      s"re-centered geometry must read healthy: $cs")
+    // serving works over the merged corpus post-recenter
+    assert(Similarity.ivfSearchIndexed(spark, idx, 8, 0L, 10).count() == 10)
+  }
+
+  test("recommendIdxBuckets: the sizing rule keeps its measured floor") {
+    import graft.operators.VersionedIndex.recommendIdxBuckets
+    val GB = 1024L * 1024 * 1024
+    // rule arm: rewrite unit above the floor → size/unit
+    assert(recommendIdxBuckets(100 * GB, GB) == 100)
+    // floor arm: a 1 MB rewrite unit would explode the partition
+    // count for no pruning gain (the r18 2.44× measurement) — the
+    // floor answers size/32MB instead
+    assert(recommendIdxBuckets(10 * GB, 1024 * 1024) == 320)
+    // tiny index: never below one bucket (the sf0.1-scale regime
+    // where the 64-bucket default already reads flat)
+    assert(recommendIdxBuckets(1024, 1024 * 1024) == 1)
+    intercept[IllegalArgumentException](recommendIdxBuckets(0, GB))
+  }
+
   test("streaming vector takedown: batches delete atomically; replayed deletes commit nothing") {
     import graft.operators.{Similarity, VersionedIndex}
     import org.apache.spark.sql.functions.col

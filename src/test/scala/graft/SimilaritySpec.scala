@@ -840,6 +840,12 @@ class SimilaritySpec extends SparkSuite {
     assert(dStale >= Similarity.DefaultIvfStaleExcess, s"read $dStale")
     assert(params.get("driftState").contains("stale"))
     assert(params.get("driftBoundary").contains("ok->stale"))
+    // the params-only stats surface (the pqCodebookStats twin) agrees
+    // with the state machine and Index.stats on every field
+    val cs = Similarity.ivfCentroidStats(spark, dir)
+    assert(cs.needsRecenter && cs.excess == dStale &&
+      cs.state.contains("stale") && cs.boundary.contains("ok->stale"),
+      s"$cs")
     // a takedown measures nothing — the alarm and boundary CARRY
     // (statsParams passes prior params through on the delete path)
     Similarity.deleteFromIvfIndex(
@@ -855,6 +861,9 @@ class SimilaritySpec extends SparkSuite {
       "a re-centering rebuild must clear the staleness excess")
     assert(params.get("driftState").isEmpty &&
       params.get("driftBoundary").isEmpty)
+    val csAfter = Similarity.ivfCentroidStats(spark, dir)
+    assert(!csAfter.needsRecenter && csAfter.excess == 0.0 &&
+      csAfter.state.isEmpty && csAfter.boundary.isEmpty, s"$csAfter")
   }
 
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
