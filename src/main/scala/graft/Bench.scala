@@ -22,6 +22,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** ONE median definition for the full suite and the warm sweep —
+    * averaging the middle pair on even counts. (The warm sweep's
+    * first cut took the upper-middle element, so a warm table built
+    * with an even SPARK_GRAFT_WARM_RUNS read biased-high vs the full
+    * suite it arbitrates.) */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Table footer/schema + noop-sink warm-up shared by both modes —
+    * the warm sweep must warm exactly like the suite it arbitrates. */
+  private def warmTables(spark: SparkSession, sfDir: String): Unit = {
+    graft.sources.Tables.names.foreach { n =>
+      try {
+        val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
+        else graft.sources.Tables.load(spark, sfDir, n)
+        df.count()
+      } catch { case _: Throwable => () }
+    }
+    spark.range(1).write.format("noop").mode("overwrite").save()
+  }
+
   /** `--warm` (r18): the warm-median arbitration protocol as a
     * standing mode instead of per-round reactive work. Three rounds
     * running (q131@r15, q120@r16, q148/q150@r17), one query's driver
@@ -80,7 +105,7 @@ object Bench {
       }
       once() // warm-up, discarded
       val ts = (1 to nRuns).map(_ => once())
-      val med = ts.sorted.apply(ts.size / 2)
+      val med = median(ts)
       System.err.println(
         f"[warm] $name%-34s median $med%6.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
       (name, med, ts)
@@ -107,34 +132,19 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
     if (warm) {
-      // table warm-up exactly like the full suite, then the sweep
-      graft.sources.Tables.names.foreach { n =>
-        try {
-          val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
-          else graft.sources.Tables.load(spark, sfDir, n)
-          df.count()
-        } catch { case _: Throwable => () }
-      }
-      spark.range(1).write.format("noop").mode("overwrite").save()
+      warmTables(spark, sfDir) // exactly the full suite's warm-up
       warmMain(spark, sfDir)
       spark.stop()
       return
     }
 
     // Touch each table once (parquet footer + JVM warm-up) before
-    // timing. Measured: fully caching the tables (cache().count())
-    // is NOT faster here — the local NVMe parquet scans beat
-    // InMemoryRelation's extra copy at this scale.
-    graft.sources.Tables.names.foreach { n =>
-      try {
-        val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
-        else graft.sources.Tables.load(spark, sfDir, n)
-        df.count()
-      } catch { case _: Throwable => () }
-    }
-    // Warm the noop sink too, so the alphabetically-first query doesn't
-    // absorb its one-time initialization into its timing.
-    spark.range(1).write.format("noop").mode("overwrite").save()
+    // timing, plus the noop sink, so the alphabetically-first query
+    // doesn't absorb one-time initialization. Measured: fully caching
+    // the tables (cache().count()) is NOT faster here — the local
+    // NVMe parquet scans beat InMemoryRelation's extra copy at this
+    // scale.
+    warmTables(spark, sfDir)
 
     // Timing materializes EVERY output column through the noop sink:
     // a .count() lets Catalyst prune computed columns, so projection-
@@ -157,12 +167,6 @@ object Bench {
           catch { case _: Throwable => errors += name; false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) -1.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val medians = selected.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> median(runs.flatMap(r => Some(r(i)._2).filter(_ >= 0)))

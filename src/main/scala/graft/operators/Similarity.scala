@@ -228,14 +228,17 @@ object Similarity {
   private def distMicroCol: Column =
     floor((lit(1.0) - col("c_sim")) * lit(1000000.0)).cast("long")
 
-  /** (rows, mean micro-distance) of an assigned frame (needs the
-    * `c_sim` column) — one narrow aggregation; None for an empty
-    * batch (nothing measured, the EWMA carries). */
-  private def centroidDistValue(assigned: DataFrame): Option[(Long, Long)] = {
-    val r = assigned.agg(count(lit(1)).as("n"), sum(distMicroCol).as("s"))
-      .head()
+  /** (rows, mean micro-distance, batch signature) of an assigned
+    * frame (needs the `c_sim` column) — one narrow aggregation; None
+    * for an empty batch (nothing measured, the EWMA carries). The
+    * signature (order-independent XOR of the id hashes, folded with
+    * n and the mean) identifies a byte-identical re-delivery — the
+    * EWMA's zero-evidence carry key (see [[ivfDistParams]]). */
+  private def centroidDistValue(assigned: DataFrame): Option[(Long, Long, Long)] = {
+    val r = assigned.agg(count(lit(1)).as("n"), sum(distMicroCol).as("s"),
+      expr("bit_xor(xxhash64(vec_id))").as("x")).head()
     if (r.getLong(0) == 0L) None
-    else Some((r.getLong(0), r.getLong(1) / r.getLong(0)))
+    else Some((r.getLong(0), r.getLong(1) / r.getLong(0), r.getLong(2)))
   }
 
   /** Build-time baseline sample size. The baseline is measured over a
@@ -259,7 +262,7 @@ object Similarity {
     val sample = embeddings
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(IvfDistBaselineSample)
-    centroidDistValue(assignSeeded(sample, seeds)).map { case (_, v) =>
+    centroidDistValue(assignSeeded(sample, seeds)).map { case (_, v, _) =>
       Map("ivfDistBuild" -> v.toString, "ivfDistRecent" -> v.toString,
         // full-memory start (the pqErrWindow contract): the baseline
         // represents ≥ windowCap rows, so the first small batch must
@@ -277,9 +280,24 @@ object Similarity {
     * next full rebuild writes one. */
   private def ivfDistParams(assigned: DataFrame,
       params: Map[String, String], path: String): Map[String, String] =
-    centroidDistValue(assigned).map { case (n, v) =>
+    centroidDistValue(assigned).map { case (n, v, x) =>
+      // ZERO-EVIDENCE CARRY (the sketch/lsh probes' replay contract,
+      // which an unconditional fold would violate HERE because this
+      // probe measures batch-vs-geometry, not batch-vs-stored-rows —
+      // a crash-replay of a committed upsert re-measures the
+      // identical (ids, n, mean) and would double-fold it, moving
+      // the EWMA and possibly logging a phantom ok->stale crossing
+      // with no new data): the persisted signature of the LAST
+      // folded batch gates the fold. A false match requires the same
+      // id set at the same count and same mean fit — which is a
+      // re-delivery in every sense that matters, so carrying is
+      // correct there too. Returning empty carries: the IVF commit
+      // paths pass ALL prior params through statsParams.
+      val sig = s"$n:$v:$x"
+      if (params.get("ivfDistSig").contains(sig)) Map.empty[String, String]
+      else {
       val ew = VersionedIndex.Drift.ewma(params, "ivfDist", n, v,
-        PqErrWindowCap)
+        PqErrWindowCap) + ("ivfDistSig" -> sig)
       params.get("ivfDistBuild").map(_.toLong).filter(_ > 0L) match {
         case None => ew
         case Some(b) =>
@@ -298,6 +316,7 @@ object Similarity {
                 "(which also retrains the PQ codebook, if present)")
           ew ++ VersionedIndex.Drift.persist(params, "driftState", state,
             Map("driftDistExcess" -> excess.toString))
+      }
       }
     }.getOrElse(VersionedIndex.Drift.carried(params))
 
@@ -332,19 +351,32 @@ object Similarity {
       excess: Double, needsRecenter: Boolean,
       state: Option[String], boundary: Option[String])
 
+  /** [[ivfCentroidStats]] over an already-read params map — None when
+    * the baseline is absent OR degenerate (≤ 0: a corpus whose sampled
+    * rows ARE their centroids measures a zero baseline, and a
+    * recent/0 excess is garbage that would lock an automated trigger
+    * into rebuild-every-batch — the same `> 0` arming gate
+    * `ivfDistParams` and `Index.stats` apply). ONE params read serves
+    * the armed check and the stats — the sink's per-trigger path. */
+  private[graft] def ivfCentroidStatsFrom(params: Map[String, String],
+      staleExcess: Double): Option[IvfCentroidStats] =
+    params.get("ivfDistBuild").map(_.toLong).filter(_ > 0L).map { build =>
+      val recent = params.get("ivfDistRecent").map(_.toLong).getOrElse(build)
+      val excess = recent.toDouble / build - 1.0
+      IvfCentroidStats(build, recent, excess, excess >= staleExcess,
+        params.get("driftState"), params.get("driftBoundary"))
+    }
+
   def ivfCentroidStats(spark: org.apache.spark.sql.SparkSession,
       path: String,
       staleExcess: Double = DefaultIvfStaleExcess): IvfCentroidStats = {
     val params = VersionedIndex.currentDir(spark, path)
       .map(VersionedIndex.readParams(spark, _)).getOrElse(Map.empty)
-    val build = params.getOrElse("ivfDistBuild",
-      sys.error(s"index at $path has no centroid-fit baseline " +
-        "(built before the ivfDist axis existed) — a full rebuild " +
-        "writes one")).toLong
-    val recent = params.get("ivfDistRecent").map(_.toLong).getOrElse(build)
-    val excess = recent.toDouble / math.max(build, 1L) - 1.0
-    IvfCentroidStats(build, recent, excess, excess >= staleExcess,
-      params.get("driftState"), params.get("driftBoundary"))
+    ivfCentroidStatsFrom(params, staleExcess).getOrElse(
+      sys.error(s"index at $path has no usable centroid-fit baseline " +
+        "(ivfDistBuild missing — built before the axis existed — or " +
+        "degenerate: the sampled build corpus fit its centroids " +
+        "exactly); a full rebuild over real ingest writes one"))
   }
 
   /** Ad-hoc IVF search: rank centroids for the query, scan the

@@ -1256,19 +1256,27 @@ object VectorQueries {
     val rate = Similarity.estimateFlipRate(emb, reemb)
     def codes(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
       col("vec_id"), Vectors.lshBucket(col("embedding"), 64, 32).as(c))
+    // cached: the totals agg and the returned frame share one kernel
+    // pass (uncached, the corpus-wide lshBucket join would execute
+    // twice); the small result checkpoints eagerly so the cache is
+    // released before returning (the ngramJaccardPairs pattern)
     val joined = codes(emb, "c0").join(codes(reemb, "c1"), "vec_id")
       .select(col("vec_id"),
         bit_count(col("c0").bitwiseXOR(col("c1"))).cast("int").as("flips"))
-    val t = joined.agg(sum(col("flips")), count(lit(1))).head()
-    val (fsum, n) = (t.getLong(0), t.getLong(1))
-    require(rate == (fsum.toDouble / n) / 32,
-      s"estimateFlipRate ($rate) disagrees with the gated integer " +
-        s"totals ($fsum flips / ${n * 32} bits) — the estimator and the " +
-        "replay no longer share one definition")
-    joined
-      .select(col("vec_id"), col("flips"),
-        lit(fsum).as("flips_total"), lit(n * 32).as("bits_total"))
-      .orderBy(col("vec_id"))
+      .cache()
+    try {
+      val t = joined.agg(sum(col("flips")), count(lit(1))).head()
+      val (fsum, n) = (t.getLong(0), t.getLong(1))
+      require(rate == (fsum.toDouble / n) / 32,
+        s"estimateFlipRate ($rate) disagrees with the gated integer " +
+          s"totals ($fsum flips / ${n * 32} bits) — the estimator and the " +
+          "replay no longer share one definition")
+      joined
+        .select(col("vec_id"), col("flips"),
+          lit(fsum).as("flips_total"), lit(n * 32).as("bits_total"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+    } finally joined.unpersist()
   }
 
   // Block-less dup clustering: connected components over the sorted-
@@ -1395,13 +1403,19 @@ object VectorQueries {
          |  CAST(sum(dist_micro) OVER () // count(*) OVER () AS BIGINT) AS dist_mean
          |FROM f ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-    val fit = Similarity.centroidFit(Tables.embeddings(s, d), 16)
-    val t = fit.agg(sum(col("dist_micro")), count(lit(1))).head()
-    val (dsum, n) = (t.getLong(0), t.getLong(1))
-    fit.select(col("vec_id"), col("list_id"), col("dist_micro"),
-        lit(dsum).as("dist_total"), lit(n).as("n_rows"),
-        lit(dsum / n).as("dist_mean"))
-      .orderBy(col("vec_id"))
+    // cached: the totals agg and the returned frame share one
+    // O(n·nLists) assignment pass; eager-checkpoint the (narrow)
+    // result, release the cache (the q152/ngramJaccardPairs pattern)
+    val fit = Similarity.centroidFit(Tables.embeddings(s, d), 16).cache()
+    try {
+      val t = fit.agg(sum(col("dist_micro")), count(lit(1))).head()
+      val (dsum, n) = (t.getLong(0), t.getLong(1))
+      fit.select(col("vec_id"), col("list_id"), col("dist_micro"),
+          lit(dsum).as("dist_total"), lit(n).as("n_rows"),
+          lit(dsum / n).as("dist_mean"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+    } finally fit.unpersist()
   }
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q55, q57, q62, q64, q75,

@@ -883,18 +883,24 @@ object Pipelines {
     // warn once and stay unmonitored until a rebuild writes one — the
     // pqErrBuild guard's contract); the check itself reads params only
     def geometryStale(): Boolean = recenterExcess.exists { r =>
-      val armed = VersionedIndex.currentDir(spark, indexPath)
+      // ONE params read serves the armed gate AND the excess math
+      // (ivfCentroidStatsFrom): None = unarmed — a layout predating
+      // the baseline, or a degenerate (zero) baseline whose excess
+      // would be garbage and could lock this trigger into
+      // rebuild-every-batch; warn once, stay unmonitored until a
+      // rebuild over real ingest writes a usable baseline
+      val stats = VersionedIndex.currentDir(spark, indexPath)
         .map(VersionedIndex.readParams(spark, _))
-        .exists(_.contains("ivfDistBuild"))
-      if (!armed && !warnedNoDistBaseline) {
+        .flatMap(Similarity.ivfCentroidStatsFrom(_, r))
+      if (stats.isEmpty && !warnedNoDistBaseline) {
         warnedNoDistBaseline = true
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"vectorIngestSink: recenterExcess is set but the index at " +
-            s"$indexPath predates the centroid-fit baseline (no " +
-            "ivfDistBuild param) — geometry staleness is unmonitored " +
-            "until the next rebuild")
+            s"$indexPath has no usable centroid-fit baseline (missing " +
+            "or degenerate ivfDistBuild) — geometry staleness is " +
+            "unmonitored until the next rebuild")
       }
-      armed && Similarity.ivfCentroidStats(spark, indexPath, r).needsRecenter
+      stats.exists(_.needsRecenter)
     }
     foreachBatchSink(vectors, checkpoint, trigger) { (batch, _) =>
         if (VersionedIndex.currentDir(spark, indexPath).isEmpty) {

@@ -830,11 +830,10 @@ class SimilaritySpec extends SparkSuite {
     // isotropic floor): the excess crosses the threshold, the state
     // machine records the crossing, and the WARN names the rebuild
     // answer
-    Similarity.upsertIvfIndex(
-      emb.filter(col("vec_id") >= 100 && col("vec_id") < 400)
-        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
-          col("label")),
-      dir)
+    val offGeo = emb.filter(col("vec_id") >= 100 && col("vec_id") < 400)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Similarity.upsertIvfIndex(offGeo, dir)
     val dStale = Index.stats(spark, dir).drift.get
     info(f"staleness excess after off-geometry ingest: $dStale%.3f")
     assert(dStale >= Similarity.DefaultIvfStaleExcess, s"read $dStale")
@@ -846,6 +845,20 @@ class SimilaritySpec extends SparkSuite {
     assert(cs.needsRecenter && cs.excess == dStale &&
       cs.state.contains("stale") && cs.boundary.contains("ok->stale"),
       s"$cs")
+    // CRASH-REPLAY pin: redelivering the already-committed batch
+    // carries the persisted signature match instead of double-folding
+    // the EWMA — this probe measures batch-vs-GEOMETRY (the replayed
+    // batch measures identically, unlike the sketch/lsh probes'
+    // batch-vs-own-rows zero), so without the signature gate a replay
+    // would move ivfDistRecent and could log a phantom crossing
+    val beforeReplay = params
+    Similarity.upsertIvfIndex(offGeo, dir)
+    val afterReplay = params
+    def drifty(m: Map[String, String]) = m.filter { case (k, _) =>
+      k.startsWith("ivfDist") || k.startsWith("drift") }
+    assert(drifty(afterReplay) == drifty(beforeReplay),
+      s"replay must carry the EWMA and alarm state:\n" +
+        s"  before ${drifty(beforeReplay)}\n  after  ${drifty(afterReplay)}")
     // a takedown measures nothing — the alarm and boundary CARRY
     // (statsParams passes prior params through on the delete path)
     Similarity.deleteFromIvfIndex(
@@ -864,6 +877,18 @@ class SimilaritySpec extends SparkSuite {
     val csAfter = Similarity.ivfCentroidStats(spark, dir)
     assert(!csAfter.needsRecenter && csAfter.excess == 0.0 &&
       csAfter.state.isEmpty && csAfter.boundary.isEmpty, s"$csAfter")
+    // DEGENERATE baseline: a corpus whose sampled rows ARE their
+    // centroids (8 rows, 8 lists) measures build fit ≤ 0 — an
+    // excess over it is garbage, so the stats surface refuses
+    // loudly (and ivfCentroidStatsFrom reads None, keeping the
+    // sink's automated trigger unarmed instead of rebuild-looping)
+    val dgen = java.nio.file.Files.createTempDirectory("ivfdegen")
+      .toString + "/i"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 8), 8, dgen)
+    val err = intercept[RuntimeException](
+      Similarity.ivfCentroidStats(spark, dgen))
+    assert(err.getMessage.contains("no usable centroid-fit baseline"),
+      err.getMessage)
   }
 
   test("capped knn graph: low cap keeps edges in-bucket and holds the measured recall floor") {
