@@ -413,4 +413,77 @@ object Text {
       .withColumn("krank", row_number().over(w))
       .filter(col("krank") <= cap)
   }
+
+  // ---- model-based filtering: multinomial Naive Bayes (r18) --------
+  // The classical linear quality/language filter of production corpus
+  // pipelines — "train a cheap classifier on weak labels, score the
+  // whole crawl" (the CCNet/GPT-3-shaped step the heuristic tier
+  // above feeds): NB's closed form trains in ONE counting pass, no
+  // iteration, no driver loop, which is exactly what makes a model
+  // pass over 100 TB one Spark job instead of an optimizer loop.
+
+  /** A trained NB filter: the vocab-sized per-token weights table
+    * (token, llr — add-1-smoothed log-likelihood ratio, ROUNDED to 6
+    * decimals so downstream sums can be exact decimals), the class
+    * prior log-odds, and the weight an out-of-vocabulary token scores
+    * (the smoothing mass ratio — a constant, since an unseen token's
+    * smoothed ratio does not depend on the token). */
+  final case class NbModel(weights: DataFrame, priorLogOdds: Double,
+      defaultLlr: Double)
+
+  /** Train on weak labels: `label` must be 0/1 (castable), both
+    * classes non-empty. Counts stay integer until the final log.
+    * Scale: one token-keyed count shuffle over the labeled subset +
+    * two one-row aggregates — the q77/q83 token-stream shape. */
+  def nbTrain(docs: DataFrame, id: Column, text: Column,
+      label: Column): NbModel = {
+    val lab = docs.select(id.as("doc_id"), label.cast("int").as("y"),
+      text.as("_t"))
+    val d = lab.agg(sum(col("y")), count(lit(1))).head()
+    val (d1, dAll) = (d.getLong(0), d.getLong(1))
+    require(d1 > 0 && d1 < dAll,
+      s"nbTrain needs both classes in the training set, got $d1 of " +
+        s"$dAll positive")
+    val tok = lab.select(col("y"), explode(tokens(col("_t"))).as("token"))
+    val t = tok.agg(sum(col("y")).as("n1"), count(lit(1)).as("n"),
+      count_distinct(col("token")).as("v")).head()
+    val (n1, n0, v) = (t.getLong(0), t.getLong(1) - t.getLong(0), t.getLong(2))
+    // per-token llr rounded to 6 BEFORE it ever reaches a sum — ln
+    // ulps are absorbed here (the q83/q93 recipe), and the scoring
+    // side's decimal sum is then exact and order-independent
+    val weights = tok.groupBy(col("token"))
+      .agg(sum(col("y")).as("c1"), (count(lit(1)) - sum(col("y"))).as("c0"))
+      .select(col("token"),
+        round(log((col("c1") + 1).cast("double") / (n1 + v)) -
+          log((col("c0") + 1).cast("double") / (n0 + v)), 6).as("llr"))
+    NbModel(weights,
+      priorLogOdds = math.log(d1.toDouble / (dAll - d1)),
+      defaultLlr = math.log((n0 + v).toDouble / (n1 + v)))
+  }
+
+  /** Score every document: (doc_id, n_tok, score, predicted) — score
+    * = prior + Σ llr(token) with multiplicity (OOV tokens take the
+    * model's default), predicted = score > 0. Docs with zero tokens
+    * drop (no token rows — nothing to score).
+    *
+    * Cross-engine exactness: the per-doc sum is an EXACT decimal sum
+    * of already-rounded weights (Exact.dsum — order-independent, so
+    * the gate hash cannot flake on float-sum order); the final round
+    * re-snaps the one double addition of the prior.
+    *
+    * Scale: the postings stream joins the vocab-sized weights table —
+    * the TF join shape (AQE broadcasts below threshold, shuffles on
+    * token above; Zipf skew rides the same skew handling as every
+    * token-keyed aggregate here) — then one doc-keyed aggregation. */
+  def nbScore(docs: DataFrame, id: Column, text: Column,
+      model: NbModel): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .join(model.weights, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        Exact.dsum(
+          coalesce(col("llr"), round(lit(model.defaultLlr), 6)), 6).as("_s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("_s") + round(lit(model.priorLogOdds), 6), 6).as("score"))
+      .withColumn("predicted", col("score") > 0)
 }

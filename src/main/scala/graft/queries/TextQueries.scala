@@ -717,6 +717,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Model-based quality/language filtering (r18): multinomial Naive
+  // Bayes trained on WEAK LABELS — the classical "train a cheap
+  // linear classifier, score the whole crawl" curation step the
+  // heuristic tier (q31/q32) feeds. Train on the even-id half
+  // (label: lang = 'en'), score EVERY doc. The oracle replays the
+  // full closed form: class/token counts (integer), add-1-smoothed
+  // per-token log-likelihood ratios rounded to 6 (ln ulps absorbed —
+  // the q83/q93 recipe), per-doc EXACT decimal sums (order-
+  // independent), OOV tokens at the constant smoothing-mass ratio,
+  // prior log-odds, and the >0 decision on the ROUNDED score so the
+  // boolean can never disagree with the gated score column.
+  val q154 = sql(
+    "q154_nb_quality_filter",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ttok AS (SELECT t.token, l.y FROM tok t JOIN lab l USING (doc_id)),
+      |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n0,
+      |    CAST(count(DISTINCT token) AS BIGINT) AS v FROM ttok),
+      |cnt AS (SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS c0 FROM ttok GROUP BY 1),
+      |pri AS (SELECT round(ln(CAST(sum(y) AS DOUBLE) / (count(*) - sum(y))), 6) AS prior FROM lab),
+      |w AS (SELECT token,
+      |    round(ln(CAST(c1 + 1 AS DOUBLE) / (n1 + v)) - ln(CAST(c0 + 1 AS DOUBLE) / (n0 + v)), 6) AS llr
+      |  FROM cnt CROSS JOIN tot),
+      |dflt AS (SELECT round(ln(CAST(n0 + v AS DOUBLE) / (n1 + v)), 6) AS d FROM tot),
+      |sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    round(CAST(sum(CAST(coalesce(w.llr, dflt.d) AS DECIMAL(27,6))) AS DOUBLE)
+      |      + any_value(pri.prior), 6) AS score
+      |  FROM tok LEFT JOIN w USING (token) CROSS JOIN dflt CROSS JOIN pri
+      |  GROUP BY tok.doc_id)
+      |SELECT doc_id, n_tok, score, score > 0 AS predicted
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val model = Text.nbTrain(dd.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), (col("lang") === "en").cast("int"))
+    Text.nbScore(dd, col("doc_id"), col("text"), model)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124, q125,
-    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118)
+    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118, q154)
 }

@@ -193,4 +193,45 @@ class TextSpec extends SparkSuite {
     assert(idx("y") == ((1L, 1L, "2:1")))
     assert(idx("z") == ((1L, 1L, "1:1")))
   }
+
+  test("nb filter: hand-checked llr/prior/default, weak-label separation, single-class rejected") {
+    // training set: 2 positive docs of "good" tokens, 1 negative of
+    // "bad" — hand-countable: n1=4, n0=2, V=3 (good, fine, bad)
+    val train = Seq(
+      (1L, "good fine good", 1), (2L, "good", 1), (3L, "bad bad", 0))
+      .toDF("id", "text", "y")
+    val m = Text.nbTrain(train, col("id"), col("text"), col("y"))
+    // prior = ln(2/1); default (OOV) = ln((n0+V)/(n1+V)) = ln(5/7)
+    assert(m.priorLogOdds == math.log(2.0))
+    assert(m.defaultLlr == math.log(5.0 / 7.0))
+    val w = m.weights.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Spark's round(col, 6) semantics exactly (catalyst Round =
+    // BigDecimal HALF_UP — math.round would differ on negative .5s)
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = d6(x).toDouble
+    // llr(good) = ln((3+1)/(4+3)) − ln((0+1)/(2+3)) = ln(4/7)−ln(1/5)
+    assert(w("good") == r6(math.log(4.0 / 7) - math.log(1.0 / 5)))
+    assert(w("bad") == r6(math.log(1.0 / 7) - math.log(3.0 / 5)))
+    assert(w("good") > 0 && w("bad") < 0, "signs must follow the classes")
+    // scoring separates held-out docs of each vocabulary, OOV tokens
+    // take the constant default, zero-token docs drop
+    val score = Text.nbScore(
+      Seq((10L, "good good fine"), (11L, "bad bad unseen"), (12L, " "))
+        .toDF("id", "text"),
+      col("id"), col("text"), m)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(score(10L)._3 && !score(11L)._3, s"$score")
+    assert(score(10L)._1 == 3L && score(11L)._1 == 3L)
+    // hand-compute doc 11: 2·llr(bad) + default as the EXACT decimal
+    // sum nbScore performs, + rounded prior, final round-6
+    val s11 = (d6(w("bad")) * 2 + d6(m.defaultLlr)).toDouble
+    assert(score(11L)._2 == r6(s11 + r6(m.priorLogOdds)))
+    assert(!score.contains(12L), "zero-token docs drop")
+    // a single-class training set cannot fit a prior — loud, not NaN
+    val err = intercept[IllegalArgumentException](Text.nbTrain(
+      train.filter(col("y") === 1), col("id"), col("text"), col("y")))
+    assert(err.getMessage.contains("both classes"))
+  }
 }
