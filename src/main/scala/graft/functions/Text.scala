@@ -486,4 +486,51 @@ object Text {
       .select(col("doc_id"), col("n_tok"),
         round(col("_s") + round(lit(model.priorLogOdds), 6), 6).as("score"))
       .withColumn("predicted", col("score") > 0)
+
+  /** The trained model COLLECTED for per-row scoring: the vocab map
+    * (token → round-6 llr) plus prior/default in their ROUNDED form
+    * (Spark round semantics — BigDecimal HALF_UP). `cap` bounds the
+    * driver-side collect loudly: the map is a broadcast-sized model
+    * artifact, not an index — past the cap, score with the
+    * distributed [[nbScore]] join form instead. */
+  final case class NbModelLocal(weights: Map[String, Double],
+      prior6: Double, defaultLlr6: Double)
+
+  def collectNbModel(model: NbModel, cap: Int = 262144): NbModelLocal = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = model.weights.count()
+    require(n <= cap,
+      s"NB vocabulary has $n tokens > cap $cap — use nbScore's " +
+        "distributed join form (or raise cap if the driver and the " +
+        "task broadcast can hold the map)")
+    NbModelLocal(
+      model.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      r6(model.priorLogOdds), r6(model.defaultLlr))
+  }
+
+  /** Per-ROW scoring column — the STREAMING-legal form of [[nbScore]]
+    * (no explode/join/groupBy, so it composes into any stateless
+    * stream stage, e.g. ahead of the curation funnel's keep gate):
+    * one pass over the token array with a DECIMAL accumulator, so the
+    * result is BIT-EQUAL to the batch form's exact decimal sum —
+    * stream==batch is equality, not ulp tolerance
+    * (StreamingConsistencySpec pins it). The vocab map rides a plain
+    * map literal (data, not codegen source — no expression-tree
+    * blowup at large vocabularies). NULL for zero-token docs: the
+    * batch form DROPS them (no token rows); a row-level column cannot
+    * drop, so it signals with NULL instead. */
+  def nbScoreExpr(text: Column, model: NbModelLocal): Column = {
+    val toks = tokens(text)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(27, 6)
+    val w = typedLit(model.weights)
+    // (acc + x) re-cast each step: decimal addition widens precision,
+    // and aggregate() needs a stable accumulator type
+    when(size(toks) === 0, lit(null).cast("double"))
+      .otherwise(round(
+        aggregate(toks, lit(0).cast(dec), (acc, t) =>
+          (acc + coalesce(element_at(w, t), lit(model.defaultLlr6)).cast(dec))
+            .cast(dec))
+          .cast("double") + lit(model.prior6), 6))
+  }
 }

@@ -293,4 +293,52 @@ class StreamingConsistencySpec extends SparkSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
     q.stop()
   }
+
+  test("nb filter column: streamed per-row scores equal the batch join form bit-for-bit") {
+    import graft.functions.Text
+    implicit val sqlCtx = spark.sqlContext
+    // train on the even-id half (q154's construction), collect the
+    // model, and score the SAME corpus two ways: the batch
+    // explode/join/groupBy form and the per-row decimal-accumulator
+    // column streamed through MemoryStream. Both sum ROUND-6 decimals
+    // exactly, so equality is bit-for-bit, not ulp-tolerant — the
+    // property that lets a streaming curation stage apply the learned
+    // filter without a stream/batch verdict skew.
+    val dd = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = Text.nbTrain(dd.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), (col("lang") === "en").cast("int"))
+    val local = Text.collectNbModel(model)
+    val batchScores = Text.nbScore(dd, col("doc_id"), col("text"), model)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = dd.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q2 = stream.toDF().toDF("doc_id", "text")
+      .withColumn("score", Text.nbScoreExpr(col("text"), local))
+      .writeStream.outputMode("append").format("memory").queryName("nbscores")
+      .start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); q2.processAllAvailable()
+    stream.addData(b); q2.processAllAvailable()
+    val streamed = spark.table("nbscores")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    q2.stop()
+    assert(streamed.size == rows.size)
+    batchScores.foreach { case (id, s) =>
+      assert(streamed(id).contains(s),
+        s"doc $id: streamed ${streamed(id)} != batch $s")
+    }
+    // zero-token docs: absent from the batch form, NULL in the column
+    streamed.collect { case (id, None) => id }.foreach { id =>
+      assert(!batchScores.contains(id),
+        s"doc $id NULL in the column but scored by the batch form")
+    }
+    // the collect cap is loud, not a truncation
+    val err = intercept[IllegalArgumentException](
+      Text.collectNbModel(model, cap = 3))
+    assert(err.getMessage.contains("vocabulary"))
+  }
 }
