@@ -432,14 +432,15 @@ object Text {
       defaultLlr: Double)
 
   /** Train on weak labels: `label` must be 0/1 (castable), both
-    * classes non-empty. Counts stay integer until the final log.
+    * classes non-empty, and the corpus must tokenize to SOMETHING —
+    * every degenerate input is a loud require, never an NPE off a
+    * null sum. Counts stay integer until the final log.
     * Scale: one token-keyed count shuffle over the labeled subset +
     * two one-row aggregates — the q77/q83 token-stream shape. */
-  def nbTrain(docs: DataFrame, id: Column, text: Column,
-      label: Column): NbModel = {
-    val lab = docs.select(id.as("doc_id"), label.cast("int").as("y"),
-      text.as("_t"))
+  def nbTrain(docs: DataFrame, text: Column, label: Column): NbModel = {
+    val lab = docs.select(label.cast("int").as("y"), text.as("_t"))
     val d = lab.agg(sum(col("y")), count(lit(1))).head()
+    require(d.getLong(1) > 0, "nbTrain: empty training set")
     val (d1, dAll) = (d.getLong(0), d.getLong(1))
     require(d1 > 0 && d1 < dAll,
       s"nbTrain needs both classes in the training set, got $d1 of " +
@@ -447,6 +448,8 @@ object Text {
     val tok = lab.select(col("y"), explode(tokens(col("_t"))).as("token"))
     val t = tok.agg(sum(col("y")).as("n1"), count(lit(1)).as("n"),
       count_distinct(col("token")).as("v")).head()
+    require(t.getLong(1) > 0,
+      "nbTrain: training texts tokenize to nothing — no counts to fit")
     val (n1, n0, v) = (t.getLong(0), t.getLong(1) - t.getLong(0), t.getLong(2))
     // per-token llr rounded to 6 BEFORE it ever reaches a sum — ln
     // ulps are absorbed here (the q83/q93 recipe), and the scoring
@@ -489,23 +492,31 @@ object Text {
 
   /** The trained model COLLECTED for per-row scoring: the vocab map
     * (token → round-6 llr) plus prior/default in their ROUNDED form
-    * (Spark round semantics — BigDecimal HALF_UP). `cap` bounds the
-    * driver-side collect loudly: the map is a broadcast-sized model
-    * artifact, not an index — past the cap, score with the
-    * distributed [[nbScore]] join form instead. */
+    * (Spark round semantics — BigDecimal HALF_UP). `cap` defaults to
+    * the BPE inline-map budget (4096) for the same reason BPE's does:
+    * element_at over a LITERAL map is a linear key scan in Spark, so
+    * per-row scoring is O(doc_len · vocab) — fine for a lexicon-sized
+    * model, unusable at corpus vocabularies. Past the cap, score with
+    * the distributed [[nbScore]] join form — in a stream, inside a
+    * foreachBatch stage (each micro-batch is a plain DataFrame there,
+    * so the explode/join/groupBy form runs as-is per trigger). ONE
+    * collect serves both the cap check and the map (the
+    * Bpe.collectWordTokenCounts recipe — a count() first would run
+    * the whole training shuffle twice). */
   final case class NbModelLocal(weights: Map[String, Double],
       prior6: Double, defaultLlr6: Double)
 
-  def collectNbModel(model: NbModel, cap: Int = 262144): NbModelLocal = {
+  def collectNbModel(model: NbModel, cap: Int = 4096): NbModelLocal = {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val n = model.weights.count()
-    require(n <= cap,
-      s"NB vocabulary has $n tokens > cap $cap — use nbScore's " +
-        "distributed join form (or raise cap if the driver and the " +
-        "task broadcast can hold the map)")
+    val rows = model.weights.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"NB vocabulary exceeds cap $cap — element_at on a literal map " +
+        "is a linear scan, so the per-row form is for lexicon-sized " +
+        "models; use nbScore's distributed join form (per micro-batch " +
+        "via foreachBatch in a stream)")
     NbModelLocal(
-      model.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getDouble(1)).toMap,
       r6(model.priorLogOdds), r6(model.defaultLlr))
   }
 
@@ -516,10 +527,13 @@ object Text {
     * result is BIT-EQUAL to the batch form's exact decimal sum —
     * stream==batch is equality, not ulp tolerance
     * (StreamingConsistencySpec pins it). The vocab map rides a plain
-    * map literal (data, not codegen source — no expression-tree
-    * blowup at large vocabularies). NULL for zero-token docs: the
-    * batch form DROPS them (no token rows); a row-level column cannot
-    * drop, so it signals with NULL instead. */
+    * map literal — data, not codegen source, but element_at over it
+    * is a LINEAR key scan, which is why [[collectNbModel]] caps the
+    * vocab at the BPE inline-map budget; corpus-scale models score
+    * through [[nbScore]]'s join (per micro-batch via foreachBatch in
+    * a stream). NULL for zero-token docs: the batch form DROPS them
+    * (no token rows); a row-level column cannot drop, so it signals
+    * with NULL instead. */
   def nbScoreExpr(text: Column, model: NbModelLocal): Column = {
     val toks = tokens(text)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(27, 6)

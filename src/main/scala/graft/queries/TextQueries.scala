@@ -754,7 +754,7 @@ object TextQueries {
       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
     val dd = docs(s, d)
     val model = Text.nbTrain(dd.filter(col("doc_id") % 2 === 0),
-      col("doc_id"), col("text"), (col("lang") === "en").cast("int"))
+      col("text"), (col("lang") === "en").cast("int"))
     Text.nbScore(dd, col("doc_id"), col("text"), model)
       .orderBy(col("doc_id"))
   }

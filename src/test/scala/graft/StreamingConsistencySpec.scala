@@ -307,7 +307,7 @@ class StreamingConsistencySpec extends SparkSuite {
     val dd = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"), col("lang"))
     val model = Text.nbTrain(dd.filter(col("doc_id") % 2 === 0),
-      col("doc_id"), col("text"), (col("lang") === "en").cast("int"))
+      col("text"), (col("lang") === "en").cast("int"))
     val local = Text.collectNbModel(model)
     val batchScores = Text.nbScore(dd, col("doc_id"), col("text"), model)
       .select(col("doc_id"), col("score")).collect()

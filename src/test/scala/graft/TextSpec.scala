@@ -200,7 +200,7 @@ class TextSpec extends SparkSuite {
     val train = Seq(
       (1L, "good fine good", 1), (2L, "good", 1), (3L, "bad bad", 0))
       .toDF("id", "text", "y")
-    val m = Text.nbTrain(train, col("id"), col("text"), col("y"))
+    val m = Text.nbTrain(train, col("text"), col("y"))
     // prior = ln(2/1); default (OOV) = ln((n0+V)/(n1+V)) = ln(5/7)
     assert(m.priorLogOdds == math.log(2.0))
     assert(m.defaultLlr == math.log(5.0 / 7.0))
@@ -231,7 +231,7 @@ class TextSpec extends SparkSuite {
     assert(!score.contains(12L), "zero-token docs drop")
     // a single-class training set cannot fit a prior — loud, not NaN
     val err = intercept[IllegalArgumentException](Text.nbTrain(
-      train.filter(col("y") === 1), col("id"), col("text"), col("y")))
+      train.filter(col("y") === 1), col("text"), col("y")))
     assert(err.getMessage.contains("both classes"))
   }
 }
