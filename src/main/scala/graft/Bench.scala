@@ -47,6 +47,68 @@ object Bench {
     spark.range(1).write.format("noop").mode("overwrite").save()
   }
 
+  /** Hand JSON scan of a full-bench record's flat "queries" object
+    * (no JSON lib in scope) — (query → median seconds), failed (-1)
+    * entries dropped. */
+  private[graft] def parseBenchQueries(text: String): Map[String, Double] = {
+    val tag = "\"queries\":{"
+    val qstart = text.indexOf(tag)
+    if (qstart < 0) Map.empty
+    else text.substring(qstart + tag.length, text.indexOf('}', qstart))
+      .split(",").toSeq
+      .flatMap(_.split(":") match {
+        case Array(k, v) => scala.util.Try(
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+        case _ => None
+      })
+      .filter(_._2 >= 0)
+      .toMap
+  }
+
+  /** The warm sweep's selection rule, pure so BenchSpec can pin it:
+    * the top `topN` queries of the CURRENT committed record by median
+    * wall time, PLUS (r19) the top `topMovers` RATIO-movers vs the
+    * PREVIOUS committed record — |log(cur/prev)| ranked, considered
+    * only when either side is ≥ `floorSec` (sub-floor queries move
+    * ±3× on pure noise). The movers arm exists because absolute-top-N
+    * alone let q89 escape at r18: a formerly-cheap query (1.68 s,
+    * never in the top 10) regressed 3.9× in the driver run and the
+    * protocol built to arbitrate exactly that had no warm number for
+    * it. Wall-time picks keep their order; movers append by
+    * descending |log ratio| without duplicating. */
+  private[graft] def selectWarmSet(cur: Map[String, Double],
+      prev: Map[String, Double], topN: Int, topMovers: Int,
+      floorSec: Double): Seq[String] = {
+    val byTime = cur.toSeq.sortBy { case (k, v) => (-v, k) }.take(topN).map(_._1)
+    val movers = cur.keySet.intersect(prev.keySet).toSeq
+      .filter(k => cur(k) >= floorSec || prev(k) >= floorSec)
+      .map(k => k -> math.abs(math.log(cur(k).max(1e-3) / prev(k).max(1e-3))))
+      .sortBy { case (k, r) => (-r, k) }
+      .take(topMovers).map(_._1)
+    byTime ++ movers.filterNot(byTime.contains)
+  }
+
+  /** The previous COMMITTED version of `outPath` for the movers arm:
+    * the newest git revision of the file whose content differs from
+    * the current bytes (the current bytes are the just-committed
+    * latest run at round open, so "first differing" = last round's).
+    * None when git/history is unavailable — the sweep then degrades
+    * to the absolute-top-N rule, loudly. */
+  private def previousCommitted(outPath: String, curText: String): Option[String] = {
+    import scala.sys.process._
+    val f = java.nio.file.Paths.get(outPath)
+    val dir = f.getParent.toString
+    val name = f.getFileName.toString
+    scala.util.Try {
+      val logCmd = Seq("git", "-C", dir, "log", "--format=%H", "-n", "10", "--", name)
+      val devNull = ProcessLogger(_ => ())
+      logCmd.!!(devNull).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .view
+        .map(h => Seq("git", "-C", dir, "show", s"$h:$name").!!(devNull))
+        .find(_ != curText)
+    }.toOption.flatten
+  }
+
   /** `--warm` (r18): the warm-median arbitration protocol as a
     * standing mode instead of per-round reactive work. Three rounds
     * running (q131@r15, q120@r16, q148/q150@r17), one query's driver
@@ -55,57 +117,61 @@ object Bench {
     * warm the query once, take a 5-run back-to-back median. This mode
     * IS that recipe: it reads the committed full-bench record
     * (SPARK_GRAFT_BENCH_OUT), picks the top SPARK_GRAFT_WARM_TOP
-    * (default 10) queries by median wall time — the only ones whose
-    * noise ever looked like a regression — and times each with 1
-    * discarded warm-up + SPARK_GRAFT_WARM_RUNS (default 5) timed runs,
-    * reporting per-query medians. Per-query BACK-TO-BACK on purpose,
-    * opposite of the full suite's suite-level repetition: arbitration
-    * wants minimum variance for one query, not de-correlation across
-    * a 150-query sweep. The markdown table on stderr is the SCALE.md
-    * round-close artifact; rounds compare warm-vs-warm tables and skip
-    * per-query arbitration. SPARK_GRAFT_ONLY overrides the query set
-    * (prefix match) for targeted A/Bs. */
+    * (default 10) queries by median wall time PLUS the top
+    * SPARK_GRAFT_WARM_MOVERS (default 5) ratio-movers vs the previous
+    * committed record (see [[selectWarmSet]] — the r18 q89 escape),
+    * and times each with 1 discarded warm-up + SPARK_GRAFT_WARM_RUNS
+    * (default 5) timed runs, reporting per-query medians. Per-query
+    * BACK-TO-BACK on purpose, opposite of the full suite's
+    * suite-level repetition: arbitration wants minimum variance for
+    * one query, not de-correlation across a 150-query sweep. The
+    * markdown table on stderr is the SCALE.md round-close artifact;
+    * rounds compare warm-vs-warm tables and skip per-query
+    * arbitration. SPARK_GRAFT_ONLY overrides the query set (prefix
+    * match) for targeted A/Bs. */
   private def warmMain(spark: SparkSession, sfDir: String): Unit = {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
     val topN = sys.env.getOrElse("SPARK_GRAFT_WARM_TOP", "10").toInt
+    val topMovers = sys.env.getOrElse("SPARK_GRAFT_WARM_MOVERS", "5").toInt
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "5").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names: Seq[String] = only match {
       case Some(pres) =>
         SparkEntry.queries.keys.toSeq.sorted.filter(n => pres.exists(n.startsWith))
       case None =>
-        // the committed full-bench record names the top wall-time
-        // queries; a hand JSON scan (no JSON lib in scope) bounded to
-        // the flat "queries" object — refuses loudly rather than
-        // warm-sweeping nothing
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outPath)), "UTF-8")
-        val tag = "\"queries\":{"
-        val qstart = text.indexOf(tag)
-        require(qstart >= 0,
+        val cur = parseBenchQueries(text).filter { case (k, _) =>
+          SparkEntry.queries.contains(k) }
+        require(cur.nonEmpty,
           s"no queries object in $outPath — run a full Bench first or set SPARK_GRAFT_ONLY")
-        text.substring(qstart + tag.length, text.indexOf('}', qstart))
-          .split(",").toSeq
-          .flatMap(_.split(":") match {
-            case Array(k, v) => scala.util.Try(
-              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-            case _ => None
-          })
-          .filter { case (k, v) => v >= 0 && SparkEntry.queries.contains(k) }
-          .sortBy(-_._2).take(topN).map(_._1)
+        val prev = previousCommitted(outPath, text)
+          .map(parseBenchQueries).getOrElse {
+            System.err.println(
+              "[warm] no previous committed record found — movers arm skipped")
+            Map.empty[String, Double]
+          }
+        selectWarmSet(cur, prev, topN, topMovers, floorSec = 0.5)
     }
     require(names.nonEmpty, "no queries selected for the warm sweep")
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // guarded like the full suite: one failing query reports -1 and
+      // the remaining top-N medians still land (a bare throw here used
+      // to abort the whole arbitration sweep with no table)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[warm] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0 }
       }
       once() // warm-up, discarded
       val ts = (1 to nRuns).map(_ => once())
-      val med = median(ts)
+      val med = median(ts.filter(_ >= 0)) // -1 when every run failed
       System.err.println(
         f"[warm] $name%-34s median $med%6.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
       (name, med, ts)

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The warm sweep's selection rule and record parsing — pure logic, no
+  * Spark session. The movers arm is the r19 fix for the q89 escape: a
+  * formerly-cheap query that regresses hard is exactly what the
+  * absolute-top-N rule cannot see. */
+class BenchSpec extends AnyFunSuite {
+
+  test("parseBenchQueries: flat queries object, -1 failures dropped, junk tolerated") {
+    val rec = """{"metric":"total","value":12.3,"unit":"sec",""" +
+      """"queries":{"q01_a":1.5,"q02_b":0.25,"q03_fail":-1.0},"sf":"x"}"""
+    assert(Bench.parseBenchQueries(rec) == Map("q01_a" -> 1.5, "q02_b" -> 0.25))
+    assert(Bench.parseBenchQueries("no queries here") == Map.empty)
+  }
+
+  test("selectWarmSet: top-N by wall time, movers appended by |log ratio|, no duplicates") {
+    val cur = Map("big1" -> 10.0, "big2" -> 8.0, "mid" -> 2.0,
+      "mover_up" -> 6.0, "mover_down" -> 0.6, "steady" -> 1.0)
+    val prev = Map("big1" -> 9.5, "big2" -> 8.2, "mid" -> 2.1,
+      "mover_up" -> 1.5, "mover_down" -> 2.4, "steady" -> 1.0)
+    val sel = Bench.selectWarmSet(cur, prev, topN = 3, topMovers = 2, floorSec = 0.5)
+    // wall-time picks first, in descending-time order
+    assert(sel.take(3) == Seq("big1", "big2", "mover_up"))
+    // mover_up (4.0× — already selected, not duplicated) then
+    // mover_down (4.0× down) — the q89 shape: cheap before, expensive
+    // now, absent from the absolute top-N of EITHER record
+    assert(sel.drop(3) == Seq("mover_down"))
+    assert(sel.distinct == sel)
+  }
+
+  test("selectWarmSet: the q89 shape is caught — regressed query below old top-N still selected") {
+    // r18 re-enacted: q89 was 1.68 s (nowhere near the top) and read
+    // 6.52 s in the new record; the top-10 of the PREVIOUS record
+    // missed it, and under the old rule the top-10 of the CURRENT
+    // record could too if 10 other queries sit above 6.52 s
+    val heavy = (1 to 10).map(i => s"q_heavy$i" -> (20.0 - i * 0.1)).toMap
+    val cur = heavy + ("q89" -> 6.52) + ("q_cheap" -> 0.3)
+    val prev = heavy + ("q89" -> 1.68) + ("q_cheap" -> 0.31)
+    val sel = Bench.selectWarmSet(cur, prev, topN = 10, topMovers = 5, floorSec = 0.5)
+    assert(!sel.take(10).contains("q89"), "setup: q89 must not make the top-10")
+    assert(sel.contains("q89"), "the movers arm must catch the regression")
+    // sub-floor queries never qualify as movers (pure-noise swings)
+    assert(!sel.contains("q_cheap"))
+  }
+
+  test("selectWarmSet: no previous record degrades to the absolute rule") {
+    val cur = Map("a" -> 3.0, "b" -> 2.0, "c" -> 1.0)
+    assert(Bench.selectWarmSet(cur, Map.empty, topN = 2, topMovers = 5, 0.5) ==
+      Seq("a", "b"))
+  }
+}
