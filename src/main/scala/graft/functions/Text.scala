@@ -439,8 +439,18 @@ object Text {
     * two one-row aggregates — the q77/q83 token-stream shape. */
   def nbTrain(docs: DataFrame, text: Column, label: Column): NbModel = {
     val lab = docs.select(label.cast("int").as("y"), text.as("_t"))
-    val d = lab.agg(sum(col("y")), count(lit(1))).head()
+    // count(y) < count(*) (NULL labels) and labels outside 0/1 are
+    // named failures here, not an NPE off a NULL sum / corrupted class
+    // counts three lines down — the same one-aggregation probe pays
+    // for all three checks
+    val d = lab.agg(sum(col("y")), count(lit(1)), count(col("y")),
+      min(col("y")), max(col("y"))).head()
     require(d.getLong(1) > 0, "nbTrain: empty training set")
+    require(d.getLong(2) == d.getLong(1),
+      s"nbTrain: label must be non-NULL on every training row, got " +
+        s"${d.getLong(1) - d.getLong(2)} NULLs of ${d.getLong(1)}")
+    require(d.getInt(3) >= 0 && d.getInt(4) <= 1,
+      s"nbTrain: labels must be 0/1, got range [${d.getInt(3)}, ${d.getInt(4)}]")
     val (d1, dAll) = (d.getLong(0), d.getLong(1))
     require(d1 > 0 && d1 < dAll,
       s"nbTrain needs both classes in the training set, got $d1 of " +

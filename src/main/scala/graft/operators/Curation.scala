@@ -417,16 +417,33 @@ object Curation {
   }
 
   /** The full curation funnel as a STREAMING pipeline: stateless
-    * per-document gates (token floor, quality, language, repetition)
-    * plus PII scrubbing, with first-failing-gate attribution — works
-    * unchanged on batch and streaming inputs (the stream-batch
-    * consistency rule of graft.streaming.Pipelines). Compose with
-    * Pipelines.dedupByKey upstream for cross-batch near-real-time
-    * dedup. */
+    * per-document gates (token floor, quality, language, repetition,
+    * and optionally a TRAINED model — the CCNet/GPT-3 "heuristics
+    * first, learned filter after" order) plus PII scrubbing, with
+    * first-failing-gate attribution — works unchanged on batch and
+    * streaming inputs (the stream-batch consistency rule of
+    * graft.streaming.Pipelines). Compose with Pipelines.dedupByKey
+    * upstream for cross-batch near-real-time dedup.
+    *
+    * `nbModel`: a collected Naive-Bayes quality/language model
+    * ([[Text.collectNbModel]], trained on weak labels by
+    * [[Text.nbTrain]]). When present, docs surviving every heuristic
+    * gate are scored per-row ([[Text.nbScoreExpr]] — pure column, no
+    * join/aggregation, so the funnel stays streaming-legal; the
+    * score column `nb_score` is BIT-EQUAL to the batch join form
+    * [[Text.nbScore]]) and drop as `drop:model` below `nbMinScore`.
+    * The model gate sits LAST: cheap heuristics shed volume before
+    * the O(doc_len)-lookup model column evaluates, the production
+    * funnel order. Scored on the RAW text like every other gate —
+    * train the model on raw text too. Vocab past the literal-map cap
+    * → score each micro-batch with the nbScore join form inside
+    * foreachBatch instead (the corpus factory's nbGate does). */
   def curateStream(docs: DataFrame, id: Column, text: Column,
       minTokens: Int = 30, minQuality: Double = 0.65,
-      maxTopTokenPpm: Long = 300000L): DataFrame =
-    docs.select(id.as("doc_id"), text.as("text"))
+      maxTopTokenPpm: Long = 300000L,
+      nbModel: Option[Text.NbModelLocal] = None,
+      nbMinScore: Double = 0.0): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
       .withColumn("_toks", Text.tokens(col("text")))
       .withColumn("n_tok", size(col("_toks")))
       .withColumn("quality", Text.qualityScore(col("text")))
@@ -434,13 +451,23 @@ object Curation {
       .withColumn("top_token_ppm", topTokenPpmInline(col("_toks")))
       .withColumn("n_pii", piiCount(col("text")))
       .withColumn("scrubbed", scrubPii(col("text")))
-      .withColumn("verdict",
-        when(col("n_tok") < minTokens, "drop:short")
-          .when(col("quality") < minQuality, "drop:quality")
-          .when(col("lang_guess") =!= "en", "drop:lang")
-          .when(col("top_token_ppm") > maxTopTokenPpm, "drop:repetition")
-          .otherwise("keep"))
-      .drop("_toks")
+    val scored = nbModel.fold(base)(m =>
+      base.withColumn("nb_score", Text.nbScoreExpr(col("text"), m)))
+    val heuristics =
+      when(col("n_tok") < minTokens, "drop:short")
+        .when(col("quality") < minQuality, "drop:quality")
+        .when(col("lang_guess") =!= "en", "drop:lang")
+        .when(col("top_token_ppm") > maxTopTokenPpm, "drop:repetition")
+    val verdict = nbModel.fold(heuristics.otherwise("keep"))(_ =>
+      // nb_score is NULL only for zero-token docs, which drop:short
+      // already caught (minTokens ≥ 1 required for the model gate)
+      heuristics.when(col("nb_score") < nbMinScore, "drop:model")
+        .otherwise("keep"))
+    if (nbModel.isDefined) require(minTokens >= 1,
+      "curateStream: the model gate needs minTokens >= 1 (a zero-token " +
+        "doc has no NB score; the token floor must catch it first)")
+    scored.withColumn("verdict", verdict).drop("_toks")
+  }
 
   /** DSIR-style importance weights for data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",

@@ -652,6 +652,84 @@ object CurationQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  // The curation funnel WITH the learned gate (r19, the q154 operator
+  // composed where production runs it — CCNet's "heuristics first,
+  // cheap learned filter after"): NB trains on weak labels (even ids,
+  // label = lang=='en', the q154 recipe), and docs surviving every
+  // heuristic gate (token floor → quality → language → repetition)
+  // are scored by the STREAMING-LEGAL per-row column
+  // (Text.nbScoreExpr via curateStream's nbModel stage — bit-equal to
+  // the batch join form, so ONE oracle pins both; CurationSpec's
+  // stream==batch arm pins the keep-set equality). Yield report per
+  // verdict with first-failing-gate attribution — drop:model rows are
+  // exactly the heuristic survivors the model rejects. The oracle
+  // replays the full chain: q73's quality/lang formulas, q71's
+  // top-token ppm, q154's closed-form NB, and the ladder.
+  val q155 = sql(
+    "q155_nb_curation_funnel",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ttok AS (SELECT t.token, l.y FROM tok t JOIN lab l USING (doc_id)),
+      |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n0,
+      |    CAST(count(DISTINCT token) AS BIGINT) AS v FROM ttok),
+      |cnt AS (SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS c0 FROM ttok GROUP BY 1),
+      |pri AS (SELECT round(ln(CAST(sum(y) AS DOUBLE) / (count(*) - sum(y))), 6) AS prior FROM lab),
+      |w AS (SELECT token,
+      |    round(ln(CAST(c1 + 1 AS DOUBLE) / (n1 + v)) - ln(CAST(c0 + 1 AS DOUBLE) / (n0 + v)), 6) AS llr
+      |  FROM cnt CROSS JOIN tot),
+      |dflt AS (SELECT round(ln(CAST(n0 + v AS DOUBLE) / (n1 + v)), 6) AS d FROM tot),
+      |sc AS (SELECT tok.doc_id,
+      |    round(CAST(sum(CAST(coalesce(w.llr, dflt.d) AS DECIMAL(27,6))) AS DOUBLE)
+      |      + any_value(pri.prior), 6) AS score
+      |  FROM tok LEFT JOIN w USING (token) CROSS JOIN dflt CROSS JOIN pri
+      |  GROUP BY tok.doc_id),
+      |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tp AS (SELECT doc_id,
+      |    CAST(floor(1000000.0 * (CAST(max(c) AS DOUBLE) / sum(c))) AS BIGINT) AS tppm
+      |  FROM tc GROUP BY 1),
+      |feat AS (SELECT doc_id,
+      |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+      |  round(least(length(text) / 500.0, 1.0) * 0.4
+      |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+      |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+      |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+      |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+      |    , 6) AS q,
+      |  CASE WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','and'))) > 0
+      |         AND len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','and')))
+      |          >= greatest(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los'))),
+      |                      len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et')))) THEN 'en'
+      |       WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los'))) > 0
+      |         AND len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los')))
+      |          >= len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et'))) THEN 'es'
+      |       WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et'))) > 0 THEN 'fr'
+      |       ELSE 'und' END AS g
+      |  FROM documents),
+      |v AS (SELECT f.doc_id, f.n_ws,
+      |    CASE WHEN f.n_ws < 30 THEN 'drop:short'
+      |         WHEN f.q < 0.65 THEN 'drop:quality'
+      |         WHEN f.g <> 'en' THEN 'drop:lang'
+      |         WHEN tp.tppm > 300000 THEN 'drop:repetition'
+      |         WHEN sc.score < 0 THEN 'drop:model'
+      |         ELSE 'keep' END AS verdict
+      |  FROM feat f LEFT JOIN tp USING (doc_id) LEFT JOIN sc USING (doc_id))
+      |SELECT verdict, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS tok_sum
+      |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val model = Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), (col("lang") === "en").cast("int"))
+    Curation.curateStream(docs, col("doc_id"), col("text"),
+        nbModel = Some(Text.collectNbModel(model)), nbMinScore = 0.0)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .orderBy(col("verdict"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113, q114, q116, q121)
+    q97, q108, q110, q111, q112, q113, q114, q116, q121, q155)
 }

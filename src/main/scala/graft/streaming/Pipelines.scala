@@ -682,9 +682,17 @@ object Pipelines {
     * compact downstream. */
   def curatedLandingSink(docs: DataFrame, path: String, checkpoint: String,
       nShards: Int = 8,
+      // optional learned gate (r19): the collected NB model rides the
+      // funnel's per-row nbScoreExpr stage — stateless, so this sink
+      // stays a pure append stream (the join-form gate for
+      // corpus-scale vocabularies lives on corpusFactorySink, whose
+      // foreachBatch can join)
+      nbModel: Option[graft.functions.Text.NbModelLocal] = None,
+      nbMinScore: Double = 0.0,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     import graft.operators.Curation
-    val curated = Curation.curateStream(docs, col("doc_id"), col("text"))
+    val curated = Curation.curateStream(docs, col("doc_id"), col("text"),
+        nbModel = nbModel, nbMinScore = nbMinScore)
       .filter(col("verdict") === "keep")
     Curation.withSplit(curated, col("doc_id"))
       .withColumn("shard", Curation.hashBucket(col("doc_id"), "shard", nShards))
@@ -733,17 +741,35 @@ object Pipelines {
   def applyCorpusFactoryBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexPath: String, landingPath: String, nShards: Int = 8,
       threshold: Double = 0.8, minTokens: Int = 30, minQuality: Double = 0.65,
+      nbGate: Option[(graft.functions.Text.NbModel, Double)] = None,
       dsirGate: Option[(Map[Long, Long], Long)] = None,
       bpeGate: Option[(Map[String, Long], Long)] = None): Unit = {
     import graft.operators.{Bpe, Curation, Dedup}
     val funneled = Curation.curateStream(batch, col("doc_id"), col("text"),
         minTokens = minTokens, minQuality = minQuality)
       .filter(col("verdict") === "keep")
+    // optional learned quality gate (trained NB model + score floor) —
+    // the CCNet order: heuristics shed volume first, the model filter
+    // runs on survivors. This is the JOIN form (Text.nbScore): the
+    // model's vocab-sized weights table joins the batch's token
+    // stream, so corpus-scale vocabularies that the literal-map
+    // per-row column refuses (collectNbModel's cap) gate here without
+    // driver state — each micro-batch is a plain DataFrame inside
+    // foreachBatch, so the explode/join/groupBy runs as-is per
+    // trigger. Scored on the RAW text (the form the model trains on;
+    // the funnel's per-row twin scores the same column).
+    val nbAdmitted = nbGate.fold(funneled) { case (model, minScore) =>
+      val admit = graft.functions.Text
+        .nbScore(funneled, col("doc_id"), col("text"), model)
+        .filter(col("score") >= lit(minScore))
+        .select(col("doc_id"))
+      funneled.join(admit, Seq("doc_id"), "left_semi")
+    }
     // optional DSIR admission (fitted ratio map + micro-nat floor):
     // target-likeness gating as a stateless column — scored on the
     // scrubbed text, the same form the corpus persists
-    val dsirAdmitted = dsirGate.fold(funneled) { case (ratios, floor) =>
-      funneled.filter(
+    val dsirAdmitted = dsirGate.fold(nbAdmitted) { case (ratios, floor) =>
+      nbAdmitted.filter(
         Curation.dsirScore(col("scrubbed"), ratios) >= lit(floor))
     }
     // optional trained-tokenizer admission: the budget the trainer
@@ -816,13 +842,14 @@ object Pipelines {
   def corpusFactorySink(docs: DataFrame, indexPath: String, landingPath: String,
       checkpoint: String, nShards: Int = 8, threshold: Double = 0.8,
       minTokens: Int = 30, minQuality: Double = 0.65,
+      nbGate: Option[(graft.functions.Text.NbModel, Double)] = None,
       dsirGate: Option[(Map[Long, Long], Long)] = None,
       bpeGate: Option[(Map[String, Long], Long)] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val spark = docs.sparkSession
     foreachBatchSink(docs, checkpoint, trigger) { (batch, batchId) =>
       applyCorpusFactoryBatch(spark, batch, batchId, indexPath, landingPath,
-        nShards, threshold, minTokens, minQuality, dsirGate, bpeGate)
+        nShards, threshold, minTokens, minQuality, nbGate, dsirGate, bpeGate)
     }
   }
 

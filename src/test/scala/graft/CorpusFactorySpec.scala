@@ -182,6 +182,32 @@ class CorpusFactorySpec extends SparkSuite {
       "streaming literal-map gate must equal the batch recompute")
   }
 
+  test("corpus factory: NB admission gate (join form) == the per-row column form") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfnb").toString
+    // weak labels: docC-flavored text is the positive class, docD the
+    // negative — the trained llr signs separate the two vocabularies
+    val fit = Seq((100L, docC, 1), (101L, docD, 0), (102L, docC + " fresh catch", 1),
+      (103L, docD + " second movement", 0)).toDF("doc_id", "text", "y")
+    val model = graft.functions.Text.nbTrain(fit, col("text"), col("y"))
+    val batch = Seq((21L, docC), (22L, docD)).toDF("doc_id", "text")
+    // expected admission via the STREAMING per-row column (bit-equal
+    // to the join form by the StreamingConsistencySpec pin — here the
+    // two forms must agree at the GATE, i.e. in composition)
+    val local = graft.functions.Text.collectNbModel(model)
+    val expect = batch.select(col("doc_id"),
+        graft.functions.Text.nbScoreExpr(col("text"), local).as("s"))
+      .filter(col("s") >= 0.0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expect == Set(21L),
+      s"test needs a discriminating model: admitted=$expect")
+    Pipelines.applyCorpusFactoryBatch(spark, batch, 0L, s"$base/idx", s"$base/land",
+      minQuality = 0.5, nbGate = Some((model, 0.0)))
+    assert(landedIds(s"$base/land/batch=0") == expect,
+      "the factory's join-form NB gate must equal the per-row column form")
+    assert(indexIds(s"$base/idx") == expect)
+  }
+
   test("corpus factory batch: at-least-once redelivery of a doc_id within one trigger commits once") {
     val base = java.nio.file.Files.createTempDirectory("cfactory3").toString
     // the same doc delivered twice in one trigger (the at-least-once

@@ -152,6 +152,54 @@ class CurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curateStream + NB model gate: stream == batch (keep-set equality), drop:model attributes last") {
+    // the r19 composition: heuristics first, the learned filter after
+    // (the CCNet order) — the per-row nbScoreExpr stage must keep the
+    // funnel streaming-legal and bit-equal to the batch run (q155's
+    // oracle pins the values; this pins the stream replay)
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.functions.Text.nbTrain(
+      docs.filter(col("doc_id") % 2 === 0),
+      col("text"), (col("lang") === "en").cast("int"))
+    val local = graft.functions.Text.collectNbModel(model)
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = Curation.curateStream(sdf, col("doc_id"), col("text"),
+        nbModel = Some(local))
+      .writeStream.outputMode("append").format("memory").queryName("nbcurated").start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    try {
+      val streamed = spark.table("nbcurated")
+      val batch = Curation.curateStream(docs, col("doc_id"), col("text"),
+        nbModel = Some(local))
+      assert(streamed.count() == 500)
+      assert(streamed.collect().map(_.toString).sorted.toSeq ==
+        batch.collect().map(_.toString).sorted.toSeq,
+        "stream rows (incl. nb_score) must equal the batch funnel bit-for-bit")
+      val verdicts = streamed.groupBy(col("verdict")).count()
+        .as[(String, Long)].collect().toMap
+      assert(verdicts.contains("drop:model") && verdicts.contains("keep"),
+        s"expected a populated model gate, got $verdicts")
+      // model-gate attribution is LAST: every drop:model row passed
+      // every heuristic gate
+      val misattributed = streamed.filter(col("verdict") === "drop:model")
+        .filter(col("n_tok") < 30 || col("quality") < 0.65 ||
+          col("lang_guess") =!= "en" || col("top_token_ppm") > 300000L)
+        .count()
+      assert(misattributed == 0)
+      // and the gate itself: drop:model ⇔ nb_score < 0 among heuristic
+      // survivors
+      val wrongGate = streamed
+        .filter(col("verdict").isin("drop:model", "keep"))
+        .filter((col("verdict") === "drop:model") =!= (col("nb_score") < 0.0))
+        .count()
+      assert(wrongGate == 0)
+    } finally q.stop()
+  }
+
   test("stratifiedSample: exactly n per stratum (or all when smaller), deterministic") {
     val s1 = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 10)
       .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
@@ -195,11 +243,14 @@ class CurationSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("landing").toString
     val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // data BEFORE start: AvailableNow snapshots available offsets when
+    // the query starts, so rows added after can be skipped entirely
+    // (observed as an empty landing dir on a slow first trigger)
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a); stream.addData(b)
     val q = graft.streaming.Pipelines.curatedLandingSink(
       stream.toDF().toDF("doc_id", "text"), s"$dir/data", s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val (a, b) = rows.splitAt(rows.size / 2)
-    stream.addData(a); stream.addData(b)
     q.awaitTermination(60000); q.stop()
     val landed = spark.read.parquet(s"$dir/data")
     val batchKeep = Curation.curateStream(docs, col("doc_id"), col("text"))
@@ -212,6 +263,34 @@ class CurationSpec extends SparkSuite {
     assert(landed.select(col("doc_id"), col("split"))
       .except(reSplit.select(col("doc_id"), col("split"))).count() == 0,
       "landed split partitions must equal recomputed split membership")
+  }
+
+  test("curatedLandingSink + NB gate: landed set == batch keep set under the model") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("landing-nb").toString
+    val model = graft.functions.Text.collectNbModel(
+      graft.functions.Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), (col("lang") === "en").cast("int")))
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    stream.addData(rows) // before start — the AvailableNow snapshot rule
+    val q = graft.streaming.Pipelines.curatedLandingSink(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/data", s"$dir/ckpt",
+      nbModel = Some(model),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000); q.stop()
+    val landed = spark.read.parquet(s"$dir/data")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKeep = Curation.curateStream(docs, col("doc_id"), col("text"),
+        nbModel = Some(model))
+      .filter(col("verdict") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == batchKeep && landed.nonEmpty)
+    // the gate is live in the sink: without it, strictly more docs land
+    val withoutGate = Curation.curateStream(docs, col("doc_id"), col("text"))
+      .filter(col("verdict") === "keep").count()
+    assert(withoutGate > landed.size,
+      "the model gate must drop heuristic survivors in this corpus")
   }
 
   test("curatedLandingSink: checkpointed restart resumes exactly-once (file source)") {

@@ -234,4 +234,29 @@ class TextSpec extends SparkSuite {
       train.filter(col("y") === 1), col("text"), col("y")))
     assert(err.getMessage.contains("both classes"))
   }
+
+  test("nbTrain: NULL and out-of-range labels are named requires, never an NPE / silent corruption") {
+    // a NON-EMPTY set whose labels are all NULL used to pass the
+    // count>0 require and NPE on the null sum (r19, advisor); now a
+    // named require
+    val allNull = Seq((1L, "some text here"), (2L, "other text"))
+      .toDF("id", "text").withColumn("y", lit(null).cast("int"))
+    val e1 = intercept[IllegalArgumentException](
+      Text.nbTrain(allNull, col("text"), col("y")))
+    assert(e1.getMessage.contains("non-NULL"), e1.getMessage)
+    // one NULL among valid labels is equally loud — a silent drop
+    // would skew the prior
+    val oneNull = Seq((1L, "good text", "1"), (2L, "bad text", "0"),
+      (3L, "mystery", null)).toDF("id", "text", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Text.nbTrain(oneNull, col("text"), col("y")))
+    assert(e2.getMessage.contains("non-NULL"), e2.getMessage)
+    // labels outside 0/1 corrupt the class counts (sum(y) is no longer
+    // a class-1 count) — named, not silent
+    val outOfRange = Seq((1L, "good text", 1), (2L, "bad text", 0),
+      (3L, "weighted", 2)).toDF("id", "text", "y")
+    val e3 = intercept[IllegalArgumentException](
+      Text.nbTrain(outOfRange, col("text"), col("y")))
+    assert(e3.getMessage.contains("0/1"), e3.getMessage)
+  }
 }
