@@ -220,13 +220,23 @@ object Similarity {
   // distance of recent ingest vs the build corpus makes it loud.
 
   /** Per-row integer micro-distance to the assigned centroid:
-    * ⌊(1 − c_sim)·1e6⌋ as a long — integer from the first row on, so
-    * every downstream mean/EWMA/ratio is exact, locale-safe and
-    * engine-replayable (q153 reproduces the same floor in DuckDB).
-    * ONE definition across the build baseline, the upsert EWMA and
-    * the q153 replay surface. */
+    * (1 − round₆(c_sim))·1e6 as a long — integer from the first row
+    * on, so every downstream mean/EWMA/ratio is exact, locale-safe
+    * and engine-replayable (q153 reproduces the same value in
+    * DuckDB). The quantization is the suite's shared round-6 cosine
+    * recipe, NOT a floor of the raw double: flooring (1−c_sim)·1e6
+    * put the per-row integer on a raw-double boundary, where a 1-ulp
+    * cross-engine cosine divergence flips it (r19, advisor) — here
+    * the only boundary is round-6's own, the one every gated sim
+    * column in the suite already stands on. The decimal cast recovers
+    * the rounded value exactly, so the ·1e6 product is an exact
+    * integer-valued decimal (no second float op). ONE definition
+    * across the build baseline, the upsert EWMA and the q153 replay
+    * surface. */
   private def distMicroCol: Column =
-    floor((lit(1.0) - col("c_sim")) * lit(1000000.0)).cast("long")
+    ((lit(1.0) - round(col("c_sim"), 6))
+      .cast(org.apache.spark.sql.types.DecimalType(16, 6)) * 1000000)
+      .cast("long")
 
   /** (rows, mean micro-distance, batch signature) of an assigned
     * frame (needs the `c_sim` column) — one narrow aggregation; None

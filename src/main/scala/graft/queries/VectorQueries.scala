@@ -182,8 +182,11 @@ object VectorQueries {
     * a private temp dir, then publish with an atomic rename: a
     * concurrent run can never observe a half-built index, and
     * whichever builder loses the rename race discards its copy.
-    * The "2" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
-    * lesson; 2 retired the tasks×dirs staging layout, r14): bump it
+    * The "3" is the index LAYOUT/SEMANTICS version (the graft-ivfpq2
+    * lesson; 2 retired the tasks×dirs staging layout, r14; 3 = the
+    * r19 dist_micro round-6 requantization — persisted ivfDist
+    * baselines under the old floor definition must not mix with new
+    * folds): bump it
     * with any IVF build/layout/geometry change — the fingerprint
     * tracks DATA only. "Layout" includes the SESSION CONFS the write
     * ran under: an artifact cached before a writer-conf change keeps
@@ -193,7 +196,7 @@ object VectorQueries {
     * cache has a timestamp column, so no bump was needed). */
   private def ivfIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivf2-" + sourceFingerprint(d)).getPath
+      "graft-ivf3-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfIndex(Tables.embeddings(s, d), 16, tmp.getPath)
@@ -213,10 +216,11 @@ object VectorQueries {
   // the upsert path produces an index indistinguishable from a fresh
   // build for search purposes.
   val q126 = QueryDef("q126_ivf_upsert_full_probe", (s, d) => {
-    // "2" = layout/semantics version (2 retired the tasks×dirs
-    // staging layout, r14); bump with any build/upsert change
+    // "3" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14; 3 = the r19 dist_micro round-6
+    // requantization); bump with any build/upsert change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfups2-" + sourceFingerprint(d)).getPath
+      "graft-ivfups3-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -237,10 +241,11 @@ object VectorQueries {
   // brute force over EXACTLY the surviving vectors: deleted rows are
   // unfindable, everything else is undisturbed.
   val q130 = QueryDef("q130_ivf_delete_probe", (s, d) => {
-    // "2" = layout/semantics version (2 retired the tasks×dirs
-    // staging layout, r14); bump with any build/delete change
+    // "3" = layout/semantics version (2 retired the tasks×dirs
+    // staging layout, r14; 3 = the r19 dist_micro round-6
+    // requantization); bump with any build/delete change
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfdel2-" + sourceFingerprint(d)).getPath
+      "graft-ivfdel3-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       val emb = Tables.embeddings(s, d)
@@ -762,10 +767,11 @@ object VectorQueries {
     * publish, q55's pattern). The number in the name is the
     * layout/semantics version — "2" retired the pre-trained-codebook
     * (round-9) layout, "3" the tasks×dirs staging file explosion
-    * (r14); bump with any codebook/build/layout change. */
+    * (r14), "4" the r19 dist_micro round-6 requantization; bump with
+    * any codebook/build/layout change. */
   private def ivfPqIdx(s: SparkSession, d: String): String = {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-ivfpq3-" + sourceFingerprint(d)).getPath
+      "graft-ivfpq4-" + sourceFingerprint(d)).getPath
     if (!new java.io.File(idx).exists()) {
       val tmp = new java.io.File(idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Similarity.buildIvfPqIndex(Tables.embeddings(s, d), 16, tmp.getPath)
@@ -1376,12 +1382,16 @@ object VectorQueries {
   // (assigned list, integer micro-distance) against the stride-seeded
   // 16-list geometry — the same argmax assignment q134/q55's replays
   // already pin (ORDER BY c_sim DESC, centroid_id) plus the drift
-  // loop's ⌊(1 − c_sim)·1e6⌋ floor, reproduced in DuckDB from the
-  // shared cosine SQL. The window totals and the integer corpus mean
-  // (sum // count — exactly the value a full-corpus ivfDist fold
-  // would measure) pin the aggregation chain with INTEGERS only: no
-  // cross-engine rounded double anywhere (the q152 advisor lesson,
-  // applied from day one here).
+  // loop's (1 − round₆(c_sim))·1e6 quantization, reproduced in DuckDB
+  // from the shared cosine SQL. r19: the integer derives from the
+  // suite's shared ROUND-6 recipe through an exact decimal cast, not
+  // a floor of the raw double — flooring at micro granularity put
+  // every row on a raw-double boundary where a 1-ulp cross-engine
+  // cosine divergence flips the pinned integer (advisor, the q152
+  // rounding-boundary class at per-row granularity). The window
+  // totals and the integer corpus mean (sum // count — exactly the
+  // value a full-corpus ivfDist fold would measure) pin the
+  // aggregation chain with INTEGERS only past that one quantization.
   val q153 = sql(
     "q153_centroid_fit_replay", {
       s"""WITH p0 AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
@@ -1395,7 +1405,7 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
          |  FROM asg0) z WHERE rn = 1),
          |f AS (SELECT vec_id, CAST(centroid_id AS BIGINT) AS list_id,
-         |    CAST(floor((1 - c_sim) * 1000000) AS BIGINT) AS dist_micro
+         |    CAST(CAST(1 - round(c_sim, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS dist_micro
          |  FROM asg)
          |SELECT vec_id, list_id, dist_micro,
          |  CAST(sum(dist_micro) OVER () AS BIGINT) AS dist_total,
