@@ -439,6 +439,115 @@ object ScaleProbe {
     }
   }
 
+  /** NB quality-filter tier (r19): the r18 scale claim — "training is
+    * ONE token-keyed shuffle, so a 100 TB model pass is one job" —
+    * measured instead of asserted (the r17 lesson: every such claim
+    * eventually owes a number). Three axes:
+    *
+    *  - `nb_train`: [[graft.functions.Text.nbTrain]] over the WHOLE
+    *    corpus at each scale (weak label = lang=='en' on even ids, the
+    *    q154 shape). Expected ∝ corpus — one token-keyed count shuffle
+    *    plus two one-row aggregates, no optimizer loop; the ratio IS
+    *    the claim.
+    *  - `nb_score_join_batch`: a FIXED 500-doc batch scored through
+    *    the distributed join form against the trained (materialized)
+    *    model — the per-trigger shape of the corpus factory's nbGate.
+    *    Expected ~flat: O(batch tokens + vocab), corpus-independent.
+    *  - `nb_score_expr_batch`: the same fixed batch through the
+    *    per-row literal-map column — the curateStream stage. Expected
+    *    ~flat, and cheaper than the join until the vocab cap
+    *    (collectNbModel's 4096 — corpus vocabularies exceed it, which
+    *    is WHY the join form is the at-scale answer; the measured
+    *    vocab size prints so SCALE.md can place the crossover).
+    *
+    * The model's weights frame is localCheckpoint'd before the scoring
+    * arms so they time SCORING, not a training replay (weights is a
+    * lazy plan; both scoring forms would otherwise re-run the training
+    * shuffle inside every run). */
+  def nbTier(spark: SparkSession, dir: String,
+      runs: Int): Seq[(String, Double)] = {
+    import graft.functions.Text
+    import org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = docs.filter(col("doc_id") < 500).localCheckpoint()
+    def best(run: => Unit): Double = (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+    }.min
+    // training materializes the vocab-sized weights (the model
+    // artifact a deployment persists) — count() forces exactly that
+    val train = best {
+      Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), (col("lang") === "en").cast("int")).weights.count()
+    }
+    val model = Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), (col("lang") === "en").cast("int"))
+    val pinned = model.copy(weights = model.weights.localCheckpoint())
+    try {
+      val vocab = pinned.weights.count()
+      System.err.println(s"[probe] nb vocab at $dir: $vocab tokens " +
+        "(literal-map cap 4096 — past it only the join form scores)")
+      val scoreJoin = best {
+        Text.nbScore(batch, col("doc_id"), col("text"), pinned)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val local = Text.collectNbModel(pinned)
+      val scoreExpr = best {
+        batch.select(col("doc_id"),
+            Text.nbScoreExpr(col("text"), local).as("score"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      Seq("nb_train" -> train, "nb_score_join_batch" -> scoreJoin,
+        "nb_score_expr_batch" -> scoreExpr)
+    } finally {
+      releaseLocalCheckpoint(pinned.weights)
+      releaseLocalCheckpoint(batch)
+    }
+  }
+
+  /** `--health <root>`: the monitoring loop COVERAGE.md promises, as a
+    * runnable artifact — open every index committed under `root`
+    * (direct children) through the ONE health entry point
+    * ([[graft.operators.Index.stats]]: manifest read + one bounded
+    * aggregation per index, no serving state loaded) and print the
+    * kind/rows/skew/carry/drift table a deployment would poll. Drift
+    * reads in ONE 0-is-healthy direction across every mutable kind
+    * (sketch flip rate, lsh shift rate, ivf centroid staleness, ivf-pq
+    * codebook-error excess). Children without a committed index are
+    * reported and skipped, not fatal — a deployment root holds
+    * half-built staging dirs. */
+  def healthMain(spark: SparkSession, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"--health: no such root $root")
+    val children = fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    require(children.nonEmpty, s"--health: $root has no subdirectories")
+    val rows = children.flatMap { p =>
+      try Some(p.split('/').last -> graft.operators.Index.stats(spark, p))
+      catch { case e: Throwable =>
+        System.err.println(s"[health] skipped $p: ${e.getMessage}")
+        None
+      }
+    }
+    System.err.println(
+      "| index | kind | rows | partitions | max | median | skew | carry | carried | emptied | drift |")
+    System.err.println("|---|---|---|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (name, s) =>
+      val drift = s.drift.map(d => f"$d%.4f").getOrElse("—")
+      System.err.println(
+        f"| $name | ${s.kind} | ${s.rows} | ${s.partitions} | ${s.maxPartition} " +
+          f"| ${s.medianPartition} | ${s.skew}%.2f | ${s.carryDepth} " +
+          f"| ${s.carriedParts} | ${s.emptied} | $drift |")
+    }
+    println(s"""{"metric":"health","root":"$root","indexes":{""" +
+      rows.map { case (name, s) =>
+        s""""$name":{"kind":"${s.kind}","rows":${s.rows},""" +
+          s""""partitions":${s.partitions},"skew":${f"${s.skew}%.4f"},""" +
+          s""""carryDepth":${s.carryDepth},"carriedParts":${s.carriedParts},""" +
+          s""""emptied":${s.emptied},"drift":${s.drift.map(d => f"$d%.6f").getOrElse("null")}}"""
+      }.mkString(",") + "}}")
+  }
+
   /** Growing-graph tier: the axis the r15 fixed-batch measurement did
     * NOT isolate — [[graft.streaming.Pipelines.dupClusterSink]]'s
     * per-trigger cost as the ACCUMULATED pair graph grows while the
@@ -813,9 +922,15 @@ object ScaleProbe {
     // commit crossover on a REAL storage path (positional arg 2) and
     // prints the recommended dupClusterSink partialMinPairs
     val commitCrossoverOnly = args.contains("--commit-crossover")
+    // `--nb` runs ONLY the NB quality-filter tier (train ∝ corpus,
+    // fixed-batch scoring both forms)
+    val nbOnly = args.contains("--nb")
+    // `--health <indexRoot>` polls every index under the root and
+    // prints the kind/rows/skew/drift table (no replication, no data)
+    val healthOnly = args.contains("--health")
     MainFlags.requireKnown(args,
       Set("--mutation-only", "--fixed-batch", "--noise-sweep",
-        "--growing-graph", "--commit-crossover"))
+        "--growing-graph", "--commit-crossover", "--nb", "--health"))
     val pos = MainFlags.positional(args)
     val srcDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = pos.lift(1).getOrElse("/tmp/graft_scaleprobe_sf1")
@@ -825,6 +940,39 @@ object ScaleProbe {
     val spark = GraftSession.probeSession("graft-scaleprobe", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
+
+    if (healthOnly) {
+      // positional arg 0 (the srcDir slot) is the INDEX ROOT being
+      // polled — an omitted arg must not silently poll a default
+      // (the --commit-crossover explicit-arg rule: default numbers
+      // labeled as the requested run are worse than a loud stop)
+      require(pos.nonEmpty,
+        "--health needs an explicit index root (positional arg 1): " +
+          "the table describes THAT deployment's indexes — pass the " +
+          "directory whose children are the committed index paths")
+      healthMain(spark, pos.head)
+      spark.stop()
+      return
+    }
+    if (nbOnly) {
+      materialize(spark, srcDir, workDir, factor, Set("documents"))
+      Seq(srcDir, workDir).foreach { d =>
+        spark.read.parquet(s"$d/documents.parquet").count()
+      }
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      val small = nbTier(spark, srcDir, runs).toMap
+      val big = nbTier(spark, workDir, runs).toMap
+      val cells = small.keys.toSeq.sorted.map { k =>
+        val (s, b) = (small(k), big(k))
+        System.err.println(
+          f"[probe] nb $k%-22s $s%8.2f s -> $b%8.2f s  (${b / s}%.1f×)")
+        f""""$k":{"sf01":$s%.3f,"sf1":$b%.3f,"ratio":${b / s}%.2f}"""
+      }
+      println(s"""{"metric":"scaleprobe","tier":"nb","factor":$factor,""" +
+        s""""runs":$runs,"timings":{${cells.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
 
     // SPARK_GRAFT_ONLY (same contract as Verify/Bench: comma-separated
     // PREFIXES): probe only the matching queries — the per-change

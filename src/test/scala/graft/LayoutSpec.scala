@@ -1592,6 +1592,67 @@ class LayoutSpec extends SparkSuite {
     GraftBridge.releaseLocalCheckpoint(Seq(1L).toDF("x"))
   }
 
+  test("health poll: one table over all four index kinds, drift in the uniform direction, junk skipped") {
+    import graft.operators.Index
+    val root = Files.createTempDirectory("graft_health").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val ivf = Index.buildIvf(emb, 8, s"$root/ivf")
+    Index.buildIvfPq(emb, 8, s"$root/ivfpq")
+    val lsh = Index.buildLsh(docs, col("doc_id"), col("text"), s"$root/lsh")
+    val sk = Index.buildSketch(emb, s"$root/sketch", dim = 64)
+    // a deployment root holds half-built staging dirs — the poll must
+    // skip them, not die
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/staging"))
+    // mutations make every drift axis report. NOT byte-identical
+    // re-ingest: the probes' zero-evidence contract deliberately
+    // CARRIES (keeps None) on identical re-delivery — a drift reading
+    // needs changed content, so the re-embed jitters each coordinate
+    // (+0.01 flips some sign bits) and the re-crawl appends a token
+    // (shifts each doc's shingle set slightly)
+    sk.upsert(emb.filter(col("vec_id") < 50)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.01f))))
+    lsh.upsert(docs.filter(col("doc_id") < 50)
+        .withColumn("text", concat(col("text"), lit(" recrawled"))),
+      col("doc_id"), col("text"))
+    ivf.upsert(emb.filter(col("vec_id") < 50))
+    val stats = Seq("ivf", "ivfpq", "lsh", "sketch")
+      .map(n => n -> Index.stats(spark, s"$root/$n")).toMap
+    assert(stats("ivf").kind == "ivf" && stats("ivfpq").kind == "ivf-pq" &&
+      stats("lsh").kind == "lsh" && stats("sketch").kind == "sketch")
+    assert(stats.values.forall(s => s.rows > 0 && !s.emptied))
+    assert(stats.values.forall(s => s.partitions > 0 && s.skew >= 1.0))
+    // every mutated kind reports drift, all in the 0-is-healthy
+    // direction; the identical re-ingest sits at (or indistinguishably
+    // near) the healthy end
+    // lsh shift rate (1 − mean version Jaccard) and sketch flip rate
+    // are small positive fractions under the small perturbations; the
+    // ivf centroid fold EWMAs a 50-row batch against the corpus-wide
+    // baseline, so its excess only approximates 0 (either sign) —
+    // well inside the 0.5 alarm threshold either way
+    Seq("lsh", "sketch").foreach { n =>
+      val d = stats(n).drift
+      assert(d.isDefined, s"$n drift missing after a changed re-ingest")
+      assert(d.get > 0.0 && d.get <= 1.0,
+        s"$n drift=$d not a positive fraction under perturbed re-ingest")
+    }
+    val ivfDrift = stats("ivf").drift
+    assert(ivfDrift.isDefined, "ivf drift missing after a mutation")
+    assert(math.abs(ivfDrift.get) < 0.2, s"ivf drift=$ivfDrift not ~0")
+    // build-baseline kinds report 0 exactly at build time (ivf-pq here)
+    assert(stats("ivfpq").drift.contains(0.0))
+    // the runnable mode itself: four rows, junk skipped, JSON on stdout
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.ScaleProbe.healthMain(spark, root)
+    }
+    val json = out.toString("UTF-8")
+    assert(json.contains("\"metric\":\"health\""))
+    Seq("\"ivf\"", "\"ivfpq\"", "\"lsh\"", "\"sketch\"").foreach(k =>
+      assert(json.contains(k), s"missing $k in $json"))
+    assert(!json.contains("staging"))
+  }
+
   test("commit-crossover recommendation: bracketed interpolation, floor, and honest None") {
     import graft.ScaleProbe.crossoverRecommendation
     // the r16 NVMe measurements as the canonical shape: whole wins
