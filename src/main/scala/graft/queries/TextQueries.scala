@@ -759,6 +759,47 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Token-BUDGET context packing (r19 — closes the tokenizer tier the
+  // BPE family started): packIntoContexts cutting the per-shard token
+  // stream at 256 TRAINED-TOKENIZER tokens, not whitespace words —
+  // the budget a trainer actually pays (q69 packs the same layout by
+  // ws-tokens; q125/q127 price docs in BPE tokens; this composes
+  // them). The per-doc count flows through the STREAMING-LEGAL
+  // literal-map column (Bpe.bpeTokenCount), the oracle re-derives
+  // every count through the trained join form (the q127 equivalence)
+  // and replays the same integer window arithmetic — empty/
+  // whitespace-only docs count 0 tokens (coalesce in the oracle) and
+  // occupy a pack slot without advancing the offset, same as q69's
+  // contract.
+  val q156 = sql(
+    "q156_bpe_context_packing",
+    s"""${bpePrefix(5)},
+       |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM w6 GROUP BY word),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+       |  FROM documents),
+       |dwc AS (SELECT doc_id, CAST(sum(wl.n_sym) AS BIGINT) AS n_tok
+       |  FROM dw JOIN wl USING (word) GROUP BY doc_id),
+       |nt AS (SELECT d.doc_id, d.source,
+       |    CAST(coalesce(dwc.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d LEFT JOIN dwc ON d.doc_id = dwc.doc_id),
+       |c AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+       |  FROM nt)
+       |SELECT source, CAST(strt // 256 AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    val state = graft.operators.Bpe.trainState(docs(s, d), col("text"), 5)
+    val wordMap = state.collectWordTokenCounts()
+    graft.operators.Curation.packIntoContexts(docs(s, d),
+        col("source"), col("doc_id"),
+        graft.operators.Bpe.bpeTokenCount(col("text"), wordMap), 256)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124, q125,
-    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118, q154)
+    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118, q154, q156)
 }
