@@ -169,4 +169,33 @@ object Clustering {
       .select(col("vec_b").as("vec_id")).distinct()
     emb.join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Cluster-BALANCED sampling — the semantic-diversity selection cut
+    * (the cluster-rebalancing practice of embedding-curated corpora):
+    * learn k semantic clusters and keep the `n` lowest-hash members of
+    * EACH, so the subset is balanced across semantic modes instead of
+    * mirroring the corpus's mode skew — a dominant topic cannot swamp
+    * the selection the way a uniform sample lets it. Membership is
+    * [[Curation.stratifiedSample]]'s deterministic contract with the
+    * LEARNED cluster as the stratum (q81 stratifies on a stored
+    * column; this composes the stratum out of [[kmeansInt8]], which is
+    * itself integer-exact, so the whole selection stays a pure,
+    * engine-replayable function of the corpus). Clusters smaller than
+    * `n` keep everything — balanced means capped, not padded. NOTE the
+    * stability boundary: sampling is stable under corpus growth only
+    * WITHIN a fixed clustering; re-clustering a grown corpus can move
+    * cluster boundaries, so pipelines pin the clustering artifact
+    * (like an index version) and sample against it.
+    * Returns the sampled (vec_id, label, cluster, dist) rows.
+    *
+    * Scale: the kmeans passes dominate (columnar scans; shuffles carry
+    * ≤ k·d·partitions rows); the sample adds one cluster-partitioned
+    * rank window — ≤ k partitions of ~corpus/k rows, never a global
+    * sort. */
+  def clusterBalancedSample(emb: DataFrame, k: Int, passes: Int, n: Int,
+      salt: String = "cbal"): DataFrame = {
+    require(n > 0)
+    Curation.stratifiedSample(kmeansInt8(emb, k, passes), col("cluster"),
+      col("vec_id"), n, salt)
+  }
 }

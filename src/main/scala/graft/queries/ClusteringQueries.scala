@@ -89,5 +89,31 @@ object ClusteringQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q86, q87)
+  // Cluster-balanced sampling (r19): the semantic-diversity selection
+  // cut — the 15 lowest-hash members of each LEARNED cluster, so the
+  // subset is balanced across semantic modes instead of mirroring the
+  // corpus's mode skew. Oracle = the full Lloyd's replay (q86's CTEs)
+  // + the q81 stratified-rank recipe with the learned cluster as the
+  // stratum; the whole selection is a pure engine-replayable function
+  // of the corpus because both stages are (integer k-means, portable
+  // salted hash).
+  val q157 = sql(
+    "q157_cluster_balanced_sample",
+    s"""WITH ${VectorQueries.quantCte},
+       |$kmeansCtes,
+       |h AS (SELECT a.vec_id, a.cluster, a.dist,
+       |    ${CurationQueries.uSql("md5('cbal' || CAST(a.vec_id AS VARCHAR))")} AS u
+       |  FROM a$Passes a),
+       |sg AS (SELECT vec_id, cluster, dist, ${CurationQueries.signedSql("u")} AS hs FROM h),
+       |r AS (SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY hs, vec_id) AS rn
+       |  FROM sg)
+       |SELECT r.vec_id, v.label, r.cluster, r.dist
+       |FROM r JOIN q v USING (vec_id) WHERE rn <= 15 ORDER BY vec_id""".stripMargin) {
+    (s, d) =>
+      Clustering.clusterBalancedSample(Tables.embeddings(s, d), K, Passes, 15)
+        .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q86, q87, q157)
 }

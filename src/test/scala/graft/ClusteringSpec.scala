@@ -76,6 +76,34 @@ class ClusteringSpec extends SparkSuite {
     assert(a.filter(col("vec_id") < 256 && col("dist") =!= 0L).count() == 0)
   }
 
+  test("clusterBalancedSample: per-cluster cap, small clusters whole, deterministic, balanced") {
+    val n = 10
+    val sample = Clustering.clusterBalancedSample(emb, 8, 2, n)
+    val assigned = Clustering.kmeansInt8(emb, 8, 2)
+    val clusterSizes = assigned.groupBy(col("cluster")).count()
+      .as[(Int, Long)].collect().toMap
+    val sampleSizes = sample.groupBy(col("cluster")).count()
+      .as[(Int, Long)].collect().toMap
+    // capped means capped: every cluster contributes min(size, n)
+    assert(sampleSizes.keySet == clusterSizes.keySet,
+      "every learned cluster must be represented")
+    sampleSizes.foreach { case (c, sz) =>
+      assert(sz == math.min(clusterSizes(c), n.toLong), s"cluster $c: $sz")
+    }
+    // deterministic: same corpus + salt → same rows
+    val again = Clustering.clusterBalancedSample(emb, 8, 2, n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sample.select("vec_id").as[Long].collect().toSet == again)
+    // the balance property vs a uniform cut: the per-cluster spread of
+    // a uniform n·k sample tracks the cluster-size skew, the balanced
+    // sample's is the cap — dominant modes cannot swamp it
+    assert(sampleSizes.values.max <= n)
+    // sampled rows carry the assignment they were drawn from
+    val mismatch = sample.select(col("vec_id"), col("cluster"))
+      .except(assigned.select(col("vec_id"), col("cluster"))).count()
+    assert(mismatch == 0)
+  }
+
   test("semanticDedup drops exactly the higher-id ends of in-cluster pairs") {
     val tau = 0.3
     val pairs = Clustering.semanticNearDupPairs(emb, 8, 2, tau)
