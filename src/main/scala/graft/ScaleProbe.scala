@@ -59,7 +59,8 @@ object ScaleProbe {
     "q149_vector_dup_clusters",
     "q106_duplicate_spans",
     "q123_bpe_merges",
-    "q125_bpe_token_counts")
+    "q125_bpe_token_counts",
+    "q157_cluster_balanced_sample")
 
   /** CDC/mirror tier — the reference's core workload. Envelope
     * synthesis + dual-shape JSON round-trip (q45/q46) and the full
@@ -93,7 +94,8 @@ object ScaleProbe {
          "q146_embedding_neardup_sorted" |
          "q147_embedding_neardup_incremental" |
          "q148_sketch_index_lifecycle" |
-         "q149_vector_dup_clusters" => "embeddings"
+         "q149_vector_dup_clusters" |
+         "q157_cluster_balanced_sample" => "embeddings"
     case other => sys.error(
       s"tableFor: probe query $other has no table mapping — add it here")
   }

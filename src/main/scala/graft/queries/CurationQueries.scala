@@ -730,6 +730,100 @@ object CurationQueries {
       .orderBy(col("verdict"))
   }
 
+  // The FULL production recipe in one gated chain (r19): heuristics →
+  // LEARNED filter → exact dedup → LSH near-dup removal → hash split
+  // (the CCNet order end-to-end — q116 proves the chain without the
+  // learned tier, q155 proves heuristics+model; this composes all
+  // five stages). The model gate runs through the JOIN form
+  // (Text.nbScore — the at-scale path the corpus factory's nbGate
+  // uses for corpus vocabularies), so both scoring forms are now
+  // oracle-gated in composition: q155 pins the per-row column, this
+  // pins the join. Oracle: q154's closed-form NB CTEs spliced between
+  // q116's heuristic and dedup stages.
+  val q158 = sql(
+    "q158_factory_learned_gate", {
+      val pairsOverSurvivors = VectorQueries.jaccardOracle
+        .replace("FROM documents", "FROM s1")
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+         |  FROM documents),
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |ttok AS (SELECT t.token, l.y FROM tok t JOIN lab l USING (doc_id)),
+         |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS n0,
+         |    CAST(count(DISTINCT token) AS BIGINT) AS v FROM ttok),
+         |cnt AS (SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS c0 FROM ttok GROUP BY 1),
+         |pri AS (SELECT round(ln(CAST(sum(y) AS DOUBLE) / (count(*) - sum(y))), 6) AS prior FROM lab),
+         |w AS (SELECT token,
+         |    round(ln(CAST(c1 + 1 AS DOUBLE) / (n1 + v)) - ln(CAST(c0 + 1 AS DOUBLE) / (n0 + v)), 6) AS llr
+         |  FROM cnt CROSS JOIN tot),
+         |dflt AS (SELECT round(ln(CAST(n0 + v AS DOUBLE) / (n1 + v)), 6) AS d FROM tot),
+         |sc AS (SELECT tok.doc_id,
+         |    round(CAST(sum(CAST(coalesce(w.llr, dflt.d) AS DECIMAL(27,6))) AS DOUBLE)
+         |      + any_value(pri.prior), 6) AS score
+         |  FROM tok LEFT JOIN w USING (token) CROSS JOIN dflt CROSS JOIN pri
+         |  GROUP BY tok.doc_id),
+         |t AS (SELECT doc_id, lang, text,
+         |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+         |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+         |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+         |    , 6) AS q
+         |  FROM documents),
+         |kept AS (SELECT doc_id, lang, text, n_ws FROM t WHERE n_ws >= 30 AND q >= 0.65),
+         |keptm AS (SELECT k.* FROM kept k JOIN sc USING (doc_id) WHERE sc.score >= 0),
+         |fp AS (SELECT doc_id, lang, text, n_ws, md5(text) AS f FROM keptm),
+         |mn AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+         |s1 AS (SELECT doc_id, lang, text, n_ws FROM fp JOIN mn
+         |  ON fp.f = mn.f AND fp.doc_id = mn.keep_id),
+         |gt AS (SELECT doc_a, doc_b FROM ($pairsOverSurvivors) g),
+         |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+         |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+         |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN drop d ON s1.doc_id = d.doc_id
+         |  WHERE d.doc_id IS NULL),
+         |h AS (SELECT doc_id, lang, n_ws,
+         |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
+         |sg AS (SELECT doc_id, lang, n_ws, ${signedSql("u")} AS hs FROM h),
+         |sp AS (SELECT lang, n_ws,
+         |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+         |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS tok_sum
+         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val model = Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), (col("lang") === "en").cast("int"))
+    val kept = docs
+      .withColumn("_nws", Text.wsTokenCount(col("text")))
+      .withColumn("_q", Text.qualityScore(col("text")))
+      .filter(col("_nws") >= 30 && col("_q") >= 0.65)
+    // the learned gate, JOIN form — the corpus factory's nbGate shape
+    val admit = Text.nbScore(kept, col("doc_id"), col("text"), model)
+      .filter(col("score") >= 0.0).select(col("doc_id"))
+    val keptm = kept.join(admit, Seq("doc_id"), "left_semi")
+    val mn = keptm.groupBy(md5(col("text")).as("_f"))
+      .agg(min(col("doc_id")).as("_keep_id"))
+    val s1 = keptm.join(mn,
+      md5(col("text")) === col("_f") && col("doc_id") === col("_keep_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("_nws"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(s1, col("doc_id"), col("text"))
+    val s2 = graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
+    Curation.withSplit(s2, col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nws")).as("tok_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113, q114, q116, q121, q155)
+    q97, q108, q110, q111, q112, q113, q114, q116, q121, q155, q158)
 }
