@@ -400,21 +400,22 @@ object Curation {
         col("_text").substr(col("chunk_id") * step + 1, lit(size)).as("chunk"))
   }
 
-  /** Per-row top-token fraction in ppm from a MATERIALIZED tokens
-    * column — the streaming-safe form of repetitionStats' mode
-    * computation (no aggregation, so it runs inside any streaming
-    * select). O(distinct·n) per row, fine at document size; the batch
-    * path should prefer the shuffle-based repetitionStats. `toks` must
-    * be a projected column (not an inline tokens(text) expression):
-    * Catalyst does not CSE inside HOF lambdas, so an inline expression
-    * would re-split the text once per distinct token. */
-  def topTokenPpmInline(toks: Column): Column = {
-    val topCnt = array_max(transform(array_distinct(toks),
-      u => size(filter(toks, t => t === u))))
-    when(size(toks) > 0,
-      floor(lit(1000000.0) * (topCnt.cast("double") / size(toks))).cast("long"))
-      .otherwise(0L)
-  }
+  /** Per-row top-token fraction in ppm from a tokens column — the
+    * streaming-safe form of repetitionStats' mode computation (no
+    * aggregation, so it runs inside any streaming select). r19: the
+    * native one-pass kernel ([[GraftFunctions.topTokenPpm]] —
+    * O(n) hash counting) replaced the original HOF spelling
+    * (array_distinct + one filter-count per distinct token,
+    * O(distinct·n) comparisons per document — measurable in the
+    * funnel's per-row hot path on long documents); bit-equality with
+    * the HOF form is pinned by KernelFuzzSpec, equality with the
+    * shuffle-based repetitionStats by CurationSpec. The coalesce
+    * keeps the HOF form's null contract: NULL tokens array → 0 (the
+    * `when`'s null-condition arm fell through to `otherwise(0)`).
+    * Requires GraftFunctions.register on the session (curateStream
+    * registers itself; standalone users call it once). */
+  def topTokenPpmInline(toks: Column): Column =
+    coalesce(GraftFunctions.topTokenPpm(toks), lit(0L))
 
   /** The full curation funnel as a STREAMING pipeline: stateless
     * per-document gates (token floor, quality, language, repetition,
@@ -443,6 +444,7 @@ object Curation {
       maxTopTokenPpm: Long = 300000L,
       nbModel: Option[Text.NbModelLocal] = None,
       nbMinScore: Double = 0.0): DataFrame = {
+    GraftFunctions.register(docs.sparkSession) // the repetition kernel
     val base = docs.select(id.as("doc_id"), text.as("text"))
       .withColumn("_toks", Text.tokens(col("text")))
       .withColumn("n_tok", size(col("_toks")))

@@ -357,6 +357,69 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Per-row top-token fraction in integer ppm over a tokens array —
+  * the native ONE-PASS form of the repetition gate's per-row mode
+  * computation (Curation.topTokenPpmInline's original HOF spelling
+  * was array_distinct + one filter-count per distinct token:
+  * O(distinct·n) comparisons per document, in the streaming curation
+  * funnel's per-row hot path where every ingested doc pays it; this
+  * kernel is one hash-counting pass, O(n)).
+  *
+  * Contract (BIT-equal to the HOF form — KernelFuzzSpec pins it on
+  * adversarial arrays):
+  *  - empty array → 0 (not null — the funnel's `otherwise(0)` arm);
+  *  - null ELEMENTS are never the mode (the HOF's `t === u` is null
+  *    on null, so the filter dropped them) but still count in the
+  *    denominator (`size` counts nulls) — an all-null array is 0;
+  *  - value = floor(1e6 · (maxCount / n)) through the same two IEEE
+  *    double ops as the column form, so the integer can never differ.
+  * NULL INPUT is null here (UnaryExpression contract); the operator
+  * wrapper coalesces to 0, the HOF `when`'s null-condition arm. */
+case class TopTokenPpm(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType => ST}
+
+  override def prettyName: String = "graft_top_token_ppm"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ST, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  /** The one counting loop, shared by both eval paths. */
+  def ppm(toks: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = toks.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](Math.min(n * 2, 1 << 16))
+    var max = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val u = toks.getUTF8String(i)
+        val prev = counts.get(u)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(u, Integer.valueOf(c))
+        if (c > max) max = c
+      }
+      i += 1
+    }
+    math.floor(1000000.0 * (max.toDouble / n)).toLong
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ppm(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topTokenPpm", this, classOf[TopTokenPpm].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.ppm($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopTokenPpm =
+    copy(child = c)
+}
+
 /** Bloom-filter bitmap as a custom aggregate: collects BIGINT bit
   * positions (already reduced mod m by the caller) into a packed
   * long[m/64] bitmap — build the filter from the benchmark/blocklist
@@ -1089,7 +1152,8 @@ object GraftFunctions {
     "graft_pq_adc" -> (exprs =>
       PqAdcLookup(exprs.head, exprs(1), litInt("graft_pq_adc", exprs(2)))),
     "graft_unit_int8" -> (exprs => UnitInt8Encode(exprs.head)),
-    "graft_maxabs_int8" -> (exprs => MaxAbsInt8Encode(exprs.head)))
+    "graft_maxabs_int8" -> (exprs => MaxAbsInt8Encode(exprs.head)),
+    "graft_top_token_ppm" -> (exprs => TopTokenPpm(exprs.head)))
 
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -1151,4 +1215,7 @@ object GraftFunctions {
   def unitInt8(v: Column): Column = call_function("graft_unit_int8", v)
 
   def maxAbsInt8(v: Column): Column = call_function("graft_maxabs_int8", v)
+
+  def topTokenPpm(toks: Column): Column =
+    call_function("graft_top_token_ppm", toks)
 }

@@ -97,6 +97,52 @@ class KernelFuzzSpec extends SparkSuite {
       .collect().forall(_.isNullAt(0)))
   }
 
+  // ---- TopTokenPpm -----------------------------------------------------
+
+  test("fuzz: top-token-ppm kernel == HOF formulation on random token arrays incl. nulls") {
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(""), // empty TOKEN is a legal value
+      Gen.const("한국어"),
+      Gen.const("the"), Gen.const("the"), // heavy repeats drive the mode
+      Gen.const("a"))
+    val elemGen: Gen[Option[String]] =
+      Gen.frequency(9 -> strGen.map(Option(_)), 1 -> Gen.const(None))
+    val arrGen: Gen[Option[Seq[Option[String]]]] = Gen.frequency(
+      8 -> Gen.choose(0, 16).flatMap(n => Gen.listOfN(n, elemGen)).map(Some(_)),
+      1 -> Gen.const(None))
+    val rows = sample(arrGen, 300, 53L).zipWithIndex.map { case (a, i) =>
+      Row(i.toLong, a.map(_.map(_.orNull)).orNull)
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val base = df(rows, schema)
+    // the pre-r19 HOF formula VERBATIM (array_distinct + one
+    // filter-count per distinct token; null elements never the mode
+    // but counted in the denominator; NULL/empty array → 0 via the
+    // when's null-condition fall-through)
+    val topCnt = array_max(transform(array_distinct(col("toks")),
+      u => size(filter(col("toks"), t => t === u))))
+    val hof = when(size(col("toks")) > 0,
+      floor(lit(1000000.0) * (topCnt.cast("double") / size(col("toks")))).cast("long"))
+      .otherwise(0L)
+    val diff = base
+      .select(graft.operators.Curation.topTokenPpmInline(col("toks")).as("k"),
+        hof.as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(diff == 0, "top-token-ppm kernel diverged from the HOF formulation")
+    // hand-pinned edges: all-null array → 0, single token → 1e6,
+    // half-and-half → 500000
+    val edge = df(Seq(
+      Row(0L, Seq[String](null, null)),
+      Row(1L, Seq("solo")),
+      Row(2L, Seq("a", "a", "b", null))), schema)
+    val got = edge.select(col("id"),
+        graft.operators.Curation.topTokenPpmInline(col("toks")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1000000L, 2L -> 500000L), got.toString)
+  }
+
   // ---- DotProduct ------------------------------------------------------
 
   test("fuzz: graft_dot == HOF fold on random double arrays incl. mismatched lengths and extremes") {
