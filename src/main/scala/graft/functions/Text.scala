@@ -503,16 +503,19 @@ object Text {
   /** The trained model COLLECTED for per-row scoring: the vocab map
     * (token → round-6 llr) plus prior/default in their ROUNDED form
     * (Spark round semantics — BigDecimal HALF_UP). `cap` defaults to
-    * the BPE inline-map budget (4096) for the same reason BPE's does:
-    * element_at over a LITERAL map is a linear key scan in Spark, so
-    * per-row scoring is O(doc_len · vocab) — fine for a lexicon-sized
-    * model, unusable at corpus vocabularies. Past the cap, score with
-    * the distributed [[nbScore]] join form — in a stream, inside a
-    * foreachBatch stage (each micro-batch is a plain DataFrame there,
-    * so the explode/join/groupBy form runs as-is per trigger). ONE
-    * collect serves both the cap check and the map (the
-    * Bpe.collectWordTokenCounts recipe — a count() first would run
-    * the whole training shuffle twice). */
+    * the BPE inline-map budget (4096): the vocab rides into the
+    * scoring expression as LITERALS, so the cap bounds plan size /
+    * serialization and driver memory (r19: per-row scan cost is no
+    * longer the binding constraint — [[nbScoreExpr]]'s native kernel
+    * probes a constant hash map O(1) per token; pre-r19 the
+    * element_at map-literal lookup was a linear vocab scan). Corpus
+    * vocabularies exceed any literal budget regardless — past the
+    * cap, score with the distributed [[nbScore]] join form — in a
+    * stream, inside a foreachBatch stage (each micro-batch is a
+    * plain DataFrame there, so the explode/join/groupBy form runs
+    * as-is per trigger). ONE collect serves both the cap check and
+    * the map (the Bpe.collectWordTokenCounts recipe — a count()
+    * first would run the whole training shuffle twice). */
   final case class NbModelLocal(weights: Map[String, Double],
       prior6: Double, defaultLlr6: Double)
 
@@ -521,10 +524,11 @@ object Text {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = model.weights.limit(cap + 1).collect()
     require(rows.length <= cap,
-      s"NB vocabulary exceeds cap $cap — element_at on a literal map " +
-        "is a linear scan, so the per-row form is for lexicon-sized " +
-        "models; use nbScore's distributed join form (per micro-batch " +
-        "via foreachBatch in a stream)")
+      s"NB vocabulary exceeds cap $cap — the collected model rides " +
+        "into the scoring expression as literals (plan size + driver " +
+        "memory), so the per-row form is for lexicon-sized models; " +
+        "use nbScore's distributed join form (per micro-batch via " +
+        "foreachBatch in a stream)")
     NbModelLocal(
       rows.map(r => r.getString(0) -> r.getDouble(1)).toMap,
       r6(model.priorLogOdds), r6(model.defaultLlr))
@@ -533,28 +537,39 @@ object Text {
   /** Per-ROW scoring column — the STREAMING-legal form of [[nbScore]]
     * (no explode/join/groupBy, so it composes into any stateless
     * stream stage, e.g. ahead of the curation funnel's keep gate):
-    * one pass over the token array with a DECIMAL accumulator, so the
-    * result is BIT-EQUAL to the batch form's exact decimal sum —
-    * stream==batch is equality, not ulp tolerance
-    * (StreamingConsistencySpec pins it). The vocab map rides a plain
-    * map literal — data, not codegen source, but element_at over it
-    * is a LINEAR key scan, which is why [[collectNbModel]] caps the
-    * vocab at the BPE inline-map budget; corpus-scale models score
-    * through [[nbScore]]'s join (per micro-batch via foreachBatch in
-    * a stream). NULL for zero-token docs: the batch form DROPS them
-    * (no token rows); a row-level column cannot drop, so it signals
-    * with NULL instead. */
+    * one pass over the token array, BIT-EQUAL to the batch form's
+    * exact decimal sum — stream==batch is equality, not ulp tolerance
+    * (StreamingConsistencySpec pins it).
+    *
+    * r19: the pass is the native [[graft.plans.GraftFunctions
+    * .nbScoreMicros]] kernel — the vocab as an expression-constant
+    * HASH map of exact integer micros. The original spelling
+    * (DECIMAL(27,6) `aggregate` + `element_at` over a map literal)
+    * was a LINEAR key scan per token — O(doc_len · vocab) per row,
+    * ~16M comparisons on a web-length doc at the 4096 cap; the
+    * kernel is one O(1) probe per token, and a scale-6 decimal sum
+    * IS an integer micro sum, so the value is unchanged bit-for-bit
+    * (KernelFuzzSpec pins kernel == the decimal HOF; the final
+    * round-6 stays Catalyst's own Round). [[collectNbModel]]'s cap
+    * now guards literal/plan size and driver memory, not scan cost;
+    * corpus-scale models still score through [[nbScore]]'s join (per
+    * micro-batch via foreachBatch in a stream). NULL for zero-token
+    * docs: the batch form DROPS them (no token rows); a row-level
+    * column cannot drop, so it signals with NULL instead. Requires
+    * GraftFunctions.register (curateStream registers; standalone
+    * users call it once). */
   def nbScoreExpr(text: Column, model: NbModelLocal): Column = {
     val toks = tokens(text)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(27, 6)
-    val w = typedLit(model.weights)
-    // (acc + x) re-cast each step: decimal addition widens precision,
-    // and aggregate() needs a stable accumulator type
+    // round-6 doubles → exact integer micros (toLongExact: a non-6-
+    // decimal weight would be a construction bug, not data to absorb)
+    def micros(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000)).toLongExact
+    val entries = model.weights.toSeq.sortBy(_._1)
     when(size(toks) === 0, lit(null).cast("double"))
       .otherwise(round(
-        aggregate(toks, lit(0).cast(dec), (acc, t) =>
-          (acc + coalesce(element_at(w, t), lit(model.defaultLlr6)).cast(dec))
-            .cast(dec))
-          .cast("double") + lit(model.prior6), 6))
+        graft.plans.GraftFunctions.nbScoreMicros(toks,
+          entries.map(_._1), entries.map(e => micros(e._2)),
+          micros(model.defaultLlr6), model.prior6), 6))
   }
 }

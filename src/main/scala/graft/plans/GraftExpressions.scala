@@ -420,6 +420,84 @@ case class TopTokenPpm(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Streaming NB scoring as a native kernel — the per-row form of the
+  * Naive-Bayes quality filter (graft.functions.Text.nbScoreExpr) with
+  * the vocab as an EXPRESSION-CONSTANT hash map instead of an
+  * element_at over a literal map: Spark's map-literal lookup is a
+  * linear key scan, so the HOF spelling cost O(doc_len · vocab) per
+  * row — at the 4096-entry cap and web-length documents that is ~16M
+  * comparisons per row in the funnel's hot path; this kernel is one
+  * O(1) hash probe per token.
+  *
+  * Exactness contract (bit-equal to the decimal-accumulator HOF form,
+  * hence to the batch join form — KernelFuzzSpec pins the first,
+  * StreamingConsistencySpec the chain):
+  *  - per-token weights are EXACT INTEGER MICROS of the round-6 llrs
+  *    (a scale-6 decimal IS an integer number of micros), summed in a
+  *    long — identical to the HOF's exact DECIMAL(27,6) accumulation
+  *    (no overflow: |llr| ≤ ~20 → 2e7 micros/token, 2^53/2e7 ≈ 4.5e8
+  *    tokens before toDouble exactness is even at risk);
+  *  - the sum converts via one exact long→double + one correctly-
+  *    rounded division by 1e6 — the nearest double of the same exact
+  *    rational that Decimal(27,6).toDouble produces;
+  *  - + prior is the same single IEEE add; the final round-6 stays in
+  *    the COLUMN wrapper (Catalyst's own Round — not reimplemented);
+  *  - null tokens take the OOV default (the HOF's element_at(map,
+  *    null) → null → coalesce arm); empty arrays return prior (the
+  *    wrapper's when-guard answers NULL before the kernel runs). */
+case class NbScoreMicros(child: Expression, tokens: IndexedSeq[UTF8String],
+    micros: IndexedSeq[Long], defaultMicros: Long, prior: Double)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType => ST}
+
+  require(tokens.length == micros.length,
+    s"NbScoreMicros: ${tokens.length} tokens vs ${micros.length} weights")
+
+  override def prettyName: String = "graft_nb_score_micros"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ST, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](tokens.length * 2)
+    var i = 0
+    while (i < tokens.length) { m.put(tokens(i), java.lang.Long.valueOf(micros(i))); i += 1 }
+    m
+  }
+
+  /** The one scoring loop, shared by both eval paths. */
+  def score(toks: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) sum += defaultMicros
+      else {
+        val w = lookup.get(toks.getUTF8String(i))
+        sum += (if (w == null) defaultMicros else w.longValue())
+      }
+      i += 1
+    }
+    sum.toDouble / 1e6 + prior
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nbScoreMicros", this, classOf[NbScoreMicros].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.score($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NbScoreMicros =
+    copy(child = c)
+}
+
 /** Bloom-filter bitmap as a custom aggregate: collects BIGINT bit
   * positions (already reduced mod m by the caller) into a packed
   * long[m/64] bitmap — build the filter from the benchmark/blocklist
@@ -1114,6 +1192,26 @@ object GraftFunctions {
     e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toIntArray().toIndexedSeq
   }
+  private def litLong(fn: String, e: Expression): Long = {
+    require(e.foldable, s"$fn: argument $e must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+  private def litDouble(fn: String, e: Expression): Double = {
+    require(e.foldable, s"$fn: argument $e must be a literal")
+    e.eval().asInstanceOf[Number].doubleValue()
+  }
+  private def litUtf8Array(fn: String, e: Expression): IndexedSeq[UTF8String] = {
+    require(e.foldable, s"$fn: vocab must be a literal")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // clone: literal ArrayData may expose views over a shared buffer;
+    // the expression keeps these as map keys for its lifetime
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).clone())
+  }
+  private def litLongArray(fn: String, e: Expression): IndexedSeq[Long] = {
+    require(e.foldable, s"$fn: weights must be a literal")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toIndexedSeq
+  }
 
   /** The full native-function set, name → builder. Additions go
     * anywhere in this list — [[register]] checks EVERY name, so no
@@ -1153,7 +1251,12 @@ object GraftFunctions {
       PqAdcLookup(exprs.head, exprs(1), litInt("graft_pq_adc", exprs(2)))),
     "graft_unit_int8" -> (exprs => UnitInt8Encode(exprs.head)),
     "graft_maxabs_int8" -> (exprs => MaxAbsInt8Encode(exprs.head)),
-    "graft_top_token_ppm" -> (exprs => TopTokenPpm(exprs.head)))
+    "graft_top_token_ppm" -> (exprs => TopTokenPpm(exprs.head)),
+    "graft_nb_score_micros" -> (exprs => NbScoreMicros(exprs.head,
+      litUtf8Array("graft_nb_score_micros", exprs(1)),
+      litLongArray("graft_nb_score_micros", exprs(2)),
+      litLong("graft_nb_score_micros", exprs(3)),
+      litDouble("graft_nb_score_micros", exprs(4)))))
 
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -1218,4 +1321,12 @@ object GraftFunctions {
 
   def topTokenPpm(toks: Column): Column =
     call_function("graft_top_token_ppm", toks)
+
+  def nbScoreMicros(toks: Column, tokens: Seq[String], micros: Seq[Long],
+      defaultMicros: Long, prior: Double): Column =
+    call_function("graft_nb_score_micros", toks,
+      org.apache.spark.sql.functions.typedlit(tokens),
+      org.apache.spark.sql.functions.typedlit(micros),
+      org.apache.spark.sql.functions.lit(defaultMicros),
+      org.apache.spark.sql.functions.lit(prior))
 }

@@ -143,6 +143,58 @@ class KernelFuzzSpec extends SparkSuite {
     assert(got == Map(0L -> 0L, 1L -> 1000000L, 2L -> 500000L), got.toString)
   }
 
+  // ---- NbScoreMicros ---------------------------------------------------
+
+  test("fuzz: nb-score kernel == decimal-aggregate HOF on random token arrays and vocab") {
+    val rng = new scala.util.Random(59)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micros(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000)).toLongExact
+    // 40-token vocab with random round-6 llrs of both signs (the
+    // nbTrain output shape), plus an OOV default and a prior
+    val vocabTokens = (0 until 40).map(i => s"tok$i")
+    val llrs6 = vocabTokens.map(_ => r6(rng.nextDouble() * 8 - 4))
+    val default6 = r6(-1.2345678)
+    val prior6 = r6(0.4054651)
+    val kernel = GraftFunctions.nbScoreMicros(col("toks"),
+      vocabTokens, llrs6.map(micros), micros(default6), prior6)
+    // the pre-r19 decimal-aggregate spelling VERBATIM (element_at over
+    // a map literal + DECIMAL(27,6) accumulator), compared PRE-round —
+    // stronger than comparing the rounded column
+    val dec = DataTypes.createDecimalType(27, 6)
+    val w = typedLit(vocabTokens.zip(llrs6).toMap)
+    val hof = aggregate(col("toks"), lit(0).cast(dec), (acc, t) =>
+      (acc + coalesce(element_at(w, t), lit(default6)).cast(dec)).cast(dec))
+      .cast("double") + lit(prior6)
+    val elemGen: Gen[Option[String]] = Gen.frequency(
+      6 -> Gen.choose(0, 39).map(i => Option(s"tok$i")),
+      2 -> Gen.alphaNumStr.map(s => Option("oov" + s.take(8))),
+      1 -> Gen.const(Option("")), // empty string is a legal OOV token
+      1 -> Gen.const(None))
+    val arrGen: Gen[Option[Seq[Option[String]]]] = Gen.frequency(
+      8 -> Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, elemGen)).map(Some(_)),
+      1 -> Gen.const(None))
+    val rows = sample(arrGen, 300, 61L).zipWithIndex.map { case (a, i) =>
+      Row(i.toLong, a.map(_.map(_.orNull)).orNull)
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val diff = df(rows, schema)
+      .select(kernel.as("k"), hof.as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(diff == 0, "nb-score kernel diverged from the decimal-aggregate HOF")
+    // hand-pinned edges: empty array → prior exactly; all-OOV array →
+    // 2·default + prior through the same arithmetic
+    val edge = df(Seq(Row(0L, Seq.empty[String]),
+      Row(1L, Seq("never-seen", "also-new"))), schema)
+    val got = edge.select(col("id"), kernel.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == prior6)
+    assert(got(1L) == (2 * micros(default6)).toDouble / 1e6 + prior6)
+  }
+
   // ---- DotProduct ------------------------------------------------------
 
   test("fuzz: graft_dot == HOF fold on random double arrays incl. mismatched lengths and extremes") {
