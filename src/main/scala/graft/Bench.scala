@@ -75,17 +75,24 @@ object Bench {
     * never in the top 10) regressed 3.9× in the driver run and the
     * protocol built to arbitrate exactly that had no warm number for
     * it. Wall-time picks keep their order; movers append by
-    * descending |log ratio| without duplicating. */
+    * descending |log ratio|. Queries already selected by wall time
+    * are excluded BEFORE the mover cut (r20 advisor fix): the heavy
+    * queries dominate |log ratio| under uniform host drift, so
+    * deduplicating after take() could hand every mover slot to
+    * already-selected queries and let a cheap-query regression —
+    * exactly the q89 class this arm exists for — escape again. */
   private[graft] def selectWarmSet(cur: Map[String, Double],
       prev: Map[String, Double], topN: Int, topMovers: Int,
       floorSec: Double): Seq[String] = {
     val byTime = cur.toSeq.sortBy { case (k, v) => (-v, k) }.take(topN).map(_._1)
+    val byTimeSet = byTime.toSet
     val movers = cur.keySet.intersect(prev.keySet).toSeq
+      .filterNot(byTimeSet.contains)
       .filter(k => cur(k) >= floorSec || prev(k) >= floorSec)
       .map(k => k -> math.abs(math.log(cur(k).max(1e-3) / prev(k).max(1e-3))))
       .sortBy { case (k, r) => (-r, k) }
       .take(topMovers).map(_._1)
-    byTime ++ movers.filterNot(byTime.contains)
+    byTime ++ movers
   }
 
   /** The previous COMMITTED version of `outPath` for the movers arm:
@@ -104,7 +111,10 @@ object Bench {
       val devNull = ProcessLogger(_ => ())
       logCmd.!!(devNull).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
         .view
-        .map(h => Seq("git", "-C", dir, "show", s"$h:$name").!!(devNull))
+        // ./name: git resolves a bare `rev:path` relative to the repo
+        // ROOT regardless of -C; the ./ prefix anchors it to -C's
+        // directory so a BENCH_OUT inside a subdirectory still resolves
+        .map(h => Seq("git", "-C", dir, "show", s"$h:./$name").!!(devNull))
         .find(_ != curText)
     }.toOption.flatten
   }

@@ -80,7 +80,18 @@ object Text {
     val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))) / nTok
     val uniqRatio = size(array_distinct(toks)) / nTok
     val lenScore = least(length(text) / 500.0, lit(1.0))
-    round(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.4 + uniqRatio * 0.2, 6)
+    // zero-token guard (r20): a 0-token document (empty or
+    // whitespace-only text) made both ratios divide by zero — an
+    // ANSI-mode CRASH, not a wrong number, and one empty document
+    // would kill the whole curation batch (found by the curateStream
+    // NULL/empty spec arm; the testdata corpus happens to contain
+    // none). Nothing to score → worst quality, 0.0 — the funnel's
+    // drop:short gate attributes first anyway, but the COLUMN must
+    // evaluate on every row (Catalyst does not short-circuit across
+    // columns). NULL text keeps returning NULL (the when-condition is
+    // NULL, and the formula over NULLs is NULL).
+    when(nTok === 0.0, lit(0.0)).otherwise(
+      round(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.4 + uniqRatio * 0.2, 6))
   }
 
   /** Whitespace token count + BPE-ish subword count via regex. */

@@ -163,19 +163,29 @@ object Bpe {
   }
 
   /** BPE token count of `text` as a pure column — tokens looked up in
-    * the trained (word → n_sym) literal map, summed per row. A word
+    * the trained (word → n_sym) vocabulary, summed per row. A word
     * outside the trained vocabulary counts its character length (the
     * zero-merges-applicable segmentation — a deterministic upper
     * bound). Streaming-legal by construction: stateless column
     * algebra, so an admission gate can budget documents in BPE tokens
-    * BEFORE any aggregation, in or out of foreachBatch. */
+    * BEFORE any aggregation, in or out of foreachBatch.
+    *
+    * r20: the lookup rides the native [[graft.plans.GraftFunctions
+    * .tokenCountSum]] kernel — an expression-constant HASH map, one
+    * O(1) probe per word. The original spelling (`aggregate` +
+    * `element_at` over a map LITERAL) paid a linear key scan per
+    * word — O(doc_len · vocab) per row at the 4096 vocab cap, on the
+    * factory's BPE admission gate and the q156 packing path; the
+    * value is unchanged bit-for-bit (KernelFuzzSpec pins kernel ==
+    * the HOF, including the char-length OOV arm and the null-element
+    * poison). Requires GraftFunctions.register on the session (the
+    * factory and query mains register; standalone users call it
+    * once). */
   def bpeTokenCount(text: Column, wordNsym: Map[String, Long]): Column = {
     require(wordNsym.nonEmpty)
     val entries = wordNsym.toSeq.sortBy(_._1)
-    val lookup = map(entries.flatMap { case (w, n) =>
-      Seq(lit(w), lit(n)) }: _*)
-    aggregate(Text.tokens(text), lit(0L),
-      (acc, w) => acc + coalesce(element_at(lookup, w), length(w).cast("long")))
+    graft.plans.GraftFunctions.tokenCountSum(
+      Text.tokens(text), entries.map(_._1), entries.map(_._2))
   }
 
   /** Run the k-round training loop once and return the reusable

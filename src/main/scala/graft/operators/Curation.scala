@@ -433,9 +433,16 @@ object Curation {
     * join/aggregation, so the funnel stays streaming-legal; the
     * score column `nb_score` is BIT-EQUAL to the batch join form
     * [[Text.nbScore]]) and drop as `drop:model` below `nbMinScore`.
-    * The model gate sits LAST: cheap heuristics shed volume before
-    * the O(doc_len)-lookup model column evaluates, the production
-    * funnel order. Scored on the RAW text like every other gate —
+    * The model gate sits LAST in the verdict's first-failing-gate
+    * ladder — the production funnel ORDER (a doc failing a heuristic
+    * attributes to the heuristic, never to the model). Cost-wise the
+    * `nb_score` COLUMN is still computed for every row, dropped or
+    * not: Catalyst does not short-circuit across projected columns,
+    * and the funnel's contract is per-row attribution output, which
+    * needs the score column present either way (r20 advisor note —
+    * the former "heuristics shed volume before the model evaluates"
+    * claim described the gate order, not the column cost).
+    * Scored on the RAW text like every other gate —
     * train the model on raw text too. Vocab past the literal-map cap
     * → score each micro-batch with the nbScore join form inside
     * foreachBatch instead (the corpus factory's nbGate does). */
@@ -447,7 +454,13 @@ object Curation {
     GraftFunctions.register(docs.sparkSession) // the repetition kernel
     val base = docs.select(id.as("doc_id"), text.as("text"))
       .withColumn("_toks", Text.tokens(col("text")))
-      .withColumn("n_tok", size(col("_toks")))
+      // coalesce: a NULL text tokenizes to a NULL array and size()
+      // yields NULL, which would NULL every when-condition and fall
+      // through to 'keep' (r20 advisor fix) — a NULL document is a
+      // zero-token document, so it takes the drop:short arm, which
+      // also keeps the model-gate invariant below airtight (every
+      // NULL nb_score row is short-gated first)
+      .withColumn("n_tok", coalesce(size(col("_toks")), lit(0)))
       .withColumn("quality", Text.qualityScore(col("text")))
       .withColumn("lang_guess", Text.langGuess(col("text")))
       .withColumn("top_token_ppm", topTokenPpmInline(col("_toks")))
@@ -461,8 +474,9 @@ object Curation {
         .when(col("lang_guess") =!= "en", "drop:lang")
         .when(col("top_token_ppm") > maxTopTokenPpm, "drop:repetition")
     val verdict = nbModel.fold(heuristics.otherwise("keep"))(_ =>
-      // nb_score is NULL only for zero-token docs, which drop:short
-      // already caught (minTokens ≥ 1 required for the model gate)
+      // nb_score is NULL only for zero-token and NULL-text docs, both
+      // of which drop:short already caught (n_tok coalesced to 0 and
+      // minTokens ≥ 1 required for the model gate)
       heuristics.when(col("nb_score") < nbMinScore, "drop:model")
         .otherwise("keep"))
     if (nbModel.isDefined) require(minTokens >= 1,
@@ -575,13 +589,18 @@ object Curation {
   def dsirScore(text: Column, ratios: Map[Long, Long], m: Int = 1024,
       salt: String = "dsir"): Column = {
     require(ratios.nonEmpty)
+    // r20: the per-gram lookup is the native LongLookupSum kernel (an
+    // expression-constant hash map, O(1) per gram) instead of
+    // element_at over an m-entry map LITERAL (a linear key scan —
+    // O(grams · m) per row on the factory's DSIR admission gate). The
+    // salted bucket hash stays column algebra (one portable
+    // definition); unfitted buckets and NULL grams contribute 0
+    // exactly as before (KernelFuzzSpec pins kernel == the HOF).
     val entries = ratios.toSeq.sortBy(_._1)
-    val lookup = map(entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
     val grams = Text.bigrams(Text.tokens(text))
-    aggregate(
-      transform(grams, g =>
-        coalesce(element_at(lookup, hashBucket(g, salt, m)), lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    GraftFunctions.longLookupSum(
+      transform(grams, g => hashBucket(g, salt, m)),
+      entries.map(_._1), entries.map(_._2), default = 0L)
   }
 
   /** Collect a fitted ratio table into the literal-map form `dsirScore`

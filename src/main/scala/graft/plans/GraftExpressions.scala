@@ -498,6 +498,157 @@ case class NbScoreMicros(child: Expression, tokens: IndexedSeq[UTF8String],
     copy(child = c)
 }
 
+/** Per-row BPE token counting as a native kernel — the r20 close of
+  * the literal-map-scan sweep [[NbScoreMicros]] opened: the trained
+  * (word → n_sym) table as an expression-constant hash map, summed in
+  * one O(1)-probe-per-word pass. The HOF spelling it replaces
+  * (Bpe.bpeTokenCount's `aggregate` + `element_at` over a map
+  * literal) was a LINEAR key scan per word — O(doc_len · vocab) per
+  * row at the 4096-entry vocab cap, on the corpus factory's BPE
+  * admission gate and the q156 token-budget packing path.
+  *
+  * Contract (BIT-equal to the HOF form — KernelFuzzSpec pins it):
+  *  - a word in the map adds its n_sym; a word OUTSIDE the map adds
+  *    its CHARACTER length (UTF8String.numChars — exactly Catalyst's
+  *    Length on strings; the zero-merges-applicable upper bound);
+  *  - a NULL element poisons the whole sum to NULL (the HOF's
+  *    `acc + coalesce(element_at(map, null), length(null))` — both
+  *    arms NULL, and a NULL accumulator stays NULL), hence
+  *    `nullable` is unconditionally true and codegen manages isNull;
+  *  - empty array → 0 (the fold's zero); NULL array → NULL
+  *    (UnaryExpression contract);
+  *  - the sum is a Java long with the HOF's wrap-on-overflow. */
+case class TokenCountSum(child: Expression, words: IndexedSeq[UTF8String],
+    counts: IndexedSeq[Long]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType => ST}
+
+  require(words.length == counts.length,
+    s"TokenCountSum: ${words.length} words vs ${counts.length} counts")
+
+  override def prettyName: String = "graft_token_count_sum"
+  override def dataType: DataType = LongType
+  // a null ELEMENT yields NULL even under a non-null input array
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ST, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](words.length * 2)
+    var i = 0
+    while (i < words.length) { m.put(words(i), java.lang.Long.valueOf(counts(i))); i += 1 }
+    m
+  }
+
+  /** The one counting loop, shared by both eval paths; boxed so the
+    * null-element poison can surface as a real NULL. */
+  def sum(toks: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = toks.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null // the HOF's poisoned accumulator
+      val w = toks.getUTF8String(i)
+      val c = lookup.get(w)
+      s += (if (c == null) w.numChars().toLong else c.longValue())
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sum(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenCountSum", this, classOf[TokenCountSum].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long ${ev.value}_r = $self.sum($a);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenCountSum =
+    copy(child = c)
+}
+
+/** Long-keyed lookup-sum as a native kernel — the DSIR admission
+  * score's per-gram half (Curation.dsirScore). The fitted ratio
+  * table (≤ m hashed-bucket keys → log-ratio micros) becomes an
+  * expression-constant hash map; the per-row cost drops from
+  * O(grams · m) — `element_at` over an m-entry map LITERAL is a
+  * linear key scan — to one O(1) probe per gram. The salted
+  * bucket hash itself STAYS column algebra upstream (md5 +
+  * rolling_hash64 + pmod, already native and codegen'd): the kernel
+  * consumes the hashed array<bigint>, so the portable hash recipe
+  * keeps one definition.
+  *
+  * Contract (BIT-equal to the HOF form — KernelFuzzSpec pins it):
+  *  - a key in the map adds its value; a key outside adds `default`
+  *    (dsirScore passes 0 — bigrams never seen at fit time);
+  *  - a NULL element adds `default` too (the HOF's
+  *    `coalesce(element_at(map, null), default)` arm — a NULL gram
+  *    hashed to a NULL bucket);
+  *  - empty array → 0 + nothing = the fold zero... exactly 0 only
+  *    when the fold zero is 0: the HOF starts at `lit(0L)`, so the
+  *    kernel starts at 0 and `default` applies per-element only;
+  *  - NULL array → NULL (UnaryExpression contract); long arithmetic
+  *    wraps like the HOF's. */
+case class LongLookupSum(child: Expression, keys: IndexedSeq[Long],
+    values: IndexedSeq[Long], default: Long) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  require(keys.length == values.length,
+    s"LongLookupSum: ${keys.length} keys vs ${values.length} values")
+
+  override def prettyName: String = "graft_long_lookup_sum"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val lookup: java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](keys.length * 2)
+    var i = 0
+    while (i < keys.length) {
+      m.put(java.lang.Long.valueOf(keys(i)), java.lang.Long.valueOf(values(i))); i += 1 }
+    m
+  }
+
+  /** The one summing loop, shared by both eval paths. */
+  def sum(xs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = xs.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) s += default
+      else {
+        val v = lookup.get(java.lang.Long.valueOf(xs.getLong(i)))
+        s += (if (v == null) default else v.longValue())
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sum(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("longLookupSum", this, classOf[LongLookupSum].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.sum($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongLookupSum =
+    copy(child = c)
+}
+
 /** Bloom-filter bitmap as a custom aggregate: collects BIGINT bit
   * positions (already reduced mod m by the caller) into a packed
   * long[m/64] bitmap — build the filter from the benchmark/blocklist
@@ -1256,7 +1407,14 @@ object GraftFunctions {
       litUtf8Array("graft_nb_score_micros", exprs(1)),
       litLongArray("graft_nb_score_micros", exprs(2)),
       litLong("graft_nb_score_micros", exprs(3)),
-      litDouble("graft_nb_score_micros", exprs(4)))))
+      litDouble("graft_nb_score_micros", exprs(4)))),
+    "graft_token_count_sum" -> (exprs => TokenCountSum(exprs.head,
+      litUtf8Array("graft_token_count_sum", exprs(1)),
+      litLongArray("graft_token_count_sum", exprs(2)))),
+    "graft_long_lookup_sum" -> (exprs => LongLookupSum(exprs.head,
+      litLongArray("graft_long_lookup_sum", exprs(1)),
+      litLongArray("graft_long_lookup_sum", exprs(2)),
+      litLong("graft_long_lookup_sum", exprs(3)))))
 
   /** Register the native functions; idempotent. (Spark 4's Column API
     * is ColumnNode-based and its Expression bridge is private[sql],
@@ -1329,4 +1487,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(micros),
       org.apache.spark.sql.functions.lit(defaultMicros),
       org.apache.spark.sql.functions.lit(prior))
+
+  def tokenCountSum(toks: Column, words: Seq[String], counts: Seq[Long]): Column =
+    call_function("graft_token_count_sum", toks,
+      org.apache.spark.sql.functions.typedlit(words),
+      org.apache.spark.sql.functions.typedlit(counts))
+
+  def longLookupSum(xs: Column, keys: Seq[Long], values: Seq[Long],
+      default: Long): Column =
+    call_function("graft_long_lookup_sum", xs,
+      org.apache.spark.sql.functions.typedlit(keys),
+      org.apache.spark.sql.functions.typedlit(values),
+      org.apache.spark.sql.functions.lit(default))
 }

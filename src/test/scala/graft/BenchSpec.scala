@@ -23,11 +23,30 @@ class BenchSpec extends AnyFunSuite {
     val sel = Bench.selectWarmSet(cur, prev, topN = 3, topMovers = 2, floorSec = 0.5)
     // wall-time picks first, in descending-time order
     assert(sel.take(3) == Seq("big1", "big2", "mover_up"))
-    // mover_up (4.0× — already selected, not duplicated) then
-    // mover_down (4.0× down) — the q89 shape: cheap before, expensive
-    // now, absent from the absolute top-N of EITHER record
-    assert(sel.drop(3) == Seq("mover_down"))
+    // mover slots go ONLY to queries not already selected (r20 advisor
+    // fix — excluded BEFORE the take, so an already-selected heavy
+    // mover like mover_up frees its slot): mover_down (4.0× down, the
+    // q89 shape) then mid (the next-largest remaining ratio)
+    assert(sel.drop(3) == Seq("mover_down", "mid"))
     assert(sel.distinct == sel)
+  }
+
+  test("selectWarmSet: mover slots are not consumed by already-selected queries") {
+    // the r19 escape the advisor flagged: every top-|log ratio| mover
+    // is ALSO in the wall-time top-N (uniform host drift inflates the
+    // heavies), and a cheap-query regression ranks just past
+    // topMovers over the full set — post-take dedup would select zero
+    // new movers and miss it
+    val heavy = (1 to 5).map(i => s"q_heavy$i" -> (20.0 + i)).toMap
+    val cur = heavy.map { case (k, v) => k -> v * 3.0 } + // 3.0× drift
+      ("q_cheap_regressed" -> 1.6) + ("q_steady" -> 1.0)
+    val prev = heavy + ("q_cheap_regressed" -> 0.55) + ("q_steady" -> 1.0)
+    val sel = Bench.selectWarmSet(cur, prev, topN = 5, topMovers = 2, floorSec = 0.5)
+    // all five heavies hold the top-5; their 3.0× ratios outrank the
+    // cheap query's 2.9× — only the pre-take exclusion lets it in
+    assert(sel.take(5).toSet == heavy.keySet)
+    assert(sel.contains("q_cheap_regressed"),
+      "a cheap regression must not lose its mover slot to already-selected heavies")
   }
 
   test("selectWarmSet: the q89 shape is caught — regressed query below old top-N still selected") {

@@ -152,6 +152,31 @@ class CurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curateStream: NULL text is drop:short, never a NULL-verdict 'keep' fall-through") {
+    // r20 advisor fix: a NULL text row tokenizes to a NULL array, so
+    // pre-fix n_tok was NULL (not 0), every when-condition evaluated
+    // NULL, and the row fell through to 'keep' with a NULL nb_score —
+    // violating the model gate's "NULL score ⇒ short-gated" invariant
+    val model = graft.functions.Text.nbTrain(
+      docs.filter(col("doc_id") % 2 === 0),
+      col("text"), (col("lang") === "en").cast("int"))
+    val local = graft.functions.Text.collectNbModel(model)
+    val withNulls = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((100001L, null: String), (100002L, "")).toDF("doc_id", "text"))
+    for (m <- Seq(None, Some(local))) {
+      val out = Curation.curateStream(withNulls, col("doc_id"), col("text"),
+        nbModel = m)
+      val got = out.filter(col("doc_id") > 100000L)
+        .select(col("doc_id"), col("verdict"), col("n_tok"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(got(100001L) == ("drop:short", 0), s"nbModel=$m: ${got(100001L)}")
+      assert(got(100002L)._1 == "drop:short", s"nbModel=$m: ${got(100002L)}")
+      // the invariant the verdict comment asserts: every NULL nb_score
+      // row is short-gated first — no NULL verdict anywhere
+      assert(out.filter(col("verdict").isNull).count() == 0)
+    }
+  }
+
   test("curateStream + NB model gate: stream == batch (keep-set equality), drop:model attributes last") {
     // the r19 composition: heuristics first, the learned filter after
     // (the CCNet order) — the per-row nbScoreExpr stage must keep the

@@ -195,6 +195,119 @@ class KernelFuzzSpec extends SparkSuite {
     assert(got(1L) == (2 * micros(default6)).toDouble / 1e6 + prior6)
   }
 
+  // ---- TokenCountSum ---------------------------------------------------
+
+  test("fuzz: bpe-count kernel == literal-map HOF on random token arrays incl. OOV and nulls") {
+    val rng = new scala.util.Random(83)
+    // ~30-word trained vocab with small positive n_sym counts (the
+    // BpeState.collectWordTokenCounts output shape)
+    val vocabWords = (0 until 30).map(i => s"w$i")
+    val nsyms = vocabWords.map(_ => 1L + rng.nextInt(6))
+    val wordMap = vocabWords.zip(nsyms).toMap
+    val kernel = GraftFunctions.tokenCountSum(col("toks"),
+      vocabWords, vocabWords.map(wordMap))
+    // the pre-r20 Bpe.bpeTokenCount spelling VERBATIM: aggregate +
+    // element_at over a map literal, char-length OOV fallback
+    val lookup = map(wordMap.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+      Seq(lit(w), lit(n)) }: _*)
+    val hof = aggregate(col("toks"), lit(0L),
+      (acc, w) => acc + coalesce(element_at(lookup, w), length(w).cast("long")))
+    val elemGen: Gen[Option[String]] = Gen.frequency(
+      6 -> Gen.choose(0, 29).map(i => Option(s"w$i")),
+      2 -> Gen.alphaNumStr.map(s => Option("oov" + s.take(8))),
+      1 -> Gen.const(Option("")), // empty word: OOV with length 0
+      1 -> Gen.const(Option("한국어")), // numChars counts CODEPOINTS, not bytes
+      1 -> Gen.const(None))
+    val arrGen: Gen[Option[Seq[Option[String]]]] = Gen.frequency(
+      8 -> Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, elemGen)).map(Some(_)),
+      1 -> Gen.const(None))
+    val rows = sample(arrGen, 300, 89L).zipWithIndex.map { case (a, i) =>
+      Row(i.toLong, a.map(_.map(_.orNull)).orNull)
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val diff = df(rows, schema)
+      .select(kernel.as("k"), hof.as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(diff == 0, "bpe-count kernel diverged from the literal-map HOF")
+    // hand-pinned edges: empty array → 0; a null ELEMENT poisons the
+    // sum to NULL (the HOF's null accumulator); NULL array → NULL;
+    // multi-byte OOV counts characters (3), not bytes (9)
+    val edge = df(Seq(
+      Row(0L, Seq.empty[String]),
+      Row(1L, Seq("w0", null, "w1")),
+      Row(2L, null),
+      Row(3L, Seq("한국어"))), schema)
+    val got = edge.select(col("id"), kernel.as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(0L -> Some(0L), 1L -> None, 2L -> None, 3L -> Some(3L)), got.toString)
+  }
+
+  // ---- LongLookupSum ---------------------------------------------------
+
+  test("fuzz: long-lookup-sum kernel == literal-map HOF on random key arrays incl. nulls and nonzero default") {
+    val rng = new scala.util.Random(97)
+    // an m=64 fitted-ratio shape: hashed-bucket keys → signed micros
+    val keys = rng.shuffle((0L until 64L).toList).take(40).toIndexedSeq
+    val vals = keys.map(_ => rng.nextLong() % 2000000L)
+    val ratioMap = keys.zip(vals).toMap
+    for (default <- Seq(0L, -123456L)) {
+      val kernel = GraftFunctions.longLookupSum(col("xs"), keys, vals, default)
+      // the pre-r20 dsirScore lookup spelling VERBATIM (per-element
+      // coalesce to the default, then the fold)
+      val lookup = map(ratioMap.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
+      val hof = aggregate(
+        transform(col("xs"), x => coalesce(element_at(lookup, x), lit(default))),
+        lit(0L), (acc, x) => acc + x)
+      val elemGen: Gen[java.lang.Long] = Gen.frequency(
+        6 -> Gen.choose(0L, 63L).map(Long.box),       // mostly fitted range
+        2 -> Gen.choose(64L, 1023L).map(Long.box),    // unfitted buckets
+        1 -> Gen.const(null: java.lang.Long))         // NULL gram's NULL bucket
+      val arrGen: Gen[Option[Seq[java.lang.Long]]] = Gen.frequency(
+        8 -> Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, elemGen)).map(Some(_)),
+        1 -> Gen.const(None))
+      val rows = sample(arrGen, 300, 101L).zipWithIndex.map { case (a, i) =>
+        Row(i.toLong, a.orNull)
+      }
+      val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("xs", ArrayType(LongType, containsNull = true))))
+      val diff = df(rows, schema)
+        .select(kernel.as("k"), hof.as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(diff == 0,
+        s"long-lookup-sum kernel diverged from the HOF (default=$default)")
+    }
+  }
+
+  test("fuzz: kernel-backed dsirScore == pre-r20 HOF spelling end-to-end on random text") {
+    import graft.operators.Curation
+    val rng = new scala.util.Random(103)
+    val m = 64
+    // a fitted table over a fraction of the bucket space
+    val ratios = (0 until 40).map(_ => rng.nextInt(m).toLong)
+      .distinct.map(b => b -> (rng.nextLong() % 1000000L)).toMap
+    val lookup = map(ratios.toSeq.sortBy(_._1).flatMap { case (b, l) =>
+      Seq(lit(b), lit(l)) }: _*)
+    def hof(text: org.apache.spark.sql.Column) = aggregate(
+      transform(graft.functions.Text.bigrams(graft.functions.Text.tokens(text)),
+        g => coalesce(element_at(lookup, Curation.hashBucket(g, "dsir", m)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val wordGen = Gen.oneOf("the", "cat", "sat", "on", "한국어", "mat", "a")
+    val textGen: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val rows = sample(Gen.frequency(9 -> textGen.map(Option(_)),
+        1 -> Gen.const(None: Option[String])), 200, 107L)
+      .zipWithIndex.map { case (t, i) => Row(i.toLong, t.orNull) }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val diff = df(rows, schema)
+      .select(Curation.dsirScore(col("text"), ratios, m).as("k"),
+        hof(col("text")).as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(diff == 0, "kernel-backed dsirScore diverged from the HOF spelling")
+  }
+
   // ---- DotProduct ------------------------------------------------------
 
   test("fuzz: graft_dot == HOF fold on random double arrays incl. mismatched lengths and extremes") {
