@@ -198,4 +198,37 @@ object Clustering {
     Curation.stratifiedSample(kmeansInt8(emb, k, passes), col("cluster"),
       col("vec_id"), n, salt)
   }
+
+  /** The PRODUCTION composition of [[clusterBalancedSample]] (r20 —
+    * the embedding-curation recipe: curate → dedup → cluster →
+    * balanced cut): semantic selection runs over the CORPUS that
+    * survived curation and dedup, never the raw crawl — clustering
+    * raw data lets near-duplicate floods forge their own "semantic
+    * modes" and buy selection slots the dedup tier exists to deny.
+    * `corpus` is the survivor set (the factory's landing zone or any
+    * curated batch output), `emb` the embedding side table; only
+    * embeddings whose `vecId` matches a surviving `id` cluster and
+    * compete (one left_semi join — embeddings of dropped docs are
+    * pruned BEFORE the k-means passes, so the expensive stage runs on
+    * the small side). Returns [[clusterBalancedSample]]'s
+    * (vec_id, label, cluster, dist) rows.
+    *
+    * This is a POST-LANDING JOB, not a per-batch gate, on purpose: a
+    * balanced cut is a function of the whole corpus's cluster
+    * structure, and clustering one micro-batch would balance within
+    * the batch while the corpus drifts arbitrarily across batches —
+    * the same reason the LSH index rebuild is a maintenance job. Run
+    * it at selection time (epoch build), against a PINNED clustering
+    * per [[clusterBalancedSample]]'s stability note.
+    *
+    * Scale: the semi-join shuffles ids only (embedding column prunes
+    * out of the probe side); the k-means passes dominate as before,
+    * now over survivors — strictly cheaper than corpus-wide. */
+  def corpusBalancedSelection(corpus: DataFrame, id: Column,
+      emb: DataFrame, vecId: Column, k: Int, passes: Int, n: Int,
+      salt: String = "cbal"): DataFrame = {
+    val survivors = emb.join(
+      corpus.select(id.as("_sel_id")), vecId === col("_sel_id"), "left_semi")
+    clusterBalancedSample(survivors, k, passes, n, salt)
+  }
 }

@@ -115,5 +115,50 @@ object ClusteringQueries {
         .orderBy(col("vec_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q86, q87, q157)
+  // Cluster-balanced selection composed into the FACTORY tier (r20 —
+  // q157 proved the operator standalone; this pins the production
+  // shape, the embedding-curation recipe: curate → exact dedup → LSH
+  // near-dup removal → cluster the SURVIVORS' embeddings → balanced
+  // cut, selection AFTER dedup so near-dup floods cannot forge
+  // semantic modes and buy slots). Oracle = q116's survivor CTEs
+  // (shared verbatim — CurationQueries.corpusSurvivorCtes) feeding
+  // the q86 Lloyd's replay restricted to survivor embeddings, then
+  // the q157 stratified-rank cut, with each selected doc carrying its
+  // q68 split. Row-level pin (every selected vec_id + cluster + dist
+  // + split), the strongest gate the composition admits.
+  val q159 = sql(
+    "q159_factory_balanced_selection",
+    s"""WITH RECURSIVE ${CurationQueries.corpusSurvivorCtes},
+       |emb_s AS (SELECT e.vec_id, e.label, e.embedding
+       |  FROM embeddings e JOIN s2 ON e.vec_id = s2.doc_id),
+       |${VectorQueries.quantCte.replace("FROM embeddings", "FROM emb_s")},
+       |$kmeansCtes,
+       |hh AS (SELECT a.vec_id, a.cluster, a.dist,
+       |    ${CurationQueries.uSql("md5('cbal' || CAST(a.vec_id AS VARCHAR))")} AS u
+       |  FROM a$Passes a),
+       |sg2 AS (SELECT vec_id, cluster, dist, ${CurationQueries.signedSql("u")} AS hs FROM hh),
+       |r AS (SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY hs, vec_id) AS rn
+       |  FROM sg2),
+       |sph AS (SELECT doc_id,
+       |    ${CurationQueries.uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
+       |spg AS (SELECT doc_id, ${CurationQueries.signedSql("u")} AS hs FROM sph),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ${CurationQueries.pmodSql("hs", 100)} < 80 THEN 'train'
+       |         WHEN ${CurationQueries.pmodSql("hs", 100)} < 90 THEN 'val'
+       |         ELSE 'test' END AS split FROM spg)
+       |SELECT r.vec_id, v.label, r.cluster, r.dist, sp.split
+       |FROM r JOIN q v USING (vec_id) JOIN sp ON sp.doc_id = r.vec_id
+       |WHERE rn <= 15 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val s2 = CurationQueries.corpusSurvivors(Tables.documents(s, d))
+    val sel = Clustering.corpusBalancedSelection(s2, col("doc_id"),
+      Tables.embeddings(s, d), col("vec_id"), K, Passes, 15)
+    val split = graft.operators.Curation.withSplit(
+      s2.select(col("doc_id")), col("doc_id")).select(col("doc_id"), col("split"))
+    sel.join(split, sel("vec_id") === split("doc_id"))
+      .select(col("vec_id"), col("label"), col("cluster"), col("dist"), col("split"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q86, q87, q157, q159)
 }

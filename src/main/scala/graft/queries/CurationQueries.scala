@@ -594,46 +594,48 @@ object CurationQueries {
   // the SURVIVOR set) → hash split (q68's recipe) → per-(split, lang)
   // yield report. Every stage reuses an operator already gated on its
   // own; this query pins that they chain without semantic drift.
-  val q116 = sql(
-    "q116_corpus_factory", {
-      val pairsOverSurvivors = VectorQueries.jaccardOracle
-        .replace("FROM documents", "FROM s1")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text,
-         |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
-         |  round(least(length(text) / 500.0, 1.0) * 0.4
-         |    + (1.0 - len(list_filter(string_split(lower(text),' '),
-         |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
-         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
-         |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
-         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
-         |    , 6) AS q
-         |  FROM documents),
-         |kept AS (SELECT doc_id, lang, text, n_ws FROM t WHERE n_ws >= 30 AND q >= 0.65),
-         |fp AS (SELECT doc_id, lang, text, n_ws, md5(text) AS f FROM kept),
-         |mn AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
-         |s1 AS (SELECT doc_id, lang, text, n_ws FROM fp JOIN mn
-         |  ON fp.f = mn.f AND fp.doc_id = mn.keep_id),
-         |gt AS (SELECT doc_a, doc_b FROM ($pairsOverSurvivors) g),
-         |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
-         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
-         |reach(node, lbl) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
-         |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
-         |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
-         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN drop d ON s1.doc_id = d.doc_id
-         |  WHERE d.doc_id IS NULL),
-         |h AS (SELECT doc_id, lang, n_ws,
-         |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
-         |sg AS (SELECT doc_id, lang, n_ws, ${signedSql("u")} AS hs FROM h),
-         |sp AS (SELECT lang, n_ws,
-         |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
-         |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
-         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS tok_sum
-         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
-    }) { (s, d) =>
-    val docs = Tables.documents(s, d)
+  // The survivor chain (both sides, up to CTE `s2`) is factored so
+  // q159's post-landing selection splices after the SAME chain.
+
+  /** q116's oracle chain through near-dup removal: CTEs `t` → `kept`
+    * → `fp`/`mn`/`s1` (exact dedup) → `gt`/…/`s2` (LSH-ground-truth
+    * near-dup removal). The enclosing query supplies `WITH RECURSIVE`
+    * and everything after `s2`. */
+  private[queries] val corpusSurvivorCtes: String = {
+    val pairsOverSurvivors = VectorQueries.jaccardOracle
+      .replace("FROM documents", "FROM s1")
+    s"""t AS (SELECT doc_id, lang, text,
+       |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+       |  round(least(length(text) / 500.0, 1.0) * 0.4
+       |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+       |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+       |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+       |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+       |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+       |    , 6) AS q
+       |  FROM documents),
+       |kept AS (SELECT doc_id, lang, text, n_ws FROM t WHERE n_ws >= 30 AND q >= 0.65),
+       |fp AS (SELECT doc_id, lang, text, n_ws, md5(text) AS f FROM kept),
+       |mn AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+       |s1 AS (SELECT doc_id, lang, text, n_ws FROM fp JOIN mn
+       |  ON fp.f = mn.f AND fp.doc_id = mn.keep_id),
+       |gt AS (SELECT doc_a, doc_b FROM ($pairsOverSurvivors) g),
+       |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+       |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+       |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+       |s2 AS (SELECT s1.* FROM s1 LEFT JOIN drop d ON s1.doc_id = d.doc_id
+       |  WHERE d.doc_id IS NULL)""".stripMargin
+  }
+
+  /** q116's Spark chain through near-dup removal — the survivor set
+    * (doc_id, lang, text, _nws) the oracle's `s2` CTE mirrors. */
+  private[queries] def corpusSurvivors(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val kept = docs
       .withColumn("_nws", Text.wsTokenCount(col("text")))
       .withColumn("_q", Text.qualityScore(col("text")))
@@ -645,7 +647,21 @@ object CurationQueries {
       md5(col("text")) === col("_f") && col("doc_id") === col("_keep_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("_nws"))
     val pairs = graft.operators.Dedup.minhashLshPairs(s1, col("doc_id"), col("text"))
-    val s2 = graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
+    graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
+  }
+
+  val q116 = sql(
+    "q116_corpus_factory",
+    s"""WITH RECURSIVE $corpusSurvivorCtes,
+       |h AS (SELECT doc_id, lang, n_ws,
+       |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
+       |sg AS (SELECT doc_id, lang, n_ws, ${signedSql("u")} AS hs FROM h),
+       |sp AS (SELECT lang, n_ws,
+       |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+       |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
+       |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS tok_sum
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+    val s2 = corpusSurvivors(Tables.documents(s, d))
     Curation.withSplit(s2, col("doc_id"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_nws")).as("tok_sum"))

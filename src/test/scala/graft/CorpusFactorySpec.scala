@@ -233,4 +233,47 @@ class CorpusFactorySpec extends SparkSuite {
     assert(landedIds(s"$base/land/batch=0") == Set(11L))
     assert(indexIds(s"$base/idx") == Set(11L))
   }
+
+  test("post-landing balanced selection: survivors-only, per-cluster cap, dedup denies flood slots") {
+    import graft.operators.Clustering
+    // the q159 composition over the factory's own landing zone: land a
+    // batch that contains a near-dup FLOOD (four copies of docA with
+    // one token appended — same semantic mode), then run the
+    // selection job over landed survivors + the embedding side table
+    val base = java.nio.file.Files.createTempDirectory("cfactory3").toString
+    val flood = (20L to 23L).map(i => (i, docA + s" appended$i"))
+    val b = (flood ++ Seq((30L, docB), (31L, docC), (32L, docD)))
+      .toDF("doc_id", "text")
+    Pipelines.applyCorpusFactoryBatch(spark, b, 0L, s"$base/idx", s"$base/land",
+      minQuality = 0.5)
+    val landed = spark.read.parquet(s"$base/land/batch=0")
+    val survivorIds = landedIds(s"$base/land/batch=0")
+    assert(survivorIds.intersect(Set(21L, 22L, 23L)).isEmpty,
+      s"the flood must dedup to one representative, landed $survivorIds")
+    // embeddings for EVERY ingested doc (flood included): two tight
+    // semantic modes, deterministic coordinates
+    val emb = (flood.map(_._1) ++ Seq(30L, 31L, 32L)).map { i =>
+      val mode = if (i < 30L) 0 else 1
+      (i, (0 until 64).map(j =>
+        (if (j % 2 == mode) 1.0f else 0.0f) + i * 0.001f).toArray, mode)
+    }.toDF("vec_id", "embedding", "label")
+    val sel = Clustering.corpusBalancedSelection(landed, col("doc_id"),
+      emb, col("vec_id"), k = 2, passes = 2, n = 2)
+    val selIds = sel.select("vec_id").collect().map(_.getLong(0)).toSet
+    // selection ⊆ survivors: dropped near-dups never buy a slot even
+    // though their embeddings sit in the side table
+    assert(selIds.subsetOf(survivorIds), s"$selIds ⊄ $survivorIds")
+    // balanced = capped per LEARNED cluster (≤ n each, everything
+    // kept when the cluster is smaller)
+    val perCluster = sel.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCluster.values.forall(_ <= 2), perCluster.toString)
+    // deterministic: the same selection under a different input
+    // partitioning (the stratified cut is a pure hash function)
+    val selRepart = Clustering.corpusBalancedSelection(
+      landed.repartition(7), col("doc_id"),
+      emb.repartition(5), col("vec_id"), k = 2, passes = 2, n = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(selRepart == selIds)
+  }
 }
