@@ -148,9 +148,12 @@ object Bpe {
     /** The (word → n_sym) map as driver-side literal data, for
       * [[Bpe.bpeTokenCount]] — the per-ROW streaming-legal token
       * counter (no join, no aggregation state; the dsirScore
-      * literal-map trick). Bounded by `maxVocab`: the inline-map
-      * expression must stay codegen-friendly, so this form fits a
-      * budgeted reference tokenizer (admission gates); corpus-scale
+      * expression-constant trick). Bounded by `maxVocab`: the vocab
+      * rides into the scoring expression as literals, so the cap
+      * bounds plan/literal size and driver memory (r20: per-word scan
+      * cost is no longer a factor — the TokenCountSum kernel probes a
+      * constant hash map O(1) per word); this form fits a budgeted
+      * reference tokenizer (admission gates); corpus-scale
       * vocabularies use the broadcast-join [[tokenCounts]] instead. */
     def collectWordTokenCounts(maxVocab: Int = 4096): Map[String, Long] = {
       val m = wordTokenCounts.collect()

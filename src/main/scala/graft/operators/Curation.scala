@@ -580,12 +580,15 @@ object Curation {
 
   /** STREAMING-legal DSIR admission score: the fitted ratio table
     * (collected once — ≤ m rows of driver state, the same sanctioned
-    * bound as k-means centroids) compiles into a literal map, and the
+    * bound as k-means centroids) compiles into an expression-constant
+    * hash map (r20: the native LongLookupSum kernel), and the
     * score is a pure column expression over the row's own bigrams —
     * no join, no state, stream==batch by construction. Buckets absent
     * from the fitted table (bigrams never seen at fit time) contribute
     * 0. Gate with `score >= thresholdMicro` in any funnel, including
-    * `curateStream`-shaped streaming pipelines. */
+    * `curateStream`-shaped streaming pipelines. Requires
+    * GraftFunctions.register on the session (the DataFrame-level
+    * entry points here register themselves). */
   def dsirScore(text: Column, ratios: Map[Long, Long], m: Int = 1024,
       salt: String = "dsir"): Column = {
     require(ratios.nonEmpty)
