@@ -1837,15 +1837,23 @@ object Dedup {
     * sides of the gram join) AND once more inside the size()>0 filter
     * InferFiltersFromGenerate plants under the Generate — the same
     * barrier the MinHash banding path uses (r12). */
-  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
-      k: Int = 8): DataFrame = {
-    require(k >= 2)
-    val toks = Text.tokens(text)
-    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+  /** k-token windows of a token array by zip-shift: entry i is the
+    * space-joined gram starting at token i; entries whose window runs
+    * past the end are NULL (zip_with's shorter-side padding) — shared
+    * by [[duplicateSpans]] and [[removeDuplicateSpans]] so detection
+    * and removal can never disagree on what a gram is. */
+  private def gramWindows(toks: Column, k: Int): Column =
+    (2 to k).foldLeft(toks) { (acc, j) =>
       val shifted = slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(0)))
       zip_with(acc, shifted, (a, b) =>
         when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
     }
+
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val toks = Text.tokens(text)
+    val grams = gramWindows(toks, k)
     val gramRows = docs
       .select(id.as("doc_id"), filter(grams, _.isNotNull).as("grams"))
       .localCheckpoint(eager = false)
@@ -1858,5 +1866,69 @@ object Dedup {
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ppm",
         floor(lit(1000000L) * col("n_dup") / col("n_win")).cast("long"))
+  }
+
+  /** Over-duplicated span REMOVAL — the transform twin of
+    * [[duplicateSpans]] (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — public:
+    * the ExactSubstr pass that REWRITES documents instead of scoring
+    * them; detection alone cannot rescue a good document wrapped in
+    * boilerplate). Every k-token window occurring in MORE than
+    * `maxDocs` distinct documents is over-duplicated (nav bars,
+    * cookie banners, license headers); all token positions covered
+    * by any such window are dropped and the document reassembles
+    * from the survivors in original order. Returns
+    * (doc_id, n_tok, n_kept, cleaned).
+    *
+    * Semantics pinned by DedupSpec + q160's row-level oracle:
+    *  - a doc with < k tokens has no windows → kept whole;
+    *  - overlapping flagged windows union their coverage (a token is
+    *    dropped if ANY flagged window covers it);
+    *  - `maxDocs = 1` is the strictest setting: any cross-document
+    *    repeat is boilerplate (within-doc repeats alone never flag —
+    *    the count is DISTINCT docs);
+    *  - NULL text propagates NULL counts and an empty `cleaned`
+    *    (concat_ws never yields NULL) — upstream curation gates
+    *    NULL docs before this stage either way.
+    *
+    * Scale: one gram-keyed count-distinct shuffle (map-side partial)
+    * + one left_semi of the gram stream against the flagged set
+    * (gram-keyed; hot boilerplate grams are exactly the AQE-skew
+    * case, same handling as every token-keyed aggregate here) + one
+    * per-doc collect of FLAGGED starts (bounded by the doc's own
+    * flagged-window count, not the corpus) + a pure column rebuild —
+    * the per-token coverage test is O(flagged_starts) per token via
+    * nested HOF lambdas, fine while boilerplate is a minority of
+    * each doc (the regime the operator exists for; a doc that is
+    * MOSTLY flagged is cheap too — it just ends up short). At
+    * deployment the flagged-gram table is a FIT artifact like the
+    * DSIR ratio table: fit once over the corpus (or a sample),
+    * persist, and apply the removal per batch — the counts side is
+    * corpus-level state, the rewrite side is stateless. */
+  def removeDuplicateSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, maxDocs: Int = 1): DataFrame = {
+    require(k >= 2 && maxDocs >= 1)
+    val toks = Text.tokens(text)
+    val base = docs
+      .select(id.as("doc_id"), toks.as("_tk"), gramWindows(toks, k).as("_gr"))
+      .localCheckpoint(eager = false) // gram stream read twice (count + starts)
+    val wins = base
+      .select(col("doc_id"), posexplode(col("_gr")).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
+    val flagged = wins.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("gram"))
+    val starts = wins.join(flagged, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("_st", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(col("_tk"), (t, i) =>
+        !exists(col("_st"), p => p <= i && i < p + k)))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tok"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("_kept")).as("cleaned"))
   }
 }

@@ -464,6 +464,41 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Over-duplicated span REMOVAL (Dedup.removeDuplicateSpans, r20 —
+  // the transform twin of q106's detection; Lee et al. 2022
+  // arXiv:2107.06499 ExactSubstr): every 3-token window occurring in
+  // MORE than 5 distinct docs is boilerplate; covered token positions
+  // drop (overlapping windows union) and the document reassembles in
+  // order. Row-level pin: per-doc before/after counts + the md5 of
+  // the REBUILT text — the strongest gate a rewrite admits. Oracle
+  // replays the rebuild with 1-BASED positions throughout (both
+  // sides of `p <= i < p+k` shift together, so the kept set is
+  // identical to Spark's 0-based form).
+  val q160 = sql(
+    "q160_span_removal",
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i+2), ' ') AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+      |        FROM tk WHERE len(toks) >= 3)),
+      |f AS (SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) t WHERE nd > 5),
+      |st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+      |  FROM g JOIN f USING (gram) GROUP BY doc_id),
+      |rb AS (SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    list_filter(toks, (x, i) ->
+      |      len(list_filter(coalesce(st.starts, []), p -> p <= i AND i < p + 3)) = 0) AS kept
+      |  FROM tk LEFT JOIN st USING (doc_id))
+      |SELECT doc_id, n_tok, CAST(len(kept) AS BIGINT) AS n_kept,
+      |  md5(array_to_string(kept, ' ')) AS cleaned_fp
+      |FROM rb ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.removeDuplicateSpans(docs(s, d), col("doc_id"), col("text"),
+        k = 3, maxDocs = 5)
+      .select(col("doc_id"), col("n_tok"), col("n_kept"),
+        md5(col("cleaned")).as("cleaned_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // Vocab coverage / OOV profile (Text.vocabCoverage) against the
   // q102 vocabulary — the tokenizer-readiness report. The vocab side
   // is ≤ maxVocab by construction, so the membership join broadcasts;
@@ -801,5 +836,6 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q60, q61, q123, q124, q125,
-    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118, q154, q156)
+    q127, q67, q77, q83, q91, q92, q93, q94, q98, q102, q103, q105, q106, q107, q118, q154, q156,
+    q160)
 }

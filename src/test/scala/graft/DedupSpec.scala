@@ -425,6 +425,44 @@ class DedupSpec extends SparkSuite {
     assert(!out.contains(5L), "sub-k docs have no windows")
   }
 
+  test("removeDuplicateSpans: planted boilerplate stripped, overlap unions, short/clean docs whole") {
+    import spark.implicits._
+    // k=3, maxDocs=2: the 3-token banner "click to subscribe" appears
+    // in THREE docs (over-duplicated) — every position it covers must
+    // drop; "one two three" appears in only TWO docs (at the cap, not
+    // over it) and must survive
+    val corpus = Seq(
+      (1L, "click to subscribe alpha beta gamma one two three"),
+      (2L, "delta click to subscribe epsilon one two three zeta"),
+      (3L, "eta theta click to subscribe iota"),
+      (4L, "completely unrelated text with no shared windows anywhere"),
+      (5L, "tiny doc")) // < 3 tokens → no windows → kept whole
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"),
+        k = 3, maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // hand-computed: only the banner's 3 positions drop in each doc
+    assert(out(1L) == ((9L, 6L, "alpha beta gamma one two three")), out(1L).toString)
+    assert(out(2L) == ((9L, 6L, "delta epsilon one two three zeta")), out(2L).toString)
+    assert(out(3L) == ((6L, 3L, "eta theta iota")), out(3L).toString)
+    assert(out(4L)._1 == out(4L)._2, "clean doc must be kept whole")
+    assert(out(5L) == ((2L, 2L, "tiny doc")), "sub-k docs have no windows")
+    // overlap union: the 4-token run "pay wall pay wall" in 3 docs
+    // flags BOTH its 3-gram starts; coverage is the union (all 4
+    // tokens), not 2·k double-counted
+    val overlap = Seq(
+      (10L, "aaa pay wall pay wall bbb"),
+      (11L, "ccc pay wall pay wall ddd"),
+      (12L, "eee pay wall pay wall fff"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(overlap, col("doc_id"), col("text"),
+        k = 3, maxDocs = 2)
+      .filter(col("doc_id") === 10L).head()
+    assert(got.getLong(1) == 6L && got.getLong(2) == 2L &&
+      got.getString(3) == "aaa bbb", got.toString)
+  }
+
   test("dupClusters: converges on a high-diameter chain (the revision-chain dup graph)") {
     import spark.implicits._
     // a 400-link path with SCRAMBLED ids — diameter 399, adversarial
