@@ -58,6 +58,7 @@ object ScaleProbe {
     "q148_sketch_index_lifecycle",
     "q149_vector_dup_clusters",
     "q106_duplicate_spans",
+    "q160_span_removal",
     "q123_bpe_merges",
     "q125_bpe_token_counts",
     "q157_cluster_balanced_sample")
@@ -84,7 +85,7 @@ object ScaleProbe {
     case n if CdcProbeQueries.contains(n) => "events"
     case "q34_exact_dedup_stats" | "q39_minhash_lsh_pairs" |
          "q64_dup_clusters" | "q82_neardup_removal" |
-         "q106_duplicate_spans" | "q123_bpe_merges" |
+         "q106_duplicate_spans" | "q160_span_removal" | "q123_bpe_merges" |
          "q125_bpe_token_counts" => "documents"
     case "q41_lsh_bucket_histogram" | "q42_bucketed_ann" |
          "q55_ivf_full_probe" | "q57_embedding_neardup" |

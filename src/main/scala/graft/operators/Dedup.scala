@@ -1907,19 +1907,46 @@ object Dedup {
     * corpus-level state, the rewrite side is stateless. */
   def removeDuplicateSpans(docs: DataFrame, id: Column, text: Column,
       k: Int = 8, maxDocs: Int = 1): DataFrame = {
+    require(maxDocs >= 1)
+    removeSpans(docs, id, text, flaggedSpans(docs, id, text, k, maxDocs), k)
+  }
+
+  /** The FIT half of span removal: the over-duplicated k-gram table —
+    * (gram) rows for every window occurring in more than `maxDocs`
+    * distinct documents. Corpus-level state, persisted and reused
+    * across batches exactly like `dsirRatios` (the fit artifact /
+    * stateless apply seam every corpus-level gate here follows); on a
+    * moving crawl, re-fit on the same cadence as the DSIR table —
+    * boilerplate is a property of the corpus, not the batch. */
+  def flaggedSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, maxDocs: Int = 1): DataFrame = {
     require(k >= 2 && maxDocs >= 1)
     val toks = Text.tokens(text)
-    val base = docs
-      .select(id.as("doc_id"), toks.as("_tk"), gramWindows(toks, k).as("_gr"))
-      .localCheckpoint(eager = false) // gram stream read twice (count + starts)
-    val wins = base
-      .select(col("doc_id"), posexplode(col("_gr")).as(Seq("pos", "gram")))
-      .filter(col("gram").isNotNull)
-    val flagged = wins.groupBy(col("gram"))
+    docs.select(id.as("doc_id"),
+        explode(filter(gramWindows(toks, k), _.isNotNull)).as("gram"))
+      .groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") > maxDocs)
       .select(col("gram"))
-    val starts = wins.join(flagged, Seq("gram"), "left_semi")
+  }
+
+  /** The APPLY half: rewrite `docs` against a fitted [[flaggedSpans]]
+    * table — stateless per batch (each micro-batch is a plain
+    * DataFrame inside foreachBatch, so this runs as-is per trigger),
+    * one gram-keyed left_semi + one per-doc starts rollup + a pure
+    * column rebuild. `k` must match the fit (the gram width is part
+    * of the artifact's identity — persist it next to the table). */
+  def removeSpans(docs: DataFrame, id: Column, text: Column,
+      flagged: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val toks = Text.tokens(text)
+    val base = docs
+      .select(id.as("doc_id"), toks.as("_tk"), gramWindows(toks, k).as("_gr"))
+      .localCheckpoint(eager = false) // gram stream read twice (probe + rebuild)
+    val wins = base
+      .select(col("doc_id"), posexplode(col("_gr")).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
+    val starts = wins.join(flagged.select(col("gram")), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_starts"))
     base.join(starts, Seq("doc_id"), "left")

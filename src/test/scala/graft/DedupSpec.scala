@@ -463,6 +463,33 @@ class DedupSpec extends SparkSuite {
       got.getString(3) == "aaa bbb", got.toString)
   }
 
+  test("removeSpans: fit-once/apply-per-batch equals the one-shot, batch split invariant") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "click to subscribe alpha beta gamma one two three"),
+      (2L, "delta click to subscribe epsilon one two three zeta"),
+      (3L, "eta theta click to subscribe iota"),
+      (4L, "completely unrelated text with no shared windows anywhere"))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"),
+      k = 3, maxDocs = 2).collect().map(_.toString).sorted.toSeq
+    // the deployment shape: fit the flagged table on the corpus once,
+    // then apply statelessly to each half as its own "micro-batch" —
+    // rewritten rows must be identical to the one-shot's
+    val fitted = Dedup.flaggedSpans(corpus, col("doc_id"), col("text"),
+      k = 3, maxDocs = 2).localCheckpoint()
+    try {
+      val batched = Seq(corpus.filter(col("doc_id") <= 2),
+        corpus.filter(col("doc_id") > 2))
+        .flatMap(b => Dedup.removeSpans(b, col("doc_id"), col("text"), fitted, k = 3)
+          .collect().map(_.toString))
+        .sorted.toSeq
+      assert(batched == oneShot,
+        "per-batch apply against the fitted table diverged from the one-shot")
+    } finally
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(fitted)
+  }
+
   test("dupClusters: converges on a high-diameter chain (the revision-chain dup graph)") {
     import spark.implicits._
     // a 400-link path with SCRAMBLED ids — diameter 399, adversarial
