@@ -840,6 +840,92 @@ object CurationQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  // Boilerplate removal composed BEFORE near-dup dedup (r20 — q160
+  // proved the rewrite standalone; this pins the ORDER production
+  // cares about: shared boilerplate inflates shingle similarity, so
+  // the span pass must run first or near-dup dedup merges docs whose
+  // only overlap is the banner). Chain: heuristics → fit the
+  // over-duplicated trigram table on survivors (corpus-RELATIVE
+  // threshold: a gram in > corpus/100 distinct docs is boilerplate —
+  // an absolute cap either starves at small SFs or mass-empties at
+  // big ones) → rewrite → MinHash near-dup on the CLEANED text → CC
+  // keep-one → split → per-(split, lang) yield in POST-removal
+  // tokens. Oracle: the q160 rebuild CTEs spliced between q116's
+  // heuristic stage and the jaccard ground truth re-pointed at the
+  // cleaned docs.
+  val q161 = sql(
+    "q161_boilerplate_neardup_chain", {
+      val pairsOverCleaned = VectorQueries.jaccardOracle
+        .replace("FROM documents", "FROM cleaned_docs")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text,
+         |  len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_ws,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + (1.0 - len(list_filter(string_split(lower(text),' '),
+         |        t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE)) * 0.4
+         |    + len(list_distinct(list_filter(string_split(lower(text),' '), t -> t <> '')))
+         |      / CAST(len(list_filter(string_split(lower(text),' '), t -> t <> '')) AS DOUBLE) * 0.2
+         |    , 6) AS q
+         |  FROM documents),
+         |kept AS (SELECT doc_id, lang, text FROM t WHERE n_ws >= 30 AND q >= 0.65),
+         |nn AS (SELECT greatest(count(*)//100, 1) AS cap FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM kept),
+         |g AS (SELECT doc_id, j AS pos, array_to_string(toks[j:j+2], ' ') AS gram
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS j)),
+         |f AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) z, nn
+         |  WHERE nd > nn.cap),
+         |st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+         |  FROM g JOIN f USING (gram) GROUP BY doc_id),
+         |rb AS (SELECT tk.doc_id,
+         |    list_filter(toks, (x, i) ->
+         |      len(list_filter(coalesce(st.starts, []), p -> p <= i AND i < p + 3)) = 0) AS kept_t
+         |  FROM tk LEFT JOIN st USING (doc_id)),
+         |cleaned_docs AS (SELECT doc_id, array_to_string(kept_t, ' ') AS text FROM rb),
+         |gt AS (SELECT doc_a, doc_b FROM ($pairsOverCleaned) g2),
+         |edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM gt UNION SELECT doc_b, doc_a FROM gt),
+         |nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node),
+         |cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+         |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+         |s2 AS (SELECT rb.doc_id, k2.lang, len(rb.kept_t) AS n_kept
+         |  FROM rb JOIN kept k2 USING (doc_id)
+         |  LEFT JOIN drop d ON rb.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+         |h AS (SELECT doc_id, lang, n_kept,
+         |    ${uSql("md5('split' || CAST(doc_id AS VARCHAR))")} AS u FROM s2),
+         |sg AS (SELECT doc_id, lang, n_kept, ${signedSql("u")} AS hs FROM h),
+         |sp AS (SELECT lang, n_kept,
+         |    CASE WHEN ${pmodSql("hs", 100)} < 80 THEN 'train'
+         |         WHEN ${pmodSql("hs", 100)} < 90 THEN 'val' ELSE 'test' END AS split FROM sg)
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tok_sum
+         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .withColumn("_nws", Text.wsTokenCount(col("text")))
+      .withColumn("_q", Text.qualityScore(col("text")))
+      .filter(col("_nws") >= 30 && col("_q") >= 0.65)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // corpus-relative boilerplate threshold — bounded driver state
+    // (one long), the same sanctioned class as the k-means collect
+    val cap = (docs.count() / 100L).max(1L).toInt
+    val flagged = graft.operators.Dedup.flaggedSpans(
+      kept, col("doc_id"), col("text"), k = 3, maxDocs = cap)
+    val cleaned = graft.operators.Dedup.removeSpans(
+        kept, col("doc_id"), col("text"), flagged, k = 3)
+      .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("cleaned").as("text"), col("n_kept"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(cleaned, col("doc_id"), col("text"))
+    val s2 = graft.operators.Dedup.keepOnePerCluster(cleaned, col("doc_id"), pairs)
+    Curation.withSplit(s2, col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tok_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(q68, q69, q70, q71, q72, q73, q74, q80, q81, q85, q89, q90,
-    q97, q108, q110, q111, q112, q113, q114, q116, q121, q155, q158)
+    q97, q108, q110, q111, q112, q113, q114, q116, q121, q155, q158, q161)
 }

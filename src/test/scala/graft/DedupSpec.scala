@@ -490,6 +490,28 @@ class DedupSpec extends SparkSuite {
       org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(fitted)
   }
 
+  test("span removal before near-dup: boilerplate-only overlap stops making near-dups (the q161 order)") {
+    import spark.implicits._
+    // three docs whose ONLY shared content is a 20-token banner; the
+    // one-token tails are unique. Pre-removal the banner dominates the
+    // shingle sets (jaccard 18/20 = 0.9 ≥ 0.8) so near-dup dedup
+    // would merge them — post-removal they share nothing
+    val banner = (1 to 20).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, s"$banner uniqa"), (2L, s"$banner uniqb"),
+      (3L, s"$banner uniqc")).toDF("doc_id", "text")
+    val rawPairs = Dedup.minhashLshPairs(corpus, col("doc_id"), col("text"))
+    assert(rawPairs.count() == 3,
+      "setup: the banner must make all three docs mutual near-dups")
+    val flagged = Dedup.flaggedSpans(corpus, col("doc_id"), col("text"),
+      k = 3, maxDocs = 2)
+    val cleaned = Dedup.removeSpans(corpus, col("doc_id"), col("text"), flagged, k = 3)
+      .select(col("doc_id"), col("cleaned").as("text"), col("n_kept"))
+    assert(cleaned.filter(col("n_kept") =!= 1L).count() == 0,
+      "only the unique tail survives removal")
+    assert(Dedup.minhashLshPairs(cleaned, col("doc_id"), col("text")).count() == 0,
+      "cleaned docs share nothing — near-dup dedup must not merge them")
+  }
+
   test("dupClusters: converges on a high-diameter chain (the revision-chain dup graph)") {
     import spark.implicits._
     // a 400-link path with SCRAMBLED ids — diameter 399, adversarial
