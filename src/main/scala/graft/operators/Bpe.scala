@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -33,81 +32,75 @@ import graft.functions.Text
   */
 object Bpe {
 
-  /** One character per row: (word, fr, pos, sym), pos 1-based. */
+  /** One row per DISTINCT word: (word, fr, syms) with syms the
+    * character-split symbol ARRAY. The array form (r21) keeps every
+    * merge round's APPLY a pure per-row projection — the previous
+    * one-symbol-per-row table paid three (word, pos) window sorts and
+    * two joins PER ROUND for the same greedy rewrite (plan diff in
+    * OPTIMIZATION_r21.md; values bit-identical, BpeSpec unchanged). */
   private def initSymbols(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(Text.tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("fr"))
       .select(col("word"), col("fr"),
-        posexplode(transform(sequence(lit(1), length(col("word"))),
-          i => substring(col("word"), i, lit(1)).cast("string")))
-          .as(Seq("pos0", "sym")))
-      .select(col("word"), col("fr"), (col("pos0") + 1).as("pos"), col("sym"))
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
 
-  private val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+  /** Apply ONE merge (a, b) to a symbol array — greedy left-to-right
+    * non-overlapping, as a single left fold: append each symbol, and
+    * when the accumulator ends in `a` and the incoming symbol is `b`,
+    * replace that tail with the merged symbol instead. Equivalent to
+    * the sequential scan-with-skip semantics (and to the former
+    * odd-parity islands form): a just-merged tail can never falsely
+    * re-match because concat(a, b) is strictly longer than `a`. */
+  private def applyMergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
 
-  /** Apply ONE merge (a, b) to the symbol table — greedy left-to-right
-    * non-overlapping via odd-parity islands over matched positions. */
-  private def applyMerge(w: DataFrame, a: Column, b: Column): DataFrame = {
-    val flagged = w
-      .withColumn("_next", lead(col("sym"), 1).over(byPos))
-      .withColumn("_m", col("_next").isNotNull &&
-        col("sym") === a && col("_next") === b)
-    val kept = flagged.filter(col("_m"))
-      .withColumn("_rn", row_number().over(byPos))
-      .withColumn("_k", row_number().over(
-        Window.partitionBy(col("word"), col("pos") - col("_rn"))
-          .orderBy(col("pos"))))
-      .filter(col("_k") % 2 === 1)
-      .select(col("word").as("_kw"), col("pos").as("_kp"))
-    flagged
-      .join(kept, col("word") === col("_kw") && col("pos") === col("_kp"), "left")
-      .withColumn("_kept", col("_kp").isNotNull)
-      .drop("_kw", "_kp")
-      .join(kept, col("word") === col("_kw") && col("pos") === col("_kp") + 1, "left")
-      .withColumn("_consumed", col("_kp").isNotNull)
-      .filter(!col("_consumed"))
-      .select(col("word"), col("fr"), col("pos"),
-        when(col("_kept"), concat(a, b)).otherwise(col("sym")).as("sym"))
-      .withColumn("pos", row_number().over(byPos))
-  }
-
-  /** The training loop: (merge table, final symbol table). */
+  /** The training loop: (merge table, final symbol table).
+    *
+    * Per round (r21): ONE aggregation job — adjacent pairs exploded
+    * from the symbol arrays (zip-shift, no self-join), counted with
+    * map-side partial aggregation, top-1 collected to the driver (one
+    * row — the sanctioned bounded-collect class) — plus the projection
+    * checkpoint that applies the merge. The former row-per-symbol loop
+    * paid a self-join + limit + isEmpty probe + three window sorts +
+    * two joins per round. */
   private def train(docs: DataFrame, text: Column,
       merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1)
+    val spark = docs.sparkSession
     var w = initSymbols(docs, text).localCheckpoint()
-    val learned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
-      // adjacent pairs via self-join, NOT a lead() window: the symbol
-      // table is vocab-sized, so AQE broadcasts one side and the join
-      // costs no sort, while the window form forces a per-round
-      // (word, pos) sort-shuffle — measured +0.2 s/query at sf0.1
-      val pairs = w.as("a").join(w.as("b"),
-          col("a.word") === col("b.word") && col("b.pos") === col("a.pos") + 1)
-        .groupBy(col("a.sym").as("sym_a"), col("b.sym").as("sym_b"))
-        .agg(sum(col("a.fr")).as("cnt"))
-      val top = pairs
+      val top = w.select(col("fr"), explode(
+          zip_with(slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            (sa, sb) => struct(sa.as("sa"), sb.as("sb")))).as("p"))
+        .groupBy(col("p.sa").as("sym_a"), col("p.sb").as("sym_b"))
+        .agg(sum(col("fr")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(1)
-        .localCheckpoint() // 1 row; feeds both the output and the apply
+        .collect() // ≤ 1 row of driver state per round
       if (top.isEmpty) exhausted = true
       else {
-        learned += top.select(lit(r).as("rank"), col("sym_a"), col("sym_b"),
-          concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
-        val t = broadcast(top.select(col("sym_a").as("_A"), col("sym_b").as("_B")))
-        w = applyMerge(w.crossJoin(t), col("_A"), col("_B"))
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        val cnt = top.head.getLong(2)
+        learned += ((r, a, b, a + b, cnt))
+        w = w.select(col("word"), col("fr"),
+            applyMergeFold(col("syms"), a, b).as("syms"))
           .localCheckpoint() // truncate lineage; table stays vocab-sized
       }
       r += 1
     }
-    val mergeTable =
-      if (learned.isEmpty)
-        // degenerate corpus (every word one symbol): empty merge list
-        initSymbols(docs, text).limit(0)
-          .select(lit(0).as("rank"), col("sym").as("sym_a"), col("sym").as("sym_b"),
-            col("sym").as("merged"), col("fr").as("cnt"))
-      else learned.reduce(_.unionByName(_)).orderBy(col("rank"))
+    import spark.implicits._
+    val mergeTable = learned.toSeq
+      .toDF("rank", "sym_a", "sym_b", "merged", "cnt")
+      .orderBy(col("rank"))
     (mergeTable, w)
   }
 
@@ -123,12 +116,16 @@ object Bpe {
       * table with frequency-weighted occurrence counts — what a
       * tokenizer ships alongside the merge list. */
     def vocab: DataFrame = symbolTable
+      .select(col("fr"), explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("fr")).as("occurrences"))
 
     /** (word → n_sym): the per-distinct-word BPE token count — the
-      * broadcastable map every corpus-side derivation joins against. */
+      * broadcastable map every corpus-side derivation joins against.
+      * With the array-form symbol table this is a pure projection
+      * (size of the word's symbol array) — the former row-per-symbol
+      * shape paid a (word) count shuffle here. */
     def wordTokenCounts: DataFrame = symbolTable
-      .groupBy(col("word")).agg(count(lit(1)).as("_n_sym"))
+      .select(col("word"), size(col("syms")).cast("long").as("_n_sym"))
 
     /** Tokenize a corpus under this trained tokenizer: per-document
       * BPE token counts. The scale move: a word's segmentation is a
@@ -186,6 +183,12 @@ object Bpe {
     * once). */
   def bpeTokenCount(text: Column, wordNsym: Map[String, Long]): Column = {
     require(wordNsym.nonEmpty)
+    // best-effort self-registration (r21, advisor): a standalone
+    // caller that never called GraftFunctions.register would fail at
+    // analysis with an unresolved graft_token_count_sum otherwise;
+    // register is idempotent and cheap
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
     val entries = wordNsym.toSeq.sortBy(_._1)
     graft.plans.GraftFunctions.tokenCountSum(
       Text.tokens(text), entries.map(_._1), entries.map(_._2))

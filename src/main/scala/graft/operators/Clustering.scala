@@ -76,8 +76,17 @@ object Clustering {
       maxLiteralK: Int = 256): DataFrame = {
     require(k > 0 && passes >= 1)
     graft.plans.GraftFunctions.register(emb.sparkSession)
+    // The quantized (vec_id, label, q8) table is consumed once per
+    // assignment pass PLUS the init collect and each update collect —
+    // without a barrier every consumer re-executes the ENTIRE upstream
+    // plan (for q159 that is the five-stage survivor chain, measured
+    // ~4 full re-executions; guide §5 — cache when reused and
+    // recomputation is the expensive side). Lazy localCheckpoint: the
+    // narrow int8-code table materializes at the init collect and every
+    // later pass reads the blocks.
     val q = Quantization.withInt8(emb, v)
       .select(col(id).as("vec_id"), col("label"), col("q8"))
+      .localCheckpoint(eager = false)
 
     // O(k·d) driver state per round — the sanctioned k-means exception
     // (centroids are small by definition); the corpus never collects.

@@ -592,6 +592,12 @@ object Curation {
   def dsirScore(text: Column, ratios: Map[Long, Long], m: Int = 1024,
       salt: String = "dsir"): Column = {
     require(ratios.nonEmpty)
+    // best-effort self-registration (r21, advisor): a standalone
+    // caller that never called GraftFunctions.register would fail at
+    // analysis with an unresolved graft_long_lookup_sum otherwise;
+    // register is idempotent and cheap
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
     // r20: the per-gram lookup is the native LongLookupSum kernel (an
     // expression-constant hash map, O(1) per gram) instead of
     // element_at over an m-entry map LITERAL (a linear key scan —

@@ -150,11 +150,19 @@ object ClusteringQueries {
        |SELECT r.vec_id, v.label, r.cluster, r.dist, sp.split
        |FROM r JOIN q v USING (vec_id) JOIN sp ON sp.doc_id = r.vec_id
        |WHERE rn <= 15 ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val s2 = CurationQueries.corpusSurvivors(Tables.documents(s, d))
-    val sel = Clustering.corpusBalancedSelection(s2, col("doc_id"),
+    // r21: both consumers (the selection semi-join and the split side)
+    // need only the survivor IDS — project once behind a lazy barrier
+    // so the five-stage survivor chain executes exactly once instead
+    // of once per consumer (and the barrier is a narrow id column, not
+    // the text-bearing frame). Values unchanged; guide §5 + §2.3
+    // (shuffle keys, not payloads).
+    val s2ids = CurationQueries.corpusSurvivors(Tables.documents(s, d))
+      .select(col("doc_id"))
+      .localCheckpoint(eager = false)
+    val sel = Clustering.corpusBalancedSelection(s2ids, col("doc_id"),
       Tables.embeddings(s, d), col("vec_id"), K, Passes, 15)
     val split = graft.operators.Curation.withSplit(
-      s2.select(col("doc_id")), col("doc_id")).select(col("doc_id"), col("split"))
+      s2ids, col("doc_id")).select(col("doc_id"), col("split"))
     sel.join(split, sel("vec_id") === split("doc_id"))
       .select(col("vec_id"), col("label"), col("cluster"), col("dist"), col("split"))
       .orderBy(col("vec_id"))

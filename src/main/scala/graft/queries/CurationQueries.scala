@@ -636,16 +636,25 @@ object CurationQueries {
     * (doc_id, lang, text, _nws) the oracle's `s2` CTE mirrors. */
   private[queries] def corpusSurvivors(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // r21: the heuristic gate (tokenize + quality kernels) and the md5
+    // fingerprint are evaluated ONCE behind a lazy checkpoint barrier —
+    // the gated frame feeds the fingerprint agg, the keep-min join and
+    // both near-dup stages, and without the barrier each consumer
+    // re-executed the whole gate (the q158 plan showed 3 evaluations
+    // of the quality filter; guide §5). Values unchanged: the barrier
+    // is a plan boundary, not a semantic change.
     val kept = docs
       .withColumn("_nws", Text.wsTokenCount(col("text")))
       .withColumn("_q", Text.qualityScore(col("text")))
       .filter(col("_nws") >= 30 && col("_q") >= 0.65)
+      .withColumn("_f", md5(col("text")))
+      .localCheckpoint(eager = false)
     // deterministic exact dedup: keep the min doc per content fingerprint
-    val mn = kept.groupBy(md5(col("text")).as("_f"))
-      .agg(min(col("doc_id")).as("_keep_id"))
-    val s1 = kept.join(mn,
-      md5(col("text")) === col("_f") && col("doc_id") === col("_keep_id"))
+    val mn = kept.groupBy(col("_f")).agg(min(col("doc_id")).as("_keep_id"))
+    val s1 = kept.join(mn, "_f")
+      .filter(col("doc_id") === col("_keep_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("_nws"))
+      .localCheckpoint(eager = false) // read twice: pair mining + keep-one
     val pairs = graft.operators.Dedup.minhashLshPairs(s1, col("doc_id"), col("text"))
     graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
   }
@@ -819,19 +828,28 @@ object CurationQueries {
     val docs = Tables.documents(s, d)
     val model = Text.nbTrain(docs.filter(col("doc_id") % 2 === 0),
       col("text"), (col("lang") === "en").cast("int"))
+    // r21 barriers (values unchanged, guide §5): the heuristic gate is
+    // read by the NB scorer AND the semi-join probe side; the admitted
+    // frame by the fingerprint agg AND the keep-min join — without the
+    // lazy checkpoints each consumer re-executed the whole upstream
+    // (the before-plan shows the NB-train subtree TWICE and the
+    // quality filter three times).
     val kept = docs
       .withColumn("_nws", Text.wsTokenCount(col("text")))
       .withColumn("_q", Text.qualityScore(col("text")))
       .filter(col("_nws") >= 30 && col("_q") >= 0.65)
+      .localCheckpoint(eager = false)
     // the learned gate, JOIN form — the corpus factory's nbGate shape
     val admit = Text.nbScore(kept, col("doc_id"), col("text"), model)
       .filter(col("score") >= 0.0).select(col("doc_id"))
     val keptm = kept.join(admit, Seq("doc_id"), "left_semi")
-    val mn = keptm.groupBy(md5(col("text")).as("_f"))
-      .agg(min(col("doc_id")).as("_keep_id"))
-    val s1 = keptm.join(mn,
-      md5(col("text")) === col("_f") && col("doc_id") === col("_keep_id"))
+      .withColumn("_f", md5(col("text")))
+      .localCheckpoint(eager = false)
+    val mn = keptm.groupBy(col("_f")).agg(min(col("doc_id")).as("_keep_id"))
+    val s1 = keptm.join(mn, "_f")
+      .filter(col("doc_id") === col("_keep_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("_nws"))
+      .localCheckpoint(eager = false) // read twice: pair mining + keep-one
     val pairs = graft.operators.Dedup.minhashLshPairs(s1, col("doc_id"), col("text"))
     val s2 = graft.operators.Dedup.keepOnePerCluster(s1, col("doc_id"), pairs)
     Curation.withSplit(s2, col("doc_id"))
@@ -904,11 +922,15 @@ object CurationQueries {
          |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
     }) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // r21 barrier (values unchanged, guide §5): the gated frame feeds
+    // the span FIT, the span APPLY and the lang join — three full
+    // re-evaluations of the tokenize+quality gate without it.
     val kept = docs
       .withColumn("_nws", Text.wsTokenCount(col("text")))
       .withColumn("_q", Text.qualityScore(col("text")))
       .filter(col("_nws") >= 30 && col("_q") >= 0.65)
       .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(eager = false)
     // corpus-relative boilerplate threshold — bounded driver state
     // (one long), the same sanctioned class as the k-means collect
     val cap = (docs.count() / 100L).max(1L).toInt
@@ -918,6 +940,7 @@ object CurationQueries {
         kept, col("doc_id"), col("text"), flagged, k = 3)
       .join(kept.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"), col("n_kept"))
+      .localCheckpoint(eager = false) // read twice: pair mining + keep-one
     val pairs = graft.operators.Dedup.minhashLshPairs(cleaned, col("doc_id"), col("text"))
     val s2 = graft.operators.Dedup.keepOnePerCluster(cleaned, col("doc_id"), pairs)
     Curation.withSplit(s2, col("doc_id"))
