@@ -213,6 +213,11 @@ object Dedup {
     // come out of it with the native kernel (no (doc, shingle) shuffle),
     // and the exploded form for Jaccard verification is a cheap explode
     // of the same cached rows.
+    // NO fan-out here (r21): this frame is .cache()d and consumed by
+    // several concurrently-materialized AQE stages — a bottom
+    // repartition under a cached multi-consumer subtree measurably
+    // regressed the q38/q39 family (see OPTIMIZATION_r21.md), unlike
+    // the lazy-checkpoint barriers where the fan-out helps
     val ds = docShingles(docs, id, text, n).cache()
     try {
     val sh = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -516,6 +521,11 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       idxBuckets: Int = 64): Unit = {
+    // NO fan-out here (r21): this frame is .cache()d and consumed by
+    // several concurrently-materialized AQE stages — a bottom
+    // repartition under a cached multi-consumer subtree measurably
+    // regressed the q38/q39 family (see OPTIMIZATION_r21.md), unlike
+    // the lazy-checkpoint barriers where the fan-out helps
     val ds = docShingles(docs, id, text, n).cache()
     try {
       requireUniqueDocIds(ds, "writeLshIndex")
@@ -1129,14 +1139,28 @@ object Dedup {
     val raw = ckpt(pairs
       .select(greatest(col(a), col(b)).as("x"), least(col(a), col(b)).as("y")))
     val e = ckpt(raw.filter(col("x") =!= col("y")).distinct())
-    val nodes = ckpt(raw.select(col("x").as("node"))
-      .union(raw.select(col("y").as("node"))).distinct())
+    // the node count rides the checkpoint materialization as an
+    // accumulator (r21) instead of a separate count() job — it only
+    // seeds the fast-path round cap (log₂n + 2), where a task-retry
+    // over-count can only ADD slack rounds, never a wrong answer (the
+    // loop exits on changed == 0 either way; the n == 0 empty-input
+    // case reads exactly 0 because an empty frame schedules no rows)
+    val nAcc = spark.sparkContext.longAccumulator("graft.dupClusters.nodes")
+    val nodesRaw = raw.select(col("x").as("node"))
+      .union(raw.select(col("y").as("node"))).distinct()
+    val nodes = ckpt(nodesRaw.mapPartitions { it =>
+      it.map { r => nAcc.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(nodesRaw.schema)))
     release(raw)
-    val n = nodes.count()
+    val n = nAcc.value.longValue()
     val log2n = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
 
     // ---- fast path ----
-    val sym = ckpt(e.union(e.select(col("y").as("x"), col("x").as("y"))))
+    // NOT checkpointed (r21): sym is a pure union over e's already-
+    // materialized blocks — re-reading those blocks per round is
+    // cheaper than a third edge-set copy in executor storage plus the
+    // extra materialization job the checkpoint cost
+    val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
     var labels = ckpt(nodes.withColumn("lbl", col("node")))
     val fastCap = log2n + 2
     var round = 0
@@ -1270,7 +1294,6 @@ object Dedup {
     // floating block set per call is that final graph-sized labels
     // checkpoint, reclaimed by GC after the caller consumes it.
     release(e)
-    release(sym)
     release(nodes)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
@@ -1780,6 +1803,11 @@ object Dedup {
     // kernel re-executes per side otherwise (a self-join reuses no
     // subtree unless it ends in an identical exchange)
     val perId = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // NO fan-out here (r21): tried and reverted — the signature frame
+    // is lazily checkpointed and BOTH banded-join legs materialize it
+    // concurrently under AQE; with a fanned-out input the racing
+    // duplicate work grew with the partition count and q40 measured
+    // NET SLOWER (4.4 → 5.5 s; see OPTIMIZATION_r21.md)
     val sigs = simhash(docs, id, text)
       .withColumn("_id_n", count(lit(1)).over(perId))
       .select(col("doc_id"),
@@ -1813,6 +1841,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** k-token windows of a token array by zip-shift: entry i is the
+    * space-joined gram starting at token i; entries whose window runs
+    * past the end are NULL (zip_with's shorter-side padding) — shared
+    * by [[duplicateSpans]] and [[removeDuplicateSpans]] so detection
+    * and removal can never disagree on what a gram is. */
+  private def gramWindows(toks: Column, k: Int): Column =
+    (2 to k).foldLeft(toks) { (acc, j) =>
+      val shifted = slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(0)))
+      zip_with(acc, shifted, (a, b) =>
+        when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+    }
+
   /** Exact duplicate-SPAN detection — substring-level dedup at k-token
     * granularity (the "remove exact substrings repeated across
     * documents" curation step; whole-doc near-dup misses boilerplate
@@ -1837,24 +1877,14 @@ object Dedup {
     * sides of the gram join) AND once more inside the size()>0 filter
     * InferFiltersFromGenerate plants under the Generate — the same
     * barrier the MinHash banding path uses (r12). */
-  /** k-token windows of a token array by zip-shift: entry i is the
-    * space-joined gram starting at token i; entries whose window runs
-    * past the end are NULL (zip_with's shorter-side padding) — shared
-    * by [[duplicateSpans]] and [[removeDuplicateSpans]] so detection
-    * and removal can never disagree on what a gram is. */
-  private def gramWindows(toks: Column, k: Int): Column =
-    (2 to k).foldLeft(toks) { (acc, j) =>
-      val shifted = slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(0)))
-      zip_with(acc, shifted, (a, b) =>
-        when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
-    }
-
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
       k: Int = 8): DataFrame = {
     require(k >= 2)
     val toks = Text.tokens(text)
     val grams = gramWindows(toks, k)
-    val gramRows = docs
+    // fan-out (r21): the tokenize+gram build runs in the scan stage —
+    // single-split inputs serialize it on one core; no-op otherwise
+    val gramRows = graft.sources.Tables.fanOutForKernels(docs)
       .select(id.as("doc_id"), filter(grams, _.isNotNull).as("grams"))
       .localCheckpoint(eager = false)
     val wins = gramRows.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -1922,7 +1952,8 @@ object Dedup {
       k: Int = 8, maxDocs: Int = 1): DataFrame = {
     require(k >= 2 && maxDocs >= 1)
     val toks = Text.tokens(text)
-    docs.select(id.as("doc_id"),
+    // fan-out (r21): same single-split rationale as duplicateSpans
+    graft.sources.Tables.fanOutForKernels(docs).select(id.as("doc_id"),
         explode(filter(gramWindows(toks, k), _.isNotNull)).as("gram"))
       .groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("_nd"))
@@ -1940,13 +1971,21 @@ object Dedup {
       flagged: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2)
     val toks = Text.tokens(text)
-    val base = docs
+    // fan-out (r21): same single-split rationale as duplicateSpans
+    val base = graft.sources.Tables.fanOutForKernels(docs)
       .select(id.as("doc_id"), toks.as("_tk"), gramWindows(toks, k).as("_gr"))
       .localCheckpoint(eager = false) // gram stream read twice (probe + rebuild)
     val wins = base
       .select(col("doc_id"), posexplode(col("_gr")).as(Seq("pos", "gram")))
       .filter(col("gram").isNotNull)
-    val starts = wins.join(flagged.select(col("gram")), Seq("gram"), "left_semi")
+    // the fitted table couples by POSITION, not by column name (r21,
+    // advisor): a persisted flagged-spans artifact reloaded under a
+    // different column name must keep working; the single-column
+    // contract is validated loudly
+    require(flagged.columns.length == 1,
+      s"removeSpans: the flagged-grams table must have exactly one " +
+        s"column (the gram), got ${flagged.columns.mkString(", ")}")
+    val starts = wins.join(flagged.toDF("gram"), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_starts"))
     base.join(starts, Seq("doc_id"), "left")

@@ -1639,8 +1639,13 @@ object Similarity {
 
   def knnGraph(emb: DataFrame, k: Int, block: Option[Column] = None): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col("vec_id") +: col("embedding") +:
-      block.map(_.as("_blk")).toSeq: _*)
+    // fan-out (r21): the O(n²) kernel evaluation runs in the stream
+    // side's stage — a single-split input (one-row-group parquet) would
+    // run the whole pair scan on one core (measured 3.1 s single-task
+    // at sf0.1); no-op when the input is already parallel
+    val base = graft.sources.Tables.fanOutForKernels(
+      emb.select(col("vec_id") +: col("embedding") +:
+        block.map(_.as("_blk")).toSeq: _*))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
     // Each UNORDERED pair is scored once (a < b) and mirrored — the
     // fused dot loop and the norm product are bitwise-commutative, so

@@ -169,8 +169,12 @@ object CdcQueries {
     * change or a stale cached mirror survives the content
     * fingerprint. */
   private[queries] def mirrorIdx(s: SparkSession, d: String): String = {
+    // "2": r21 replaced the dropDuplicates+rank merge with the
+    // struct-max aggregation — same winner per (table, id), but ties on
+    // (ts_ms, is_deleted) now resolve by value-max instead of
+    // arbitrarily, so the cached bytes may differ
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-mirror1-" + QueryDef.sourceFingerprint(d, "events.parquet")).getPath
+      "graft-mirror2-" + QueryDef.sourceFingerprint(d, "events.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmpRoot = new java.io.File(idx + ".build-" +
         java.util.UUID.randomUUID().toString.take(8))

@@ -17,6 +17,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scale-adaptive fan-out for kernel-heavy consumers (r21, guide
+    * §2.5 "input skew: one huge unsplittable file"): the driver's
+    * testdata tables are single-row-group parquet files, so a scan is
+    * ONE split and a per-row kernel evaluated in the scan stage runs
+    * on one core of the machine (measured: q95's exact-graph kernel
+    * stage, 3.1 s single-task at sf0.1 on local[32]). When `df` has
+    * fewer partitions than the session's parallelism, one round-robin
+    * repartition spreads the rows; at production scale (row groups ≫
+    * cores) the branch is a no-op — it keys on the actual partition
+    * count, never a local constant. Applied by SPECIFIC kernel-bound
+    * operators, not the shared loader: a blanket bottom exchange
+    * regressed cache-sharing multi-consumer plans under AQE (q38
+    * 3.2 → 8.4 s — measured and reverted, see OPTIMIZATION_r21.md). */
+  def fanOutForKernels(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -296,15 +296,25 @@ object Pipelines {
             .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           incoming.schema)
-      // union → keep the newest (ts_ms) version per (table, id); replayed
-      // duplicates collapse because dropDuplicates runs before the rank.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("table"), col("id"))
-        .orderBy(col("ts_ms").desc, col("is_deleted").desc)
+      // union → keep the newest (ts_ms) version per (table, id), ties
+      // is_deleted-first — as ONE max-by aggregation (r21, guide §2.3:
+      // aggregate before you shuffle). The former dropDuplicates +
+      // row_number pipeline paid two wide shuffles plus a per-key sort;
+      // the struct-max aggregation combines map-side, so the shuffle
+      // carries one candidate row per (table, id) per map partition and
+      // no sort at all. Winner identical: lexicographic struct max on
+      // (ts_ms, is_deleted) is exactly the rank's (ts_ms DESC,
+      // is_deleted DESC) head; rows tied on both were an arbitrary
+      // winner before (documented: `value` is not asserted on ties) and
+      // are now a deterministic max over the remaining fields. Replayed
+      // duplicates collapse the same way (one winner per key).
       val merged = existing.unionByName(incoming)
-        .dropDuplicates(Seq("table", "id", "ts_ms", "is_deleted"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
+        .groupBy(col("table"), col("id"))
+        .agg(max(struct(col("ts_ms"), col("is_deleted"), col("value"),
+          col("bucket"))).as("_w"))
+        .select(col("id"), col("table"), col("_w.ts_ms").as("ts_ms"),
+          col("_w.value").as("value"), col("_w.is_deleted").as("is_deleted"),
+          col("_w.bucket").as("bucket"))
         // hard-delete tables: a winning d-event removes the row
         // physically instead of leaving a tombstone. (Same caveat as the
         // reference's DELETE: a later replay of an OLDER upsert can
