@@ -20,7 +20,10 @@ object CdcQueries {
 
   /** Build dual-shape JSON envelopes from events. */
   def synthesized(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    // fan-out (r21): the to_json/from_json round-trip runs in the scan
+    // stage — a single-split events file serializes 100k-row JSON
+    // codec work on one core; no-op on already-parallel inputs
+    val ev = Tables.fanOutForKernels(Tables.events(s, d))
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "view", "r")
       .when(col("event_type") === "error", "d")
@@ -76,6 +79,11 @@ object CdcQueries {
     * FOUR tables — the fourth is unsupported, exercising the
     * skip-unknown branch of the reference policy. */
   def synthesizedKeyed(s: SparkSession, d: String): DataFrame = {
+    // NO fan-out here (r21): tried and reverted — the q120 mirror
+    // build consumes this through an eager localCheckpoint whose
+    // downstream cost (two merge+write batches) dwarfs the JSON
+    // round-trip, and the extra bottom exchange measured net slower
+    // in back-to-back 5-run A/Bs (see OPTIMIZATION_r21.md)
     val ev = Tables.events(s, d)
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "view", "r")
