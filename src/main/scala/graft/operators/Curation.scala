@@ -522,8 +522,16 @@ object Curation {
     def gramBuckets(df: DataFrame, cols: Seq[Column], t: Column): DataFrame =
       df.select(cols :+ explode(Text.bigrams(Text.tokens(t))).as("gram"): _*)
         .select(cols :+ hashBucket(col("gram"), salt, m).as("bucket"): _*)
-    val rawGr = gramBuckets(raw, Seq(id.as("doc_id")), text)
-    val tgtGr = gramBuckets(target, Seq.empty, targetText)
+    // input fan-out (r21): rawGr's tokenize+bigram kernel runs once in
+    // the bucket-count map stage and once in the per-doc rollup map
+    // stage, each inheriting the scan's split count — single-core on a
+    // single-row-group input (no-op at real scale). The repartition
+    // exchange is identical under both consumers, so AQE reuses it
+    // (one scan), and each kernel pass parallelizes.
+    val rawGr = gramBuckets(graft.sources.Tables.fanOutForKernels(raw),
+      Seq(id.as("doc_id")), text)
+    val tgtGr = gramBuckets(graft.sources.Tables.fanOutForKernels(target),
+      Seq.empty, targetText)
     val rawCnt = rawGr.groupBy(col("bucket")).agg(count(lit(1)).as("_cq"))
     val tgtCnt = tgtGr.groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
     // corpus totals from the ≤m-row bucket tables, NOT a second scan

@@ -1807,7 +1807,11 @@ object Dedup {
     // is lazily checkpointed and BOTH banded-join legs materialize it
     // concurrently under AQE; with a fanned-out input the racing
     // duplicate work grew with the partition count and q40 measured
-    // NET SLOWER (4.4 → 5.5 s; see OPTIMIZATION_r21.md)
+    // NET SLOWER (4.4 → 5.5 s; see OPTIMIZATION_r21.md). The EAGER
+    // checkpoint + fan-out variant was ALSO measured and reverted
+    // (warm medians 4.70 → 5.18 s over 5+7 runs): the serial eager
+    // jobs cost more than the racing single-task legs they replace —
+    // the join dominates here, not the kernel.
     val sigs = simhash(docs, id, text)
       .withColumn("_id_n", count(lit(1)).over(perId))
       .select(col("doc_id"),

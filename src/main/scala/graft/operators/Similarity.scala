@@ -1748,8 +1748,14 @@ object Similarity {
     // downstream code/rank/pair step is integer arithmetic, and the
     // localCheckpoint is the projection-collapse barrier (r12
     // playbook) keeping the kernel out of the T-way fan-out and the
-    // generate's pushed filter.
-    val canon = emb.select(col("vec_id"),
+    // generate's pushed filter. Input fan-out (r21): the checkpoint
+    // materializes inside the rank pass's FIRST job, which inherits
+    // the scan's split count — a single-row-group input would run the
+    // whole plane-dot kernel on one core (no-op at real scale, and no
+    // racing consumers below: the rank pipeline is the checkpoint's
+    // sole first consumer).
+    val canon = graft.sources.Tables.fanOutForKernels(emb)
+      .select(col("vec_id"),
         Vectors.lshBucket(col("embedding"), dim, nBits).as("_canon"))
       .localCheckpoint(eager = false)
     candidatesFromCodes(canon, nBits, tables, window)
@@ -1764,7 +1770,9 @@ object Similarity {
       newIds: DataFrame, dim: Int, nBits: Int, tables: Int,
       window: Int): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val canon = emb.select(col("vec_id"),
+    // same input fan-out rationale as [[sortedSketchCandidates]]
+    val canon = graft.sources.Tables.fanOutForKernels(emb)
+      .select(col("vec_id"),
         Vectors.lshBucket(col("embedding"), dim, nBits).as("_canon"))
       .localCheckpoint(eager = false)
     batchIncidentCandidatesFromCodes(canon, newIds, nBits, tables, window)
