@@ -1639,13 +1639,21 @@ object Similarity {
 
   def knnGraph(emb: DataFrame, k: Int, block: Option[Column] = None): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    // fan-out (r21): the O(n²) kernel evaluation runs in the stream
-    // side's stage — a single-split input (one-row-group parquet) would
-    // run the whole pair scan on one core (measured 3.1 s single-task
-    // at sf0.1); no-op when the input is already parallel
-    val base = graft.sources.Tables.fanOutForKernels(
-      emb.select(col("vec_id") +: col("embedding") +:
-        block.map(_.as("_blk")).toSeq: _*))
+    // fan-out (r21), BLOCKLESS PATH ONLY: the O(n²) kernel evaluation
+    // runs in the non-equi join's stream-side stage — a single-split
+    // input (one-row-group parquet) would run the whole pair scan on
+    // one core (measured 3.1 s single-task at sf0.1; q95 4.76 → 1.60
+    // with the fan-out); no-op when the input is already parallel.
+    // The BLOCKED path deliberately skips it: its pair kernel runs
+    // AFTER the _blk exchange (already parallel), only the cheap
+    // norm/bucket projections sit pre-shuffle, and the extra
+    // round-robin shuffle measured as a pure regression there
+    // (q96 suite medians 0.63 → 1.19 with the unconditional fan-out,
+    // back to baseline without it).
+    val projected = emb.select(col("vec_id") +: col("embedding") +:
+      block.map(_.as("_blk")).toSeq: _*)
+    val base = (if (block.isEmpty) graft.sources.Tables.fanOutForKernels(projected)
+      else projected)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
     // Each UNORDERED pair is scored once (a < b) and mirrored — the
     // fused dot loop and the norm product are bitwise-commutative, so
