@@ -186,8 +186,14 @@ object Bpe {
     // best-effort self-registration (r21, advisor): a standalone
     // caller that never called GraftFunctions.register would fail at
     // analysis with an unresolved graft_token_count_sum otherwise;
-    // register is idempotent and cheap
-    org.apache.spark.sql.SparkSession.getActiveSession
+    // register is idempotent and cheap. r22 (advisor): also the
+    // DEFAULT session — getActiveSession is thread-local, so an
+    // off-thread builder could register against a session other than
+    // the one that analyzes the plan. A Column carries no session, so
+    // a true multi-session caller must still register on the session
+    // that runs the plan (documented contract above).
+    (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getDefaultSession).distinct
       .foreach(graft.plans.GraftFunctions.register)
     val entries = wordNsym.toSeq.sortBy(_._1)
     graft.plans.GraftFunctions.tokenCountSum(

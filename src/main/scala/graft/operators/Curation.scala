@@ -603,8 +603,14 @@ object Curation {
     // best-effort self-registration (r21, advisor): a standalone
     // caller that never called GraftFunctions.register would fail at
     // analysis with an unresolved graft_long_lookup_sum otherwise;
-    // register is idempotent and cheap
-    org.apache.spark.sql.SparkSession.getActiveSession
+    // register is idempotent and cheap. r22 (advisor): also the
+    // DEFAULT session — getActiveSession is thread-local, so an
+    // off-thread builder could register against a session other than
+    // the one that analyzes the plan (a Column carries no session; a
+    // true multi-session caller registers on the session that runs
+    // the plan).
+    (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getDefaultSession).distinct
       .foreach(GraftFunctions.register)
     // r20: the per-gram lookup is the native LongLookupSum kernel (an
     // expression-constant hash map, O(1) per gram) instead of

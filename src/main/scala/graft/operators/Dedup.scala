@@ -984,7 +984,11 @@ object Dedup {
       threshold: Double, dim: Int, nBits: Int = 32, tables: Int = 4,
       window: Int = 16): DataFrame = {
     val batch = requireUniqueBatchVecIds(newVecs, "embeddingNearDupIncremental")
+    // same O(batch) barrier as the indexed path (r22): newIds feeds
+    // the anti-join, both incidence marker broadcasts and the batch-
+    // size guard probe — one distinct instead of four
     val newIds = batch.select(col("vec_id")).distinct()
+      .localCheckpoint(eager = false)
     val union = corpus.select(col("vec_id"), col("embedding"))
       .join(newIds, Seq("vec_id"), "left_anti")
       .unionByName(batch)
@@ -1045,10 +1049,20 @@ object Dedup {
     val (dim, nBits) = (params("dim").toInt, params("nBits").toInt)
     val corpus = Similarity.readSketchTable(spark, indexPath)
     val guarded = requireUniqueBatchVecIds(newVecs, "embeddingNearDupIndexed")
+    // O(batch) barriers (r22, VERDICT item 8): `newIds` feeds FOUR
+    // consumers (the changed-id anti-join, two incidence marker
+    // broadcasts, the batch-size guard probe) and `batch` feeds THREE
+    // (the code view plus both scoring legs) — without the barriers
+    // each consumer re-ran the distinct / the batch plane-dot kernel
+    // from the guarded frame. Both pins are batch-sized (8 B ids;
+    // batch × (canon + embedding)), never corpus-sized, so the scale
+    // posture of scoreSketchPairs (no corpus-width pin) is unchanged.
     val newIds = guarded.select(col("vec_id")).distinct()
+      .localCheckpoint(eager = false)
     val batch = guarded.select(col("vec_id"),
       graft.functions.Vectors.lshBucket(col("embedding"), dim, nBits).as("canon"),
       col("embedding"))
+      .localCheckpoint(eager = false)
     // changed ids: the batch version fully replaces the indexed row
     val union = corpus.join(newIds, Seq("vec_id"), "left_anti")
       .unionByName(batch)
@@ -1152,7 +1166,17 @@ object Dedup {
       it.map { r => nAcc.add(1L); r }
     }(org.apache.spark.sql.Encoders.row(nodesRaw.schema)))
     release(raw)
+    // DEPENDS on ckpt being an EAGER localCheckpoint (r22, advisor):
+    // the accumulator is populated by the materialization job above;
+    // if ckpt is ever made lazy, this reads 0, the fast-path cap
+    // collapses to 2 rounds and every input takes the slow path —
+    // silently. The assert converts that refactor hazard into a loud
+    // failure (an eagerly-checkpointed nonempty frame must have
+    // scheduled its rows by now).
     val n = nAcc.value.longValue()
+    assert(n > 0 || nodes.isEmpty,
+      "dupClusters: node accumulator read 0 on a nonempty frame — " +
+        "ckpt() must stay an EAGER localCheckpoint")
     val log2n = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
 
     // ---- fast path ----
@@ -1798,20 +1822,27 @@ object Dedup {
     * self-join consumes it twice. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 7): DataFrame = {
-    // materialized (docs × 16 bytes): both sides of the banded
-    // self-join consume sigs, and the scan + tokenize + signature
-    // kernel re-executes per side otherwise (a self-join reuses no
-    // subtree unless it ends in an identical exchange)
+    // SINGLE consumer below (r22): the former banded SELF-JOIN put the
+    // signature frame behind a lazy localCheckpoint that BOTH join
+    // legs materialized concurrently under AQE — the scan + tokenize +
+    // signature kernel ran (racing) twice, and two fan-out A/Bs failed
+    // precisely because they scaled that duplicated work
+    // (OPTIMIZATION_r21.md). The per-bucket emission consumes sigs
+    // exactly once, so the checkpoint is gone along with the join.
+    // STILL no input fan-out (r22, third A/B): with the join gone the
+    // racing-duplication objection vanished, but the fan-out's
+    // round-robin exchange moves the TEXT payload (sort-before-
+    // repartition included) and measured slower anyway — warm medians
+    // 3.08 s (no fan-out) vs 3.37 s (fan-out) over 7 runs; the
+    // duplicate guard's own doc_id exchange follows either way. Guide
+    // §2.3: don't shuffle payloads to buy parallelism the next
+    // exchange already provides.
+    // Guard stays a WINDOW count (r22, fourth A/B): a groupBy(doc_id)
+    // aggregation guard was measured at 3.26 s warm vs 3.08 s for the
+    // window — on an all-unique key the map-side partial aggregation
+    // reduces nothing (one hash-table entry per row) and is pure
+    // overhead over the same exchange.
     val perId = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // NO fan-out here (r21): tried and reverted — the signature frame
-    // is lazily checkpointed and BOTH banded-join legs materialize it
-    // concurrently under AQE; with a fanned-out input the racing
-    // duplicate work grew with the partition count and q40 measured
-    // NET SLOWER (4.4 → 5.5 s; see OPTIMIZATION_r21.md). The EAGER
-    // checkpoint + fan-out variant was ALSO measured and reverted
-    // (warm medians 4.70 → 5.18 s over 5+7 runs): the serial eager
-    // jobs cost more than the racing single-task legs they replace —
-    // the join dominates here, not the kernel.
     val sigs = simhash(docs, id, text)
       .withColumn("_id_n", count(lit(1)).over(perId))
       .select(col("doc_id"),
@@ -1819,27 +1850,42 @@ object Dedup {
           lit("simhashPairs: duplicate doc_id "), col("doc_id").cast("string"),
           lit(" — doc ids must be unique (one signature row per document)"))))
           .otherwise(col("simhash")).as("simhash"))
-      .localCheckpoint(eager = false)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xffL)): _*)).as(Seq("chunk", "ck")))
-    // Dedup-free emission: a pair sharing k chunks would come out of
-    // the banded join k times, so emit it ONLY from the FIRST chunk
-    // both signatures share — both full signatures ride the join, so
-    // "no earlier chunk matches" is a cheap bitwise predicate
-    // evaluated inside the join stage, and the downstream distinct()
-    // (formerly a multi-million-row shuffle) disappears entirely.
-    // The hamming filter is likewise pipelined in the join stage.
+    // Per-bucket pair emission (r22, guide §2.4/§3): ONE shuffle of the
+    // 8×n chunk rows groups each (chunk, ck) bucket, then intra-bucket
+    // pairs stream out of two Generates — the banded self-join (two
+    // exchanges over the chunked frame + an SMJ) is gone from the plan.
+    // The member list is sorted by doc_id, the inner explode slices
+    // strictly AFTER the outer element, so doc_a < doc_b holds by
+    // construction (doc ids are unique per bucket — one row per doc per
+    // chunk position). The candidate set is IDENTICAL to the join's:
+    // same buckets, same unordered pairs. Per-task memory is O(bucket
+    // members), not O(pairs) — the inner explode never materializes the
+    // pair list. Trade-off vs the join, documented: a pathologically
+    // hot bucket is one task here (AQE skew-split applies to joins
+    // only), but the join's quadratic blow-up on such a bucket is the
+    // real cost either way and banding into finer chunks, not join
+    // physics, is the fix at that point.
+    val buckets = chunked.groupBy(col("chunk"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val lhs = buckets.select(col("chunk"), col("ms"),
+      posexplode(col("ms")).as(Seq("i", "l")))
+    // Dedup-free emission, unchanged logic: a pair sharing k chunks
+    // appears in k buckets, so emit it ONLY from the FIRST chunk both
+    // signatures share — a cheap bitwise predicate on the two
+    // signatures riding the member structs. The hamming filter is
+    // pipelined in the same stage.
     val firstSharedChunk = array_position(
       array((0 until 8).map(c =>
         shiftright(col("l.simhash"), c * 8).bitwiseAND(0xffL) ===
           shiftright(col("r.simhash"), c * 8).bitwiseAND(0xffL)): _*),
       lit(true))
-    chunked.as("l")
-      .join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
-          col("l.doc_id") < col("r.doc_id") &&
-          firstSharedChunk === col("l.chunk") + 1)
+    lhs.select(col("chunk"), col("l"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("r"))
+      .filter(firstSharedChunk === col("chunk") + 1)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -1984,12 +2030,21 @@ object Dedup {
       .filter(col("gram").isNotNull)
     // the fitted table couples by POSITION, not by column name (r21,
     // advisor): a persisted flagged-spans artifact reloaded under a
-    // different column name must keep working; the single-column
-    // contract is validated loudly
-    require(flagged.columns.length == 1,
-      s"removeSpans: the flagged-grams table must have exactly one " +
-        s"column (the gram), got ${flagged.columns.mkString(", ")}")
-    val starts = wins.join(flagged.toDF("gram"), Seq("gram"), "left_semi")
+    // different column name must keep working; r22 (advisor): a WIDER
+    // artifact that also persisted fit metadata (counts, df) works too
+    // when it carries a column literally named 'gram' — by-name wins
+    // there, by-position covers the renamed single-column case, and
+    // the ambiguous case (multi-column, none named 'gram') stays a
+    // loud require
+    val flaggedGrams =
+      if (flagged.columns.length == 1) flagged.toDF("gram")
+      else {
+        require(flagged.columns.contains("gram"),
+          s"removeSpans: the flagged-grams table must be single-column " +
+            s"(the gram) or contain a 'gram' column, got ${flagged.columns.mkString(", ")}")
+        flagged.select(col("gram"))
+      }
+    val starts = wins.join(flaggedGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_starts"))
     base.join(starts, Seq("doc_id"), "left")

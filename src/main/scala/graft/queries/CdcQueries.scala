@@ -22,7 +22,12 @@ object CdcQueries {
   def synthesized(s: SparkSession, d: String): DataFrame = {
     // fan-out (r21): the to_json/from_json round-trip runs in the scan
     // stage — a single-split events file serializes 100k-row JSON
-    // codec work on one core; no-op on already-parallel inputs
+    // codec work on one core; no-op on already-parallel inputs.
+    // KEPT after the r22 arbitration (VERDICT item 5): re-A/B'd under
+    // the warm protocol on a quiet host at 32 cores — q45 1.55 s with
+    // fan-out vs 2.04 s without (7-run medians), q46 1.58 vs 1.63;
+    // the r21 driver numbers that read flat/slower were taken during
+    // documented host-contention waves.
     val ev = Tables.fanOutForKernels(Tables.events(s, d))
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "view", "r")
@@ -79,12 +84,11 @@ object CdcQueries {
     * FOUR tables — the fourth is unsupported, exercising the
     * skip-unknown branch of the reference policy. */
   def synthesizedKeyed(s: SparkSession, d: String): DataFrame = {
-    // NO fan-out here (r21): tried and reverted — the q120 mirror
-    // build consumes this through an eager localCheckpoint whose
-    // downstream cost (two merge+write batches) dwarfs the JSON
-    // round-trip, and the extra bottom exchange measured net slower
-    // in back-to-back 5-run A/Bs (see OPTIMIZATION_r21.md)
-    val ev = Tables.events(s, d)
+    // fan-out re-A/B'd (r22): r21 rejected it when the build paid two
+    // merge+write batches that dwarfed the JSON round-trip; with the
+    // single-pass build (see buildReferenceMirror) the parse is a
+    // bigger fraction, re-measured under the warm protocol
+    val ev = Tables.fanOutForKernels(Tables.events(s, d))
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "view", "r")
       .when(col("event_type") === "error", "d")
@@ -137,10 +141,10 @@ object CdcQueries {
       |GROUP BY tbl, is_deleted
       |ORDER BY tbl, is_deleted""".stripMargin) { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft-q120").toString + "/m"
-    // upserts first, then the delete batch — hard deletes must remove
-    // rows that were already live in the mirror, not just filter the
-    // incoming batch. ONE shared build definition (buildReferenceMirror,
-    // also behind q145's cache and LayoutProbe --mirror).
+    // ONE shared build definition (buildReferenceMirror, also behind
+    // q145's cache and LayoutProbe --mirror); the deletes-against-live-
+    // mirror path (hard deletes removing rows already on disk) is
+    // covered by SyncMirrorSpec's multi-batch streaming rounds.
     buildReferenceMirror(s, d, dir)
     val out = s.read.parquet(dir)
       .groupBy(col("table").as("tbl"), col("is_deleted"))
@@ -155,18 +159,29 @@ object CdcQueries {
   /** THE reference-policy mirror build — one definition shared by the
     * q120 runner, the q145 cache and `LayoutProbe --mirror`, so the
     * "q145 is gated against exactly q120's build" claim cannot drift:
-    * keyed envelopes parsed once (checkpointed — each mirror batch
-    * consumes its input twice), upserts applied, then the delete
-    * batch, both under the reference routing policy. */
+    * keyed envelopes parsed and applied as ONE batch under the
+    * reference routing policy.
+    *
+    * r22 (guide §2.4, VERDICT item 4): formerly TWO applyCdcBatch
+    * calls (upserts, then deletes) over an eager parse checkpoint —
+    * the delete pass re-read every bucket the upsert pass had just
+    * written and rewrote it. The merge is a max-by aggregation per
+    * (table, id), and max is associative: max(max(U), max(D)) =
+    * max(U ∪ D), the SkipTable/SkipDeletes pre-filters are per-row,
+    * and the HardDelete post-filter ran only on the second pass — so
+    * one combined batch produces the identical mirror rows while
+    * paying one touched-bucket collect, one merge shuffle and one
+    * bucket write instead of two of each plus a full mirror read-back.
+    * The multi-batch delete path (hard deletes removing rows already
+    * live on disk) stays covered by SyncMirrorSpec's streaming rounds.
+    * The parse checkpoint is gone with the second consumer:
+    * applyCdcBatch caches its routed input once. */
   private[graft] def buildReferenceMirror(s: SparkSession, d: String,
       mirrorDir: String, maxRecordsPerFile: Long = 0L): Unit = {
     import graft.streaming.Pipelines
-    val parsed = Cdc.parse(synthesizedKeyed(s, d), col("value")).localCheckpoint()
-    Seq(col("op") =!= "d", col("op") === "d").foreach { pred =>
-      Pipelines.applyCdcBatch(s, parsed.filter(pred), mirrorDir,
-        Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
-        Pipelines.TablePolicy.SkipTable, maxRecordsPerFile)
-    }
+    Pipelines.applyCdcBatch(s, Cdc.parse(synthesizedKeyed(s, d), col("value")),
+      mirrorDir, Pipelines.MirrorBuckets, Pipelines.ReferenceTablePolicy,
+      Pipelines.TablePolicy.SkipTable, maxRecordsPerFile)
   }
 
   /** Build-once mirror cache for q145 (atomic-rename publish, the
@@ -180,9 +195,12 @@ object CdcQueries {
     // "2": r21 replaced the dropDuplicates+rank merge with the
     // struct-max aggregation — same winner per (table, id), but ties on
     // (ts_ms, is_deleted) now resolve by value-max instead of
-    // arbitrarily, so the cached bytes may differ
+    // arbitrarily, so the cached bytes may differ.
+    // "3": r22 folded the upsert/delete passes into one batch — winners
+    // provably identical (max is associative), but the build path
+    // changed, so the key bumps per the documented contract.
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-mirror2-" + QueryDef.sourceFingerprint(d, "events.parquet")).getPath
+      "graft-mirror3-" + QueryDef.sourceFingerprint(d, "events.parquet")).getPath
     if (!new java.io.File(idx).exists()) {
       val tmpRoot = new java.io.File(idx + ".build-" +
         java.util.UUID.randomUUID().toString.take(8))

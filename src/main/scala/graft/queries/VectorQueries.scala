@@ -1240,9 +1240,10 @@ object VectorQueries {
   // cross-engine pin is INTEGER-only (flip sum + bit total — r18,
   // advisor fix: a rounded avg() was HALF_UP in Spark vs DuckDB's
   // double rounding, a latent boundary flake); the estimator's
-  // DOUBLE scalar is pinned same-engine by the require below,
-  // reproducing Average's own sum/count-then-/nBits order so the
-  // equality is exact, not epsilon.
+  // DOUBLE scalar is pinned same-engine in SimilaritySpec (r22 —
+  // formerly an in-runner require that re-ran the corpus kernel join
+  // per invocation), reproducing Average's own sum/count-then-/nBits
+  // order so the equality is exact, not epsilon.
   val q152 = sql(
     "q152_flip_rate_replay", {
       s"""WITH n AS (SELECT vec_id, ${canonSql(32)} AS canon FROM embeddings),
@@ -1259,7 +1260,6 @@ object VectorQueries {
     // the id, not the floats, keeps the construction byte-identical
     // across engines)
     val reemb = emb.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
-    val rate = Similarity.estimateFlipRate(emb, reemb)
     def codes(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
       col("vec_id"), Vectors.lshBucket(col("embedding"), 64, 32).as(c))
     // cached: the totals agg and the returned frame share one kernel
@@ -1273,10 +1273,14 @@ object VectorQueries {
     try {
       val t = joined.agg(sum(col("flips")), count(lit(1))).head()
       val (fsum, n) = (t.getLong(0), t.getLong(1))
-      require(rate == (fsum.toDouble / n) / 32,
-        s"estimateFlipRate ($rate) disagrees with the gated integer " +
-          s"totals ($fsum flips / ${n * 32} bits) — the estimator and the " +
-          "replay no longer share one definition")
+      // r22: the estimateFlipRate-vs-totals pin moved to
+      // SimilaritySpec ("estimateFlipRate equals the q152 replay
+      // totals ...") — the estimator call re-ran the whole corpus
+      // kernel join (plus two sampled dim probes) INSIDE the runner
+      // purely to feed a require, a full duplicate pass per
+      // invocation (q152 read 3.6 s at 32c, ~1/3 of it that pass).
+      // The pinned property is unchanged and still asserted every
+      // `sbt test`, on the same real corpus, same-engine.
       joined
         .select(col("vec_id"), col("flips"),
           lit(fsum).as("flips_total"), lit(n * 32).as("bits_total"))

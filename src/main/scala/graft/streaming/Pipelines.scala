@@ -308,6 +308,10 @@ object Pipelines {
       // winner before (documented: `value` is not asserted on ties) and
       // are now a deterministic max over the remaining fields. Replayed
       // duplicates collapse the same way (one winner per key).
+      // FORMAT NOTE (r22, advisor): mirrors persisted at external
+      // mirrorPath locations by pre-r21 builds may therefore carry
+      // different tie-LOSER rows than a fresh rebuild would produce —
+      // expected, not corruption (ties were never asserted).
       val merged = existing.unionByName(incoming)
         .groupBy(col("table"), col("id"))
         .agg(max(struct(col("ts_ms"), col("is_deleted"), col("value"),

@@ -222,6 +222,38 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("fanOutForKernels: single-split input wrapped, multi-file input returned UNTOUCHED, probe memoized") {
+    // The scale contract (r22, VERDICT item 7): at production shape
+    // (leaf files ≥ parallelism) the helper must be a no-op that does
+    // NOT even pay a physical-planning probe — it returns the same
+    // Dataset reference. Locally (single-file scan) it wraps in one
+    // round-robin repartition, and the planned-partition probe is
+    // memoized per (context, parallelism, plan) so a bench sweep
+    // plans it once.
+    val dir = Files.createTempDirectory("fanout").toString
+    val p = spark.sparkContext.defaultParallelism
+    // multi-file side: more files than parallelism
+    spark.range(1000).repartition(p + 4).write.parquet(s"$dir/many")
+    val many = spark.read.parquet(s"$dir/many")
+    assert(many.inputFiles.length >= p)
+    val outMany = graft.sources.Tables.fanOutForKernels(many)
+    assert(outMany eq many,
+      "multi-file input must pass through untouched (no probe, no wrap)")
+    // single-file side: one split, must be wrapped
+    spark.range(1000).coalesce(1).write.parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    graft.sources.Tables.fanOutProbeCache.clear()
+    val outOne = graft.sources.Tables.fanOutForKernels(one)
+    assert(!(outOne eq one), "single-split input must be fanned out")
+    assert(outOne.rdd.getNumPartitions == p)
+    assert(outOne.collect().map(_.getLong(0)).sorted.toSeq == (0L until 1000L))
+    assert(graft.sources.Tables.fanOutProbeCache.size == 1,
+      "the partition probe must be memoized for file-backed plans")
+    // same plan again: memo hit (no growth), same decision
+    graft.sources.Tables.fanOutForKernels(spark.read.parquet(s"$dir/one"))
+    assert(graft.sources.Tables.fanOutProbeCache.size == 1)
+  }
+
   test("bucketed co-located join is shuffle-free") {
     // warehouse.dir is a static conf — use explicit external-table
     // paths in a temp dir instead.

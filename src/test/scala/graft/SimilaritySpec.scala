@@ -494,6 +494,31 @@ class SimilaritySpec extends SparkSuite {
         "(numpy measured 0.992 vs the 0.973 rotation ceiling)")
   }
 
+  test("estimateFlipRate equals the q152 replay totals (same-engine pin, moved from the runner r22)") {
+    // Formerly an in-runner require inside q152_flip_rate_replay: the
+    // production estimator must agree EXACTLY (not epsilon) with the
+    // gated integer totals of the same construction — Average's own
+    // sum/count-then-/nBits order. Moved here because the runner's
+    // estimator call re-ran the whole corpus kernel join per
+    // invocation purely to feed the require; the property is pinned
+    // on the same real corpus, same construction, every `sbt test`.
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val reemb = emb.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val rate = Similarity.estimateFlipRate(emb, reemb)
+    def codes(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
+      col("vec_id"), graft.functions.Vectors.lshBucket(col("embedding"), 64, 32).as(c))
+    val t = codes(emb, "c0").join(codes(reemb, "c1"), "vec_id")
+      .select(bit_count(col("c0").bitwiseXOR(col("c1"))).cast("int").as("flips"))
+      .agg(sum(col("flips")), count(lit(1))).head()
+    val (fsum, n) = (t.getLong(0), t.getLong(1))
+    assert(n > 0)
+    assert(rate == (fsum.toDouble / n) / 32,
+      s"estimateFlipRate ($rate) disagrees with the replay's integer " +
+        s"totals ($fsum flips / ${n * 32} bits) — the estimator and the " +
+        "q152 replay no longer share one definition")
+  }
+
   test("estimateFlipRate + recommendSketch: the production sizing rule is an API") {
     // the r15 operator form of the r14 sweep's guidance: measure the
     // corpus flip rate from paired embedding versions, look the
